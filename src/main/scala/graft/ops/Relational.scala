@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Scan / projection / filter queries (SURVEY.md §2.B). The point of these
+  * is the *plan*: parquet column pruning and pushed filters — verified in
+  * GraftSpec by inspecting the formatted plan, not just the rows.
+  */
+object Relational {
+  def queries: Map[String, Q] = Map(
+    "q_scan_project" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          // lineitem has no unique key (TESTDATA): order by ALL output
+          // columns so tied rows are identical → hash-stable.
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, " +
+        "l_extendedprice")),
+
+    "q_scan_filter_pushdown" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "lineitem")
+          .filter(col("l_shipdate") < Cols.ts("1996-01-01") &&
+            col("l_discount").between(0.05, 0.07))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_discount"), Cols.epochUs(col("l_shipdate")).as("ship_us"))
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "ship_us"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity, l_discount, " +
+        "epoch_us(l_shipdate) AS ship_us FROM lineitem " +
+        "WHERE l_shipdate < TIMESTAMP '1996-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, ship_us")),
+
+    "q_project_expr" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "lineitem")
+          .select(
+            (col("l_orderkey") * 10L + col("l_linenumber")).as("line_id"),
+            abs(col("l_partkey") - col("l_suppkey")).as("key_gap"),
+            Cols.fround(log(col("l_extendedprice")), 6).as("log_price"),
+            Cols.fround(col("l_extendedprice") * (lit(1) - col("l_discount")),
+              2).as("disc_price"))
+          .orderBy("line_id", "key_gap", "log_price", "disc_price"),
+      Some("SELECT l_orderkey*10+l_linenumber AS line_id, " +
+        "ABS(l_partkey-l_suppkey) AS key_gap, " +
+        Cols.froundSql("LN(l_extendedprice)", 6) + " AS log_price, " +
+        Cols.froundSql("l_extendedprice*(1-l_discount)", 2) +
+        " AS disc_price " +
+        "FROM lineitem ORDER BY line_id, key_gap, log_price, disc_price")),
+
+    "q_filter_null_in" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "orders")
+          .filter(col("o_orderstatus").isin("O", "F") &&
+            col("o_totalprice") > 1000.0 && col("o_custkey").isNotNull)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_orderstatus IN ('O','F') AND o_totalprice > 1000.0 " +
+        "AND o_custkey IS NOT NULL ORDER BY o_orderkey")))
+}
