@@ -41,5 +41,131 @@ object Aggregates {
         "COUNT(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus " +
-        "ORDER BY l_returnflag, l_linestatus")))
+        "ORDER BY l_returnflag, l_linestatus")),
+
+    "q_agg_distinct" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("nd_part"),
+            countDistinct(col("l_suppkey"), col("l_partkey")).as("nd_sp"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, " +
+        "COUNT(DISTINCT (l_suppkey, l_partkey)) AS nd_sp, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    "q_agg_approx_distinct" -> Q(
+      (spark, dir) =>
+        // HLL sketch ≠ DuckDB's approx sketch → no oracle (rows-only);
+        // exactness property is covered in GraftSpec.
+        Tables(spark, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      None),
+
+    "q_agg_rollup" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("__tp_c"))
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+            (col("__tp_c").cast("double") / 100.0).as("total"))
+          .orderBy(asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority")),
+      Some("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)" +
+        " AS DOUBLE)/100.0 AS total " +
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")),
+
+    "q_agg_cube" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "COUNT(*) AS n FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    "q_agg_grouping_sets" -> Q(
+      (spark, dir) => {
+        Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+        spark.sql("SELECT l_returnflag, l_linestatus, " +
+          "CAST(GROUPING(l_returnflag) AS INT)*2 + " +
+          "CAST(GROUPING(l_linestatus) AS INT) AS gid, " +
+          "COUNT(*) AS n FROM lineitem " +
+          "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+          "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+      },
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag) AS INT)*2 + " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS gid, " +
+        "COUNT(*) AS n FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    "q_agg_stats" -> Q(
+      (spark, dir) => {
+        // Exact-moment strategy: accumulate Σx, Σx², Σy, Σy², Σxy as exact
+        // DECIMAL sums of integer-lifted values (cents / unit counts), cast
+        // to double once, then identical closed-form var/std/corr formulas
+        // on both sides — order-independent, hash-stable. Spark's built-in
+        // one-pass stddev/corr are exercised (equivalence-asserted) in
+        // GraftSpec.
+        val x = cents(col("l_extendedprice")).cast("decimal(18,0)")
+        val y = col("l_quantity").cast("long").cast("decimal(18,0)")
+        Tables(spark, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            sum(x * y).as("sxy"))
+          .select(Seq(col("l_returnflag"), col("n")) ++ {
+            val n = col("n").cast("double")
+            val sx = col("sx").cast("double")
+            val sy = col("sy").cast("double")
+            val sxx = col("sxx").cast("double")
+            val syy = col("syy").cast("double")
+            val sxy = col("sxy").cast("double")
+            val varx = (sxx - sx * sx / n) / (n - 1)
+            val vary = (syy - sy * sy / n) / (n - 1)
+            val cov = (sxy - sx * sy / n) / (n - 1)
+            val corr = (sxy - sx * sy / n) /
+              sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+            Seq(Cols.fround(varx, 4).as("var_price_c"),
+              Cols.fround(sqrt(varx), 4).as("std_price_c"),
+              Cols.fround(vary, 4).as("var_qty"),
+              Cols.fround(cov, 4).as("cov_pq"),
+              Cols.fround(corr, 6).as("corr_pq"))
+          }: _*)
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val n = "CAST(COUNT(*) AS DOUBLE)"
+        val sx = "CAST(SUM(CAST(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE)"
+        val sy = "CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE)"
+        val sxx = "CAST(SUM(CAST(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS DECIMAL(18,0)) * CAST(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE)"
+        val syy = "CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0)) * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE)"
+        val sxy = "CAST(SUM(CAST(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS DECIMAL(18,0)) * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE)"
+        val varx = s"(($sxx - $sx*$sx/$n)/($n - 1))"
+        val vary = s"(($syy - $sy*$sy/$n)/($n - 1))"
+        val cov = s"(($sxy - $sx*$sy/$n)/($n - 1))"
+        val corr = s"(($sxy - $sx*$sy/$n)/SQRT(($sxx - $sx*$sx/$n)*($syy - $sy*$sy/$n)))"
+        "SELECT l_returnflag, COUNT(*) AS n, " +
+          Cols.froundSql(varx, 4) + " AS var_price_c, " +
+          Cols.froundSql(s"SQRT($varx)", 4) + " AS std_price_c, " +
+          Cols.froundSql(vary, 4) + " AS var_qty, " +
+          Cols.froundSql(cov, 4) + " AS cov_pq, " +
+          Cols.froundSql(corr, 6) + " AS corr_pq " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      }))
 }

@@ -9,7 +9,147 @@ import graft.{Q, Tables}
   * sort-merge + AQE.
   */
 object Joins {
+  import org.apache.spark.sql.expressions.Window
+
   def queries: Map[String, Q] = Map(
+    "q_join_shuffle" -> Q(
+      (spark, dir) => {
+        // both sides large → sort-merge shuffle join on the fact key
+        val l = Tables(spark, dir, "lineitem")
+        val o = Tables(spark, dir, "orders")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_lines, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey")),
+
+    "q_join_outer" -> Q(
+      (spark, dir) => {
+        val c = Tables(spark, dir, "customer")
+        val o = Tables(spark, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            sum(Cols.cents(col("o_totalprice"))).as("__tp_c"))
+          .select(col("c_custkey"), col("n_orders"),
+            (coalesce(col("__tp_c"), lit(0L)).cast("double") / 100.0)
+              .as("total_spend"))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, COUNT(o_orderkey) AS n_orders, " +
+        "CAST(COALESCE(CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) " +
+        "AS BIGINT), 0) AS DOUBLE)/100.0 AS total_spend " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey")),
+
+    "q_join_semi" -> Q(
+      (spark, dir) => {
+        val o = Tables(spark, dir, "orders")
+        val l = Tables(spark, dir, "lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) " +
+        "ORDER BY o_orderkey")),
+
+    "q_join_anti" -> Q(
+      (spark, dir) => {
+        val c = Tables(spark, dir, "customer")
+        val o = Tables(spark, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey")),
+
+    "q_join_theta_band" -> Q(
+      (spark, dir) => {
+        // pure theta condition → broadcast nested-loop
+        val s = Tables(spark, dir, "supplier")
+        val n = Tables(spark, dir, "nation")
+        s.join(broadcast(n),
+            abs(col("s_nationkey") - col("n_nationkey")) <= 2)
+          .select("s_suppkey", "s_nationkey", "n_nationkey", "n_name")
+          .orderBy("s_suppkey", "n_nationkey")
+      },
+      Some("SELECT s_suppkey, s_nationkey, n_nationkey, n_name " +
+        "FROM supplier JOIN nation ON ABS(s_nationkey - n_nationkey) <= 2 " +
+        "ORDER BY s_suppkey, n_nationkey")),
+
+    "q_join_range_interval" -> Q(
+      (spark, dir) => {
+        // equi key + range predicate: lineitems shipped within 30 days of
+        // their order date
+        val o = Tables(spark, dir, "orders")
+        val l = Tables(spark, dir, "lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_fast"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, COUNT(*) AS n_fast, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "AND l_shipdate >= o_orderdate " +
+        "AND l_shipdate < o_orderdate + INTERVAL 30 DAY " +
+        "GROUP BY o_orderkey ORDER BY o_orderkey")),
+
+    "q_join_asof" -> Q(
+      (spark, dir) => {
+        // as-of backward join: most recent signup at-or-before each event,
+        // per user. Union-marker pattern: one sort, one keyed window — no
+        // per-row subquery, scales as a single shuffle by user_id.
+        val e = Tables(spark, dir, "events")
+        val markers = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            lit(null).cast("long").as("event_id"), col("ts").as("mts"))
+        val probes = e.select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("timestamp_ntz").as("mts"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        markers.unionByName(probes)
+          .withColumn("last_signup", last(col("mts"), ignoreNulls = true)
+            .over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"),
+            Cols.epochUs(col("ts")).as("ts_us"),
+            Cols.epochUs(col("last_signup")).as("last_signup_us"))
+          .orderBy("event_id")
+      },
+      Some("SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, " +
+        "(SELECT epoch_us(MAX(s.ts)) FROM events s " +
+        "WHERE s.user_id = e.user_id AND s.event_type = 'signup' " +
+        "AND s.ts <= e.ts) AS last_signup_us " +
+        "FROM events e ORDER BY event_id")),
+
+    "q_join_selfpairs" -> Q(
+      (spark, dir) => {
+        // A12 analog: self-pair enumeration with a < predicate
+        val a = Tables(spark, dir, "nation")
+          .select(col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+        val b = Tables(spark, dir, "nation")
+          .select(col("n_nationkey").as("k2"), col("n_regionkey").as("r2"))
+        a.join(broadcast(b), col("k1") < col("k2"))
+          .orderBy("k1", "k2")
+      },
+      Some("SELECT a.n_nationkey AS k1, a.n_regionkey AS r1, " +
+        "b.n_nationkey AS k2, b.n_regionkey AS r2 " +
+        "FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey " +
+        "ORDER BY k1, k2")),
+
     "q_join_broadcast" -> Q(
       (spark, dir) => {
         val l = Tables(spark, dir, "lineitem")
