@@ -1,0 +1,36 @@
+package graft.hic
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.GlobalOrder
+
+/** Equal-occupancy binning (SURVEY.md A13–A14): order contacts by genomic
+  * distance, split into `nBins` bins of ≈ equal total contact mass, compute
+  * per-bin summary stats. The global sort+cumsum never collapses to one
+  * partition ([[GlobalOrder]]); bin assignment is pure integer arithmetic
+  * (`(cum−1)·nBins div total`), so it is reproducible bit-for-bit in any
+  * engine.
+  */
+object Binning {
+  /** Input must have columns dist (long), contactCount (long) plus
+    * `tieCols` completing a total order. Output: one row per binIdx with
+    * pairCount, sumCount, minDist, maxDist, sumDist.
+    */
+  def equalOccupancy(contacts: DataFrame, nBins: Int,
+      tieCols: Seq[String]): DataFrame = {
+    val total = contacts
+      .agg(sum(col("contactCount")).as("t")).first().getLong(0)
+    GlobalOrder.rankAndCumsum(contacts,
+        col("dist") +: tieCols.map(col), "__rank",
+        cum = Some((col("contactCount"), "__cum")))
+      .withColumn("binIdx",
+        expr(s"((__cum - 1) * $nBins) div ${total}L").cast("int"))
+      .groupBy("binIdx")
+      .agg(count(lit(1)).as("pairCount"),
+        sum(col("contactCount")).as("sumCount"),
+        sum(col("dist")).as("sumDist"),
+        min(col("dist")).as("minDist"),
+        max(col("dist")).as("maxDist"))
+  }
+}

@@ -10,7 +10,166 @@ import graft.ops.Cols
   * pipeline (SURVEY A13–A20) in an oracle-checkable form.
   */
 object HicQueries {
+  /** Distance-range defaults for the contacts view (≈ FitHiC's -L/-U). */
+  val L = 50000L
+  val U = 5000000L
+  private val keys = Seq("chr", "mid1", "mid2")
+
   def queries: Map[String, Q] = Map(
+    "q_hic_marginals" -> Q(
+      (spark, dir) => {
+        // A1/A24: per-locus marginal counts — union both contact ends
+        val c = ContactsView(spark, dir)
+        c.select(col("chr"), col("mid1").as("mid"), col("contactCount"))
+          .unionByName(c.select(col("chr"), col("mid2").as("mid"),
+            col("contactCount")))
+          .groupBy("chr", "mid")
+          .agg(sum(col("contactCount")).as("hitCount"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("chr", "mid")
+      },
+      Some(ContactsView.cte + " SELECT chr, mid, " +
+        "CAST(SUM(contactCount) AS BIGINT) AS hitCount, " +
+        "COUNT(*) AS n_pairs FROM " +
+        "(SELECT chr, mid1 AS mid, contactCount FROM c " +
+        "UNION ALL SELECT chr, mid2 AS mid, contactCount FROM c) " +
+        "GROUP BY chr, mid ORDER BY chr, mid")),
+
+    "q_hic_class_sums" -> Q(
+      (spark, dir) =>
+        // A2: contact-class scalar sums as a tiny table (conditional agg)
+        ContactsView(spark, dir)
+          .withColumn("cls",
+            when(col("dist") === 0, "self")
+              .when(col("dist").between(L, U), "intraInRange")
+              .otherwise("intraOutOfRange"))
+          .groupBy("cls")
+          .agg(sum(col("contactCount")).as("sumCount"),
+            count(lit(1)).as("nPairs"),
+            sum(col("dist")).as("sumDist"))
+          .orderBy("cls"),
+      Some(ContactsView.cte + " SELECT CASE WHEN dist = 0 THEN 'self' " +
+        s"WHEN dist BETWEEN $L AND $U THEN 'intraInRange' " +
+        "ELSE 'intraOutOfRange' END AS cls, " +
+        "CAST(SUM(contactCount) AS BIGINT) AS sumCount, COUNT(*) AS nPairs, " +
+        "CAST(SUM(dist) AS BIGINT) AS sumDist " +
+        "FROM c GROUP BY 1 ORDER BY cls")),
+
+    "q_hic_distance_filter" -> Q(
+      (spark, dir) =>
+        ContactsView(spark, dir)
+          .filter(col("dist").between(L, U))
+          .select("chr", "mid1", "mid2", "dist", "contactCount")
+          .orderBy("chr", "mid1", "mid2"),
+      Some(ContactsView.cte + " SELECT chr, mid1, mid2, dist, contactCount " +
+        s"FROM c WHERE dist BETWEEN $L AND $U ORDER BY chr, mid1, mid2")),
+
+    "q_hic_equal_occupancy" -> Q(
+      (spark, dir) => {
+        val f = ContactsView(spark, dir).filter(col("dist").between(L, U))
+        Binning.equalOccupancy(f, 100, keys)
+          .select(col("binIdx"), col("pairCount"), col("sumCount"),
+            col("minDist"), col("maxDist"),
+            (col("sumDist").cast("double") / col("pairCount")).as("avgDist"))
+          .orderBy("binIdx")
+      },
+      Some(ContactsView.cte +
+        s", f AS (SELECT * FROM c WHERE dist BETWEEN $L AND $U), " +
+        "t AS (SELECT CAST(SUM(contactCount) AS BIGINT) AS tot FROM f), " +
+        "r AS (SELECT *, CAST(SUM(contactCount) OVER (ORDER BY dist, chr, " +
+        "mid1, mid2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum FROM f) " +
+        "SELECT CAST(((cum-1)*100)//(SELECT tot FROM t) AS INT) AS binIdx, " +
+        "COUNT(*) AS pairCount, CAST(SUM(contactCount) AS BIGINT) AS sumCount, " +
+        "MIN(dist) AS minDist, MAX(dist) AS maxDist, " +
+        "CAST(CAST(SUM(dist) AS BIGINT) AS DOUBLE)/COUNT(*) AS avgDist " +
+        "FROM r GROUP BY 1 ORDER BY binIdx")),
+
+    "q_hic_refine_pass2" -> Q(
+      (spark, dir) => {
+        // A20: drop pass-1 significant pairs (q < 0.05), recompute BH
+        // against the refined test set
+        val c = ContactsView(spark, dir)
+        val outliers = Stats.bhQ(c, "pseudo_p", keys, "q1")
+          .filter(col("q1") < 0.05)
+          .select("chr", "mid1", "mid2")
+        val c2 = c.join(outliers, keys, "left_anti")
+        Stats.bhQ(c2, "pseudo_p", keys, "q_value")
+          .select(col("chr"), col("mid1"), col("mid2"), col("contactCount"),
+            Cols.fround(col("pseudo_p"), 6).as("pseudo_p"),
+            Cols.fround(col("q_value"), 6).as("q_value"))
+          .orderBy("chr", "mid1", "mid2")
+      },
+      Some(ContactsView.cte + ", r1 AS (SELECT *, ROW_NUMBER() OVER " +
+        "(ORDER BY pseudo_p, chr, mid1, mid2) AS rk, " +
+        "(SELECT COUNT(*) FROM c) AS m FROM c), " +
+        "s1 AS (SELECT *, MIN(pseudo_p * m / rk) OVER (ORDER BY rk DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm FROM r1), " +
+        "f2 AS (SELECT chr, mid1, mid2, dist, contactCount, pseudo_p " +
+        "FROM s1 WHERE LEAST(sm, 1.0) >= 0.05), " +
+        "r2 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pseudo_p, chr, mid1, " +
+        "mid2) AS rk2, (SELECT COUNT(*) FROM f2) AS m2 FROM f2), " +
+        "s2 AS (SELECT *, MIN(pseudo_p * m2 / rk2) OVER (ORDER BY rk2 DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm2 FROM r2) " +
+        "SELECT chr, mid1, mid2, contactCount, " +
+        Cols.froundSql("pseudo_p", 6) + " AS pseudo_p, " +
+        Cols.froundSql("LEAST(sm2, 1.0)", 6) + " AS q_value " +
+        "FROM s2 ORDER BY chr, mid1, mid2")),
+
+    "q_hic_spline_bins" -> Q(
+      (spark, dir) => {
+        // A15/A16: equal-occupancy bins → per-pair contact probability →
+        // PAVA monotone non-increasing fit; ≤ nBins rows collected to the
+        // driver (the single deliberate driver round-trip, SURVEY §3.2).
+        val f = ContactsView(spark, dir).filter(col("dist").between(L, U))
+        val total = f.agg(sum(col("contactCount"))).first().getLong(0)
+        val bins = Binning.equalOccupancy(f, 100, keys)
+          .orderBy("binIdx").collect()
+        val xs = bins.map(r => r.getAs[Long]("sumDist").toDouble /
+          r.getAs[Long]("pairCount"))
+        val raw = bins.map(r => r.getAs[Long]("sumCount").toDouble /
+          r.getAs[Long]("pairCount") / total)
+        val ws = bins.map(r => r.getAs[Long]("pairCount").toDouble)
+        val fit = Spline.pavaNonIncreasing(raw, ws)
+        val out = bins.indices.map { i =>
+          (bins(i).getAs[Int]("binIdx"), xs(i), raw(i), fit(i))
+        }
+        import spark.implicits._
+        out.toDF("binIdx", "avgDist", "rawProb", "fittedProb")
+          .select(col("binIdx"), Cols.fround(col("avgDist"), 4).as("avgDist"),
+            Cols.fround(col("rawProb") * 1e6, 6).as("rawProb_ppm"),
+            Cols.fround(col("fittedProb") * 1e6, 6).as("fittedProb_ppm"))
+          .orderBy("binIdx")
+      },
+      None),
+
+    "q_hic_binom_pvalues" -> Q(
+      (spark, dir) => {
+        // A17+A18: spline-derived prior per pair → binomial survival
+        // p-value (commons-math3 regularized incomplete beta UDF). Not
+        // SQL-expressible in DuckDB → no oracle; pinned by GraftSpec
+        // golden/property tests instead.
+        val f = ContactsView(spark, dir).filter(col("dist").between(L, U))
+        val total = f.agg(sum(col("contactCount"))).first().getLong(0)
+        val bins = Binning.equalOccupancy(f, 100, keys)
+          .orderBy("binIdx").collect()
+        val xs = bins.map(r => r.getAs[Long]("sumDist").toDouble /
+          r.getAs[Long]("pairCount"))
+        val raw = bins.map(r => r.getAs[Long]("sumCount").toDouble /
+          r.getAs[Long]("pairCount") / total)
+        val fit = Spline.pavaNonIncreasing(raw,
+          bins.map(_.getAs[Long]("pairCount").toDouble))
+        val prior = Spline.interpUdf(xs, fit)
+        f.withColumn("prior", prior(col("dist").cast("double")))
+          .withColumn("pval", graft.functions.Binom.sfUdf(
+            col("contactCount"), lit(total), col("prior")))
+          .select(col("chr"), col("mid1"), col("mid2"), col("contactCount"),
+            Cols.fround(col("prior") * 1e6, 6).as("prior_ppm"),
+            Cols.fround(col("pval"), 8).as("pval"))
+          .orderBy("chr", "mid1", "mid2")
+      },
+      None),
+
     "q_hic_bh" -> Q(
       (spark, dir) => {
         val c = ContactsView(spark, dir)

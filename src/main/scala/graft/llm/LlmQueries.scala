@@ -1,10 +1,183 @@
 package graft.llm
 
-import graft.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.ops.Cols
 
 /** LLM-training-data pipeline queries: dedup, similarity search, text
-  * analysis, multimodal (SURVEY.md §2.B, driver north star).
+  * analysis, multimodal (driver north star; SURVEY.md §2.B).
+  *
+  * Cosine math uses exact integer quantization (×1e7 per element, BIGINT
+  * dot products) so Spark and DuckDB produce bit-identical similarities —
+  * float-sum order never matters.
   */
 object LlmQueries {
-  def queries: Map[String, Q] = Map()
+  /** Quantized (×1e7) per-element products summed as BIGINT → exact. */
+  private val dotQ = "aggregate(zip_with(ea, eb, (x, y) -> " +
+    "cast(round(cast(x as double)*10000000, 0) as bigint) * " +
+    "cast(round(cast(y as double)*10000000, 0) as bigint)), " +
+    "0L, (acc, v) -> acc + v)"
+  private val normQ = "aggregate(transform(embedding, x -> " +
+    "cast(round(cast(x as double)*10000000, 0) as bigint)), " +
+    "0L, (acc, v) -> acc + v * v)"
+
+  /** DuckDB: quantized vectors via unnest + generate_subscripts. */
+  private val qvecsSql =
+    "qv AS (SELECT vec_id, label, i, CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0)" +
+      " AS BIGINT) AS q FROM (SELECT vec_id, label, " +
+      "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v " +
+      "FROM embeddings)), " +
+      "nrm AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2 FROM qv " +
+      "GROUP BY vec_id), " +
+      "dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+      "CAST(SUM(a.q*b.q) AS BIGINT) AS dot " +
+      "FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < b.vec_id " +
+      "GROUP BY a.vec_id, b.vec_id), " +
+      "sims AS (SELECT va, vb, CAST(dot AS DOUBLE)/" +
+      "SQRT(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos " +
+      "FROM dots JOIN nrm na ON na.vec_id = va " +
+      "JOIN nrm nb ON nb.vec_id = vb)"
+
+  /** Spark side of the same exact-cosine pair computation. */
+  private def simPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val e = Tables(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      expr(normQ).as("na2"), col("label").as("la"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      expr(normQ).as("nb2"), col("label").as("lb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("dot", expr(dotQ))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+          .agg(min(col("doc_id")).as("keeper"),
+            count(lit(1)).as("copies"),
+            min(col("n_chars")).as("n_chars"))
+          .orderBy("text_md5"),
+      Some("SELECT md5(text) AS text_md5, " +
+        "CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS copies, " +
+        "CAST(MIN(n_chars) AS BIGINT) AS n_chars " +
+        "FROM documents GROUP BY md5(text) ORDER BY text_md5")),
+
+    "q_sim_cosine_topk" -> Q(
+      (spark, dir) =>
+        simPairs(spark, dir)
+          .select(col("va"), col("vb"), Cols.fround(col("cos"), 6).as("cos"))
+          .orderBy(desc("cos"), asc("va"), asc("vb"))
+          .limit(20),
+      Some("WITH " + qvecsSql + " SELECT va, vb, " +
+        Cols.froundSql("cos", 6) + " AS cos FROM sims " +
+        "ORDER BY cos DESC, va, vb LIMIT 20")),
+
+    "q_sim_knn_label" -> Q(
+      (spark, dir) => {
+        // 5-NN majority label for the 10 probe vectors vec_id 0..9.
+        // Symmetrize the a<b pair table, rank neighbors per probe.
+        val pairs = simPairs(spark, dir)
+        val sym = pairs.select(col("va").as("probe"), col("vb").as("nb"),
+            col("lb").as("nlabel"), col("cos"))
+          .unionByName(pairs.select(col("vb").as("probe"),
+            col("va").as("nb"), col("la").as("nlabel"), col("cos")))
+          .filter(col("probe") < 10)
+        val wNn = Window.partitionBy("probe")
+          .orderBy(desc("cos"), asc("nb"))
+        val wVote = Window.partitionBy("probe")
+          .orderBy(desc("votes"), asc("nlabel"))
+        sym.withColumn("rn", row_number().over(wNn))
+          .filter(col("rn") <= 5)
+          .groupBy("probe", "nlabel")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("probe"), col("nlabel").as("knn_label"), col("votes"))
+          .orderBy("probe")
+      },
+      Some("WITH " + qvecsSql + ", sym AS (" +
+        "SELECT va AS probe, vb AS nb, cos FROM sims " +
+        "UNION ALL SELECT vb, va, cos FROM sims), " +
+        "nn AS (SELECT s.probe, s.nb, s.cos, e.label AS nlabel, " +
+        "ROW_NUMBER() OVER (PARTITION BY s.probe ORDER BY s.cos DESC, s.nb) " +
+        "AS rn FROM sym s JOIN embeddings e ON e.vec_id = s.nb " +
+        "WHERE s.probe < 10), " +
+        "votes AS (SELECT probe, nlabel, COUNT(*) AS votes FROM nn " +
+        "WHERE rn <= 5 GROUP BY probe, nlabel), " +
+        "best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe " +
+        "ORDER BY votes DESC, nlabel) AS vr FROM votes) " +
+        "SELECT probe, nlabel AS knn_label, votes FROM best WHERE vr = 1 " +
+        "ORDER BY probe")),
+
+    "q_text_tokens" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("token"))
+          .limit(50),
+      Some("SELECT tok AS token, COUNT(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, token LIMIT 50")),
+
+    "q_text_tfidf" -> Q(
+      (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("doc_len"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("term"))
+        tf.join(lens, "doc_id").join(df_, "term")
+          .withColumn("score",
+            Cols.fround((col("tf").cast("double") / col("doc_len")) *
+              log(lit(nDocs.toDouble) / col("df")), 8))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("score"))
+          .orderBy("doc_id", "term")
+      },
+      Some("WITH tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents) WHERE tok <> '' GROUP BY doc_id, tok), " +
+        "lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len " +
+        "FROM tf GROUP BY doc_id), " +
+        "idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+        "nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), " +
+        "scored AS (SELECT tf.doc_id, tf.term, tf.tf, " +
+        Cols.froundSql("(CAST(tf.tf AS DOUBLE)/doc_len) * " +
+          "LN((SELECT n FROM nd)/df)", 8) + " AS score " +
+        "FROM tf JOIN lens USING (doc_id) JOIN idf USING (term)), " +
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, term) AS rn FROM scored) " +
+        "SELECT doc_id, term, tf, score FROM ranked WHERE rn <= 5 " +
+        "ORDER BY doc_id, term")),
+
+    "q_multimodal_join" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "documents")
+          .join(Tables(spark, dir, "embeddings"),
+            col("doc_id") === col("vec_id"))
+          .groupBy("lang", "label")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1)))
+              .as("avg_chars"))
+          .orderBy("lang", "label"),
+      Some("SELECT lang, label, COUNT(*) AS n, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)/COUNT(*) AS avg_chars " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id " +
+        "GROUP BY lang, label ORDER BY lang, label")))
 }

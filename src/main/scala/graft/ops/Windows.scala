@@ -1,8 +1,111 @@
 package graft.ops
 
-import graft.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Window-function queries (SURVEY.md §2.B q_win_*). */
+import graft.{Q, Tables}
+
+/** Window-function queries (SURVEY.md §2.B q_win_*). Every window here is
+  * keyed (partitionBy) — global-order work goes through
+  * [[GlobalOrder]] instead, so nothing funnels into one partition.
+  */
 object Windows {
-  def queries: Map[String, Q] = Map()
+  def queries: Map[String, Q] = Map(
+    "q_win_rank" -> Q(
+      (spark, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            row_number().over(w).as("rn"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+        "RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, " +
+        "ROW_NUMBER() OVER w AS rn FROM orders " +
+        "WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey")),
+
+    "q_win_running" -> Q(
+      (spark, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy("o_orderdate", "o_orderkey")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wMov = w.rowsBetween(-3, Window.currentRow)
+        Tables(spark, dir, "orders")
+          .withColumn("__tp_c", Cols.cents(col("o_totalprice")))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (sum(col("__tp_c")).over(wRun).cast("double") / 100.0)
+              .as("run_total"),
+            (sum(col("__tp_c")).over(wMov).cast("double") / 100.0 /
+              count(lit(1)).over(wMov)).as("mov_avg"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderstatus, " +
+        "CAST(CAST(SUM(tp_c) OVER wr AS BIGINT) AS DOUBLE)/100.0 AS run_total, " +
+        "CAST(CAST(SUM(tp_c) OVER wm AS BIGINT) AS DOUBLE)/100.0/COUNT(*) OVER wm AS mov_avg " +
+        "FROM (SELECT *, CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS tp_c " +
+        "FROM orders) " +
+        "WINDOW wr AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, " +
+        "o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wm AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey")),
+
+    "q_win_range_frame" -> Q(
+      (spark, dir) => {
+        // trailing 7-day quantity per (flag, day): pre-aggregate to days,
+        // then a range frame over the integer day — scalable and total-keyed
+        val daily = Tables(spark, dir, "lineitem")
+          .withColumn("ship_day",
+            expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000"))
+          .groupBy("l_returnflag", "ship_day")
+          .agg(sum(col("l_quantity").cast("long")).as("qty_day"))
+        val w = Window.partitionBy("l_returnflag").orderBy("ship_day")
+          .rangeBetween(-7, 0)
+        daily
+          .select(col("l_returnflag"), col("ship_day"), col("qty_day"),
+            sum(col("qty_day")).over(w).as("qty_7d"))
+          .orderBy("l_returnflag", "ship_day")
+      },
+      Some("SELECT l_returnflag, ship_day, qty_day, " +
+        "CAST(SUM(qty_day) OVER (PARTITION BY l_returnflag ORDER BY ship_day " +
+        "RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_7d " +
+        "FROM (SELECT l_returnflag, epoch_us(l_shipdate)//86400000000 AS ship_day, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_day " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "ORDER BY l_returnflag, ship_day")),
+
+    "q_win_lead_lag" -> Q(
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(spark, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+              .as("gap_us"),
+            (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+              .as("next_gap_us"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, " +
+        "epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_us, " +
+        "epoch_us(LEAD(ts, 1) OVER w) - epoch_us(ts) AS next_gap_us " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY event_id")),
+
+    "q_win_ntile" -> Q(
+      (spark, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), ntile(10).over(w).as("decile"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+        "NTILE(10) OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey) AS decile " +
+        "FROM orders ORDER BY o_orderkey")))
 }

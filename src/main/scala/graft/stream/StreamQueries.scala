@@ -1,11 +1,89 @@
 package graft.stream
 
-import graft.Q
+import org.apache.spark.sql.functions._
 
-/** Batch-equivalent forms of the streaming queries (SURVEY.md §2.10);
-  * the same column logic is reused by the Structured Streaming jobs in
-  * [[Events]].
+import graft.{Q, Tables}
+import graft.ops.Cols
+
+/** Batch-equivalent forms of the streaming queries (SURVEY.md §2.10). The
+  * identical column logic is reused by the Structured Streaming jobs in
+  * [[Events]]; batch/stream parity is asserted in StreamingSpec with
+  * MemoryStream. `value` sums use exact micro-units (×1e6 integer lift).
   */
 object StreamQueries {
-  def queries: Map[String, Q] = Map()
+  private def valUnits = round(col("value") * 1000000, 0).cast("long")
+  private val valUnitsSql = "CAST(ROUND(value*1000000,0) AS BIGINT)"
+
+  def queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(valUnits).as("__v"))
+          .select(unix_micros(col("w.start")).as("win_start_us"),
+            col("event_type"), col("n"),
+            (col("__v").cast("double") / 1000000.0).as("sum_value"))
+          .orderBy("win_start_us", "event_type"),
+      Some("SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, " +
+        "event_type, COUNT(*) AS n, " +
+        s"CAST(CAST(SUM($valUnitsSql) AS BIGINT) AS DOUBLE)/1000000.0 " +
+        "AS sum_value FROM events GROUP BY 1, 2 " +
+        "ORDER BY win_start_us, event_type")),
+
+    "q_stream_sliding" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("w.start")).as("win_start_us"),
+            col("event_type"), col("n"))
+          .orderBy("win_start_us", "event_type"),
+      // a 1h/15min sliding window always covers each row exactly 4 times:
+      // starts floor15(ts) − k·15min, k = 0..3
+      Some("SELECT (epoch_us(ts)//900000000)*900000000 - k*900000000 " +
+        "AS win_start_us, event_type, COUNT(*) AS n " +
+        "FROM events CROSS JOIN (VALUES (0::BIGINT),(1),(2),(3)) AS t(k) " +
+        "GROUP BY 1, 2 ORDER BY win_start_us, event_type")),
+
+    "q_stream_session" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(valUnits).as("__v"))
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("sess_start_us"),
+            col("n"),
+            (col("__v").cast("double") / 1000000.0).as("sum_value"))
+          .orderBy("user_id", "sess_start_us"),
+      // gaps-and-islands oracle: a session breaks when the gap > 30 min
+      Some("WITH g AS (SELECT user_id, ts, value, CASE WHEN " +
+        "epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id)) > 1800000000 OR LAG(ts) OVER (PARTITION " +
+        "BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk " +
+        "FROM events), s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS sid FROM g) " +
+        "SELECT user_id, epoch_us(MIN(ts)) AS sess_start_us, COUNT(*) AS n, " +
+        s"CAST(CAST(SUM($valUnitsSql) AS BIGINT) AS DOUBLE)/1000000.0 " +
+        "AS sum_value FROM s GROUP BY user_id, sid " +
+        "ORDER BY user_id, sess_start_us")),
+
+    "q_stream_dedup" -> Q(
+      (spark, dir) => {
+        // duplicate every event (simulating at-least-once delivery), then
+        // dedup on event_id — rows in a dup pair are identical, so
+        // dropDuplicates is deterministic here
+        val e = Tables(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        e.unionByName(e)
+          .dropDuplicates("event_id")
+          .orderBy("event_id")
+      },
+      Some("SELECT DISTINCT event_id, user_id, event_type, " +
+        "epoch_us(ts) AS ts_us FROM " +
+        "(SELECT * FROM events UNION ALL SELECT * FROM events) " +
+        "ORDER BY event_id")))
 }
