@@ -16,6 +16,93 @@ object HicQueries {
   private val keys = Seq("chr", "mid1", "mid2")
 
   def queries: Map[String, Q] = Map(
+    "q_hic_merge_filter" -> Q(
+      (spark, dir) => {
+        // A25: merge runs of adjacent (5 kb apart) significant bin pairs
+        val sig = ContactsView(spark, dir)
+          .filter(col("pseudo_p") < 0.15 && col("dist").between(L, U))
+          .select(col("chr").as("chr1"), col("mid1"),
+            col("chr").as("chr2"), col("mid2"), col("contactCount"))
+        MergeFilter.mergeAdjacent(sig, 5000L)
+          .select(col("chr1").as("chr"), col("mid1"), col("mid2_start"),
+            col("mid2_end"), col("n_bins"), col("sumCount"))
+          .orderBy("chr", "mid1", "mid2_start")
+      },
+      Some(ContactsView.cte + ", sig AS (SELECT chr, mid1, mid2, " +
+        s"contactCount FROM c WHERE pseudo_p < 0.15 AND dist BETWEEN $L " +
+        s"AND $U), " +
+        "g AS (SELECT *, CASE WHEN mid2 - LAG(mid2) OVER " +
+        "(PARTITION BY chr, mid1 ORDER BY mid2) = 5000 THEN 0 ELSE 1 END " +
+        "AS brk FROM sig), " +
+        "i AS (SELECT *, SUM(brk) OVER (PARTITION BY chr, mid1 " +
+        "ORDER BY mid2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS island FROM g) " +
+        "SELECT chr, mid1, MIN(mid2) AS mid2_start, MAX(mid2) AS mid2_end, " +
+        "COUNT(*) AS n_bins, CAST(SUM(contactCount) AS BIGINT) AS sumCount " +
+        "FROM i GROUP BY chr, mid1, island ORDER BY chr, mid1, mid2_start")),
+
+    "q_hic_significances" -> Q(
+      (spark, dir) => {
+        // Flagship composition: the FULL two-pass Fit-Hi-C pipeline
+        // (A13–A20) over the contacts view. Not SQL-expressible (binomial
+        // sf + spline) → no oracle; pinned by PipelineSpec golden tests.
+        val c = ContactsView(spark, dir)
+        val contacts = c.select(col("chr").as("chr1"), col("mid1"),
+          col("chr").as("chr2"), col("mid2"), col("contactCount"))
+        val frags = c.select(col("chr"), col("mid1").as("mid"),
+            col("contactCount"))
+          .unionByName(c.select(col("chr"), col("mid2").as("mid"),
+            col("contactCount")))
+          .groupBy("chr", "mid")
+          .agg(sum(col("contactCount")).as("hitCount"))
+        Pipeline.intraSignificances(frags, contacts, None,
+            FitHiCConfig(nBins = 100, passes = 2, distLow = L, distUp = U))
+          .select(col("pass"), col("chr1"), col("mid1"), col("mid2"),
+            col("contactCount"),
+            Cols.fround(col("p_value"), 8).as("p_value"),
+            Cols.fround(col("q_value"), 8).as("q_value"))
+          .orderBy("pass", "chr1", "mid1", "mid2")
+      },
+      None),
+
+    "q_csv_roundtrip" -> Q(
+      (spark, dir) => {
+        // A1/A4: gzip-TSV egress + ingest round-trip through the domain
+        // fragment format (written fresh each run, then re-read).
+        val out = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val c = ContactsView(spark, dir)
+        val frags = c.select(col("chr"), col("mid1").as("mid"),
+            col("contactCount"))
+          .unionByName(c.select(col("chr"), col("mid2").as("mid"),
+            col("contactCount")))
+          .groupBy("chr", "mid")
+          .agg(sum(col("contactCount")).as("hitCount"))
+          .select(col("chr"), lit(0L).as("extraField"), col("mid"),
+            col("hitCount"), lit(1).as("mappable"))
+        graft.io.Tsv.write(frags, out, graft.io.Tsv.fragmentSchema.fieldNames)
+        graft.io.Tsv.readFragments(spark, out)
+          .groupBy("chr")
+          .agg(count(lit(1)).as("n_frags"), sum(col("hitCount")).as("hits"),
+            min(col("mid")).as("min_mid"), max(col("mid")).as("max_mid"))
+          .orderBy("chr")
+      },
+      None),
+
+    "q_hic_kr_biases" -> Q(
+      (spark, dir) => {
+        // A22: matrix-balancing bias vector over the contacts view
+        // (iterative float fixed point → not SQL-expressible; rows-only.
+        // Convergence + trim semantics pinned by KrSpec.)
+        val c = ContactsView(spark, dir).filter(col("dist").between(L, U))
+        val contacts = c.select(col("chr").as("chr1"), col("mid1"),
+          col("chr").as("chr2"), col("mid2"), col("contactCount"))
+        Kr.biases(contacts, trimPercentile = 0.05, iterations = 10)
+          .select(col("chr"), col("mid"), Cols.fround(col("bias"), 6)
+            .as("bias"))
+          .orderBy("chr", "mid")
+      },
+      None),
+
     "q_hic_marginals" -> Q(
       (spark, dir) => {
         // A1/A24: per-locus marginal counts — union both contact ends

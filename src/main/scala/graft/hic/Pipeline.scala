@@ -1,0 +1,132 @@
+package graft.hic
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Binom
+
+/** The full Fit-Hi-C significance pipeline (SURVEY.md §3.1 Entry 1,
+  * A13–A21), recomposed from the operator library as pure
+  * DataFrame → DataFrame stages.
+  *
+  * Statistical contract (published algorithm, Ay/Bailey/Noble 2014;
+  * Kaul/Bhattacharyya/Ay 2020):
+  *  - null: equal-occupancy bins over intra-in-range contacts by distance;
+  *    per-bin mean contact probability, isotonized non-increasing;
+  *  - per-pair prior p = curve(dist) · bias1 · bias2;
+  *  - p-value = P[X ≥ count], X ~ Binom(N = observedIntraInRangeSum, p);
+  *  - BH q with M = possibleIntraInRangeCount (possible, NOT observed);
+  *  - refinement pass k ≥ 2 re-estimates the null without the previous
+  *    pass's q < threshold outliers, then re-scores ALL pairs;
+  *  - inter model: uniform prior 1/possibleInterAllCount, bias-scaled,
+  *    N = observedInterAllSum, own BH with M = possibleInterAllCount.
+  */
+final case class FitHiCConfig(
+    nBins: Int = 100,
+    passes: Int = 1,
+    distLow: Long = 0L,
+    distUp: Long = Long.MaxValue / 4,
+    mappabilityThr: Long = 1L,
+    biasLow: Double = 0.5,
+    biasUp: Double = 2.0,
+    qThreshold: Double = 0.05)
+
+object Pipeline {
+  private val keys = Seq("chr1", "mid1", "chr2", "mid2")
+
+  /** Run the intra-chromosomal pipeline; returns one row per tested pair
+    * and pass: chr1, mid1, chr2, mid2, contactCount, pass, p_value,
+    * q_value.
+    */
+  def intraSignificances(frags: DataFrame, contacts: DataFrame,
+      biases: Option[DataFrame], cfg: FitHiCConfig): DataFrame = {
+    val mapped = Fragments.mappable(frags, cfg.mappabilityThr)
+    val filtered = Contacts.bothEndsMappable(contacts, mapped)
+    val classified = Contacts.classify(filtered, cfg.distLow, cfg.distUp)
+    val intra = classified.filter(col("cls") === "intraInRange")
+    val withBias = biases match {
+      case Some(b) => Contacts.withBiases(intra, b, cfg.biasLow, cfg.biasUp)
+      case None => intra.withColumn("bias1", lit(1.0))
+        .withColumn("bias2", lit(1.0))
+    }
+
+    val n = withBias.agg(sum(col("contactCount"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val m = Fragments.possibleIntraInRange(mapped, cfg.distLow, cfg.distUp)
+    require(n > 0, "no intra-in-range contacts after filtering")
+
+    // cache: every pass re-reads the full pair set
+    val pairs = withBias.persist()
+
+    var nullSource = pairs // pass-k null is fit on pairs minus outliers
+    var result: DataFrame = null
+    for (pass <- 1 to cfg.passes) {
+      val scored = scoreAgainstNull(pairs, nullSource, n, m, cfg)
+        .withColumn("pass", lit(pass))
+      result = if (result == null) scored else result.unionByName(scored)
+      if (pass < cfg.passes) {
+        val outliers = scored.filter(col("q_value") < cfg.qThreshold)
+          .select(keys.map(col): _*)
+        nullSource = pairs.join(outliers, keys, "left_anti")
+      }
+    }
+    result
+  }
+
+  /** Fit the monotone null on `nullSource`, then score every row of
+    * `pairs` against it.
+    */
+  private def scoreAgainstNull(pairs: DataFrame, nullSource: DataFrame,
+      n: Long, m: Long, cfg: FitHiCConfig): DataFrame = {
+    val bins = Binning.equalOccupancy(nullSource, cfg.nBins,
+      Seq("chr1", "mid1", "chr2", "mid2")).orderBy("binIdx").collect()
+    val xs = bins.map(r => r.getAs[Long]("sumDist").toDouble /
+      r.getAs[Long]("pairCount"))
+    val raw = bins.map(r => r.getAs[Long]("sumCount").toDouble /
+      r.getAs[Long]("pairCount") / n)
+    val ws = bins.map(_.getAs[Long]("pairCount").toDouble)
+    val fitted = Spline.pavaNonIncreasing(raw, ws)
+    val curve = Spline.interpUdf(xs, fitted)
+    pairs
+      .withColumn("prior",
+        curve(col("dist").cast("double")) * col("bias1") * col("bias2"))
+      .withColumn("p_value",
+        Binom.sfUdf(col("contactCount"), lit(n), col("prior")))
+      .transform(df => Stats.bhQ(df, "p_value",
+        Seq("chr1", "mid1", "chr2", "mid2"), "q_value", Some(m)))
+      .select((keys.map(col) :+ col("contactCount") :+ col("p_value") :+
+        col("q_value")): _*)
+  }
+
+  /** Inter-chromosomal model (A21): uniform bias-scaled prior. */
+  def interSignificances(frags: DataFrame, contacts: DataFrame,
+      biases: Option[DataFrame], cfg: FitHiCConfig): DataFrame = {
+    val mapped = Fragments.mappable(frags, cfg.mappabilityThr)
+    val filtered = Contacts.bothEndsMappable(contacts, mapped)
+    val inter = Contacts.classify(filtered, cfg.distLow, cfg.distUp)
+      .filter(col("cls") === "interAll")
+    val withBias = biases match {
+      case Some(b) => Contacts.withBiases(inter, b, cfg.biasLow, cfg.biasUp)
+      case None => inter.withColumn("bias1", lit(1.0))
+        .withColumn("bias2", lit(1.0))
+    }
+    val n = withBias.agg(sum(col("contactCount"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val m = Fragments.possibleInterAll(mapped)
+    if (n == 0) return withBias.select((keys.map(col) :+
+      col("contactCount") :+ lit(1.0).as("p_value") :+
+      lit(1.0).as("q_value")): _*)
+    withBias
+      .withColumn("prior", lit(1.0) / m * col("bias1") * col("bias2"))
+      .withColumn("p_value",
+        Binom.sfUdf(col("contactCount"), lit(n), col("prior")))
+      .transform(df => Stats.bhQ(df, "p_value",
+        Seq("chr1", "mid1", "chr2", "mid2"), "q_value", Some(m)))
+      .select((keys.map(col) :+ col("contactCount") :+ col("p_value") :+
+        col("q_value")): _*)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora (driver north star):
+  * exact (hash-groupBy, see q_dedup_exact), MinHash+LSH over shingles,
+  * 64-bit SimHash with banded candidate generation, and exact n-gram
+  * Jaccard verification. Everything is seeded/deterministic.
+  */
+object Dedup {
+  /** Word n-gram shingles as strings (default 3-gram), via a higher-order
+    * transform over the token array — codegen'd, no UDF.
+    */
+  def withShingles(docs: DataFrame, n: Int = 3,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("shingles",
+        when(size(col("__toks")) >= n,
+          expr(s"array_distinct(transform(sequence(0, size(__toks) - $n), " +
+            s"i -> concat_ws(' ', slice(__toks, i + 1, $n))))"))
+          .otherwise(array(concat_ws(" ", col("__toks")))))
+      .drop("__toks")
+
+  /** MinHash-LSH near-dup candidate pairs (Jaccard distance ≤ maxDist).
+    * Shingle set → sparse binary vector (HashingTF, 2^18 dims) → MinHash
+    * band join. Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b.
+    */
+  def minhashPairs(docs: DataFrame, maxDist: Double = 0.8,
+      numTables: Int = 5, seed: Long = 42L): DataFrame = {
+    val shingled = withShingles(docs)
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(shingled)
+      .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
+    val lsh = new MinHashLSH().setInputCol("features")
+      .setOutputCol("hashes").setNumHashTables(numTables).setSeed(seed)
+    val model = lsh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, maxDist, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"), col("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** 64-bit SimHash over tokens (deterministic 2×murmur3 per token). */
+  val simhash64: UserDefinedFunction = udf { toks: Seq[String] =>
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band join for candidates, exact
+    * Hamming verification ≤ maxHamming. Scales as #candidate-collisions,
+    * not #pairs.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val sh = docs.withColumn("sim",
+      simhash64(split(col("text"), " ")))
+    val banded = sh.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing ≥1 shingle: inverted index →
+    * pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.0): DataFrame = {
+    val sh = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+        "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+}

@@ -164,6 +164,83 @@ object LlmQueries {
         "SELECT doc_id, term, tf, score FROM ranked WHERE rn <= 5 " +
         "ORDER BY doc_id, term")),
 
+    "q_dedup_near" -> Q(
+      (spark, dir) =>
+        // MinHash-LSH near-dup candidates (seeded) — sketch internals not
+        // SQL-expressible → rows-only; exact-dup ⊂ near-dup property in
+        // GraftSpec.
+        Dedup.minhashPairs(Tables(spark, dir, "documents"), maxDist = 0.9)
+          .select(col("doc_a"), col("doc_b"),
+            Cols.fround(col("jaccard_dist"), 6).as("jaccard_dist"))
+          .orderBy("doc_a", "doc_b"),
+      None),
+
+    "q_dedup_simhash" -> Q(
+      (spark, dir) =>
+        Dedup.simhashPairs(Tables(spark, dir, "documents"), maxHamming = 16)
+          .orderBy("doc_a", "doc_b"),
+      None),
+
+    "q_dedup_ngram_jaccard" -> Q(
+      (spark, dir) =>
+        Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), 3, 0.2)
+          .select(col("doc_a"), col("doc_b"), col("inter"),
+            Cols.fround(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b"),
+      Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
+        "FROM documents), " +
+        "idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) " +
+        "AS i FROM toks WHERE len(t) >= 3), " +
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || " +
+        "t[i+2] AS sh FROM idx), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "COUNT(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND " +
+        "a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT doc_a, doc_b, inter, CAST(inter AS DOUBLE)/" +
+        "(sa.sz + sb.sz - inter) AS jaccard FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = doc_a " +
+        "JOIN sizes sb ON sb.doc_id = doc_b) " +
+        "SELECT doc_a, doc_b, inter, " + Cols.froundSql("jaccard", 6) +
+        " AS jaccard FROM j WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b")),
+
+    "q_sim_ann_lsh" -> Q(
+      (spark, dir) => {
+        // scale path for similarity search: seeded random-projection LSH
+        // buckets → candidates → exact re-rank, top-3 per probe (rows-only;
+        // bucketing internals aren't SQL-expressible)
+        Similarity.annTop3(Tables(spark, dir, "embeddings"), nProbes = 10)
+          .orderBy("probe", "rn")
+      },
+      None),
+
+    "q_multimodal_binary" -> Q(
+      (spark, dir) =>
+        // binary-column lift + byte-level metadata (oracle-checkable part
+        // of the multimodal path)
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).as("n_bytes"),
+            md5(col("text").cast("binary")).as("payload_md5"),
+            col("source"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) " +
+        "AS n_bytes, md5(text) AS payload_md5, source FROM documents " +
+        "ORDER BY doc_id")),
+
+    "q_multimodal_features" -> Q(
+      (spark, dir) => {
+        // typed mapPartitions feature extraction with the STUBBED decoder
+        // (Multimodal.decodeStub) — exercises the real batch plumbing
+        val media = Multimodal.asMedia(Tables(spark, dir, "documents"))
+        Multimodal.extractFeatures(media).toDF()
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
+            min(col("width")).as("min_w"), max(col("height")).as("max_h"))
+          .orderBy("kind")
+      },
+      None),
+
     "q_multimodal_join" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "documents")

@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (driver north star): media payloads as
+  * opaque `binary` columns with typed metadata, processed per-partition in
+  * batches — the Scala analog of a Pandas-UDF/mapInPandas stage.
+  *
+  * The actual byte-level media decode is STUBBED (no image/audio codecs in
+  * this container): [[decodeStub]] derives deterministic fake features
+  * from the bytes. Everything around it — schema, binary lift,
+  * partitioning, typed mapPartitions batch shape, feature schema — is the
+  * real production plumbing and is exercised by q_multimodal_features.
+  */
+object Multimodal {
+  /** A typed media record: id + raw bytes + source-side metadata. */
+  case class MediaRow(media_id: Long, payload: Array[Byte], kind: String,
+      n_bytes: Int)
+
+  /** Extracted features; `width`/`height`/`channels` come from the stub. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int, channels: Int, checksum: Long)
+
+  /** STUB decode ??? — stands in for a real image/audio decoder; derives
+    * deterministic pseudo-dimensions from the payload so the downstream
+    * plumbing (schema, joins, aggregations) is fully testable.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+    val w = 64 + math.abs(h % 1024).toInt
+    val ht = 64 + math.abs((h >> 10) % 1024).toInt
+    (w, ht, 3)
+  }
+
+  private def checksum(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+    h
+  }
+
+  /** Lift documents into binary media rows (text bytes standing in for an
+    * image payload; in production this column is the raw media blob).
+    */
+  def asMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        col("source").as("kind"),
+        length(col("text").cast("binary")).as("n_bytes"))
+      .as[MediaRow]
+  }
+
+  /** Per-partition batch feature extraction — the mapInPandas-shaped
+    * stage: one JVM-side pass per partition, no per-row driver involvement.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, c) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.n_bytes, w, h, c,
+          checksum(r.payload))
+      }
+    }
+  }
+}

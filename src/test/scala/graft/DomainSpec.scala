@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.Binom
+import graft.hic.{FitHiCConfig, Kr, MergeFilter, Pipeline}
+import graft.llm.{Dedup, Multimodal}
+
+class PipelineSpec extends AnyFunSuite with Matchers with SparkTest {
+  import org.apache.spark.sql.DataFrame
+
+  /** Tiny deterministic library: 1 chromosome, 6 loci on a 5 kb grid. */
+  private def fixture: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val mids = (0 until 6).map(i => 2500L + 5000L * i)
+    val frags = mids.map(m => ("chr1", 0L, m, 10L, 1))
+      .toDF("chr", "extraField", "mid", "hitCount", "mappable")
+    val contacts = (for {
+      i <- 0 until 6; j <- i + 1 until 6
+    } yield ("chr1", mids(i), "chr1", mids(j),
+      // decaying with distance, one outlier pair
+      (if (i == 0 && j == 1) 40L else math.max(1L, 12L / (j - i)))))
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    (frags, contacts)
+  }
+
+  test("single-bin golden: p-values equal closed-form binomial sf") {
+    val (frags, contacts) = fixture
+    val cfg = FitHiCConfig(nBins = 1, passes = 1, distLow = 0,
+      distUp = 1000000L)
+    val out = Pipeline.intraSignificances(frags, contacts, None, cfg)
+      .collect()
+    val n = contacts.agg(sum("contactCount")).first().getLong(0)
+    val pairCount = contacts.count()
+    val prior = n.toDouble / pairCount / n // (sum/pairs)/N, single bin
+    out.foreach { r =>
+      val k = r.getAs[Long]("contactCount")
+      r.getAs[Double]("p_value") shouldBe
+        (Binom.sf(k, n, prior) +- 1e-12)
+    }
+    // M = possible pairs = observed pairs here (full grid in range)
+    out.length shouldBe pairCount
+  }
+
+  test("q-values are valid BH outputs; outlier pair is most significant") {
+    val (frags, contacts) = fixture
+    val out = Pipeline.intraSignificances(frags, contacts, None,
+        FitHiCConfig(nBins = 3, passes = 1, distLow = 0, distUp = 1000000L))
+      .collect()
+    out.foreach { r =>
+      r.getAs[Double]("q_value") should be <= 1.0
+      r.getAs[Double]("q_value") should be >=
+        0.0
+    }
+    val best = out.minBy(_.getAs[Double]("p_value"))
+    (best.getAs[Long]("mid1"), best.getAs[Long]("mid2")) shouldBe
+      (2500L, 7500L) // the planted outlier
+  }
+
+  test("refinement pass 2 rescores all pairs against the cleaned null") {
+    val (frags, contacts) = fixture
+    val out = Pipeline.intraSignificances(frags, contacts, None,
+      FitHiCConfig(nBins = 3, passes = 2, distLow = 0, distUp = 1000000L,
+        qThreshold = 0.5))
+    val byPass = out.groupBy("pass").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byPass(1) shouldBe byPass(2) // ALL pairs scored in both passes
+  }
+
+  test("bias factors scale priors (inter model)") {
+    import spark.implicits._
+    val frags = Seq(("c1", 0L, 2500L, 5L, 1), ("c2", 0L, 2500L, 5L, 1),
+      ("c2", 0L, 7500L, 5L, 1))
+      .toDF("chr", "extraField", "mid", "hitCount", "mappable")
+    val contacts = Seq(("c1", 2500L, "c2", 2500L, 4L),
+      ("c1", 2500L, "c2", 7500L, 4L))
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    val out = Pipeline.interSignificances(frags, contacts, None,
+      FitHiCConfig()).collect()
+    out.length shouldBe 2
+    // equal counts + uniform prior → equal p-values
+    out.map(_.getAs[Double]("p_value")).distinct.length shouldBe 1
+  }
+}
+
+class KrSpec extends AnyFunSuite with Matchers with SparkTest {
+  test("balancing drives scaled row sums toward uniform") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val n = 12
+    val contacts = (for {
+      i <- 0 until n; j <- i until n
+    } yield ("c1", 2500L + 5000L * i, 2500L + 5000L * j,
+      rnd.nextInt(30).toLong + 1L))
+      .map { case (c, m1, m2, w) => (c, m1, c, m2, w) }
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    val bias = Kr.biases(contacts, trimPercentile = 0.0, iterations = 30)
+    val b = bias.filter(col("bias") =!= -1.0)
+      .collect().map(r => r.getAs[Long]("mid") -> r.getAs[Double]("bias"))
+      .toMap
+    b.size shouldBe n
+    // scaled row sums: Σ_j w_ij/(b_i b_j) should be ≈ equal across i
+    val w = Array.ofDim[Double](n, n)
+    contacts.collect().foreach { r =>
+      val i = ((r.getAs[Long]("mid1") - 2500) / 5000).toInt
+      val j = ((r.getAs[Long]("mid2") - 2500) / 5000).toInt
+      w(i)(j) += r.getAs[Long]("contactCount").toDouble
+      if (i != j) w(j)(i) += r.getAs[Long]("contactCount").toDouble
+    }
+    val rowSums = (0 until n).map { i =>
+      (0 until n).map { j =>
+        w(i)(j) / (b(2500L + 5000L * i) * b(2500L + 5000L * j))
+      }.sum
+    }
+    val mean = rowSums.sum / n
+    rowSums.foreach(rs => math.abs(rs - mean) / mean should be < 0.05)
+  }
+  test("trimmed low-coverage loci get bias -1") {
+    import spark.implicits._
+    val contacts = (Seq(("c1", 2500L, "c1", 7500L, 100L),
+      ("c1", 2500L, "c1", 12500L, 90L), ("c1", 7500L, "c1", 12500L, 80L),
+      ("c1", 2500L, "c1", 17500L, 1L))) // locus 17500 nearly isolated
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    val bias = Kr.biases(contacts, trimPercentile = 0.3, iterations = 5)
+    bias.filter(col("mid") === 17500L).first().getAs[Double]("bias") shouldBe
+      -1.0
+  }
+}
+
+class MergeFilterSpec extends AnyFunSuite with Matchers with SparkTest {
+  test("adjacent runs merge; gaps split") {
+    import spark.implicits._
+    val sig = Seq(
+      ("c1", 2500L, "c1", 12500L, 5L),
+      ("c1", 2500L, "c1", 17500L, 6L), // adjacent to 12500
+      ("c1", 2500L, "c1", 32500L, 7L), // gap
+      ("c1", 7500L, "c1", 12500L, 8L)) // different mid1
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    val runs = MergeFilter.mergeAdjacent(sig, 5000L)
+      .orderBy("mid1", "mid2_start").collect()
+    runs.length shouldBe 3
+    val first = runs(0)
+    first.getAs[Long]("mid2_start") shouldBe 12500L
+    first.getAs[Long]("mid2_end") shouldBe 17500L
+    first.getAs[Long]("n_bins") shouldBe 2L
+    first.getAs[Long]("sumCount") shouldBe 11L
+  }
+}
+
+class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base, "en", "s", base.length.toLong), // exact dup of 1
+      (3L, base.replace("lazy", "sleepy"), "en", "s", 0L), // near dup
+      (4L, "completely different words entirely unrelated content here now",
+        "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exact duplicates are MinHash near-duplicates (distance 0)") {
+    val pairs = Dedup.minhashPairs(docs, maxDist = 0.95).collect()
+    val exact = pairs.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L)
+    exact should not be empty
+    exact.get.getAs[Double]("jaccard_dist") shouldBe 0.0
+    // near-dup found, unrelated doc not paired with 1 at low distance
+    pairs.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 3L) shouldBe true
+  }
+  test("simhash: identical docs at hamming 0; near dups close") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 20).collect()
+    val exact = pairs.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L)
+    exact should not be empty
+    exact.get.getAs[Int]("hamming") shouldBe 0
+  }
+  test("ngram jaccard: identical docs = 1.0; disjoint docs absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.0).collect()
+    pairs.find(r => r.getAs[Long]("doc_a") == 1L &&
+        r.getAs[Long]("doc_b") == 2L)
+      .get.getAs[Double]("jaccard") shouldBe 1.0
+    pairs.exists(r => r.getAs[Long]("doc_b") == 4L) shouldBe false
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
+  test("binary lift + mapPartitions feature extraction round-trips") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world", "en", "img", 11L),
+      (2L, "abc", "en", "aud", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs))
+      .collect().sortBy(_.media_id)
+    feats.length shouldBe 2
+    feats(0).n_bytes shouldBe 11
+    feats(0).channels shouldBe 3
+    // deterministic stub: same payload → same pseudo-dimensions
+    val again = Multimodal.extractFeatures(Multimodal.asMedia(docs))
+      .collect().sortBy(_.media_id)
+    again.map(f => (f.width, f.height, f.checksum)) shouldBe
+      feats.map(f => (f.width, f.height, f.checksum))
+  }
+}

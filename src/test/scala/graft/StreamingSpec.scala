@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.stream.Events
+import graft.stream.Events.Event
+
+/** Structured Streaming semantics (SURVEY.md §2.10, FIXTURES.md §4):
+  * batch/stream parity, watermark late-data handling, stateful dedup.
+  */
+class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 UTC + m
+
+  private def ev(id: Long, m: Long, user: Long = 1L,
+      typ: String = "click", v: Double = 1.0): Event =
+    Event(id, ts(m), user, typ, v, "{}")
+
+  private def runStream(events: Seq[Seq[Event]],
+      logic: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String): Array[org.apache.spark.sql.Row] = {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"memsink_${System.nanoTime()}"
+    val q = logic(mem.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode(outputMode).start()
+    try {
+      events.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+      sp.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("tumbling: stream (complete) equals batch on in-order data") {
+    val sp = spark
+    import sp.implicits._
+    val data = Seq(ev(1, 0), ev(2, 10, typ = "view"), ev(3, 61), ev(4, 65))
+    val streamed = runStream(Seq(data), Events.tumbling(_), "complete")
+    val batch = Events.tumbling(data.toDF()).collect()
+    streamed.map(_.toString).sorted shouldBe batch.map(_.toString).sorted
+  }
+
+  test("late row within watermark updates its window") {
+    val batches = Seq(
+      Seq(ev(1, 0), ev(2, 70)),   // advances watermark to 70m − 2h < 0
+      Seq(ev(3, 30)))             // 30m is late but within watermark
+    val out = runStream(batches, Events.tumbling(_), "complete")
+    val hour0 = out.filter(_.getAs[Timestamp]("win_start") == ts(0))
+    hour0.head.getAs[Long]("n") shouldBe 2L // both rows 0m and 30m counted
+  }
+
+  test("late row beyond watermark is dropped from append output") {
+    // watermark 10 minutes for a tight test
+    val logic = (df: org.apache.spark.sql.DataFrame) =>
+      df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("n"))
+    val batches = Seq(
+      Seq(ev(1, 30)),            // hour-0 window open
+      Seq(ev(2, 200)),           // watermark → 190m; hour-0 closes+emits
+      Seq(ev(3, 40)),            // beyond watermark → dropped
+      Seq(ev(4, 400)))           // push watermark further
+    val out = runStream(batches, logic, "append")
+    val hour0 = out.filter(_.getAs[Timestamp]("win_start") == ts(0))
+    hour0.head.getAs[Long]("n") shouldBe 1L // late row 3 did NOT count
+  }
+
+  test("dropDuplicatesWithinWatermark removes cross-batch duplicates") {
+    val batches = Seq(
+      Seq(ev(1, 0), ev(2, 5)),
+      Seq(ev(1, 0), ev(3, 10))) // event_id 1 re-delivered
+    val out = runStream(batches, Events.dedup(_), "append")
+    out.map(_.getAs[Long]("event_id")).sorted shouldBe Array(1L, 2L, 3L)
+  }
+
+  test("sessions: stream equals batch gaps-and-islands on in-order data") {
+    val sp = spark
+    import sp.implicits._
+    val data = Seq(ev(1, 0), ev(2, 10), ev(3, 70), // user 1: 2 sessions
+      ev(4, 0, user = 2))
+    val streamed = runStream(Seq(data), Events.sessions(_), "complete")
+    val batch = Events.sessions(data.toDF()).collect()
+    streamed.map(_.toString).sorted shouldBe batch.map(_.toString).sorted
+    streamed.count(_.getAs[Long]("user_id") == 1L) shouldBe 2
+  }
+}
