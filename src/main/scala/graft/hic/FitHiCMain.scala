@@ -1,0 +1,64 @@
+package graft.hic
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** CLI entry point mirroring the reference's significance pipeline surface
+  * (SURVEY.md §3.1 Entry 1): gz-TSV in, gz-TSV out, pass-numbered output
+  * names `<lib>.spline_pass<k>.res<r>.significances.txt.gz`.
+  *
+  * Usage:
+  *   runMain graft.hic.FitHiCMain -i contacts.gz -f fragments.gz -o outdir
+  *     [-t biases.gz] [-r 5000] [-p 2] [-L 0] [-U 5000000] [-b 100]
+  *     [-x intraOnly|interOnly|All] [-l libName]
+  */
+object FitHiCMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("-") => k -> v
+    }.toMap
+    val contactsPath = opts("-i")
+    val fragsPath = opts("-f")
+    val outDir = opts("-o")
+    val res = opts.getOrElse("-r", "5000").toLong
+    val lib = opts.getOrElse("-l", "graft")
+    val mode = opts.getOrElse("-x", "intraOnly")
+    val cfg = FitHiCConfig(
+      nBins = opts.getOrElse("-b", "100").toInt,
+      passes = opts.getOrElse("-p", "1").toInt,
+      distLow = opts.getOrElse("-L", "0").toLong,
+      distUp = opts.get("-U").map(_.toLong)
+        .getOrElse(Long.MaxValue / 4))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val frags = graft.io.Tsv.readFragments(spark, fragsPath)
+    val contacts = graft.io.Tsv.readContacts(spark, contactsPath)
+    val biases = opts.get("-t").map(graft.io.Tsv.readBiases(spark, _))
+
+    val sigCols = Seq("chr1", "mid1", "chr2", "mid2", "contactCount",
+      "p_value", "q_value")
+    if (mode == "intraOnly" || mode == "All") {
+      val intra = Pipeline.intraSignificances(frags, contacts, biases, cfg)
+      for (pass <- 1 to cfg.passes)
+        graft.io.Tsv.write(
+          intra.filter(col("pass") === pass)
+            .orderBy("chr1", "mid1", "mid2"),
+          s"$outDir/$lib.spline_pass$pass.res$res.significances.txt.gz",
+          sigCols)
+    }
+    if (mode == "interOnly" || mode == "All") {
+      val inter = Pipeline.interSignificances(frags, contacts, biases, cfg)
+      graft.io.Tsv.write(inter.orderBy("chr1", "mid1", "chr2", "mid2"),
+        s"$outDir/$lib.interOnly.res$res.significances.txt.gz", sigCols)
+    }
+    spark.stop()
+  }
+}

@@ -51,7 +51,7 @@ object Kr {
     // times; rowsum_i(BWB) = (1/b_i) Σ_j w_ij / b_j
     var bias = keptEdges.select("chr", "i").distinct()
       .withColumn("b", lit(1.0))
-    for (_ <- 1 to iterations) {
+    for (iter <- 1 to iterations) {
       val rs = keptEdges
         .join(bias.select(col("chr"), col("i").as("j"),
           col("b").as("bj")), Seq("chr", "j"))
@@ -64,7 +64,10 @@ object Kr {
       bias = joined.join(broadcast(means), "chr")
         .select(col("chr"), col("i"),
           (col("b") * sqrt(col("rowsum") / col("mean_rs"))).as("b"))
-      // cut the growing lineage so 20 iterations don't build a 20-deep plan
+      // cut the lineage every iteration: bias feeds the next round twice
+      // (rowsum join + mean), so an un-checkpointed plan doubles per
+      // iteration and recomputation explodes (measured 6× slower when
+      // checkpointing every 3rd only)
       bias = bias.localCheckpoint(eager = true)
     }
     // fix the free scale: report biases with per-chromosome mean 1 (the

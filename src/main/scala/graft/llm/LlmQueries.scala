@@ -70,10 +70,9 @@ object LlmQueries {
 
     "q_sim_cosine_topk" -> Q(
       (spark, dir) =>
-        simPairs(spark, dir)
+        Similarity.cosineTopK(Tables(spark, dir, "embeddings"), 20)
           .select(col("va"), col("vb"), Cols.fround(col("cos"), 6).as("cos"))
-          .orderBy(desc("cos"), asc("va"), asc("vb"))
-          .limit(20),
+          .orderBy(desc("cos"), asc("va"), asc("vb")),
       Some("WITH " + qvecsSql + " SELECT va, vb, " +
         Cols.froundSql("cos", 6) + " AS cos FROM sims " +
         "ORDER BY cos DESC, va, vb LIMIT 20")),

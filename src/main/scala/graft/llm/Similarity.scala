@@ -14,6 +14,72 @@ import org.apache.spark.sql.functions._
   * replaces the quadratic self-join.
   */
 object Similarity {
+  /** ×1e7 quantization of one float — must stay bit-identical to the SQL
+    * `CAST(ROUND(CAST(x AS DOUBLE)*1e7, 0) AS BIGINT)` (DuckDB oracle).
+    * Math.floor(v+0.5) == ROUND half-up for the positive-and-negative
+    * magnitudes here (|x| ≤ 1, never exactly .5 after ×1e7 of a float).
+    */
+  @inline private def quant(x: Float): Long = {
+    // round half away from zero — what both Spark's ROUND(x, 0) and
+    // DuckDB's round produce at scale 0
+    val v = x.toDouble * 1e7
+    if (v >= 0) Math.floor(v + 0.5).toLong else Math.ceil(v - 0.5).toLong
+  }
+
+  private case class QVec(id: Long, label: Int, q: Array[Long], n2: Long)
+
+  private def quantize(rows: Array[(Long, Int, Seq[Float])]): Array[QVec] =
+    rows.map { case (id, label, emb) =>
+      val q = new Array[Long](emb.length)
+      var n2 = 0L
+      var i = 0
+      while (i < q.length) {
+        q(i) = quant(emb(i)); n2 += q(i) * q(i); i += 1
+      }
+      QVec(id, label, q, n2)
+    }
+
+  /** Exact brute-force top-K cosine pairs, engineered for scale: the
+    * vector set is broadcast once (quantized longs), each partition streams
+    * its rows against it with primitive-array dot products and keeps a
+    * bounded local top-K — only K rows per partition reach the final
+    * TakeOrdered merge. Identical math to the DuckDB oracle (integer dots,
+    * one double division).
+    */
+  def cosineTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val typed = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+    val all = quantize(typed.collect())
+    val bc = spark.sparkContext.broadcast(all)
+    val pairs = typed.mapPartitions { it =>
+      val vs = bc.value
+      val topk = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long, Long)](Ordering.by(t => (-t._1, t._2, t._3)))
+      it.foreach { case (id, label, emb) =>
+        val a = quantize(Array((id, label, emb)))(0)
+        var j = 0
+        while (j < vs.length) {
+          val b = vs(j)
+          if (b.id > a.id) {
+            var dot = 0L
+            var i = 0
+            while (i < a.q.length) { dot += a.q(i) * b.q(i); i += 1 }
+            val cos = dot.toDouble /
+              math.sqrt(a.n2.toDouble * b.n2.toDouble)
+            topk.enqueue((cos, a.id, b.id))
+            if (topk.size > k) topk.dequeue()
+          }
+          j += 1
+        }
+      }
+      topk.iterator.map { case (cos, va, vb) => (va, vb, cos) }
+    }.toDF("va", "vb", "cos")
+    pairs.orderBy(desc("cos"), asc("va"), asc("vb")).limit(k)
+  }
+
   /** array<float> → ml dense Vector (needed by spark.ml LSH). */
   val toVec = udf((a: Seq[Float]) =>
     Vectors.dense(a.map(_.toDouble).toArray))

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan quality gates (SURVEY.md §4.2): the declared queries must
+  * produce the plans they were designed for — pushdown reaching parquet,
+  * column pruning, the intended join strategies, top-k without a global
+  * sort, and no accidental single-partition funnels in the scalable
+  * global-order machinery.
+  */
+class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.all(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = plan("q_scan_filter_pushdown")
+    p should include("PushedFilters: [")
+    p should include("LessThan(l_shipdate")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val p = plan("q_scan_project")
+    p should include("ReadSchema")
+    p should not include "l_comment"
+    // only the 4 selected columns are read
+    p should not include "l_shipdate"
+    p should not include "l_discount"
+  }
+
+  test("dimension join broadcasts; fact-fact join sort-merges") {
+    plan("q_join_broadcast") should include("BroadcastHashJoin")
+    // at test scale everything fits under autoBroadcastJoinThreshold; turn
+    // it off to see the strategy the query gets on genuinely large sides
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      plan("q_join_shuffle") should include("SortMergeJoin")
+      // the explicitly hinted broadcast must survive even with auto off
+      plan("q_join_broadcast") should include("BroadcastHashJoin")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("theta band join uses broadcast nested loop") {
+    plan("q_join_theta_band") should include("BroadcastNestedLoopJoin")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    plan("q_topk") should include("TakeOrderedAndProject")
+  }
+
+  test("scalable BH never funnels through a single partition") {
+    // every Exchange in the q_hic_bh plan must be hash/range — a
+    // SinglePartition exchange would mean a global window sneaked in
+    plan("q_hic_bh") should not include "SinglePartition"
+  }
+
+  test("equal-occupancy binning is single-partition free") {
+    plan("q_hic_equal_occupancy") should not include "SinglePartition"
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    plan("q_join_semi") should include("LeftSemi")
+    plan("q_join_anti") should include("LeftAnti")
+  }
+}
