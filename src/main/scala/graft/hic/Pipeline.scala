@@ -89,11 +89,12 @@ object Pipeline {
     val ws = bins.map(_.getAs[Long]("pairCount").toDouble)
     val fitted = Spline.pavaNonIncreasing(raw, ws)
     val curve = Spline.interpUdf(xs, fitted)
+    graft.functions.BinomSf.register(pairs.sparkSession)
     pairs
       .withColumn("prior",
         curve(col("dist").cast("double")) * col("bias1") * col("bias2"))
       .withColumn("p_value",
-        Binom.sfUdf(col("contactCount"), lit(n), col("prior")))
+        expr(s"binom_sf(contactCount, ${n}L, prior)"))
       .transform(df => Stats.bhQ(df, "p_value",
         Seq("chr1", "mid1", "chr2", "mid2"), "q_value", Some(m)))
       .select((keys.map(col) :+ col("contactCount") :+ col("p_value") :+
@@ -120,10 +121,11 @@ object Pipeline {
     if (n == 0) return withBias.select((keys.map(col) :+
       col("contactCount") :+ lit(1.0).as("p_value") :+
       lit(1.0).as("q_value")): _*)
+    graft.functions.BinomSf.register(withBias.sparkSession)
     withBias
       .withColumn("prior", lit(1.0) / m * col("bias1") * col("bias2"))
       .withColumn("p_value",
-        Binom.sfUdf(col("contactCount"), lit(n), col("prior")))
+        expr(s"binom_sf(contactCount, ${n}L, prior)"))
       .transform(df => Stats.bhQ(df, "p_value",
         Seq("chr1", "mid1", "chr2", "mid2"), "q_value", Some(m)))
       .select((keys.map(col) :+ col("contactCount") :+ col("p_value") :+

@@ -114,6 +114,100 @@ object LlmQueries {
         "SELECT probe, nlabel AS knn_label, votes FROM best WHERE vr = 1 " +
         "ORDER BY probe")),
 
+    "q_dedup_embedding" -> Q(
+      (spark, dir) =>
+        // embedding-cosine near-dup: all pairs ≥ 0.35 (exact quantized
+        // math, same kernel as top-k)
+        Similarity.cosineAbove(Tables(spark, dir, "embeddings"), 0.35)
+          .select(col("va"), col("vb"), Cols.fround(col("cos"), 6).as("cos"))
+          .orderBy("va", "vb"),
+      Some("WITH " + qvecsSql + " SELECT va, vb, " +
+        Cols.froundSql("cos", 6) + " AS cos FROM sims WHERE cos >= 0.35 " +
+        "ORDER BY va, vb")),
+
+    "q_text_quality" -> Q(
+      (spark, dir) => {
+        // quality scoring: token count, mean token length, stopword ratio,
+        // non-alphanumeric character ratio
+        val stop = "array('the','a','of','and','to','value','table','row')"
+        Tables(spark, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            ((length(col("text")) - size(col("toks")) + 1).cast("double") /
+              size(col("toks"))).as("avg_tok_len"),
+            (expr(s"size(filter(toks, t -> array_contains($stop, t)))")
+              .cast("double") / size(col("toks"))).as("stop_ratio"),
+            (length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+              .cast("double") / length(col("text"))).as("punct_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)/" +
+        "len(string_split(text, ' ')) AS avg_tok_len, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> " +
+        "list_contains(['the','a','of','and','to','value','table','row'], " +
+        "t))) AS DOUBLE)/len(string_split(text, ' ')) AS stop_ratio, " +
+        "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)" +
+        "/length(text) AS punct_ratio " +
+        "FROM documents ORDER BY doc_id")),
+
+    "q_text_langid" -> Q(
+      (spark, dir) => {
+        // n-gram-free function-word heuristic: per-language stopword hit
+        // ratios, argmax with deterministic tie order (en > de > es)
+        val en = "array('the','a','of','and','to','in','is','it')"
+        val de = "array('der','die','das','und','ist','zu')"
+        val es = "array('el','la','de','y','es','en')"
+        Tables(spark, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("r_en",
+            expr(s"size(filter(toks, t -> array_contains($en, t)))")
+              .cast("double") / size(col("toks")))
+          .withColumn("r_de",
+            expr(s"size(filter(toks, t -> array_contains($de, t)))")
+              .cast("double") / size(col("toks")))
+          .withColumn("r_es",
+            expr(s"size(filter(toks, t -> array_contains($es, t)))")
+              .cast("double") / size(col("toks")))
+          .select(col("doc_id"), col("lang").as("label_lang"),
+            when(col("r_en") >= col("r_de") && col("r_en") >= col("r_es"),
+              "en").when(col("r_de") >= col("r_es"), "de")
+              .otherwise("es").as("guess"),
+            col("r_en"), col("r_de"), col("r_es"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def ratio(l: String) =
+          s"CAST(len(list_filter(string_split(text, ' '), t -> " +
+            s"list_contains($l, t))) AS DOUBLE)/len(string_split(text, ' '))"
+        val en = ratio("['the','a','of','and','to','in','is','it']")
+        val de = ratio("['der','die','das','und','ist','zu']")
+        val es = ratio("['el','la','de','y','es','en']")
+        "SELECT doc_id, lang AS label_lang, " +
+          s"CASE WHEN $en >= $de AND $en >= $es THEN 'en' " +
+          s"WHEN $de >= $es THEN 'de' ELSE 'es' END AS guess, " +
+          s"$en AS r_en, $de AS r_de, $es AS r_es " +
+          "FROM documents ORDER BY doc_id"
+      }),
+
+    "q_text_fingerprint" -> Q(
+      (spark, dir) =>
+        // Karp–Rabin-style rolling polynomial fingerprint over token
+        // hashes (xxhash64 seeds differ from DuckDB's → rows-only;
+        // determinism/idempotence pinned in GraftSpec)
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            // modular Horner form keeps the accumulator < 2^31 so ANSI
+            // arithmetic never overflows
+            expr("aggregate(split(text, ' '), 0L, (h, t) -> " +
+              "pmod(h * 1000003L + pmod(xxhash64(t), 1000000007L), " +
+              "2147483647L))").as("fingerprint"),
+            length(col("text")).as("n_chars_obs"))
+          .orderBy("doc_id"),
+      None),
+
     "q_text_tokens" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "documents")

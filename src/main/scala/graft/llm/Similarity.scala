@@ -80,6 +80,33 @@ object Similarity {
     pairs.orderBy(desc("cos"), asc("va"), asc("vb")).limit(k)
   }
 
+  /** All pairs with cosine ≥ threshold — embedding-based near-duplicate
+    * detection. Same broadcast + primitive kernel as [[cosineTopK]];
+    * output size is bounded by the threshold, not n².
+    */
+  def cosineAbove(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val typed = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+    val all = quantize(typed.collect())
+    val bc = spark.sparkContext.broadcast(all)
+    typed.mapPartitions { it =>
+      val vs = bc.value
+      it.flatMap { case (id, label, emb) =>
+        val a = quantize(Array((id, label, emb)))(0)
+        vs.iterator.filter(_.id > a.id).flatMap { b =>
+          var dot = 0L
+          var i = 0
+          while (i < a.q.length) { dot += a.q(i) * b.q(i); i += 1 }
+          val cos = dot.toDouble / math.sqrt(a.n2.toDouble * b.n2.toDouble)
+          if (cos >= threshold) Some((a.id, b.id, cos)) else None
+        }
+      }
+    }.toDF("va", "vb", "cos")
+  }
+
   /** array<float> → ml dense Vector (needed by spark.ml LSH). */
   val toVec = udf((a: Seq[Float]) =>
     Vectors.dense(a.map(_.toDouble).toArray))
