@@ -18,11 +18,29 @@ object DevSmoke {
     val df = SparkEntry.entry(spark)
     println("ENTRY_ROWS=" + df.count())
     df.show(5, truncate = false)
-    for (name <- args) {
+    for (name <- args.filterNot(_.startsWith("--"))) {
       val out = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       println(s"$name rows=" + out.count())
       out.show(5, truncate = false)
       out.explain("formatted")
+    }
+    if (args.contains("--stream")) {
+      // drive the stateful incremental-marginals streaming op end-to-end
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[stream.Events.ContactEvent]
+      val q = stream.Events.incrementalMarginals(mem.toDS()).writeStream
+        .format("memory").queryName("devsmoke_marg").outputMode("update")
+        .start()
+      val t0 = new java.sql.Timestamp(1704067200000L)
+      mem.addData(stream.Events.ContactEvent(t0, "chr1", 2500, "chr1", 7500, 5))
+      q.processAllAvailable()
+      mem.addData(stream.Events.ContactEvent(t0, "chr1", 2500, "chr1", 12500, 3))
+      q.processAllAvailable()
+      println("STREAM_MARGINALS:")
+      spark.table("devsmoke_marg").show(10, truncate = false)
+      q.stop()
     }
     try {
       SparkEntry.queries("q_agg_q1")(spark, "/tmp/does_not_exist").count()

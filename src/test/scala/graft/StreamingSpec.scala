@@ -80,6 +80,30 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     out.map(_.getAs[Long]("event_id")).sorted shouldBe Array(1L, 2L, 3L)
   }
 
+  test("incremental marginals accumulate state across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Events.ContactEvent]
+    val name = s"marg_${System.nanoTime()}"
+    val q = Events.incrementalMarginals(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try {
+      mem.addData(Events.ContactEvent(ts(0), "chr1", 2500L, "chr1", 7500L, 5L))
+      q.processAllAvailable()
+      mem.addData(Events.ContactEvent(ts(1), "chr1", 2500L, "chr1", 7500L, 3L),
+        Events.ContactEvent(ts(2), "chr1", 2500L, "chr2", 2500L, 2L))
+      q.processAllAvailable()
+      val byLocus = sp.table(name).groupBy("chr", "mid")
+        .agg(org.apache.spark.sql.functions.max("hitCount").as("h"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      byLocus(("chr1", 2500L)) shouldBe 10L // 5 + 3 + 2, carried in state
+      byLocus(("chr1", 7500L)) shouldBe 8L
+      byLocus(("chr2", 2500L)) shouldBe 2L
+    } finally q.stop()
+  }
+
   test("sessions: stream equals batch gaps-and-islands on in-order data") {
     val sp = spark
     import sp.implicits._
