@@ -66,6 +66,22 @@ object Aggregates {
           .orderBy("event_type"),
       None),
 
+    "q_agg_pivot" -> Q(
+      (spark, dir) =>
+        Tables(spark, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("l_quantity").cast("long")))
+          .select(col("l_returnflag"), col("F").as("qty_F"),
+            col("O").as("qty_O"))
+          .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER " +
+        "(WHERE l_linestatus = 'F') AS BIGINT) AS qty_F, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER " +
+        "(WHERE l_linestatus = 'O') AS BIGINT) AS qty_O " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     "q_agg_rollup" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "orders")
