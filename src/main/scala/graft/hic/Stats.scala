@@ -22,14 +22,18 @@ object Stats {
       mOpt: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     val m = mOpt.getOrElse(df.count())
-    val ranked = GlobalOrder.rankAndCumsum(df,
-        col(pCol) +: tieCols.map(col), "__rank", keepPid = true)
+    val (rankedRaw, cleanupRanged) = GlobalOrder.rankAndCumsumCleanable(df,
+      col(pCol) +: tieCols.map(col), "__rank", keepPid = true)
+    val ranked = rankedRaw
       .withColumn("__v", col(pCol) * m / col("__rank"))
       .persist()
     val pidMins = ranked.groupBy(GlobalOrder.PID).agg(min("__v").as("__mn"))
       .collect()
       .map(r => (r.getAs[Int](0), r.getAs[Double](1)))
       .sortBy(-_._1)
+    // `ranked` is fully cached by the collect above → the internal range
+    // cache can go (deterministic recompute if evicted)
+    cleanupRanged()
     // tail(pid) = min of __v over all strictly-later partitions
     var run = Double.MaxValue
     val tails = pidMins.map { case (pid, mn) =>

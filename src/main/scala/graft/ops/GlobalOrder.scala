@@ -29,7 +29,19 @@ object GlobalOrder {
     */
   def rankAndCumsum(df: DataFrame, orderCols: Seq[Column], rankCol: String,
       cum: Option[(Column, String)] = None,
-      keepPid: Boolean = false): DataFrame = {
+      keepPid: Boolean = false): DataFrame =
+    rankAndCumsumCleanable(df, orderCols, rankCol, cum, keepPid)._1
+
+  /** As [[rankAndCumsum]], plus a cleanup thunk that unpersists the
+    * internal range-partitioned cache. Call it once a DOWNSTREAM cache
+    * over the result has been materialized (recompute stays correct —
+    * everything is deterministic — it just re-reads the source), so
+    * long pipelines don't stack persisted copies (a real concern at
+    * cluster scale, not at test SF).
+    */
+  def rankAndCumsumCleanable(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String, cum: Option[(Column, String)] = None,
+      keepPid: Boolean = false): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(n, orderCols: _*)
@@ -58,6 +70,6 @@ object GlobalOrder {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
           col("__soff"))
     out = out.drop("__roff", "__soff")
-    if (keepPid) out else out.drop(PID)
+    (if (keepPid) out else out.drop(PID), () => { ranged.unpersist(); () })
   }
 }

@@ -85,6 +85,50 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 }
 
+class BiasSpec extends AnyFunSuite with Matchers with SparkTest {
+  test("withBiases clamps -1 and out-of-range factors to 1.0") {
+    import spark.implicits._
+    val contacts = Seq(("c1", 2500L, "c1", 7500L, 5L),
+      ("c1", 7500L, "c1", 12500L, 5L), ("c1", 2500L, "c1", 17500L, 5L))
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    val biases = Seq(("c1", 2500L, 1.2), ("c1", 7500L, -1.0),
+      ("c1", 12500L, 9.9) /* out of [0.5,2] */, ("c1", 17500L, 0.8))
+      .toDF("chr", "mid", "bias")
+    val out = graft.hic.Contacts.withBiases(contacts, biases, 0.5, 2.0)
+      .select("mid1", "mid2", "bias1", "bias2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    out((2500L, 7500L)) shouldBe ((1.2, 1.0))   // -1 → excluded → 1.0
+    out((7500L, 12500L)) shouldBe ((1.0, 1.0))  // -1 and 9.9 both → 1.0
+    out((2500L, 17500L)) shouldBe ((1.2, 0.8))  // in-range pass through
+  }
+  test("missing bias rows default to factor 1.0") {
+    import spark.implicits._
+    val contacts = Seq(("c1", 2500L, "c1", 99999L, 5L))
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    val biases = Seq(("c1", 2500L, 1.5)).toDF("chr", "mid", "bias")
+    val r = graft.hic.Contacts.withBiases(contacts, biases, 0.5, 2.0)
+      .select("bias1", "bias2").first()
+    r.getDouble(0) shouldBe 1.5
+    r.getDouble(1) shouldBe 1.0
+  }
+}
+
+class ApproxDistinctSpec extends AnyFunSuite with Matchers with SparkTest {
+  test("approx_count_distinct within 10% of exact on events") {
+    val e = Tables(spark, "/root/testdata/sf0.01", "events")
+    val rows = e.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("x"))
+      .collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (a, x) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      math.abs(a - x) / x should be <= 0.1
+    }
+  }
+}
+
 class KrSpec extends AnyFunSuite with Matchers with SparkTest {
   test("balancing drives scaled row sums toward uniform") {
     import spark.implicits._
