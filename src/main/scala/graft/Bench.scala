@@ -11,9 +11,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up JVM/codegen/parquet reader once so the first timed query
-    // doesn't absorb session startup
-    SparkEntry.queries.get("q_scan_project")
+    // doesn't absorb session startup (best-effort: a bad sfDir must still
+    // reach the fault-isolated loop below and emit the JSON line)
+    try SparkEntry.queries.get("q_scan_project")
       .foreach(fn => fn(spark, sfDir).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

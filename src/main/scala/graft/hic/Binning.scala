@@ -18,12 +18,22 @@ object Binning {
     * pairCount, sumCount, minDist, maxDist, sumDist.
     */
   def equalOccupancy(contacts: DataFrame, nBins: Int,
-      tieCols: Seq[String]): DataFrame = {
-    val total = contacts
-      .agg(sum(col("contactCount")).as("t")).first().getLong(0)
-    GlobalOrder.rankAndCumsum(contacts,
-        col("dist") +: tieCols.map(col), "__rank",
-        cum = Some((col("contactCount"), "__cum")))
+      tieCols: Seq[String]): DataFrame =
+    equalOccupancyCleanable(contacts, nBins, tieCols)._1
+
+  /** As [[equalOccupancy]] plus the cleanup thunk for the internal
+    * range-partitioned cache (call after materializing the bins).
+    */
+  def equalOccupancyCleanable(contacts: DataFrame, nBins: Int,
+      tieCols: Seq[String]): (DataFrame, () => Unit) = {
+    val row = contacts.agg(sum(col("contactCount")).as("t")).first()
+    require(!row.isNullAt(0),
+      "equalOccupancy: empty contact set (no rows to bin)")
+    val total = row.getLong(0)
+    val (ranked, cleanup) = GlobalOrder.rankAndCumsumCleanable(contacts,
+      col("dist") +: tieCols.map(col), "__rank",
+      cum = Some((col("contactCount"), "__cum")))
+    val bins = ranked
       .withColumn("binIdx",
         expr(s"((__cum - 1) * $nBins) div ${total}L").cast("int"))
       .groupBy("binIdx")
@@ -32,5 +42,17 @@ object Binning {
         sum(col("dist")).as("sumDist"),
         min(col("dist")).as("minDist"),
         max(col("dist")).as("maxDist"))
+    (bins, cleanup)
+  }
+
+  /** Materialize the bins (binIdx-ordered) and release the internal cache
+    * — the form every statistical consumer (Pipeline, spline queries)
+    * wants.
+    */
+  def collectBins(contacts: DataFrame, nBins: Int,
+      tieCols: Seq[String]): Array[org.apache.spark.sql.Row] = {
+    val (bins, cleanup) = equalOccupancyCleanable(contacts, nBins, tieCols)
+    try bins.orderBy("binIdx").collect()
+    finally cleanup()
   }
 }

@@ -209,15 +209,11 @@ object HicQueries {
         // PAVA monotone non-increasing fit; ≤ nBins rows collected to the
         // driver (the single deliberate driver round-trip, SURVEY §3.2).
         val f = ContactsView(spark, dir).filter(col("dist").between(L, U))
+          .persist()
         val total = f.agg(sum(col("contactCount"))).first().getLong(0)
-        val bins = Binning.equalOccupancy(f, 100, keys)
-          .orderBy("binIdx").collect()
-        val xs = bins.map(r => r.getAs[Long]("sumDist").toDouble /
-          r.getAs[Long]("pairCount"))
-        val raw = bins.map(r => r.getAs[Long]("sumCount").toDouble /
-          r.getAs[Long]("pairCount") / total)
-        val ws = bins.map(r => r.getAs[Long]("pairCount").toDouble)
-        val fit = Spline.pavaNonIncreasing(raw, ws)
+        val bins = Binning.collectBins(f, 100, keys)
+        f.unpersist()
+        val (xs, raw, fit) = Spline.fitFromBins(bins, total)
         val out = bins.indices.map { i =>
           (bins(i).getAs[Int]("binIdx"), xs(i), raw(i), fit(i))
         }
@@ -237,15 +233,10 @@ object HicQueries {
         // SQL-expressible in DuckDB → no oracle; pinned by GraftSpec
         // golden/property tests instead.
         val f = ContactsView(spark, dir).filter(col("dist").between(L, U))
+          .persist()
         val total = f.agg(sum(col("contactCount"))).first().getLong(0)
-        val bins = Binning.equalOccupancy(f, 100, keys)
-          .orderBy("binIdx").collect()
-        val xs = bins.map(r => r.getAs[Long]("sumDist").toDouble /
-          r.getAs[Long]("pairCount"))
-        val raw = bins.map(r => r.getAs[Long]("sumCount").toDouble /
-          r.getAs[Long]("pairCount") / total)
-        val fit = Spline.pavaNonIncreasing(raw,
-          bins.map(_.getAs[Long]("pairCount").toDouble))
+        val bins = Binning.collectBins(f, 100, keys)
+        val (xs, _, fit) = Spline.fitFromBins(bins, total)
         val prior = Spline.interpUdf(xs, fit)
         f.withColumn("prior", prior(col("dist").cast("double")))
           .withColumn("pval", graft.functions.Binom.sfUdf(

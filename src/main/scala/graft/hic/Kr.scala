@@ -48,22 +48,25 @@ object Kr {
       .persist()
 
     // b ← b · sqrt(rowsum(BWB) / mean-rowsum), iterated a fixed number of
-    // times; rowsum_i(BWB) = (1/b_i) Σ_j w_ij / b_j
-    var bias = keptEdges.select("chr", "i").distinct()
-      .withColumn("b", lit(1.0))
+    // times; rowsum_i(BWB) = (1/b_i) Σ_j w_ij / b_j. Seeded from `kept`
+    // (not keptEdges) so a kept locus whose partners were all trimmed is
+    // still reported (bias stays 1 after normalization of a null rowsum).
+    var bias = kept.withColumn("b", lit(1.0))
     for (iter <- 1 to iterations) {
       val rs = keptEdges
         .join(bias.select(col("chr"), col("i").as("j"),
           col("b").as("bj")), Seq("chr", "j"))
         .groupBy("chr", "i")
         .agg(sum(col("w") / col("bj")).as("s"))
-      val joined = bias.join(rs, Seq("chr", "i"))
+      val joined = bias.join(rs, Seq("chr", "i"), "left")
         .withColumn("rowsum", col("s") / col("b"))
-      val means = joined.groupBy("chr")
+      val means = joined.filter(col("rowsum").isNotNull).groupBy("chr")
         .agg((sum(col("rowsum")) / count(lit(1))).as("mean_rs"))
-      bias = joined.join(broadcast(means), "chr")
+      bias = joined.join(broadcast(means), Seq("chr"), "left")
         .select(col("chr"), col("i"),
-          (col("b") * sqrt(col("rowsum") / col("mean_rs"))).as("b"))
+          when(col("rowsum").isNull, col("b"))
+            .otherwise(col("b") * sqrt(col("rowsum") / col("mean_rs")))
+            .as("b"))
       // cut the lineage every iteration: bias feeds the next round twice
       // (rowsum join + mean), so an un-checkpointed plan doubles per
       // iteration and recomputation explodes (measured 6× slower when

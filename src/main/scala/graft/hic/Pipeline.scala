@@ -80,14 +80,9 @@ object Pipeline {
     */
   private def scoreAgainstNull(pairs: DataFrame, nullSource: DataFrame,
       n: Long, m: Long, cfg: FitHiCConfig): DataFrame = {
-    val bins = Binning.equalOccupancy(nullSource, cfg.nBins,
-      Seq("chr1", "mid1", "chr2", "mid2")).orderBy("binIdx").collect()
-    val xs = bins.map(r => r.getAs[Long]("sumDist").toDouble /
-      r.getAs[Long]("pairCount"))
-    val raw = bins.map(r => r.getAs[Long]("sumCount").toDouble /
-      r.getAs[Long]("pairCount") / n)
-    val ws = bins.map(_.getAs[Long]("pairCount").toDouble)
-    val fitted = Spline.pavaNonIncreasing(raw, ws)
+    val bins = Binning.collectBins(nullSource, cfg.nBins,
+      Seq("chr1", "mid1", "chr2", "mid2"))
+    val (xs, _, fitted) = Spline.fitFromBins(bins, n)
     val curve = Spline.interpUdf(xs, fitted)
     graft.functions.BinomSf.register(pairs.sparkSession)
     pairs

@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions.udf
   * on ≤ noOfBins points, broadcast back as a pure lookup function.
   */
 object Spline {
+  /** The monotone null curve fitted from equal-occupancy bin rows (the
+    * single shared implementation of A15–A16; used by Pipeline and the
+    * q_hic_spline/binom queries). Input rows need binIdx-ordered
+    * sumDist/sumCount/pairCount; `total` = observed contact sum (the
+    * probability denominator). Returns (avgDist knots, raw per-pair
+    * probabilities, PAVA-fitted non-increasing probabilities).
+    */
+  def fitFromBins(bins: Array[org.apache.spark.sql.Row], total: Long)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val xs = bins.map(r => r.getAs[Long]("sumDist").toDouble /
+      r.getAs[Long]("pairCount"))
+    val raw = bins.map(r => r.getAs[Long]("sumCount").toDouble /
+      r.getAs[Long]("pairCount") / total)
+    val ws = bins.map(_.getAs[Long]("pairCount").toDouble)
+    (xs, raw, pavaNonIncreasing(raw, ws))
+  }
+
   /** Least-squares projection onto non-increasing sequences (weighted
     * PAVA). Input sorted by x ascending; returns fitted y per point.
     */

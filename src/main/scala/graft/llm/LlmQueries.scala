@@ -276,7 +276,11 @@ object LlmQueries {
 
     "q_dedup_ngram_jaccard" -> Q(
       (spark, dir) =>
-        Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), 3, 0.2)
+        // docs under 3 tokens are excluded on BOTH sides (the oracle's
+        // shingle CTE drops them; Dedup's whole-text fallback shingle
+        // would otherwise make Spark pair them)
+        Dedup.ngramJaccardPairs(Tables(spark, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 3), 3, 0.2)
           .select(col("doc_a"), col("doc_b"), col("inter"),
             Cols.fround(col("jaccard"), 6).as("jaccard"))
           .orderBy("doc_a", "doc_b"),

@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.ops.Cols
 
-/** Batch-equivalent forms of the streaming queries (SURVEY.md §2.10). The
-  * identical column logic is reused by the Structured Streaming jobs in
-  * [[Events]]; batch/stream parity is asserted in StreamingSpec with
-  * MemoryStream. `value` sums use exact micro-units (×1e6 integer lift).
+/** Batch-equivalent forms of the streaming queries (SURVEY.md §2.10).
+  * Same windowing semantics as the Structured Streaming jobs in [[Events]]
+  * (tumbling/sliding/session/dedup over the events schema), but the
+  * declared queries lift `value` sums to exact micro-units (×1e6 integers)
+  * for oracle hash-stability, while Events keeps plain double sums for the
+  * live streaming path. Events' own batch/stream parity is asserted in
+  * StreamingSpec with MemoryStream.
   */
 object StreamQueries {
   private def valUnits = round(col("value") * 1000000, 0).cast("long")
