@@ -164,6 +164,28 @@ object Joins {
         " AS sum_qty, COUNT(*) AS n FROM lineitem JOIN part " +
         "ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand")),
 
+    "q_join_skew_salted" -> Q(
+      (spark, dir) => {
+        // salting demo: result must equal the plain equi-join (oracle is
+        // the plain SQL join) while the fact side's shuffle is spread
+        // across 8 salt buckets
+        val l = Tables(spark, dir, "lineitem")
+          .select(col("l_partkey").as("k"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
+        val p = Tables(spark, dir, "part")
+          .select(col("p_partkey").as("k"), col("p_brand"))
+        Skew.saltedJoin(l, p, "k", 8,
+            Seq(col("l_orderkey"), col("l_linenumber")))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some("SELECT p_brand, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand")),
+
     "q_join_chain" -> Q(
       (spark, dir) => {
         // TPC-H Q5 shape: revenue by nation for one region + order year.

@@ -143,6 +143,30 @@ class BinningSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 }
 
+class SkewSpec extends AnyFunSuite with Matchers with SparkTest {
+  test("saltedJoin equals plain join and spreads the hot key") {
+    import spark.implicits._
+    // hot key: 90% of left rows share key 1
+    val left = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 7 + 2, i.toLong)))
+      .toDF("k", "payload")
+    val right = (1L to 10L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, "k")
+    val salted = graft.ops.Skew.saltedJoin(left, right, "k", 8,
+      Seq(col("payload")))
+    salted.count() shouldBe plain.count()
+    salted.select("k", "payload", "name")
+      .except(plain.select("k", "payload", "name")).count() shouldBe 0
+    plain.select("k", "payload", "name")
+      .except(salted.select("k", "payload", "name")).count() shouldBe 0
+    // the hot key's rows actually land in multiple salt buckets
+    val buckets = left.withColumn("__salt",
+        pmod(xxhash64(col("payload")), lit(8L)))
+      .filter(col("k") === 1L).select("__salt").distinct().count()
+    buckets should be > 1L
+  }
+}
+
 class FragmentsSpec extends AnyFunSuite with Matchers with SparkTest {
   test("possibleIntraInRange matches brute force") {
     import spark.implicits._
