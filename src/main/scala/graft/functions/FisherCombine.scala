@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.commons.math3.distribution.ChiSquaredDistribution
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Fisher's combined-probability method as a typed Spark Aggregator
+  * (UDAF): X = −2 Σ ln(p_i) ~ χ²(2k) under the null. Used per chromosome
+  * to ask "is there any signal on this chromosome at all?".
+  *
+  * The accumulator is the ×1e6-quantized integer sum of ln(p) — exact and
+  * order-independent, so the statistic is bit-stable under any partial
+  * aggregation order (same discipline as the engine's money sums).
+  */
+object FisherCombine extends Aggregator[Double, Long, Double] {
+  override def zero: Long = 0L
+  override def reduce(acc: Long, p: Double): Long = {
+    val clamped = math.min(math.max(p, 1e-300), 1.0)
+    val v = math.log(clamped) * 1e6 // ≤ 0
+    // round half away from zero == SQL ROUND(x, 0) on both engines
+    acc + (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+  }
+  override def merge(a: Long, b: Long): Long = a + b
+  override def finish(acc: Long): Double = -2.0 * acc / 1e6
+  override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+
+  /** Combined p-value: P[χ²(2k) ≥ stat]. Driver/executor-safe pure fn. */
+  def pValue(stat: Double, k: Long): Double =
+    if (k <= 0) 1.0
+    else 1.0 - new ChiSquaredDistribution(2.0 * k)
+      .cumulativeProbability(stat)
+}

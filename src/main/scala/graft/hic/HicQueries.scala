@@ -103,6 +103,44 @@ object HicQueries {
       },
       None),
 
+    "q_hic_fisher_stat" -> Q(
+      (spark, dir) => {
+        // typed-Aggregator UDAF: Fisher's combined statistic per
+        // chromosome over pseudo-p (exact quantized-log accumulator →
+        // order-independent, oracle-checkable)
+        val fisher = udaf(graft.functions.FisherCombine,
+          org.apache.spark.sql.Encoders.scalaDouble)
+        ContactsView(spark, dir)
+          .groupBy("chr")
+          .agg(count(lit(1)).as("k"),
+            Cols.fround(fisher(col("pseudo_p")), 4).as("fisher_stat"))
+          .orderBy("chr")
+      },
+      Some(ContactsView.cte + " SELECT chr, COUNT(*) AS k, " +
+        Cols.froundSql("-2.0 * CAST(SUM(CAST(ROUND(LN(LEAST(GREATEST(" +
+          "pseudo_p, 1e-300), 1.0))*1000000, 0) AS BIGINT)) AS BIGINT)/1e6",
+          4) + " AS fisher_stat " +
+        "FROM c GROUP BY chr ORDER BY chr")),
+
+    "q_hic_fisher_pvalue" -> Q(
+      (spark, dir) => {
+        // chi-square tail of the combined statistic (commons-math, not
+        // SQL-expressible → rows-only)
+        val fisher = udaf(graft.functions.FisherCombine,
+          org.apache.spark.sql.Encoders.scalaDouble)
+        val pUdf = udf((stat: Double, k: Long) =>
+          graft.functions.FisherCombine.pValue(stat, k))
+        ContactsView(spark, dir)
+          .groupBy("chr")
+          .agg(count(lit(1)).as("k"),
+            fisher(col("pseudo_p")).as("stat"))
+          .select(col("chr"), col("k"),
+            Cols.fround(col("stat"), 4).as("fisher_stat"),
+            Cols.fround(pUdf(col("stat"), col("k")), 8).as("p_combined"))
+          .orderBy("chr")
+      },
+      None),
+
     "q_hic_marginals" -> Q(
       (spark, dir) => {
         // A1/A24: per-locus marginal counts — union both contact ends

@@ -47,26 +47,29 @@ object Kr {
       .join(kept.withColumnRenamed("i", "j"), Seq("chr", "j"), "left_semi")
       .persist()
 
+    // a kept locus whose partners were ALL trimmed has no kept edges: it
+    // can't be balanced — report it with bias 1 (not silently dropped),
+    // and keep the hot iteration loop on pure inner joins
+    val connected = keptEdges.select("chr", "i").distinct().persist()
+    val loners = kept.join(connected, Seq("chr", "i"), "left_anti")
+      .select(col("chr"), col("i").as("mid"), lit(1.0).as("bias"))
+
     // b ← b · sqrt(rowsum(BWB) / mean-rowsum), iterated a fixed number of
-    // times; rowsum_i(BWB) = (1/b_i) Σ_j w_ij / b_j. Seeded from `kept`
-    // (not keptEdges) so a kept locus whose partners were all trimmed is
-    // still reported (bias stays 1 after normalization of a null rowsum).
-    var bias = kept.withColumn("b", lit(1.0))
+    // times; rowsum_i(BWB) = (1/b_i) Σ_j w_ij / b_j
+    var bias = connected.withColumn("b", lit(1.0))
     for (iter <- 1 to iterations) {
       val rs = keptEdges
         .join(bias.select(col("chr"), col("i").as("j"),
           col("b").as("bj")), Seq("chr", "j"))
         .groupBy("chr", "i")
         .agg(sum(col("w") / col("bj")).as("s"))
-      val joined = bias.join(rs, Seq("chr", "i"), "left")
+      val joined = bias.join(rs, Seq("chr", "i"))
         .withColumn("rowsum", col("s") / col("b"))
-      val means = joined.filter(col("rowsum").isNotNull).groupBy("chr")
+      val means = joined.groupBy("chr")
         .agg((sum(col("rowsum")) / count(lit(1))).as("mean_rs"))
-      bias = joined.join(broadcast(means), Seq("chr"), "left")
+      bias = joined.join(broadcast(means), "chr")
         .select(col("chr"), col("i"),
-          when(col("rowsum").isNull, col("b"))
-            .otherwise(col("b") * sqrt(col("rowsum") / col("mean_rs")))
-            .as("b"))
+          (col("b") * sqrt(col("rowsum") / col("mean_rs"))).as("b"))
       // cut the lineage every iteration: bias feeds the next round twice
       // (rowsum join + mean), so an un-checkpointed plan doubles per
       // iteration and recomputation explodes (measured 6× slower when
@@ -80,6 +83,7 @@ object Kr {
     bias.join(broadcast(scale), "chr")
       .select(col("chr"), col("i").as("mid"),
         (col("b") / col("mean_b")).as("bias"))
+      .unionByName(loners)
       .unionByName(trimmed)
   }
 }
