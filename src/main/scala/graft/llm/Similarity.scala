@@ -45,6 +45,11 @@ object Similarity {
     * bounded local top-K — only K rows per partition reach the final
     * TakeOrdered merge. Identical math to the DuckDB oracle (integer dots,
     * one double division).
+    *
+    * Ranking happens on the 6-dp-ROUNDED cosine (ties → (va, vb)): the
+    * oracle's `ORDER BY cos` resolves to the rounded output alias, so the
+    * kernel must select and order by the same rounded value or a boundary
+    * pair within 1e-6 of rank K would diverge.
     */
   def cosineTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val spark = embeddings.sparkSession
@@ -69,7 +74,8 @@ object Similarity {
             while (i < a.q.length) { dot += a.q(i) * b.q(i); i += 1 }
             val cos = dot.toDouble /
               math.sqrt(a.n2.toDouble * b.n2.toDouble)
-            topk.enqueue((cos, a.id, b.id))
+            val cosR = math.floor(cos * 1e6 + 0.5) / 1e6 // == Cols.fround 6
+            topk.enqueue((cosR, a.id, b.id))
             if (topk.size > k) topk.dequeue()
           }
           j += 1
