@@ -66,4 +66,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     plan("q_join_semi") should include("LeftSemi")
     plan("q_join_anti") should include("LeftAnti")
   }
+
+  test("salted join shuffles on (key, salt)") {
+    val p = plan("q_join_skew_salted")
+    p should include("__salt")
+  }
+
+  test("Q5 chain keeps the hinted dimension broadcasts") {
+    val p = plan("q_join_chain")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("aggregations are two-phase (partial before final)") {
+    plan("q_agg_q1") should include("partial_")
+  }
 }
