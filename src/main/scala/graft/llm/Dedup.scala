@@ -1,7 +1,5 @@
 package graft.llm
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
@@ -26,24 +24,81 @@ object Dedup {
           .otherwise(array(concat_ws(" ", col("__toks")))))
       .drop("__toks")
 
-  /** MinHash-LSH near-dup candidate pairs (Jaccard distance ≤ maxDist).
-    * Shingle set → sparse binary vector (HashingTF, 2^18 dims) → MinHash
-    * band join. Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b.
+  /** splitmix64 finalizer — the per-table hash family for MinHash. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over a doc's 64-bit shingle hashes: for table t,
+    * min over shingles of splitmix64(h ⊕ seed_t). Primitive loops — one
+    * pass per doc, no matrix, no ml.Vector boxing.
+    */
+  private def signatureUdf(numTables: Int, seed: Long): UserDefinedFunction =
+    udf { hs: Seq[Long] =>
+      val out = new Array[Long](numTables)
+      var t = 0
+      while (t < numTables) {
+        val st = seed + t.toLong * 0x9e3779b97f4a7c15L
+        var m = Long.MaxValue
+        val it = hs.iterator
+        while (it.hasNext) {
+          val v = mix64(it.next() ^ st)
+          if (v < m) m = v
+        }
+        out(t) = m
+        t += 1
+      }
+      out
+    }
+
+  /** Exact Jaccard over two hashed-shingle sets (hash-set intersection). */
+  private val jaccardHashes: UserDefinedFunction =
+    udf { (a: Seq[Long], b: Seq[Long]) =>
+      val sa = a.toSet
+      var inter = 0
+      b.foreach(h => if (sa.contains(h)) inter += 1)
+      inter.toDouble / (sa.size + b.size - inter)
+    }
+
+  /** MinHash-LSH near-dup candidate pairs (Jaccard distance ≤ maxDist),
+    * seeded/deterministic. Shingle set → 64-bit shingle hashes → per-table
+    * MinHash signature → candidates = pairs colliding in ≥1 of `numTables`
+    * tables (OR-amplification) → EXACT Jaccard verification on the hashed
+    * shingle sets. Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b.
+    *
+    * Scale shape: the band self-join touches |docs|·numTables signature
+    * rows, never the n² pair space; verification cost is proportional to
+    * the candidate count. The signature table is tiny (doc_id + shingle
+    * hashes) and broadcast into the verify joins.
     */
   def minhashPairs(docs: DataFrame, maxDist: Double = 0.8,
       numTables: Int = 5, seed: Long = 42L): DataFrame = {
-    val shingled = withShingles(docs)
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(shingled)
+    val sig = withShingles(docs)
       .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
-    val lsh = new MinHashLSH().setInputCol("features")
-      .setOutputCol("hashes").setNumHashTables(numTables).setSeed(seed)
-    val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, maxDist, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("doc_a"),
-        col("datasetB.doc_id").as("doc_b"), col("jaccard_dist"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"),
+        expr("transform(shingles, s -> xxhash64(s))").as("sh"))
+      .withColumn("sig", signatureUdf(numTables, seed)(col("sh")))
+      .persist()
+    val banded = sig.select(col("doc_id"),
+      posexplode(col("sig")).as(Seq("table", "mh")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val keyed = sig.select(col("doc_id"), col("sh"))
+    cand
+      .join(broadcast(keyed.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a")), "doc_a")
+      .join(broadcast(keyed.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b")), "doc_b")
+      .withColumn("jaccard_dist",
+        lit(1.0) - jaccardHashes(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_dist") <= maxDist)
+      .select("doc_a", "doc_b", "jaccard_dist")
   }
 
   /** 64-bit SimHash over tokens (deterministic 2×murmur3 per token). */
