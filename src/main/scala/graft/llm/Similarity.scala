@@ -1,17 +1,25 @@
 package graft.llm
 
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Approximate nearest-neighbor search over the embedding column (driver
-  * north star). Brute-force exact cosine lives in [[LlmQueries]]
-  * (q_sim_cosine_topk / q_sim_knn_label, oracle-checked); this module is
-  * the scale path: seeded random-projection LSH buckets prune the pair
-  * space, then candidates are exactly re-ranked. At 100 TB the bucket join
-  * replaces the quadratic self-join.
+/** Similarity search over the embedding column (driver north star).
+  *
+  * Exact all-pairs cosine runs as a **block-pair join**: vec_ids are hashed
+  * into B blocks, every unordered block pair (i ≤ j) becomes one group, and
+  * each group computes its pairs with primitive-array integer dot products.
+  * Nothing is ever collected to the driver and no executor materializes
+  * more than two blocks (≈ 2·n/B vectors), so the kernel survives inputs
+  * that are orders of magnitude past driver memory; B grows with n (see
+  * [[numBlocks]]) to keep per-task memory flat. The O(n²) compare itself is
+  * inherent to *exact* all-pairs — [[annTop3]] is the approximate scale
+  * path when that budget is unacceptable.
+  *
+  * Brute-force exact cosine via Catalyst lambdas lives in [[LlmQueries]]
+  * (q_sim_knn_label, oracle-checked).
   */
 object Similarity {
   /** ×1e7 quantization of one float — must stay bit-identical to the SQL
@@ -26,25 +34,92 @@ object Similarity {
     if (v >= 0) Math.floor(v + 0.5).toLong else Math.ceil(v - 0.5).toLong
   }
 
-  private case class QVec(id: Long, label: Int, q: Array[Long], n2: Long)
+  /** Quantized vector: ×1e7 longs plus the precomputed squared norm.
+    * (Not `private`: Catalyst's generated deserializer must reach the
+    * accessors, and janino rejects Scala-private nested classes.)
+    */
+  case class QVec(id: Long, label: Int, q: Array[Long], n2: Long)
 
-  private def quantize(rows: Array[(Long, Int, Seq[Float])]): Array[QVec] =
-    rows.map { case (id, label, emb) =>
-      val q = new Array[Long](emb.length)
-      var n2 = 0L
-      var i = 0
-      while (i < q.length) {
-        q(i) = quant(emb(i)); n2 += q(i) * q(i); i += 1
+  private def quantVec(id: Long, label: Int, emb: Seq[Float]): QVec = {
+    val q = new Array[Long](emb.length)
+    var n2 = 0L
+    var i = 0
+    val it = emb.iterator
+    while (it.hasNext) { q(i) = quant(it.next()); n2 += q(i) * q(i); i += 1 }
+    QVec(id, label, q, n2)
+  }
+
+  /** Exact integer dot → one double division; identical math to the oracle. */
+  @inline private def cosine(a: QVec, b: QVec): Double = {
+    var dot = 0L
+    var i = 0
+    while (i < a.q.length) { dot += a.q(i) * b.q(i); i += 1 }
+    dot.toDouble / math.sqrt(a.n2.toDouble * b.n2.toDouble)
+  }
+
+  /** Block count for the pair-block kernel: enough block pairs
+    * (B(B+1)/2) to feed every core, and blocks capped at ≈8k vectors so a
+    * group (two blocks) stays comfortably inside one task's memory as n
+    * grows — B scales linearly with n, task memory stays flat.
+    */
+  private def numBlocks(n: Long, parallelism: Int): Int =
+    math.max(math.ceil(math.sqrt(2.0 * parallelism)).toInt,
+      math.ceil(n / 8192.0).toInt).max(2)
+
+  /** Every unordered cosine pair, exactly once, computed group-local:
+    * each vector is shuffled to its B block-pair groups, and `reduce`
+    * turns one group's pair stream into the (bounded) rows that leave the
+    * task — a top-k heap or a threshold filter — so the full pair set is
+    * never materialized.
+    */
+  private def blockPairs(embeddings: DataFrame)(
+      reduce: Iterator[(Long, Long, Double)] => Iterator[(Long, Long, Double)])
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val typed = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+    val b = numBlocks(embeddings.count(),
+      spark.sparkContext.defaultParallelism)
+    typed
+      .map { case (id, label, emb) => quantVec(id, label, emb) }
+      .flatMap { v =>
+        val blk = (v.id % b).toInt
+        (0 until b).iterator.map(o =>
+          (math.min(blk, o), math.max(blk, o), v))
       }
-      QVec(id, label, q, n2)
-    }
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, QVec)]) =>
+        val (i, j) = key
+        val vs = it.map(_._3).toArray
+        val stream =
+          if (i == j) // intra-block: (a, b) with a.id < b.id, each once
+            for {
+              ai <- vs.indices.iterator
+              bi <- (ai + 1 until vs.length).iterator
+            } yield {
+              val (a, c) = if (vs(ai).id < vs(bi).id) (vs(ai), vs(bi))
+                else (vs(bi), vs(ai))
+              (a.id, c.id, cosine(a, c))
+            }
+          else { // cross-block: every (left, right), oriented by id
+            val left = vs.filter(v => (v.id % b).toInt == i)
+            val right = vs.filter(v => (v.id % b).toInt == j)
+            for {
+              a <- left.iterator
+              c <- right.iterator
+            } yield if (a.id < c.id) (a.id, c.id, cosine(a, c))
+              else (c.id, a.id, cosine(c, a))
+          }
+        reduce(stream)
+      }
+      .toDF("va", "vb", "cos")
+  }
 
-  /** Exact brute-force top-K cosine pairs, engineered for scale: the
-    * vector set is broadcast once (quantized longs), each partition streams
-    * its rows against it with primitive-array dot products and keeps a
-    * bounded local top-K — only K rows per partition reach the final
-    * TakeOrdered merge. Identical math to the DuckDB oracle (integer dots,
-    * one double division).
+  /** Exact brute-force top-K cosine pairs, distributed: each block-pair
+    * group keeps a bounded local top-K (only K rows per group leave the
+    * task), then a global TakeOrdered merges.
     *
     * Ranking happens on the 6-dp-ROUNDED cosine (ties → (va, vb)): the
     * oracle's `ORDER BY cos` resolves to the rounded output alias, so the
@@ -52,66 +127,25 @@ object Similarity {
     * pair within 1e-6 of rank K would diverge.
     */
   def cosineTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val typed = embeddings
-      .select(col("vec_id"), col("label"), col("embedding"))
-      .as[(Long, Int, Seq[Float])]
-    val all = quantize(typed.collect())
-    val bc = spark.sparkContext.broadcast(all)
-    val pairs = typed.mapPartitions { it =>
-      val vs = bc.value
+    val pairs = blockPairs(embeddings) { stream =>
       val topk = scala.collection.mutable.PriorityQueue
         .empty[(Double, Long, Long)](Ordering.by(t => (-t._1, t._2, t._3)))
-      it.foreach { case (id, label, emb) =>
-        val a = quantize(Array((id, label, emb)))(0)
-        var j = 0
-        while (j < vs.length) {
-          val b = vs(j)
-          if (b.id > a.id) {
-            var dot = 0L
-            var i = 0
-            while (i < a.q.length) { dot += a.q(i) * b.q(i); i += 1 }
-            val cos = dot.toDouble /
-              math.sqrt(a.n2.toDouble * b.n2.toDouble)
-            val cosR = math.floor(cos * 1e6 + 0.5) / 1e6 // == Cols.fround 6
-            topk.enqueue((cosR, a.id, b.id))
-            if (topk.size > k) topk.dequeue()
-          }
-          j += 1
-        }
+      stream.foreach { case (va, vb, cos) =>
+        val cosR = math.floor(cos * 1e6 + 0.5) / 1e6 // == Cols.fround 6
+        topk.enqueue((cosR, va, vb))
+        if (topk.size > k) topk.dequeue()
       }
       topk.iterator.map { case (cos, va, vb) => (va, vb, cos) }
-    }.toDF("va", "vb", "cos")
+    }
     pairs.orderBy(desc("cos"), asc("va"), asc("vb")).limit(k)
   }
 
   /** All pairs with cosine ≥ threshold — embedding-based near-duplicate
-    * detection. Same broadcast + primitive kernel as [[cosineTopK]];
-    * output size is bounded by the threshold, not n².
+    * detection. Same block-pair kernel as [[cosineTopK]]; output size is
+    * bounded by the threshold, not n².
     */
-  def cosineAbove(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val typed = embeddings
-      .select(col("vec_id"), col("label"), col("embedding"))
-      .as[(Long, Int, Seq[Float])]
-    val all = quantize(typed.collect())
-    val bc = spark.sparkContext.broadcast(all)
-    typed.mapPartitions { it =>
-      val vs = bc.value
-      it.flatMap { case (id, label, emb) =>
-        val a = quantize(Array((id, label, emb)))(0)
-        vs.iterator.filter(_.id > a.id).flatMap { b =>
-          var dot = 0L
-          var i = 0
-          while (i < a.q.length) { dot += a.q(i) * b.q(i); i += 1 }
-          val cos = dot.toDouble / math.sqrt(a.n2.toDouble * b.n2.toDouble)
-          if (cos >= threshold) Some((a.id, b.id, cos)) else None
-        }
-      }
-    }.toDF("va", "vb", "cos")
-  }
+  def cosineAbove(embeddings: DataFrame, threshold: Double): DataFrame =
+    blockPairs(embeddings)(_.filter(_._3 >= threshold))
 
   /** array<float> → ml dense Vector (needed by spark.ml LSH). */
   val toVec = udf((a: Seq[Float]) =>

@@ -80,4 +80,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
   test("aggregations are two-phase (partial before final)") {
     plan("q_agg_q1") should include("partial_")
   }
+
+  test("exact cosine kernels are distributed block-pair groups") {
+    // the pair space must be built by a shuffled group-local kernel —
+    // never a driver-side collect/broadcast of the full embedding table
+    // (that pattern categorically cannot run at 100 TB)
+    for (q <- Seq("q_sim_cosine_topk", "q_dedup_embedding")) {
+      val p = plan(q)
+      p should include("MapGroups")
+      p should not include "BroadcastExchange"
+      p should not include "BroadcastNestedLoopJoin"
+      p should not include "CartesianProduct"
+    }
+  }
 }
