@@ -71,30 +71,30 @@ object Dedup {
     *
     * Scale shape: the band self-join touches |docs|·numTables signature
     * rows, never the n² pair space; verification cost is proportional to
-    * the candidate count. The signature table is tiny (doc_id + shingle
-    * hashes) and broadcast into the verify joins.
+    * the candidate count. The verify joins are plain shuffle joins keyed
+    * on doc_a/doc_b — the shingle-hash table is corpus-sized and must
+    * never be broadcast or persisted per call (deterministic recompute is
+    * the cheaper currency at 100 TB).
     */
   def minhashPairs(docs: DataFrame, maxDist: Double = 0.8,
       numTables: Int = 5, seed: Long = 42L): DataFrame = {
-    val sig = withShingles(docs)
+    val hashed = withShingles(docs)
       .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
       .select(col("doc_id"),
         expr("transform(shingles, s -> xxhash64(s))").as("sh"))
+    val banded = hashed
       .withColumn("sig", signatureUdf(numTables, seed)(col("sh")))
-      .persist()
-    val banded = sig.select(col("doc_id"),
-      posexplode(col("sig")).as(Seq("table", "mh")))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("table", "mh")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.mh") === col("b.mh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val keyed = sig.select(col("doc_id"), col("sh"))
     cand
-      .join(broadcast(keyed.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sh", "sh_a")), "doc_a")
-      .join(broadcast(keyed.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sh", "sh_b")), "doc_b")
+      .join(hashed.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(hashed.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b"), "doc_b")
       .withColumn("jaccard_dist",
         lit(1.0) - jaccardHashes(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_dist") <= maxDist)
@@ -148,11 +148,24 @@ object Dedup {
 
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle: inverted index →
     * pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Shingles in more than `maxDf` documents are dropped from BOTH the
+    * set sizes and the intersections (stopword-shingle removal): a
+    * shingle shared by d docs fans out to d²/2 join rows, so one hot
+    * stopword trigram in a web corpus is a skew bomb — the cutoff bounds
+    * the worst inverted-index key at maxDf by construction.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      minJaccard: Double = 0.0): DataFrame = {
-    val sh = withShingles(docs, n)
+      minJaccard: Double = 0.0, maxDf: Int = 200): DataFrame = {
+    val shAll = withShingles(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+    // df via a shingle-partitioned window: one shuffle on sh, which the
+    // self-join below then reuses (same key) instead of re-exchanging
+    val sh = shAll
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("__df") <= maxDf)
+      .select("doc_id", "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -290,9 +290,13 @@ object LlmQueries {
         "AS i FROM toks WHERE len(t) >= 3), " +
         "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || " +
         "t[i+2] AS sh FROM idx), " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), " +
+        // document-frequency cutoff mirrors Dedup.ngramJaccardPairs maxDf
+        "dfq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh), " +
+        "shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfq USING (sh) " +
+        "WHERE df <= 200), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "COUNT(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND " +
+        "COUNT(*) AS inter FROM shf a JOIN shf b ON a.sh = b.sh AND " +
         "a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "j AS (SELECT doc_a, doc_b, inter, CAST(inter AS DOUBLE)/" +
         "(sa.sz + sb.sz - inter) AS jaccard FROM inter " +
