@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val t0s = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          t0s.put(j.jobId, System.nanoTime())
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = Option(t0s.remove(j.jobId)).getOrElse(System.nanoTime())
+          println(f"  JOB ${j.jobId}%3d ${(System.nanoTime()-t0)/1e9}%6.2f s")
+        }
+      })
+    try SparkEntry.queries("q_scan_project")(spark, dir).count() catch { case _: Throwable => }
+    for (name <- args.drop(1)) {
+      val t0 = System.nanoTime()
+      val n = Registry.all(name).fn(spark, dir).count()
+      println(f"TIME $name ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+      graft.ops.Caches.drain()
+    }
+    spark.stop()
+  }
+}

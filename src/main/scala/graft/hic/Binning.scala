@@ -26,13 +26,14 @@ object Binning {
     */
   def equalOccupancyCleanable(contacts: DataFrame, nBins: Int,
       tieCols: Seq[String]): (DataFrame, () => Unit) = {
-    val row = contacts.agg(sum(col("contactCount")).as("t")).first()
-    require(!row.isNullAt(0),
-      "equalOccupancy: empty contact set (no rows to bin)")
-    val total = row.getLong(0)
-    val (ranked, cleanup) = GlobalOrder.rankAndCumsumCleanable(contacts,
-      col("dist") +: tieCols.map(col), "__rank",
+    // the grand total comes from GlobalOrder's per-partition offset stats
+    // — no separate full-table aggregate job
+    val (ranked, stats, cleanup) = GlobalOrder.rankAndCumsumWithStats(
+      contacts, col("dist") +: tieCols.map(col), "__rank",
       cum = Some((col("contactCount"), "__cum")))
+    require(stats.rows > 0,
+      "equalOccupancy: empty contact set (no rows to bin)")
+    val total = stats.total
     val bins = ranked
       .withColumn("binIdx",
         expr(s"((__cum - 1) * $nBins) div ${total}L").cast("int"))

@@ -15,6 +15,14 @@ object HicQueries {
   val U = 5000000L
   private val keys = Seq("chr", "mid1", "mid2")
 
+  /** ContactsView persisted, for queries that traverse it along several
+    * lineages (contacts + marginals + closed forms): one lineitem
+    * scan/groupBy instead of one per lineage. Released by Caches.drain().
+    */
+  private def cachedView(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    graft.ops.Caches.register(ContactsView(spark, dir).persist())
+
   def queries: Map[String, Q] = Map(
     "q_hic_merge_filter" -> Q(
       (spark, dir) => {
@@ -46,7 +54,7 @@ object HicQueries {
         // Flagship composition: the FULL two-pass Fit-Hi-C pipeline
         // (A13–A20) over the contacts view. Not SQL-expressible (binomial
         // sf + spline) → no oracle; pinned by PipelineSpec golden tests.
-        val c = ContactsView(spark, dir)
+        val c = cachedView(spark, dir)
         val contacts = c.select(col("chr").as("chr1"), col("mid1"),
           col("chr").as("chr2"), col("mid2"), col("contactCount"))
         val frags = c.select(col("chr"), col("mid1").as("mid"),
@@ -68,9 +76,12 @@ object HicQueries {
     "q_csv_roundtrip" -> Q(
       (spark, dir) => {
         // A1/A4: gzip-TSV egress + ingest round-trip through the domain
-        // fragment format (written fresh each run, then re-read).
-        val out = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val c = ContactsView(spark, dir)
+        // fragment format (written fresh each run, then re-read). Per-run
+        // temp dir: two concurrent runs on the same sfDir must not clobber
+        // each other's files mid-read.
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_csv_roundtrip_").toString
+        val c = cachedView(spark, dir)
         val frags = c.select(col("chr"), col("mid1").as("mid"),
             col("contactCount"))
           .unionByName(c.select(col("chr"), col("mid2").as("mid"),
@@ -93,7 +104,7 @@ object HicQueries {
         // A22: matrix-balancing bias vector over the contacts view
         // (iterative float fixed point → not SQL-expressible; rows-only.
         // Convergence + trim semantics pinned by KrSpec.)
-        val c = ContactsView(spark, dir).filter(col("dist").between(L, U))
+        val c = cachedView(spark, dir).filter(col("dist").between(L, U))
         val contacts = c.select(col("chr").as("chr1"), col("mid1"),
           col("chr").as("chr2"), col("mid2"), col("contactCount"))
         Kr.biases(contacts, trimPercentile = 0.05, iterations = 10)
@@ -144,7 +155,7 @@ object HicQueries {
     "q_hic_marginals" -> Q(
       (spark, dir) => {
         // A1/A24: per-locus marginal counts — union both contact ends
-        val c = ContactsView(spark, dir)
+        val c = cachedView(spark, dir)
         c.select(col("chr"), col("mid1").as("mid"), col("contactCount"))
           .unionByName(c.select(col("chr"), col("mid2").as("mid"),
             col("contactCount")))
@@ -214,7 +225,7 @@ object HicQueries {
       (spark, dir) => {
         // A20: drop pass-1 significant pairs (q < 0.05), recompute BH
         // against the refined test set
-        val c = ContactsView(spark, dir)
+        val c = cachedView(spark, dir)
         val outliers = Stats.bhQ(c, "pseudo_p", keys, "q1")
           .filter(col("q1") < 0.05)
           .select("chr", "mid1", "mid2")
@@ -270,8 +281,9 @@ object HicQueries {
         // p-value (commons-math3 regularized incomplete beta UDF). Not
         // SQL-expressible in DuckDB → no oracle; pinned by GraftSpec
         // golden/property tests instead.
-        val f = ContactsView(spark, dir).filter(col("dist").between(L, U))
-          .persist()
+        val f = graft.ops.Caches.register(
+          ContactsView(spark, dir).filter(col("dist").between(L, U))
+            .persist())
         val total = f.agg(sum(col("contactCount"))).first().getLong(0)
         val bins = Binning.collectBins(f, 100, keys)
         val (xs, _, fit) = Spline.fitFromBins(bins, total)

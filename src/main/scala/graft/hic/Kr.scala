@@ -30,6 +30,7 @@ object Kr {
         .select(col("chr1").as("chr"), col("mid2").as("i"),
           col("mid1").as("j"), col("contactCount").cast("double").as("w")))
       .persist()
+    graft.ops.Caches.register(edges)
 
     val marg = edges.groupBy("chr", "i").agg(sum(col("w")).as("cov"))
     // per-chromosome trim threshold at the given percentile
@@ -42,15 +43,22 @@ object Kr {
       .filter(col("cov") < col("thr"))
       .select(col("chr"), col("i").as("mid"), lit(-1.0).as("bias"))
 
+    // pre-partition on the per-iteration join key: the cached layout then
+    // satisfies the join's clustering, so each Sinkhorn iteration shuffles
+    // only the O(#loci) bias vector — never the edge list again
     val keptEdges = edges
       .join(kept, Seq("chr", "i"), "left_semi")
       .join(kept.withColumnRenamed("i", "j"), Seq("chr", "j"), "left_semi")
+      .repartition(col("chr"), col("j"))
+      .sortWithinPartitions(col("chr"), col("j"))
       .persist()
+    graft.ops.Caches.register(keptEdges)
 
     // a kept locus whose partners were ALL trimmed has no kept edges: it
     // can't be balanced — report it with bias 1 (not silently dropped),
     // and keep the hot iteration loop on pure inner joins
-    val connected = keptEdges.select("chr", "i").distinct().persist()
+    val connected = graft.ops.Caches.register(
+      keptEdges.select("chr", "i").distinct().persist())
     val loners = kept.join(connected, Seq("chr", "i"), "left_anti")
       .select(col("chr"), col("i").as("mid"), lit(1.0).as("bias"))
 
@@ -73,7 +81,7 @@ object Kr {
       // cut the lineage every iteration: bias feeds the next round twice
       // (rowsum join + mean), so an un-checkpointed plan doubles per
       // iteration and recomputation explodes (measured 6× slower when
-      // checkpointing every 3rd only)
+      // checkpointing every 3rd, ~2× when every 2nd)
       bias = bias.localCheckpoint(eager = true)
     }
     // fix the free scale: report biases with per-chromosome mean 1 (the

@@ -50,15 +50,15 @@ object Pipeline {
         .withColumn("bias2", lit(1.0))
     }
 
-    val n = withBias.agg(sum(col("contactCount"))).first() match {
+    // cache first: every pass re-reads the full pair set, and the N
+    // aggregate below is then also the job that materializes it
+    val pairs = graft.ops.Caches.register(withBias.persist())
+    val n = pairs.agg(sum(col("contactCount"))).first() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
     val m = Fragments.possibleIntraInRange(mapped, cfg.distLow, cfg.distUp)
     require(n > 0, "no intra-in-range contacts after filtering")
-
-    // cache: every pass re-reads the full pair set
-    val pairs = withBias.persist()
 
     var nullSource = pairs // pass-k null is fit on pairs minus outliers
     var result: DataFrame = null

@@ -1,10 +1,11 @@
 package graft.hic
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
-import graft.ops.GlobalOrder
+import graft.ops.Caches
 
 /** Statistical kernels of the significance pipeline (SURVEY.md A18–A19). */
 object Stats {
@@ -12,41 +13,82 @@ object Stats {
     *
     * q_i = min(1, min_{j ≥ i}(p_j · M / j)) with i the ascending p-rank and
     * M the number of tests (FitHiC uses *possible* pair count, not observed
-    * rows — pass it via `mOpt`; defaults to `df.count()`).
+    * rows — pass it via `mOpt`; defaults to the observed row count, which
+    * the offset job already yields — no separate count() runs either way).
     *
-    * No single-partition window: global rank via [[GlobalOrder]], then the
-    * suffix-min is computed per range-partition plus a broadcast of the
-    * O(numPartitions) per-partition minima (SURVEY §7.3 #3).
+    * Shape (SURVEY §7.3 #3): ONE range exchange on (p, tieCols) into a
+    * sorted cache, then three narrow passes over it — per-partition row
+    * counts (job), per-partition min of p·M/rank (job), and the final
+    * backward suffix-min walk that runs inside the consumer's own job.
+    * No single-partition window, and no `Window.partitionBy(pid)` either:
+    * that would hash-exchange the full table a second time. Per-task
+    * memory for the backward walk is one partition — bounded by the
+    * shuffle partitioning, not the data size.
     */
   def bhQ(df: DataFrame, pCol: String, tieCols: Seq[String], qCol: String,
       mOpt: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
-    val m = mOpt.getOrElse(df.count())
-    val (rankedRaw, cleanupRanged) = GlobalOrder.rankAndCumsumCleanable(df,
-      col(pCol) +: tieCols.map(col), "__rank", keepPid = true)
-    val ranked = rankedRaw
-      .withColumn("__v", col(pCol) * m / col("__rank"))
-      .persist()
-    val pidMins = ranked.groupBy(GlobalOrder.PID).agg(min("__v").as("__mn"))
-      .collect()
-      .map(r => (r.getAs[Int](0), r.getAs[Double](1)))
-      .sortBy(-_._1)
-    // `ranked` is fully cached by the collect above → the internal range
-    // cache can go (deterministic recompute if evicted)
-    cleanupRanged()
-    // tail(pid) = min of __v over all strictly-later partitions
-    var run = Double.MaxValue
-    val tails = pidMins.map { case (pid, mn) =>
-      val t = (pid, run); run = math.min(run, mn); t
-    }.toSeq
     import spark.implicits._
-    val tailDf = tails.toDF(GlobalOrder.PID, "__tail")
-    val wDesc = Window.partitionBy(GlobalOrder.PID)
-      .orderBy(col("__rank").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked.join(broadcast(tailDf), GlobalOrder.PID)
-      .withColumn(qCol,
-        least(lit(1.0), least(min(col("__v")).over(wDesc), col("__tail"))))
-      .drop("__v", "__rank", "__tail", GlobalOrder.PID)
+    val n = spark.sessionState.conf.numShufflePartitions
+    val orderCols = col(pCol) +: tieCols.map(col)
+    // the range exchange samples its child first — persist so the
+    // upstream plan runs once; released once the ranged cache exists
+    // (inputs the caller already cached are left untouched)
+    val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val src = if (preCached) df else df.persist()
+    val ranged = Caches.register(
+      src.repartitionByRange(n, orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+        .persist())
+    val pIdx = ranged.schema.fieldIndex(pCol)
+    // job 1 (materializes the cache): per-partition row counts
+    val counts = ranged.mapPartitions { it =>
+      var c = 0L
+      it.foreach(_ => c += 1)
+      Iterator.single((TaskContext.getPartitionId(), c))
+    }.collect().sortBy(_._1)
+    if (!preCached) src.unpersist()
+    val m = mOpt.getOrElse(counts.map(_._2).sum)
+    var acc = 0L
+    val roffs: Map[Int, Long] = counts.map { case (pid, c) =>
+      val row = pid -> acc; acc += c; row
+    }.toMap
+    // job 2: per-partition min of p·M/rank (global rank = local + offset)
+    val mins = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var i = roffs.getOrElse(pid, 0L)
+      var mn = Double.MaxValue
+      it.foreach { r =>
+        i += 1
+        val v = r.getDouble(pIdx) * m / i
+        if (v < mn) mn = v
+      }
+      Iterator.single((pid, mn))
+    }.collect().sortBy(-_._1)
+    // tail(pid) = min of p·M/rank over all strictly-later partitions
+    var run = Double.MaxValue
+    val tails: Map[Int, Double] = mins.map { case (pid, mn) =>
+      val t = pid -> run; run = math.min(run, mn); t
+    }.toMap
+    // final narrow pass: backward suffix-min within the partition, seeded
+    // with the later-partition tail
+    val outSchema = ranged.schema.add(qCol, DoubleType, nullable = false)
+    ranged.mapPartitions({ it =>
+      val pid = TaskContext.getPartitionId()
+      val off = roffs.getOrElse(pid, 0L)
+      val rows = it.toArray
+      val q = new Array[Double](rows.length)
+      var sm = tails.getOrElse(pid, Double.MaxValue)
+      var i = rows.length - 1
+      while (i >= 0) {
+        val v = rows(i).getDouble(pIdx) * m / (off + i + 1)
+        sm = math.min(sm, v)
+        q(i) = math.min(1.0, sm)
+        i -= 1
+      }
+      rows.iterator.zipWithIndex.map { case (r, k) =>
+        Row.fromSeq(r.toSeq :+ q(k))
+      }
+    })(Encoders.row(outSchema))
   }
 }

@@ -1,26 +1,39 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Scalable global-order primitives: total-order rank and running sum
   * without ever collapsing to a single partition (SURVEY.md §7.3 #3).
   *
-  * Pattern: range-repartition on the order key, attach the physical
-  * partition id, compute per-partition row/sum offsets with one tiny
-  * aggregate collect (O(numPartitions) rows to the driver), broadcast the
-  * offsets back, and finish with *partition-local* windows. At cluster
-  * scale the range exchange is the only full shuffle; a naive
-  * `Window.orderBy(...)` with no partitionBy would funnel all data through
-  * one task.
+  * Pattern: range-repartition + sort on the order key and CACHE that
+  * layout — the physical partition order then IS the global order, so
+  * every per-partition quantity (row offsets, running-sum offsets) comes
+  * from one tiny mapPartitions summary collected to the driver
+  * (O(numPartitions) rows), and rank/cumsum are assigned in a second
+  * *narrow* pass over the same cache. No `Window.partitionBy` anywhere:
+  * a window keyed on the partition id would hash-exchange the full table
+  * a second time for data that is already laid out correctly, and a
+  * naive `Window.orderBy` with no partitionBy would funnel everything
+  * through one task. At cluster scale the one range exchange is the only
+  * full shuffle.
   */
 object GlobalOrder {
-  /** Internal partition-id column; retained when `keepPid = true` so
-    * callers (e.g. the BH suffix scan in [[graft.hic.Stats]]) can continue
-    * partition-local work aligned with the global order.
+  /** Partition-id column appended when `keepPid = true`, for callers that
+    * continue partition-local work aligned with the global order.
     */
   val PID = "__go_pid"
+
+  private val CUMV = "__go_cumv"
+
+  /** Per-partition layout stats of the ranged cache: `offsets(pid)` =
+    * (rows before pid, cum-sum before pid); `rows`/`total` are the grand
+    * count and cum-column sum — callers that need them must NOT run their
+    * own aggregation job.
+    */
+  final case class RangeStats(offsets: Map[Int, (Long, Long)], rows: Long,
+      total: Long)
 
   /** Adds `rankCol` — the 1-based global row number by `orderCols`
     * (LongType) — and, if `cum` is given, a column holding the inclusive
@@ -42,34 +55,78 @@ object GlobalOrder {
   def rankAndCumsumCleanable(df: DataFrame, orderCols: Seq[Column],
       rankCol: String, cum: Option[(Column, String)] = None,
       keepPid: Boolean = false): (DataFrame, () => Unit) = {
+    val (out, _, cleanup) =
+      rankAndCumsumWithStats(df, orderCols, rankCol, cum, keepPid)
+    (out, cleanup)
+  }
+
+  /** As [[rankAndCumsumCleanable]], also returning the per-partition
+    * [[RangeStats]] gathered by the offset job — the grand total comes
+    * for free here, so consumers like equal-occupancy binning never run
+    * a separate full-table aggregate.
+    */
+  def rankAndCumsumWithStats(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String, cum: Option[(Column, String)] = None,
+      keepPid: Boolean = false): (DataFrame, RangeStats, () => Unit) = {
     val spark = df.sparkSession
+    import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, orderCols: _*)
-      .withColumn(PID, spark_partition_id())
-      .persist()
-    val statAggs = (count(lit(1)).as("__n") +:
-      cum.toSeq.map { case (c, _) => sum(c.cast("long")).as("__s") })
-    val stats = ranged.groupBy(PID).agg(statAggs.head, statAggs.tail: _*)
-      .collect()
-      .map(r => (r.getAs[Int](PID), r.getAs[Long]("__n"),
-        if (cum.isDefined) r.getAs[Long]("__s") else 0L))
-      .sortBy(_._1)
+    // the range exchange SAMPLES its child before shuffling — persist the
+    // source so the upstream plan runs once, not twice; released as soon
+    // as the ranged cache is materialized by the stats job below (callers
+    // that already cached the input keep ownership of their cache)
+    val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val src = if (preCached) df else df.persist()
+    val base = src.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val withCum = cum match {
+      case Some((c, _)) => base.withColumn(CUMV, c.cast("long"))
+      case None => base
+    }
+    val ranged = Caches.register(withCum.persist())
+    val hasCum = cum.isDefined
+    val cumIdx = ranged.schema.fields.length - 1 // CUMV is last when present
+    // job 1 (materializes the cache): tiny per-partition summaries — no
+    // shuffle, no window
+    val stats = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var cnt = 0L
+      var s = 0L
+      it.foreach { r =>
+        cnt += 1
+        if (hasCum && !r.isNullAt(cumIdx)) s += r.getLong(cumIdx)
+      }
+      Iterator.single((pid, cnt, s))
+    }.collect().sortBy(_._1)
+    if (!preCached) src.unpersist()
     var accN = 0L
     var accS = 0L
-    val offs = stats.map { case (pid, cnt, s) =>
-      val row = (pid, accN, accS); accN += cnt; accS += s; row
-    }.toSeq
-    import spark.implicits._
-    val offDf = offs.toDF(PID, "__roff", "__soff")
-    val w = Window.partitionBy(PID).orderBy(orderCols: _*)
-    var out = ranged.join(broadcast(offDf), PID)
-      .withColumn(rankCol, row_number().over(w).cast("long") + col("__roff"))
-    for ((c, name) <- cum)
-      out = out.withColumn(name,
-        sum(c.cast("long")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
-          col("__soff"))
-    out = out.drop("__roff", "__soff")
-    (if (keepPid) out else out.drop(PID), () => { ranged.unpersist(); () })
+    val offs: Map[Int, (Long, Long)] = stats.map { case (pid, cnt, s) =>
+      val row = pid -> (accN, accS); accN += cnt; accS += s; row
+    }.toMap
+    // pass 2 (narrow, runs inside the consumer's job): local scan of the
+    // sorted cache attaching rank = local index + row offset etc.
+    var outSchema = df.schema.add(rankCol, LongType, nullable = false)
+    for ((_, name) <- cum)
+      outSchema = outSchema.add(name, LongType, nullable = false)
+    if (keepPid) outSchema = outSchema.add(PID, IntegerType, nullable = false)
+    val out = ranged.mapPartitions({ it =>
+      val pid = TaskContext.getPartitionId()
+      val (roff, soff) = offs.getOrElse(pid, (0L, 0L))
+      var i = 0L
+      var s = 0L
+      it.map { r =>
+        i += 1
+        val base = if (hasCum) r.toSeq.dropRight(1) else r.toSeq
+        var vals = base :+ (roff + i)
+        if (hasCum) {
+          if (!r.isNullAt(cumIdx)) s += r.getLong(cumIdx)
+          vals = vals :+ (soff + s)
+        }
+        if (keepPid) vals = vals :+ pid
+        Row.fromSeq(vals)
+      }
+    })(Encoders.row(outSchema))
+    (out, RangeStats(offs, accN, accS), () => { ranged.unpersist(); () })
   }
 }
