@@ -159,13 +159,15 @@ object Dedup {
       minJaccard: Double = 0.0, maxDf: Int = 200): DataFrame = {
     val shAll = withShingles(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
-    // df via a shingle-partitioned window: one shuffle on sh, which the
-    // self-join below then reuses (same key) instead of re-exchanging
-    val sh = shAll
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    // df via groupBy + join, NOT a sh-partitioned window: partial (map-side)
+    // aggregation absorbs a hot shingle before the shuffle, whereas a
+    // window funnels its entire posting list into one task *before* the
+    // cutoff can drop it — the exact skew bomb the cutoff exists to defuse.
+    // The join and the self-join below share the sh-keyed shuffle layout.
+    val dfKeep = shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
-      .select("doc_id", "sh")
+      .select("sh")
+    val sh = shAll.join(dfKeep, "sh").select("doc_id", "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

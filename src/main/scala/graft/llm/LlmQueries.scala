@@ -40,15 +40,21 @@ object LlmQueries {
       "FROM dots JOIN nrm na ON na.vec_id = va " +
       "JOIN nrm nb ON nb.vec_id = vb)"
 
-  /** Spark side of the same exact-cosine pair computation. */
-  private def simPairs(spark: org.apache.spark.sql.SparkSession,
-      dir: String) = {
+  /** Probe-side exact cosine: the FIXED probe set (tiny, broadcast) against
+    * the full corpus — O(|probes|·n) by construction, never the n² pair
+    * space. The earlier shape (a full `va < vb` theta self-join filtered
+    * afterwards) was bounded only by Catalyst happening to push the probe
+    * predicate through the union; this one is bounded structurally.
+    */
+  private def probeSims(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nProbes: Int) = {
     val e = Tables(spark, dir, "embeddings")
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-      expr(normQ).as("na2"), col("label").as("la"))
-    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-      expr(normQ).as("nb2"), col("label").as("lb"))
-    a.join(b, col("va") < col("vb"))
+    val probes = broadcast(e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe"), col("embedding").as("ea"),
+        expr(normQ).as("na2")))
+    val cands = e.select(col("vec_id").as("nb"), col("embedding").as("eb"),
+      expr(normQ).as("nb2"), col("label").as("nlabel"))
+    probes.join(cands, col("probe") =!= col("nb"))
       .withColumn("dot", expr(dotQ))
       .withColumn("cos", col("dot").cast("double") /
         sqrt(col("na2").cast("double") * col("nb2").cast("double")))
@@ -80,13 +86,7 @@ object LlmQueries {
     "q_sim_knn_label" -> Q(
       (spark, dir) => {
         // 5-NN majority label for the 10 probe vectors vec_id 0..9.
-        // Symmetrize the a<b pair table, rank neighbors per probe.
-        val pairs = simPairs(spark, dir)
-        val sym = pairs.select(col("va").as("probe"), col("vb").as("nb"),
-            col("lb").as("nlabel"), col("cos"))
-          .unionByName(pairs.select(col("vb").as("probe"),
-            col("va").as("nb"), col("la").as("nlabel"), col("cos")))
-          .filter(col("probe") < 10)
+        val sym = probeSims(spark, dir, nProbes = 10)
         val wNn = Window.partitionBy("probe")
           .orderBy(desc("cos"), asc("nb"))
         val wVote = Window.partitionBy("probe")

@@ -81,6 +81,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     plan("q_agg_q1") should include("partial_")
   }
 
+  test("kNN probe join is bounded: tiny probe side broadcast, filter pushed") {
+    // boundedness must be structural (probe filter BEFORE the join, probe
+    // side broadcast), not an optimizer accident: the plan must show the
+    // probe predicate pushed into a parquet scan feeding a broadcast, and
+    // the nested-loop join's broadcast side must be that filtered scan
+    val p = plan("q_sim_knn_label")
+    p should include("BroadcastNestedLoopJoin")
+    p should include("LessThan(vec_id,10)")
+    p should not include "CartesianProduct"
+  }
+
   test("exact cosine kernels are distributed block-pair groups") {
     // the pair space must be built by a shuffled group-local kernel —
     // never a driver-side collect/broadcast of the full embedding table
