@@ -23,6 +23,13 @@ object HicQueries {
       dir: String) =
     graft.ops.Caches.register(ContactsView(spark, dir).persist())
 
+  /** [[InterView]] persisted — the q_hic_inter* queries traverse it along
+    * several lineages (contacts + marginal loci + N/M aggregates).
+    */
+  private def cachedInter(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    graft.ops.Caches.register(InterView(spark, dir).persist())
+
   def queries: Map[String, Q] = Map(
     "q_hic_merge_filter" -> Q(
       (spark, dir) => {
@@ -297,6 +304,180 @@ object HicQueries {
           .orderBy("chr", "mid1", "mid2")
       },
       None),
+
+    "q_hic_bh_possible" -> Q(
+      (spark, dir) => {
+        // A12+A19: BH with M = the POSSIBLE intra-in-range pair count —
+        // the FitHiC subtlety naive ports get wrong: the test universe is
+        // every mappable pair at an eligible distance, not the observed
+        // rows. M comes from the O(n log n) range-frame closed form
+        // (Fragments.possibleIntraInRange); the oracle recomputes it as an
+        // explicit pair self-join and it is pinned as the m_possible
+        // output column.
+        val c = cachedView(spark, dir)
+        val f = c.filter(col("dist").between(L, U))
+        val loci = c.select(col("chr"), col("mid1").as("mid"))
+          .unionByName(c.select(col("chr"), col("mid2").as("mid")))
+        val m = Fragments.possibleIntraInRange(loci, L, U)
+        Stats.bhQ(f, "pseudo_p", keys, "q_value", Some(m))
+          .select(col("chr"), col("mid1"), col("mid2"), col("contactCount"),
+            lit(m).as("m_possible"),
+            Cols.fround(col("pseudo_p"), 6).as("pseudo_p"),
+            Cols.fround(col("q_value"), 6).as("q_value"))
+          .orderBy("chr", "mid1", "mid2")
+      },
+      Some(ContactsView.cte +
+        s", f AS (SELECT * FROM c WHERE dist BETWEEN $L AND $U), " +
+        "loci AS (SELECT DISTINCT chr, mid1 AS mid FROM c " +
+        "UNION SELECT DISTINCT chr, mid2 AS mid FROM c), " +
+        "mm AS (SELECT COUNT(*) AS m FROM loci a JOIN loci b " +
+        s"ON a.chr = b.chr AND b.mid - a.mid BETWEEN $L AND $U), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pseudo_p, chr, mid1, " +
+        "mid2) AS rk, (SELECT m FROM mm) AS m FROM f), " +
+        "s AS (SELECT *, MIN(pseudo_p * m / rk) OVER (ORDER BY rk DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm FROM r) " +
+        "SELECT chr, mid1, mid2, contactCount, m AS m_possible, " +
+        Cols.froundSql("pseudo_p", 6) + " AS pseudo_p, " +
+        Cols.froundSql("LEAST(sm, 1.0)", 6) + " AS q_value " +
+        "FROM s ORDER BY chr, mid1, mid2")),
+
+    "q_hic_bias_vector" -> Q(
+      (spark, dir) => {
+        // A3/A10/A17 bias path, declared: coverage-normalized per-locus
+        // bias (marginal / per-chr mean marginal) → clamp-or-ignore to
+        // [0.5, 2] (outside → factor 1, the reference's behavior) → attach
+        // to both contact ends → bias-normalized counts.
+        val c = cachedView(spark, dir)
+        val marg = c.select(col("chr"), col("mid1").as("mid"),
+            col("contactCount"))
+          .unionByName(c.select(col("chr"), col("mid2").as("mid"),
+            col("contactCount")))
+          .groupBy("chr", "mid")
+          .agg(sum(col("contactCount")).as("hitCount"))
+        val means = marg.groupBy("chr")
+          .agg((sum(col("hitCount")) / count(lit(1))).as("mean_h"))
+        val bias = marg.join(broadcast(means), "chr")
+          .select(col("chr"), col("mid"),
+            (col("hitCount") / col("mean_h")).as("bias"))
+        val contacts = c.select(col("chr").as("chr1"), col("mid1"),
+          col("chr").as("chr2"), col("mid2"), col("contactCount"))
+        Contacts.withBiases(contacts, bias, 0.5, 2.0)
+          .select(col("chr1").as("chr"), col("mid1"), col("mid2"),
+            col("contactCount"),
+            Cols.fround(col("bias1"), 6).as("bias1"),
+            Cols.fround(col("bias2"), 6).as("bias2"),
+            Cols.fround(col("contactCount") / (col("bias1") * col("bias2")),
+              6).as("norm_count"))
+          .orderBy("chr", "mid1", "mid2")
+      },
+      Some(ContactsView.cte + ", marg AS (SELECT chr, mid, " +
+        "CAST(SUM(contactCount) AS BIGINT) AS hitCount FROM " +
+        "(SELECT chr, mid1 AS mid, contactCount FROM c " +
+        "UNION ALL SELECT chr, mid2 AS mid, contactCount FROM c) " +
+        "GROUP BY chr, mid), " +
+        "mn AS (SELECT chr, CAST(SUM(hitCount) AS BIGINT)/COUNT(*) " +
+        "AS mean_h FROM marg GROUP BY chr), " +
+        "bv AS (SELECT marg.chr AS chr, marg.mid AS mid, " +
+        "hitCount/mean_h AS b FROM marg JOIN mn USING (chr)), " +
+        "bc AS (SELECT chr, mid, CASE WHEN b = -1.0 OR " +
+        "b NOT BETWEEN 0.5 AND 2.0 THEN 1.0 ELSE b END AS biasF FROM bv) " +
+        "SELECT c.chr AS chr, c.mid1, c.mid2, c.contactCount, " +
+        Cols.froundSql("COALESCE(b1.biasF, 1.0)", 6) + " AS bias1, " +
+        Cols.froundSql("COALESCE(b2.biasF, 1.0)", 6) + " AS bias2, " +
+        Cols.froundSql("c.contactCount / (COALESCE(b1.biasF, 1.0) * " +
+          "COALESCE(b2.biasF, 1.0))", 6) + " AS norm_count " +
+        "FROM c LEFT JOIN bc b1 ON b1.chr = c.chr AND b1.mid = c.mid1 " +
+        "LEFT JOIN bc b2 ON b2.chr = c.chr AND b2.mid = c.mid2 " +
+        "ORDER BY chr, mid1, mid2")),
+
+    "q_hic_pipeline_biased" -> Q(
+      (spark, dir) => {
+        // The reference's flagship composition (A22→A10→A17→A18→A19): KR
+        // biases from the in-range contact map, clamped to [0.5, 2], scale
+        // the spline prior per pair, binomial p + BH q. Iterative float
+        // fixed point + binomial sf → rows-only by contract; the
+        // SQL-expressible clamp/join/coalesce leg is oracle-pinned by
+        // q_hic_bias_vector.
+        val c = cachedView(spark, dir)
+        val contacts = c.select(col("chr").as("chr1"), col("mid1"),
+          col("chr").as("chr2"), col("mid2"), col("contactCount"))
+        val frags = c.select(col("chr"), col("mid1").as("mid"),
+            col("contactCount"))
+          .unionByName(c.select(col("chr"), col("mid2").as("mid"),
+            col("contactCount")))
+          .groupBy("chr", "mid")
+          .agg(sum(col("contactCount")).as("hitCount"))
+        val kr = Kr.biases(contacts.filter(
+          abs(col("mid2") - col("mid1")).between(L, U)),
+          trimPercentile = 0.05, iterations = 10)
+        Pipeline.intraSignificances(frags, contacts, Some(kr),
+            FitHiCConfig(nBins = 100, passes = 1, distLow = L, distUp = U))
+          .select(col("chr1").as("chr"), col("mid1"), col("mid2"),
+            col("contactCount"),
+            Cols.fround(col("p_value"), 8).as("p_value"),
+            Cols.fround(col("q_value"), 8).as("q_value"))
+          .orderBy("chr", "mid1", "mid2")
+      },
+      None),
+
+    "q_hic_inter" -> Q(
+      (spark, dir) => {
+        // A21 end-to-end: uniform-prior inter-chromosomal significances
+        // over the disjoint-namespace inter view (binomial sf not
+        // SQL-expressible → rows-only; the prior/BH core is oracle-pinned
+        // by q_hic_inter_prior_bh).
+        val v = cachedInter(spark, dir)
+        val contacts = v.select("chr1", "mid1", "chr2", "mid2",
+          "contactCount")
+        val frags = v.select(col("chr1").as("chr"), col("mid1").as("mid"),
+            col("contactCount"))
+          .unionByName(v.select(col("chr2").as("chr"), col("mid2").as("mid"),
+            col("contactCount")))
+          .groupBy("chr", "mid")
+          .agg(sum(col("contactCount")).as("hitCount"))
+        Pipeline.interSignificances(frags, contacts, None, FitHiCConfig())
+          .select(col("chr1"), col("mid1"), col("chr2"), col("mid2"),
+            col("contactCount"),
+            Cols.fround(col("p_value"), 8).as("p_value"),
+            Cols.fround(col("q_value"), 8).as("q_value"))
+          .orderBy("chr1", "mid1", "chr2", "mid2")
+      },
+      None),
+
+    "q_hic_inter_prior_bh" -> Q(
+      (spark, dir) => {
+        // A12-inter + the oracle-expressible core of A21: M = possible
+        // inter pairs from the closed form (T² − Σ n_c²)/2, uniform prior
+        // 1/M (pinned as prior_ppm), BH over possible-not-observed M.
+        val v = cachedInter(spark, dir)
+        val loci = v.select(col("chr1").as("chr"), col("mid1").as("mid"))
+          .unionByName(v.select(col("chr2").as("chr"), col("mid2").as("mid")))
+        val m = Fragments.possibleInterAll(loci)
+        Stats.bhQ(v, "pseudo_p", Seq("chr1", "mid1", "chr2", "mid2"),
+            "q_value", Some(m))
+          .select(col("chr1"), col("mid1"), col("chr2"), col("mid2"),
+            col("contactCount"),
+            Cols.fround(lit(1e6) / m, 6).as("prior_ppm"),
+            Cols.fround(col("pseudo_p"), 6).as("pseudo_p"),
+            Cols.fround(col("q_value"), 6).as("q_value"))
+          .orderBy("chr1", "mid1", "chr2", "mid2")
+      },
+      Some(InterView.cte + ", loci AS (SELECT DISTINCT chr1 AS chr, " +
+        "mid1 AS mid FROM i UNION SELECT DISTINCT chr2 AS chr, mid2 AS mid " +
+        "FROM i), " +
+        "nc AS (SELECT chr, COUNT(*) AS c FROM loci GROUP BY chr), " +
+        "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t, " +
+        "CAST(SUM(c*c) AS BIGINT) AS s FROM nc), " +
+        "mm AS (SELECT (t*t - s)//2 AS m FROM tt), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pseudo_p, chr1, mid1, " +
+        "chr2, mid2) AS rk, (SELECT m FROM mm) AS m FROM i), " +
+        "s AS (SELECT *, MIN(pseudo_p * m / rk) OVER (ORDER BY rk DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm FROM r) " +
+        "SELECT chr1, mid1, chr2, mid2, contactCount, " +
+        Cols.froundSql("1e6 / m", 6) + " AS prior_ppm, " +
+        Cols.froundSql("pseudo_p", 6) + " AS pseudo_p, " +
+        Cols.froundSql("LEAST(sm, 1.0)", 6) + " AS q_value " +
+        "FROM s ORDER BY chr1, mid1, chr2, mid2")),
 
     "q_hic_bh" -> Q(
       (spark, dir) => {
