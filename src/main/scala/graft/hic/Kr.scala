@@ -7,20 +7,30 @@ import org.apache.spark.sql.functions._
   *
   * Produces the per-locus bias vector b with (B W B) doubly stochastic —
   * the same fixed point Knight–Ruiz converges to — via symmetric
-  * Sinkhorn-style iterations expressed as DataFrame joins/aggregations, so
-  * it scales out with the edge list instead of materializing a matrix.
-  * Iteration count is FIXED (not tolerance-raced) for deterministic output
-  * (SURVEY §7.3 #5). Loci whose marginal coverage falls below
-  * `trimPercentile` are dropped before solving and reported with bias −1,
-  * mirroring the reference's percentile trim.
+  * Sinkhorn-style iterations. Iteration count is FIXED (not
+  * tolerance-raced) for deterministic output (SURVEY §7.3 #5). Loci whose
+  * marginal coverage falls below `trimPercentile` are dropped before
+  * solving and reported with bias −1, mirroring the reference's percentile
+  * trim.
+  *
+  * Hybrid execution (SURVEY M4): balancing is independent per chromosome,
+  * so a chromosome whose edge list fits one task is solved IN-TASK by a
+  * primitive-array Sinkhorn kernel inside `flatMapGroups` — one shuffle on
+  * chr, zero per-iteration jobs. Chromosomes above `maxEdgesPerTask` fall
+  * back to the distributed per-iteration join path (edge list stays
+  * sharded; only the O(loci) bias vector moves per iteration). The default
+  * cap (8M edges ≈ 250 MB task footprint) keeps every real-genome
+  * chromosome at Hi-C resolutions in-task while the fallback covers
+  * ultra-fine resolutions at 100 TB.
   */
 object Kr {
   /** contacts: (chr1, mid1, chr2, mid2, contactCount); intra-chromosomal
-    * edges only are used (per-chromosome balancing). Returns (chr, mid,
-    * bias) for every locus appearing in the input, −1 for trimmed loci.
+    * edges only are used (per-chromosome balancing); chr must be a string
+    * column. Returns (chr, mid, bias) for every locus appearing in the
+    * input, −1 for trimmed loci, 1 for kept loci with no kept partners.
     */
   def biases(contacts: DataFrame, trimPercentile: Double = 0.05,
-      iterations: Int = 20): DataFrame = {
+      iterations: Int = 20, maxEdgesPerTask: Long = 8000000L): DataFrame = {
     val intra = contacts.filter(col("chr1") === col("chr2"))
     // symmetric edge list: each undirected pair contributes both ways;
     // the diagonal once
@@ -32,10 +42,133 @@ object Kr {
       .persist()
     graft.ops.Caches.register(edges)
 
+    // route each chromosome by edge count (tiny collect; also the job
+    // that materializes the edge cache)
+    val sizes = edges.groupBy("chr").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val small = sizes.filter(_._2 <= maxEdgesPerTask).map(_._1)
+    val big = sizes.filter(_._2 > maxEdgesPerTask).map(_._1)
+
+    val parts =
+      (if (small.isEmpty) Nil
+       else List(solveInTask(edges.filter(col("chr")
+         .isInCollection(small)), trimPercentile, iterations))) ++
+      (if (big.isEmpty) Nil
+       else List(solveDistributed(edges.filter(col("chr")
+         .isInCollection(big)), trimPercentile, iterations)))
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Small-chromosome path: one shuffle on chr, then the whole
+    * trim/loner/Sinkhorn solve runs in-task on primitive arrays. Edges are
+    * sorted canonically before accumulation so float sums are
+    * bit-deterministic regardless of shuffle arrival order.
+    */
+  private def solveInTask(edges: DataFrame, trim: Double,
+      iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("chr"), col("i"), col("j"), col("w"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups((chr, it) => solveChr(chr, it, trim, iters))
+      .toDF("chr", "mid", "bias")
+  }
+
+  private def solveChr(chr: String,
+      it: Iterator[(String, Long, Long, Double)], trim: Double,
+      iters: Int): Iterator[(String, Long, Double)] = {
+    val es = it.toArray
+    es.sortInPlaceBy(e => (e._2, e._3))
+    // the symmetric edge list's i side covers every endpoint
+    val mids = es.map(_._2).distinct.sorted
+    val n = mids.length
+    val ne = es.length
+    val ia = new Array[Int](ne)
+    val ja = new Array[Int](ne)
+    val wa = new Array[Double](ne)
+    var k = 0
+    while (k < ne) {
+      ia(k) = java.util.Arrays.binarySearch(mids, es(k)._2)
+      ja(k) = java.util.Arrays.binarySearch(mids, es(k)._3)
+      wa(k) = es(k)._4
+      k += 1
+    }
+    val cov = new Array[Double](n)
+    k = 0
+    while (k < ne) { cov(ia(k)) += wa(k); k += 1 }
+    // exact percentile, same formula as Spark/DuckDB `percentile`:
+    // sorted[p·(n−1)] with linear interpolation
+    val sc = cov.clone(); java.util.Arrays.sort(sc)
+    val pos = trim * (n - 1)
+    val lo = math.floor(pos).toInt
+    val thr =
+      if (lo >= n - 1) sc(n - 1)
+      else sc(lo) + (pos - lo) * (sc(lo + 1) - sc(lo))
+    val keep = cov.map(_ >= thr)
+    val keptE = new Array[Boolean](ne)
+    val conn = new Array[Boolean](n)
+    k = 0
+    while (k < ne) {
+      keptE(k) = keep(ia(k)) && keep(ja(k))
+      if (keptE(k)) conn(ia(k)) = true
+      k += 1
+    }
+    var nConn = 0
+    var i = 0
+    while (i < n) { if (conn(i)) nConn += 1; i += 1 }
+    // b ← b · sqrt(rowsum(BWB) / mean-rowsum), fixed iteration count;
+    // rowsum_i(BWB) = (1/b_i) Σ_j w_ij / b_j
+    val b = Array.fill(n)(1.0)
+    val s = new Array[Double](n)
+    val rowsum = new Array[Double](n)
+    var iter = 0
+    while (iter < iters && nConn > 0) {
+      java.util.Arrays.fill(s, 0.0)
+      k = 0
+      while (k < ne) {
+        if (keptE(k)) s(ia(k)) += wa(k) / b(ja(k))
+        k += 1
+      }
+      var sumRs = 0.0
+      i = 0
+      while (i < n) {
+        if (conn(i)) { rowsum(i) = s(i) / b(i); sumRs += rowsum(i) }
+        i += 1
+      }
+      val meanRs = sumRs / nConn
+      i = 0
+      while (i < n) {
+        if (conn(i)) b(i) = b(i) * math.sqrt(rowsum(i) / meanRs)
+        i += 1
+      }
+      iter += 1
+    }
+    // report biases with per-chromosome mean 1 (downstream clamps)
+    var sumB = 0.0
+    i = 0
+    while (i < n) { if (conn(i)) sumB += b(i); i += 1 }
+    val meanB = sumB / nConn
+    mids.indices.iterator.map { ix =>
+      val bias =
+        if (!keep(ix)) -1.0 // trimmed
+        else if (!conn(ix)) 1.0 // loner: every partner trimmed
+        else b(ix) / meanB
+      (chr, mids(ix), bias)
+    }
+  }
+
+  /** Large-chromosome path: per-iteration DataFrame joins — the edge list
+    * is pre-partitioned on the iteration join key so each of the fixed
+    * Sinkhorn iterations shuffles only the O(loci) bias vector, never the
+    * edge list. The trim threshold uses approx_percentile (fixed accuracy)
+    * so the agg buffer stays bounded at any loci count.
+    */
+  private def solveDistributed(edges: DataFrame, trimPercentile: Double,
+      iterations: Int): DataFrame = {
     val marg = edges.groupBy("chr", "i").agg(sum(col("w")).as("cov"))
-    // per-chromosome trim threshold at the given percentile
     val thresholds = marg.groupBy("chr")
-      .agg(expr(s"percentile(cov, $trimPercentile)").as("thr"))
+      .agg(expr(s"approx_percentile(cov, $trimPercentile, 10000)").as("thr"))
     val kept = marg.join(broadcast(thresholds), "chr")
       .filter(col("cov") >= col("thr"))
       .select(col("chr"), col("i"))
@@ -62,8 +195,6 @@ object Kr {
     val loners = kept.join(connected, Seq("chr", "i"), "left_anti")
       .select(col("chr"), col("i").as("mid"), lit(1.0).as("bias"))
 
-    // b ← b · sqrt(rowsum(BWB) / mean-rowsum), iterated a fixed number of
-    // times; rowsum_i(BWB) = (1/b_i) Σ_j w_ij / b_j
     var bias = connected.withColumn("b", lit(1.0))
     for (iter <- 1 to iterations) {
       val rs = keptEdges

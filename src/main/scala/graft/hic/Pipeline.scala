@@ -50,20 +50,20 @@ object Pipeline {
         .withColumn("bias2", lit(1.0))
     }
 
-    // cache first: every pass re-reads the full pair set, and the N
-    // aggregate below is then also the job that materializes it
+    // cache first: every pass re-reads the full pair set
     val pairs = graft.ops.Caches.register(withBias.persist())
-    val n = pairs.agg(sum(col("contactCount"))).first() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
     val m = Fragments.possibleIntraInRange(mapped, cfg.distLow, cfg.distUp)
-    require(n > 0, "no intra-in-range contacts after filtering")
 
+    // N = observedIntraInRangeSum falls out of the pass-1 bin stats
+    // (Σ sumCount over bins) — no separate full-table aggregate job
+    var n = 0L
     var nullSource = pairs // pass-k null is fit on pairs minus outliers
     var result: DataFrame = null
     for (pass <- 1 to cfg.passes) {
-      val scored = scoreAgainstNull(pairs, nullSource, n, m, cfg)
+      val bins = Binning.collectBins(nullSource, cfg.nBins, keys)
+      if (pass == 1) n = bins.map(_.getAs[Long]("sumCount")).sum
+      require(n > 0, "no intra-in-range contacts after filtering")
+      val scored = scoreFromBins(pairs, bins, n, m, cfg)
         .withColumn("pass", lit(pass))
       result = if (result == null) scored else result.unionByName(scored)
       if (pass < cfg.passes) {
@@ -75,13 +75,13 @@ object Pipeline {
     result
   }
 
-  /** Fit the monotone null on `nullSource`, then score every row of
-    * `pairs` against it.
+  /** Score every row of `pairs` against the null fitted from `bins`
+    * (equal-occupancy rows of the CURRENT pass's null source; `n` is the
+    * pass-1 observed sum — the binomial N is fixed across passes).
     */
-  private def scoreAgainstNull(pairs: DataFrame, nullSource: DataFrame,
-      n: Long, m: Long, cfg: FitHiCConfig): DataFrame = {
-    val bins = Binning.collectBins(nullSource, cfg.nBins,
-      Seq("chr1", "mid1", "chr2", "mid2"))
+  private def scoreFromBins(pairs: DataFrame,
+      bins: Array[org.apache.spark.sql.Row], n: Long, m: Long,
+      cfg: FitHiCConfig): DataFrame = {
     val (xs, _, fitted) = Spline.fitFromBins(bins, n)
     val curve = Spline.interpUdf(xs, fitted)
     graft.functions.BinomSf.register(pairs.sparkSession)

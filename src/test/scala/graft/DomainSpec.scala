@@ -161,15 +161,47 @@ class KrSpec extends AnyFunSuite with Matchers with SparkTest {
     val mean = rowSums.sum / n
     rowSums.foreach(rs => math.abs(rs - mean) / mean should be < 0.05)
   }
+  test("in-task and distributed KR paths agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val contacts = (for {
+      i <- 0 until 15; j <- i until 15
+      if rnd.nextDouble() < 0.7
+    } yield ("c1", 2500L + 5000L * i, "c1", 2500L + 5000L * j,
+      rnd.nextInt(40).toLong + 1L))
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    // trim 0.0 so both paths keep everything: the in-task exact percentile
+    // interpolates where approx_percentile picks a dataset element, so a
+    // nonzero trim can legitimately split a borderline locus differently —
+    // here we pin the Sinkhorn/loner/normalization core instead
+    def collect(maxEdges: Long) =
+      Kr.biases(contacts, trimPercentile = 0.0, iterations = 15,
+          maxEdgesPerTask = maxEdges)
+        .collect().map(r => r.getAs[Long]("mid") -> r.getAs[Double]("bias"))
+        .toMap
+    val inTask = collect(Long.MaxValue) // everything routed in-task
+    val dist = collect(0L) // everything routed distributed
+    inTask.keySet shouldBe dist.keySet
+    inTask.foreach { case (mid, b) =>
+      // identical semantics, different float-accumulation order
+      math.abs(b - dist(mid)) should be < 1e-9
+    }
+  }
+
   test("trimmed low-coverage loci get bias -1") {
     import spark.implicits._
     val contacts = (Seq(("c1", 2500L, "c1", 7500L, 100L),
       ("c1", 2500L, "c1", 12500L, 90L), ("c1", 7500L, "c1", 12500L, 80L),
       ("c1", 2500L, "c1", 17500L, 1L))) // locus 17500 nearly isolated
       .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
-    val bias = Kr.biases(contacts, trimPercentile = 0.3, iterations = 5)
-    bias.filter(col("mid") === 17500L).first().getAs[Double]("bias") shouldBe
-      -1.0
+    // both routing paths must trim it (in-task exact percentile and the
+    // distributed approx_percentile agree when the cutoff is unambiguous)
+    for (maxEdges <- Seq(Long.MaxValue, 0L)) {
+      val bias = Kr.biases(contacts, trimPercentile = 0.3, iterations = 5,
+        maxEdgesPerTask = maxEdges)
+      bias.filter(col("mid") === 17500L).first()
+        .getAs[Double]("bias") shouldBe -1.0
+    }
   }
 }
 
