@@ -78,10 +78,15 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, maxDist: Double = 0.8,
       numTables: Int = 5, seed: Long = 42L): DataFrame = {
-    val hashed = withShingles(docs)
+    // DISK_ONLY: the table is corpus-sized (must never pin executor
+    // memory or be broadcast), but three lineages read it — banding plus
+    // both verify joins — so spilling it to local disk beats recomputing
+    // the shingle+hash pass per lineage
+    val hashed = graft.ops.Caches.register(withShingles(docs)
       .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
       .select(col("doc_id"),
         expr("transform(shingles, s -> xxhash64(s))").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val banded = hashed
       .withColumn("sig", signatureUdf(numTables, seed)(col("sh")))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("table", "mh")))
