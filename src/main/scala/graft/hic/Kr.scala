@@ -78,22 +78,30 @@ object Kr {
   private def solveChr(chr: String,
       it: Iterator[(String, Long, Long, Double)], trim: Double,
       iters: Int): Iterator[(String, Long, Double)] = {
-    val es = it.toArray
-    es.sortInPlaceBy(e => (e._2, e._3))
-    // the symmetric edge list's i side covers every endpoint
-    val mids = es.map(_._2).distinct.sorted
-    val n = mids.length
-    val ne = es.length
-    val ia = new Array[Int](ne)
-    val ja = new Array[Int](ne)
-    val wa = new Array[Double](ne)
-    var k = 0
-    while (k < ne) {
-      ia(k) = java.util.Arrays.binarySearch(mids, es(k)._2)
-      ja(k) = java.util.Arrays.binarySearch(mids, es(k)._3)
-      wa(k) = es(k)._4
-      k += 1
+    // block-scope the boxed tuple array: after conversion to primitive
+    // columns it is garbage — peak task memory is then the primitive
+    // arrays (~20 B/edge), not the tuples (~56 B/edge)
+    val (mids, ia, ja, wa) = {
+      val es = it.toArray
+      es.sortInPlaceBy(e => (e._2, e._3))
+      // the symmetric edge list's i side covers every endpoint
+      val mids0 = es.map(_._2).distinct.sorted
+      val ne0 = es.length
+      val ia0 = new Array[Int](ne0)
+      val ja0 = new Array[Int](ne0)
+      val wa0 = new Array[Double](ne0)
+      var k0 = 0
+      while (k0 < ne0) {
+        ia0(k0) = java.util.Arrays.binarySearch(mids0, es(k0)._2)
+        ja0(k0) = java.util.Arrays.binarySearch(mids0, es(k0)._3)
+        wa0(k0) = es(k0)._4
+        k0 += 1
+      }
+      (mids0, ia0, ja0, wa0)
     }
+    val n = mids.length
+    val ne = ia.length
+    var k = 0
     val cov = new Array[Double](n)
     k = 0
     while (k < ne) { cov(ia(k)) += wa(k); k += 1 }

@@ -315,6 +315,18 @@ object LlmQueries {
       },
       None),
 
+    "q_sim_ann_ivf" -> Q(
+      (spark, dir) =>
+        // IVF scale path for similarity search: deterministic k-means
+        // coarse quantizer (exact integer per-dimension sums → centroids
+        // bit-reproducible under any partitioning), probe-cell pruning,
+        // exact quantized-cosine re-rank. k-means internals not
+        // SQL-expressible → rows-only; exact-equivalence (single-cell) and
+        // determinism pinned in SimilaritySpec.
+        Similarity.annIvfTop3(Tables(spark, dir, "embeddings"), nProbes = 10)
+          .orderBy("probe", "rn"),
+      None),
+
     "q_multimodal_binary" -> Q(
       (spark, dir) =>
         // binary-column lift + byte-level metadata (oracle-checkable part

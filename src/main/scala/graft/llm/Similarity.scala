@@ -147,6 +147,139 @@ object Similarity {
   def cosineAbove(embeddings: DataFrame, threshold: Double): DataFrame =
     blockPairs(embeddings)(_.filter(_._3 >= threshold))
 
+  /** Deterministic IVF coarse quantizer (Lloyd k-means) over the ×1e7
+    * quantized embeddings. Per-dimension cluster sums are EXACT integers
+    * (quantized longs), so centroids are bit-reproducible regardless of
+    * partitioning or shuffle arrival order — no float-sum order
+    * sensitivity. Init = the vectors of the k smallest vec_ids.
+    *
+    * Scale shape: each iteration is one map over the (cached) corpus with
+    * the k×dim centroid matrix broadcast, then a shuffle of only k×dim
+    * partial-sum rows — the corpus never moves. Returns the k×dim
+    * centroid matrix at quantized scale (row index = cluster id).
+    */
+  def ivfCentroids(embeddings: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val typed = graft.ops.Caches.register(embeddings
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        val q = new Array[Long](e.length)
+        var i = 0
+        val it = e.iterator
+        while (it.hasNext) { q(i) = quant(it.next()); i += 1 }
+        (id, q)
+      }
+      .persist())
+    var cents: Array[Array[Double]] = typed.toDF("id", "q").orderBy("id")
+      .limit(k).as[(Long, Array[Long])].collect()
+      .sortBy(_._1).map(_._2.map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val bc = cents
+      val sums = typed
+        .map { case (_, q) => (nearestCluster(bc, q), q) }
+        .toDF("c", "q")
+        .select(col("c"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy("c", "d")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getAs[Int]("c")
+        next(c)(r.getAs[Int]("d")) =
+          r.getAs[Long]("s").toDouble / r.getAs[Long]("n")
+      } // clusters that lost every member keep their previous centroid
+      cents = next
+    }
+    cents
+  }
+
+  /** Nearest centroid by squared euclidean distance (fixed dim order →
+    * deterministic; ties break to the lower cluster id).
+    */
+  private def nearestCluster(cents: Array[Array[Double]],
+      q: Array[Long]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      val ct = cents(c)
+      while (i < q.length) {
+        val df = q(i) - ct(i)
+        d += df * df
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `m` nearest centroids, ascending by distance (ties → lower id). */
+  private def nearestClusters(cents: Array[Array[Double]], q: Array[Long],
+      m: Int): Array[Int] = {
+    val ds = cents.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      val ct = cents(c)
+      while (i < q.length) { val df = q(i) - ct(i); d += df * df; i += 1 }
+      (d, c)
+    }
+    ds.sorted.take(m).map(_._2).toArray
+  }
+
+  /** IVF approximate top-3 neighbors for the first `nProbes` vec_ids: the
+    * k-means index prunes the search to each probe's `probeClusters`
+    * nearest cells, exact quantized-integer cosine re-ranks inside them.
+    * Candidate volume ≈ nProbes · probeClusters · n/k — the corpus-side
+    * scan is a broadcast hash join on cluster id, never all-pairs.
+    */
+  def annIvfTop3(embeddings: DataFrame, nProbes: Int, k: Int = 16,
+      iters: Int = 5, probeClusters: Int = 3): DataFrame = {
+    val cents = ivfCentroids(embeddings, k, iters)
+    val quantU = udf((e: Seq[Float]) => {
+      val q = new Array[Long](e.length)
+      var i = 0
+      val it = e.iterator
+      while (it.hasNext) { q(i) = quant(it.next()); i += 1 }
+      q
+    })
+    val assignU = udf((q: Seq[Long]) => nearestCluster(cents, q.toArray))
+    val probeCellsU = udf((q: Seq[Long]) =>
+      nearestClusters(cents, q.toArray, probeClusters))
+    val cosU = udf((a: Seq[Long], b: Seq[Long]) => {
+      var dot = 0L
+      var na = 0L
+      var nb = 0L
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    })
+    val assigned = embeddings
+      .withColumn("q", quantU(col("embedding")))
+      .withColumn("c", assignU(col("q")))
+      .select(col("vec_id").as("nb"), col("label").as("nb_label"),
+        col("q"), col("c"))
+    val probes = broadcast(embeddings.filter(col("vec_id") < nProbes)
+      .withColumn("pq", quantU(col("embedding")))
+      .select(col("vec_id").as("probe"), col("pq"),
+        explode(probeCellsU(col("pq"))).as("pc")))
+    val w = Window.partitionBy("probe")
+      .orderBy(desc("cos"), asc("nb"))
+    probes.join(assigned,
+        col("pc") === col("c") && col("probe") =!= col("nb"))
+      .withColumn("cos", cosU(col("pq"), col("q")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe"), col("rn"), col("nb"), col("nb_label"),
+        graft.ops.Cols.fround(col("cos"), 6).as("cos"))
+  }
+
   /** array<float> → ml dense Vector (needed by spark.ml LSH). */
   val toVec = udf((a: Seq[Float]) =>
     Vectors.dense(a.map(_.toDouble).toArray))

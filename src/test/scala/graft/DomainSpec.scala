@@ -205,6 +205,54 @@ class KrSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 }
 
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
+  private def embeddings = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0L until 30L).map { id =>
+      (id, (id % 3).toInt, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("IVF with a single cell reduces to exact brute-force top-3") {
+    val e = embeddings
+    val got = llm.Similarity
+      .annIvfTop3(e, nProbes = 5, k = 1, iters = 2, probeClusters = 1)
+      .orderBy("probe", "rn").collect()
+      .map(r => (r.getAs[Long]("probe"), r.getAs[Int]("rn"),
+        r.getAs[Long]("nb")))
+    // brute force with the identical quantized-integer cosine
+    val vecs = e.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(x => {
+          val v = x.toDouble * 1e7
+          if (v >= 0) Math.floor(v + 0.5).toLong
+          else Math.ceil(v - 0.5).toLong
+        }).toArray
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble *
+        b.map(x => x * x).sum.toDouble)
+    }
+    val expected = (0L until 5L).flatMap { p =>
+      vecs.keys.filter(_ != p).toSeq
+        .map(nb => (nb, cos(vecs(p), vecs(nb))))
+        .sortBy { case (nb, c) => (-c, nb) }
+        .take(3).zipWithIndex
+        .map { case ((nb, _), i) => (p, i + 1, nb) }
+    }
+    got.toSeq shouldBe expected
+  }
+
+  test("IVF output is deterministic across runs") {
+    def run() = llm.Similarity
+      .annIvfTop3(embeddings, nProbes = 6, k = 4, iters = 3)
+      .orderBy("probe", "rn").collect().map(_.toSeq).toSeq
+    run() shouldBe run()
+  }
+}
+
 class MergeFilterSpec extends AnyFunSuite with Matchers with SparkTest {
   test("adjacent runs merge; gaps split") {
     import spark.implicits._

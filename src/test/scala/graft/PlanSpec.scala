@@ -62,6 +62,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     plan("q_hic_equal_occupancy") should not include "SinglePartition"
   }
 
+  test("possible-M and inter BH queries are single-partition free") {
+    plan("q_hic_bh_possible") should not include "SinglePartition"
+    plan("q_hic_inter_prior_bh") should not include "SinglePartition"
+  }
+
   test("semi/anti joins stay semi/anti at the physical level") {
     plan("q_join_semi") should include("LeftSemi")
     plan("q_join_anti") should include("LeftAnti")
