@@ -220,6 +220,27 @@ object LlmQueries {
         "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
         "WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, token LIMIT 50")),
 
+    "q_text_tokens_bpe" -> Q(
+      (spark, dir) => {
+        // BPE-ish pre-tokenization (GPT-2-style coarse split): a token is
+        // an optional leading space + a letter run, digit run, or
+        // punctuation run. Plain alternation/charclass only, so Java regex
+        // (Spark) and RE2 (DuckDB) agree match-for-match.
+        val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+        Tables(spark, dir, "documents")
+          .withColumn("toks",
+            regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_distinct"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+        "' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_tokens, " +
+        "CAST(len(list_distinct(regexp_extract_all(text, " +
+        "' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS INT) AS n_distinct " +
+        "FROM documents ORDER BY doc_id")),
+
     "q_text_tfidf" -> Q(
       (spark, dir) => {
         val docs = Tables(spark, dir, "documents")
