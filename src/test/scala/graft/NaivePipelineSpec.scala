@@ -145,5 +145,72 @@ class NaivePipelineSpec extends AnyFunSuite with Matchers with SparkTest {
       gq shouldBe (qs(i) +- 1e-8)
     }
     got.size shouldBe rows.size
+
+    // ---- biased variant: same data, a bias vector exercising every
+    // clamp-or-ignore branch (-1 sentinel, out-of-range, missing locus)
+    val biasOf: Map[Long, Double] = mids.zipWithIndex.map { case (m, i) =>
+      m -> (0.6 + 0.1 * (i % 8))
+    }.toMap + (mids(2) -> -1.0) + (mids(5) -> 3.0) - mids(7)
+    val biasDf = biasOf.toSeq.map { case (m, b) => ("chr1", m, b) }
+      .toDF("chr", "mid", "bias")
+    def cb(m: Long): Double = biasOf.get(m) match {
+      case Some(b) if b != -1.0 && b >= 0.5 && b <= 2.0 => b
+      case _ => 1.0 // sentinel, out-of-range, or missing → factor 1
+    }
+    val gotB = Pipeline.intraSignificances(frags, contacts, Some(biasDf),
+        cfg)
+      .collect()
+      .map(r => (r.getAs[Long]("mid1"), r.getAs[Long]("mid2")) ->
+        (r.getAs[Double]("p_value"), r.getAs[Double]("q_value"))).toMap
+    // the null fit ignores biases (bins on dist/count only) — only the
+    // per-pair prior is scaled by both end factors
+    val psB = rows.map { case (m1, m2, c, d) =>
+      naiveBinomSf(c, total,
+        naiveInterp(xs, fitted, d.toDouble) * cb(m1) * cb(m2))
+    }.toArray
+    val qsB = naiveBh(psB, possible)
+    rows.zipWithIndex.foreach { case ((m1, m2, _, _), i) =>
+      val (gp, gq) = gotB((m1, m2))
+      gp shouldBe (psB(i) +- 1e-8)
+      gq shouldBe (qsB(i) +- 1e-8)
+    }
+  }
+
+  test("Spark inter model ≡ naive uniform-prior reimplementation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val aMids = (0 until 6).map(i => 2500L + 5000L * i)
+    val bMids = (0 until 5).map(i => 2500L + 5000L * i)
+    val contactList = for {
+      ma <- aMids; mb <- bMids
+      if rnd.nextDouble() < 0.7
+    } yield ("cA", ma, "cB", mb, rnd.nextInt(20).toLong + 1L)
+    val contacts = contactList
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    val frags = (aMids.map(("cA", 0L, _, 10L, 1)) ++
+      bMids.map(("cB", 0L, _, 10L, 1)))
+      .toDF("chr", "extraField", "mid", "hitCount", "mappable")
+
+    val got = Pipeline.interSignificances(frags, contacts, None,
+        FitHiCConfig())
+      .collect()
+      .map(r => (r.getAs[Long]("mid1"), r.getAs[Long]("mid2")) ->
+        (r.getAs[Double]("p_value"), r.getAs[Double]("q_value"))).toMap
+
+    // naive: M = |A|·|B| possible cross pairs, uniform prior 1/M,
+    // N = observed inter sum, BH over M
+    val m = (aMids.size * bMids.size).toLong
+    val n = contactList.map(_._5).sum
+    val rows = contactList.map { case (_, m1, _, m2, c) => (m1, m2, c) }
+      .sortBy { case (m1, m2, _) => (m1, m2) }
+    val ps = rows.map { case (_, _, c) => naiveBinomSf(c, n, 1.0 / m) }
+      .toArray
+    val qs = naiveBh(ps, m)
+    rows.zipWithIndex.foreach { case ((m1, m2, _), i) =>
+      val (gp, gq) = got((m1, m2))
+      gp shouldBe (ps(i) +- 1e-8)
+      gq shouldBe (qs(i) +- 1e-8)
+    }
+    got.size shouldBe rows.size
   }
 }
