@@ -1,7 +1,6 @@
 package graft.hic
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -41,11 +40,20 @@ object Stats {
         .sortWithinPartitions(orderCols: _*)
         .persist())
     val pIdx = ranged.schema.fieldIndex(pCol)
+    // The per-partition passes key their offset maps by the RANGED
+    // CACHE's partition index. That index must come from the RDD
+    // partition object (mapPartitionsWithIndex), NEVER from
+    // TaskContext.getPartitionId(): the final narrow pass executes fused
+    // inside the CONSUMER's stage, and a consumer that renumbers
+    // partitions — a union (child offsets), a coalesce — hands every task
+    // a SHIFTED id, silently misranking everything. (Found live: pass-2
+    // of the refinement union had its ranks restarted per partition.)
+    val rangedRdd = ranged.rdd
     // job 1 (materializes the cache): per-partition row counts
-    val counts = ranged.mapPartitions { it =>
+    val counts = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       var c = 0L
       it.foreach(_ => c += 1)
-      Iterator.single((TaskContext.getPartitionId(), c))
+      Iterator.single((pid, c))
     }.collect().sortBy(_._1)
     if (!preCached) src.unpersist()
     val m = mOpt.getOrElse(counts.map(_._2).sum)
@@ -54,8 +62,7 @@ object Stats {
       val row = pid -> acc; acc += c; row
     }.toMap
     // job 2: per-partition min of p·M/rank (global rank = local + offset)
-    val mins = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val mins = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       var i = roffs.getOrElse(pid, 0L)
       var mn = Double.MaxValue
       it.foreach { r =>
@@ -73,8 +80,7 @@ object Stats {
     // final narrow pass: backward suffix-min within the partition, seeded
     // with the later-partition tail
     val outSchema = ranged.schema.add(qCol, DoubleType, nullable = false)
-    ranged.mapPartitions({ it =>
-      val pid = TaskContext.getPartitionId()
+    val outRdd = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       val off = roffs.getOrElse(pid, 0L)
       val rows = it.toArray
       val q = new Array[Double](rows.length)
@@ -89,6 +95,7 @@ object Stats {
       rows.iterator.zipWithIndex.map { case (r, k) =>
         Row.fromSeq(r.toSeq :+ q(k))
       }
-    })(Encoders.row(outSchema))
+    }
+    spark.createDataFrame(outRdd, outSchema)
   }
 }

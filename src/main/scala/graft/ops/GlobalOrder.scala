@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Scalable global-order primitives: total-order rank and running sum
@@ -86,10 +85,16 @@ object GlobalOrder {
     val ranged = Caches.register(withCum.persist())
     val hasCum = cum.isDefined
     val cumIdx = ranged.schema.fields.length - 1 // CUMV is last when present
+    // Partition indices MUST come from the RDD partition object
+    // (mapPartitionsWithIndex), never TaskContext.getPartitionId(): the
+    // narrow rank pass below executes fused inside the CONSUMER's stage,
+    // and a consumer that renumbers partitions (a union's child offset, a
+    // coalesce) would hand it shifted task ids — wrong offsets for every
+    // partition (see Stats.bhQ for the live instance of this bug).
+    val rangedRdd = ranged.rdd
     // job 1 (materializes the cache): tiny per-partition summaries — no
     // shuffle, no window
-    val stats = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val stats = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       var cnt = 0L
       var s = 0L
       it.foreach { r =>
@@ -110,8 +115,7 @@ object GlobalOrder {
     for ((_, name) <- cum)
       outSchema = outSchema.add(name, LongType, nullable = false)
     if (keepPid) outSchema = outSchema.add(PID, IntegerType, nullable = false)
-    val out = ranged.mapPartitions({ it =>
-      val pid = TaskContext.getPartitionId()
+    val outRdd = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       val (roff, soff) = offs.getOrElse(pid, (0L, 0L))
       var i = 0L
       var s = 0L
@@ -126,7 +130,8 @@ object GlobalOrder {
         if (keepPid) vals = vals :+ pid
         Row.fromSeq(vals)
       }
-    })(Encoders.row(outSchema))
+    }
+    val out = spark.createDataFrame(outRdd, outSchema)
     (out, RangeStats(offs, accN, accS), () => { ranged.unpersist(); () })
   }
 }

@@ -115,6 +115,27 @@ class BhSpec extends AnyFunSuite with Matchers with SparkTest {
       .select("q").first().getDouble(0)
     q shouldBe 0.4
   }
+  test("BH q-values survive partition-renumbering consumers (union)") {
+    // regression: the final narrow pass once read the STAGE task id for
+    // its per-partition offset lookup; a union consumer offsets the
+    // second child's task ids by the first child's partition count, which
+    // restarted ranks per partition. The per-RDD partition index is
+    // immune.
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 900).map(i => (i.toLong, rnd.nextDouble()))
+      .toDF("id", "p")
+    val bh = Stats.bhQ(df, "p", Seq("id"), "q")
+    val direct = bh.select("id", "q").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val other = (1 to 500).map(i => (-i.toLong, 0.5)).toDF("id", "p")
+      .withColumn("q", lit(2.0))
+    val viaUnion = other.unionByName(bh.select("id", "p", "q"))
+      .filter(col("id") > 0)
+      .select("id", "q").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaUnion shouldBe direct
+  }
 }
 
 class BinningSpec extends AnyFunSuite with Matchers with SparkTest {

@@ -146,6 +146,45 @@ class NaivePipelineSpec extends AnyFunSuite with Matchers with SparkTest {
     }
     got.size shouldBe rows.size
 
+    // ---- two-pass refinement variant: drop q < 0.05 outliers, re-fit the
+    // null on the remainder, re-score ALL pairs (same N), BH again. This
+    // exercises the union of pass outputs — the configuration where a
+    // task-id-based partition lookup in the BH/rank narrow passes once
+    // silently restarted pass-2 ranks per partition (union renumbers
+    // child partitions), so it pins exact pass-2 values.
+    val got2 = Pipeline.intraSignificances(frags, contacts, None,
+        cfg.copy(passes = 2))
+      .filter(col("pass") === 2)
+      .collect()
+      .map(r => (r.getAs[Long]("mid1"), r.getAs[Long]("mid2")) ->
+        (r.getAs[Double]("p_value"), r.getAs[Double]("q_value"))).toMap
+    val keep2 = rows.zipWithIndex.collect {
+      case ((m1, m2, c, d), i) if qs(i) >= 0.05 => (m1, m2, c, d)
+    }
+    val total2 = keep2.map(_._3).sum // null-source mass of pass 2
+    var cum2 = 0L
+    val binned2 = keep2.map { case (m1, m2, c, d) =>
+      cum2 += c
+      (((cum2 - 1) * nBins / total2).toInt, m1, m2, c, d)
+    }
+    val binStats2 = binned2.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (bin, rs) =>
+        (bin, rs.map(_._5).sum.toDouble / rs.length,
+          rs.map(_._4).sum.toDouble / rs.length / total, rs.length.toDouble)
+    }
+    val fitted2 = naivePava(binStats2.map(_._3).toArray,
+      binStats2.map(_._4).toArray)
+    val xs2 = binStats2.map(_._2).toArray
+    val ps2 = rows.map { case (_, _, c, d) =>
+      naiveBinomSf(c, total, naiveInterp(xs2, fitted2, d.toDouble))
+    }.toArray
+    val qs2 = naiveBh(ps2, possible)
+    rows.zipWithIndex.foreach { case ((m1, m2, _, _), i) =>
+      val (gp, gq) = got2((m1, m2))
+      gp shouldBe (ps2(i) +- 1e-8)
+      gq shouldBe (qs2(i) +- 1e-8)
+    }
+
     // ---- biased variant: same data, a bias vector exercising every
     // clamp-or-ignore branch (-1 sentinel, out-of-range, missing locus)
     val biasOf: Map[Long, Double] = mids.zipWithIndex.map { case (m, i) =>
