@@ -25,12 +25,14 @@ object Binning {
     * range-partitioned cache (call after materializing the bins).
     */
   def equalOccupancyCleanable(contacts: DataFrame, nBins: Int,
-      tieCols: Seq[String]): (DataFrame, () => Unit) = {
+      tieCols: Seq[String], assumeRanged: Boolean = false)
+      : (DataFrame, () => Unit) = {
     // the grand total comes from GlobalOrder's per-partition offset stats
     // — no separate full-table aggregate job
     val (ranked, stats, cleanup) = GlobalOrder.rankAndCumsumWithStats(
       contacts, col("dist") +: tieCols.map(col), "__rank",
-      cum = Some((col("contactCount"), "__cum")))
+      cum = Some((col("contactCount"), "__cum")),
+      assumeRanged = assumeRanged)
     require(stats.rows > 0,
       "equalOccupancy: empty contact set (no rows to bin)")
     val total = stats.total
@@ -50,9 +52,10 @@ object Binning {
     * — the form every statistical consumer (Pipeline, spline queries)
     * wants.
     */
-  def collectBins(contacts: DataFrame, nBins: Int,
-      tieCols: Seq[String]): Array[org.apache.spark.sql.Row] = {
-    val (bins, cleanup) = equalOccupancyCleanable(contacts, nBins, tieCols)
+  def collectBins(contacts: DataFrame, nBins: Int, tieCols: Seq[String],
+      assumeRanged: Boolean = false): Array[org.apache.spark.sql.Row] = {
+    val (bins, cleanup) =
+      equalOccupancyCleanable(contacts, nBins, tieCols, assumeRanged)
     try bins.orderBy("binIdx").collect()
     finally cleanup()
   }

@@ -54,13 +54,26 @@ object Pipeline {
     val pairs = graft.ops.Caches.register(withBias.persist())
     val m = Fragments.possibleIntraInRange(mapped, cfg.distLow, cfg.distUp)
 
+    // ONE dist-ranged cache shared by every pass's equal-occupancy
+    // binning: refinement passes re-bin a FILTERED view of this layout
+    // instead of re-shuffling the pair table per pass
+    val spark = pairs.sparkSession
+    val distOrder = col("dist") +: keys.map(col)
+    val rangedPairs = graft.ops.Caches.register(pairs
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        distOrder: _*)
+      .sortWithinPartitions(distOrder: _*)
+      .persist())
+
     // N = observedIntraInRangeSum falls out of the pass-1 bin stats
     // (Σ sumCount over bins) — no separate full-table aggregate job
     var n = 0L
-    var nullSource = pairs // pass-k null is fit on pairs minus outliers
+    var nullSource = rangedPairs // pass-k null = pairs minus outliers
+    var layoutPreserved = true
     var result: DataFrame = null
     for (pass <- 1 to cfg.passes) {
-      val bins = Binning.collectBins(nullSource, cfg.nBins, keys)
+      val bins = Binning.collectBins(nullSource, cfg.nBins, keys,
+        assumeRanged = layoutPreserved)
       if (pass == 1) n = bins.map(_.getAs[Long]("sumCount")).sum
       require(n > 0, "no intra-in-range contacts after filtering")
       val scored = scoreFromBins(pairs, bins, n, m, cfg)
@@ -69,7 +82,19 @@ object Pipeline {
       if (pass < cfg.passes) {
         val outliers = scored.filter(col("q_value") < cfg.qThreshold)
           .select(keys.map(col): _*)
-        nullSource = pairs.join(outliers, keys, "left_anti")
+        // a refinement outlier set is normally a tiny fraction of the
+        // pairs: broadcast the anti-join so the dist-ranged layout
+        // survives (a narrow probe) and the next pass skips the exchange.
+        // The count is a narrow scan of the (cached) BH output; above the
+        // cap, fall back to the scale-safe shuffle anti-join + re-range.
+        if (outliers.count() <= 5000000L) {
+          nullSource = rangedPairs.join(broadcast(outliers), keys,
+            "left_anti")
+          layoutPreserved = true
+        } else {
+          nullSource = rangedPairs.join(outliers, keys, "left_anti")
+          layoutPreserved = false
+        }
       }
     }
     result

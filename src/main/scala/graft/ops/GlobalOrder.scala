@@ -64,9 +64,19 @@ object GlobalOrder {
     * for free here, so consumers like equal-occupancy binning never run
     * a separate full-table aggregate.
     */
+  /** `assumeRanged = true` promises that `df` is ALREADY range-partitioned
+    * and sorted on `orderCols` (e.g. a narrow, layout-preserving filter —
+    * a broadcast join — over a previously ranged cache): the exchange, its
+    * sampling pass, and the internal persist are all skipped, and the two
+    * narrow passes run directly over the caller's layout. Handing over a
+    * frame whose layout does NOT match the promise silently corrupts the
+    * global order — callers must guarantee it structurally (explicit
+    * broadcast hints, never AQE luck).
+    */
   def rankAndCumsumWithStats(df: DataFrame, orderCols: Seq[Column],
       rankCol: String, cum: Option[(Column, String)] = None,
-      keepPid: Boolean = false): (DataFrame, RangeStats, () => Unit) = {
+      keepPid: Boolean = false, assumeRanged: Boolean = false)
+      : (DataFrame, RangeStats, () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
@@ -74,15 +84,20 @@ object GlobalOrder {
     // source so the upstream plan runs once, not twice; released as soon
     // as the ranged cache is materialized by the stats job below (callers
     // that already cached the input keep ownership of their cache)
-    val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val preCached = assumeRanged ||
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val src = if (preCached) df else df.persist()
-    val base = src.repartitionByRange(n, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
+    val base =
+      if (assumeRanged) src
+      else src.repartitionByRange(n, orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
     val withCum = cum match {
       case Some((c, _)) => base.withColumn(CUMV, c.cast("long"))
       case None => base
     }
-    val ranged = Caches.register(withCum.persist())
+    val ranged =
+      if (assumeRanged) withCum // backed by the caller's cache
+      else Caches.register(withCum.persist())
     val hasCum = cum.isDefined
     val cumIdx = ranged.schema.fields.length - 1 // CUMV is last when present
     // Partition indices MUST come from the RDD partition object
@@ -132,6 +147,8 @@ object GlobalOrder {
       }
     }
     val out = spark.createDataFrame(outRdd, outSchema)
-    (out, RangeStats(offs, accN, accS), () => { ranged.unpersist(); () })
+    val cleanup: () => Unit =
+      if (assumeRanged) () => () else () => { ranged.unpersist(); () }
+    (out, RangeStats(offs, accN, accS), cleanup)
   }
 }
