@@ -305,6 +305,52 @@ object HicQueries {
       },
       None),
 
+    "q_hic_fixed_frags" -> Q(
+      (spark, dir) => {
+        // A23: fixed-size binning of chromosome sizes → fragment skeleton.
+        // Chromosome sizes derive deterministically from the region table
+        // (5 rows — the collect is O(#chromosomes) by construction).
+        val sizes = graft.Tables(spark, dir, "region")
+          .select(col("r_name"), ((col("r_regionkey") + 1) * 50000L)
+            .as("size"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+          .sortBy(_._1)
+        Fragments.fixedSizeFragments(spark, sizes, 5000L)
+          .orderBy("chr", "mid")
+      },
+      Some("SELECT chr, CAST(0 AS BIGINT) AS extraField, mid, " +
+        "CAST(0 AS BIGINT) AS hitCount, 1 AS mappable FROM " +
+        "(SELECT r_name AS chr, unnest(generate_series(2500, " +
+        "(r_regionkey + 1)*50000 - 1, 5000)) AS mid FROM region) " +
+        "ORDER BY chr, mid")),
+
+    "q_hic_aggregate" -> Q(
+      (spark, dir) => {
+        // A24: aggregate raw read pairs (bin-assigned ends in arbitrary
+        // order) to canonical contact counts — (chr1,mid1) ≤ (chr2,mid2).
+        val reads = graft.Tables(spark, dir, "lineitem").select(
+          col("l_returnflag").as("chr1"),
+          (col("l_partkey") % 100 * 5000L + 2500L).as("mid1"),
+          col("l_linestatus").as("chr2"),
+          (col("l_suppkey") % 100 * 5000L + 2500L).as("mid2"))
+        Fragments.aggregateContacts(reads)
+          .orderBy("chr1", "mid1", "chr2", "mid2")
+      },
+      Some("WITH r AS (SELECT l_returnflag AS chr1, " +
+        "(l_partkey % 100)*5000 + 2500 AS mid1, l_linestatus AS chr2, " +
+        "(l_suppkey % 100)*5000 + 2500 AS mid2 FROM lineitem), " +
+        "canon AS (SELECT CASE WHEN chr1 < chr2 OR (chr1 = chr2 AND " +
+        "mid1 <= mid2) THEN chr1 ELSE chr2 END AS chr1, " +
+        "CASE WHEN chr1 < chr2 OR (chr1 = chr2 AND mid1 <= mid2) " +
+        "THEN mid1 ELSE mid2 END AS mid1, " +
+        "CASE WHEN chr1 < chr2 OR (chr1 = chr2 AND mid1 <= mid2) " +
+        "THEN chr2 ELSE chr1 END AS chr2, " +
+        "CASE WHEN chr1 < chr2 OR (chr1 = chr2 AND mid1 <= mid2) " +
+        "THEN mid2 ELSE mid1 END AS mid2 FROM r) " +
+        "SELECT chr1, mid1, chr2, mid2, COUNT(*) AS contactCount " +
+        "FROM canon GROUP BY chr1, mid1, chr2, mid2 " +
+        "ORDER BY chr1, mid1, chr2, mid2")),
+
     "q_hic_bh_possible" -> Q(
       (spark, dir) => {
         // A12+A19: BH with M = the POSSIBLE intra-in-range pair count —
