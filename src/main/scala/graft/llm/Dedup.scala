@@ -151,6 +151,48 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over an undirected near-duplicate pair graph —
+    * the "keep one per duplicate cluster" primitive. Pregel-style min-label
+    * propagation: every vertex starts as its own root; each iteration
+    * every vertex takes the min root over itself and its neighbors; stop
+    * at fixpoint (≤ graph diameter iterations — near-dup clusters are
+    * shallow). Per iteration: ONE join+agg shuffle over the edge list and
+    * an O(1)-row convergence aggregate; labels are localCheckpoint'ed so
+    * the plan stays flat. Deterministic (min is order-free).
+    *
+    * Returns (doc_id, cluster) with cluster = min doc_id of the component.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = graft.ops.Caches.register(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst")))
+        .persist())
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("root"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("root")).as("nroot"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("root"), coalesce(col("nroot"), col("root")))
+            .as("root"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("root", "prev"), "doc_id")
+        .filter(col("root") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("root").as("cluster"))
+  }
+
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle: inverted index →
     * pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).
     *

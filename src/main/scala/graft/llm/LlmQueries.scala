@@ -40,6 +40,29 @@ object LlmQueries {
       "FROM dots JOIN nrm na ON na.vec_id = va " +
       "JOIN nrm nb ON nb.vec_id = vb)"
 
+  /** Shared DuckDB CTE chain for the n-gram-Jaccard near-dup pair graph
+    * (mirrors Dedup.ngramJaccardPairs incl. the maxDf=200 stopword-shingle
+    * cutoff); spliced after WITH / WITH RECURSIVE.
+    */
+  private val ngramCtes: String =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
+      "FROM documents), " +
+      "idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) " +
+      "AS i FROM toks WHERE len(t) >= 3), " +
+      "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || " +
+      "t[i+2] AS sh FROM idx), " +
+      "dfq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh), " +
+      "shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfq USING (sh) " +
+      "WHERE df <= 200), " +
+      "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "COUNT(*) AS inter FROM shf a JOIN shf b ON a.sh = b.sh AND " +
+      "a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT doc_a, doc_b, inter, CAST(inter AS DOUBLE)/" +
+      "(sa.sz + sb.sz - inter) AS jaccard FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = doc_a " +
+      "JOIN sizes sb ON sb.doc_id = doc_b) "
+
   /** Probe-side exact cosine: the FIXED probe set (tiny, broadcast) against
     * the full corpus — O(|probes|·n) by construction, never the n² pair
     * space. The earlier shape (a full `va < vb` theta self-join filtered
@@ -305,26 +328,39 @@ object LlmQueries {
           .select(col("doc_a"), col("doc_b"), col("inter"),
             Cols.fround(col("jaccard"), 6).as("jaccard"))
           .orderBy("doc_a", "doc_b"),
-      Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
-        "FROM documents), " +
-        "idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) " +
-        "AS i FROM toks WHERE len(t) >= 3), " +
-        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || " +
-        "t[i+2] AS sh FROM idx), " +
-        // document-frequency cutoff mirrors Dedup.ngramJaccardPairs maxDf
-        "dfq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh), " +
-        "shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfq USING (sh) " +
-        "WHERE df <= 200), " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "COUNT(*) AS inter FROM shf a JOIN shf b ON a.sh = b.sh AND " +
-        "a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "j AS (SELECT doc_a, doc_b, inter, CAST(inter AS DOUBLE)/" +
-        "(sa.sz + sb.sz - inter) AS jaccard FROM inter " +
-        "JOIN sizes sa ON sa.doc_id = doc_a " +
-        "JOIN sizes sb ON sb.doc_id = doc_b) " +
-        "SELECT doc_a, doc_b, inter, " + Cols.froundSql("jaccard", 6) +
+      Some("WITH " + ngramCtes +
+        " SELECT doc_a, doc_b, inter, " + Cols.froundSql("jaccard", 6) +
         " AS jaccard FROM j WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b")),
+
+    "q_dedup_cluster" -> Q(
+      (spark, dir) => {
+        // duplicate-cluster extraction ("keep one per cluster"): connected
+        // components over the n-gram-Jaccard ≥ 0.2 near-dup graph via
+        // distributed min-label propagation; oracle = DuckDB recursive CTE
+        // transitive closure. Output: every ≥3-token doc with its cluster
+        // representative (min doc_id) and cluster size.
+        val docs3 = Tables(spark, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 3)
+        val pairs = Dedup.ngramJaccardPairs(docs3, 3, 0.2)
+          .select("doc_a", "doc_b")
+        val cc = Dedup.connectedComponents(docs3.select("doc_id"), pairs)
+        val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
+        cc.join(sizes, "cluster")
+          .select(col("doc_id"), col("cluster"), col("csize"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + ngramCtes + ", " +
+        "p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.2), " +
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM p " +
+        "UNION ALL SELECT doc_b, doc_a FROM p), " +
+        "reach(doc, root) AS (" +
+        "SELECT doc_id, doc_id FROM toks WHERE len(t) >= 3 " +
+        "UNION " +
+        "SELECT e.b, reach.root FROM reach JOIN e ON reach.doc = e.a), " +
+        "cc AS (SELECT doc, MIN(root) AS cluster FROM reach GROUP BY doc), " +
+        "s AS (SELECT cluster, COUNT(*) AS csize FROM cc GROUP BY cluster) " +
+        "SELECT cc.doc AS doc_id, cc.cluster, s.csize FROM cc " +
+        "JOIN s USING (cluster) ORDER BY doc_id")),
 
     "q_sim_ann_lsh" -> Q(
       (spark, dir) => {

@@ -205,6 +205,22 @@ class KrSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 }
 
+class ConnectedComponentsSpec extends AnyFunSuite with Matchers
+    with SparkTest {
+  test("min-label propagation finds components of chain/triangle/isolated") {
+    import spark.implicits._
+    // components: chain 1-2-3-4 (diameter 3, needs >1 iteration),
+    // triangle 10-11-12, isolated vertex 20
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("doc_a", "doc_b")
+    val got = llm.Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L)
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
   private def embeddings = {
     import spark.implicits._
