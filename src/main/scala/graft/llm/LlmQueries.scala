@@ -372,6 +372,37 @@ object LlmQueries {
       },
       None),
 
+    "q_text_pack" -> Q(
+      (spark, dir) => {
+        // sequence packing for training batches: documents fill 512-token
+        // context windows in deterministic (n_tokens, doc_id) order;
+        // pack_id = tokens-before div 512 via the scalable GlobalOrder
+        // cumsum (range partition + offset merge — no single-partition
+        // window at any corpus size)
+        val d = Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        graft.ops.GlobalOrder.rankAndCumsum(d,
+            Seq(col("n_tokens"), col("doc_id")), "__rank",
+            cum = Some((col("n_tokens"), "__cum")))
+          .withColumn("pack_id", expr("(__cum - n_tokens) div 512"))
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("pack_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .orderBy("pack_id")
+      },
+      Some("WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+        "AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, " +
+        "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum FROM d) " +
+        "SELECT (cum - n_tokens)//512 AS pack_id, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, " +
+        "MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens " +
+        "FROM c GROUP BY 1 ORDER BY pack_id")),
+
     "q_sim_ann_ivf" -> Q(
       (spark, dir) =>
         // IVF scale path for similarity search: deterministic k-means
