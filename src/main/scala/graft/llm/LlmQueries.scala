@@ -372,6 +372,28 @@ object LlmQueries {
       },
       None),
 
+    "q_sample_split" -> Q(
+      (spark, dir) => {
+        // deterministic salted train/val/test split: bucket on the first
+        // two hex chars of md5(doc_id) — id-correlation-free, stable
+        // across engines/runs, no RNG. Lexicographic hex-prefix cuts:
+        // ≤'cb' train (~79.7%), ≤'e5' val (~10.2%), else test (~10.2%).
+        val h2 = substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 2)
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), h2.as("h2"),
+            when(h2 <= "cb", "train").when(h2 <= "e5", "val")
+              .otherwise("test").as("split"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) " +
+        "AS h2, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) " +
+        "<= 'cb' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), " +
+        "1, 2) <= 'e5' THEN 'val' ELSE 'test' END AS split, " +
+        "CAST(n_chars AS BIGINT) AS n_chars " +
+        "FROM documents ORDER BY doc_id")),
+
     "q_text_pack" -> Q(
       (spark, dir) => {
         // sequence packing for training batches: documents fill 512-token
