@@ -28,6 +28,40 @@ object Joins {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey")),
 
+    "q_join_bucketed" -> Q(
+      (spark, dir) => {
+        // bucketed co-located fact-fact join: both sides written bucketed
+        // (+ per-bucket sorted) on the join key, so the merge join AND the
+        // bucket-key aggregation run with ZERO hash exchanges
+        // (PlanSpec-gated) — bucketing is the technique that deletes the
+        // dominant shuffle of a repeated 100 TB fact-fact join. Unique
+        // table names + per-run temp paths keep concurrent runs isolated;
+        // the merge hint pins SMJ so the gate is size-independent.
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_bucketed_").toString
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val l = Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+        val o = Tables(spark, dir, "orders")
+          .select("o_orderkey", "o_orderstatus")
+        l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/li").saveAsTable(s"li_$tag")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/ord").saveAsTable(s"ord_$tag")
+        spark.table(s"li_$tag")
+          .join(spark.table(s"ord_$tag").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("l_orderkey", "o_orderstatus")
+      },
+      Some("SELECT l_orderkey, o_orderstatus, COUNT(*) AS n_lines, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY l_orderkey, o_orderstatus " +
+        "ORDER BY l_orderkey, o_orderstatus")),
+
     "q_join_outer" -> Q(
       (spark, dir) => {
         val c = Tables(spark, dir, "customer")

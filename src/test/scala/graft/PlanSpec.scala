@@ -72,6 +72,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     plan("q_join_anti") should include("LeftAnti")
   }
 
+  test("bucketed fact-fact join + bucket-key agg are hash-exchange free") {
+    // both scans are bucketed on the join key: the merge join consumes
+    // bucket partitioning directly and the groupBy on the bucket key
+    // reuses it — the only exchange left is the output sort's range
+    // partitioning
+    val p = plan("q_join_bucketed")
+    p should include("SortMergeJoin")
+    p should not include "hashpartitioning"
+  }
+
   test("salted join shuffles on (key, salt)") {
     val p = plan("q_join_skew_salted")
     p should include("__salt")
