@@ -214,7 +214,13 @@ object Dedup {
     val dfKeep = shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select("sh")
-    val sh = shAll.join(dfKeep, "sh").select("doc_id", "sh")
+    // DISK_ONLY persist of the FILTERED index only: it feeds the n² pair
+    // self-join (twice) + sizes, and is corpus-sized so it must never pin
+    // executor memory. The pre-filter explode/distinct stays recompute —
+    // cheaper than materializing the larger unfiltered index twice.
+    val sh = graft.ops.Caches.register(shAll.join(dfKeep, "sh")
+      .select("doc_id", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
