@@ -26,7 +26,12 @@ object Bench {
         finally graft.ops.Caches.drain()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      // true median (mean of middles for even run counts — picking the
+      // upper-middle would let one load spike through at runs=2)
+      val median =
+        if (times.length % 2 == 1) times(times.length / 2)
+        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -56,7 +56,13 @@ object Kr {
       (if (big.isEmpty) Nil
        else List(solveDistributed(edges.filter(col("chr")
          .isInCollection(big)), trimPercentile, iterations)))
-    parts.reduce(_ unionByName _)
+    parts match {
+      case Nil => // no intra edges at all → empty bias table, not a crash
+        val spark = contacts.sparkSession
+        import spark.implicits._
+        Seq.empty[(String, Long, Double)].toDF("chr", "mid", "bias")
+      case ps => ps.reduce(_ unionByName _)
+    }
   }
 
   /** Small-chromosome path: one shuffle on chr, then the whole
@@ -169,14 +175,18 @@ object Kr {
   /** Large-chromosome path: per-iteration DataFrame joins — the edge list
     * is pre-partitioned on the iteration join key so each of the fixed
     * Sinkhorn iterations shuffles only the O(loci) bias vector, never the
-    * edge list. The trim threshold uses approx_percentile (fixed accuracy)
-    * so the agg buffer stays bounded at any loci count.
+    * edge list. The trim threshold uses EXACT `percentile`: its agg
+    * buffer is O(loci-per-chromosome) doubles — tens of MB even at 10M
+    * loci — and, unlike approx_percentile's merge-order-sensitive sketch,
+    * it is bit-deterministic (the repo's determinism contract) and agrees
+    * exactly with the in-task path's interpolated formula, so a
+    * chromosome crossing the routing boundary cannot change its trim set.
     */
   private def solveDistributed(edges: DataFrame, trimPercentile: Double,
       iterations: Int): DataFrame = {
     val marg = edges.groupBy("chr", "i").agg(sum(col("w")).as("cov"))
     val thresholds = marg.groupBy("chr")
-      .agg(expr(s"approx_percentile(cov, $trimPercentile, 10000)").as("thr"))
+      .agg(expr(s"percentile(cov, $trimPercentile)").as("thr"))
     val kept = marg.join(broadcast(thresholds), "chr")
       .filter(col("cov") >= col("thr"))
       .select(col("chr"), col("i"))

@@ -86,8 +86,10 @@ object Pipeline {
         // pairs: broadcast the anti-join so the dist-ranged layout
         // survives (a narrow probe) and the next pass skips the exchange.
         // The count is a narrow scan of the (cached) BH output; above the
-        // cap, fall back to the scale-safe shuffle anti-join + re-range.
-        if (outliers.count() <= 5000000L) {
+        // cap (1M keys ≈ tens of MB — well inside driver/executor
+        // broadcast budgets), fall back to the scale-safe shuffle
+        // anti-join + re-range.
+        if (outliers.count() <= 1000000L) {
           nullSource = rangedPairs.join(broadcast(outliers), keys,
             "left_anti")
           layoutPreserved = true

@@ -163,7 +163,7 @@ object Dedup {
     * Returns (doc_id, cluster) with cluster = min doc_id of the component.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 50): DataFrame = {
     val edges = graft.ops.Caches.register(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"),
@@ -190,6 +190,11 @@ object Dedup {
       converged = changed == 0L
       iter += 1
     }
+    // a silently-truncated propagation would return split clusters that
+    // LOOK valid — fail loudly instead (simple min-propagation needs
+    // component-diameter rounds; raise maxIters for pathological graphs)
+    require(converged,
+      s"connectedComponents did not converge in $maxIters iterations")
     labels.select(col("doc_id"), col("root").as("cluster"))
   }
 

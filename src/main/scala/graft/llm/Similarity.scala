@@ -159,26 +159,44 @@ object Similarity {
     * centroid matrix at quantized scale (row index = cluster id).
     */
   def ivfCentroids(embeddings: DataFrame, k: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int): Array[Array[Double]] =
+    centroidsFromQuantized(quantized(embeddings), k, iters)
+
+  /** Cached (vec_id, label, ×1e7-quantized vector) corpus — built once and
+    * shared by the k-means index build AND the search-time
+    * assignment/re-rank, so the corpus is scanned and quantized a single
+    * time.
+    */
+  private def quantized(embeddings: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Int, Array[Long])] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val typed = graft.ops.Caches.register(embeddings
-      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .map { case (id, e) =>
+    graft.ops.Caches.register(embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, label, e) =>
         val q = new Array[Long](e.length)
         var i = 0
         val it = e.iterator
         while (it.hasNext) { q(i) = quant(it.next()); i += 1 }
-        (id, q)
+        (id, label, q)
       }
       .persist())
-    var cents: Array[Array[Double]] = typed.toDF("id", "q").orderBy("id")
-      .limit(k).as[(Long, Array[Long])].collect()
+  }
+
+  private def centroidsFromQuantized(
+      typed: org.apache.spark.sql.Dataset[(Long, Int, Array[Long])],
+      k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = typed.toDF("id", "label", "q")
+      .orderBy("id")
+      .limit(k).select("id", "q").as[(Long, Array[Long])].collect()
       .sortBy(_._1).map(_._2.map(_.toDouble))
     for (_ <- 1 to iters) {
       val bc = cents
       val sums = typed
-        .map { case (_, q) => (nearestCluster(bc, q), q) }
+        .map { case (_, _, q) => (nearestCluster(bc, q), q) }
         .toDF("c", "q")
         .select(col("c"), posexplode(col("q")).as(Seq("d", "v")))
         .groupBy("c", "d")
@@ -239,14 +257,10 @@ object Similarity {
     */
   def annIvfTop3(embeddings: DataFrame, nProbes: Int, k: Int = 16,
       iters: Int = 5, probeClusters: Int = 3): DataFrame = {
-    val cents = ivfCentroids(embeddings, k, iters)
-    val quantU = udf((e: Seq[Float]) => {
-      val q = new Array[Long](e.length)
-      var i = 0
-      val it = e.iterator
-      while (it.hasNext) { q(i) = quant(it.next()); i += 1 }
-      q
-    })
+    // ONE quantization pass: the cached quantized corpus backs the index
+    // build, the cluster assignment, and the probe/re-rank below
+    val typed = quantized(embeddings)
+    val cents = centroidsFromQuantized(typed, k, iters)
     val assignU = udf((q: Seq[Long]) => nearestCluster(cents, q.toArray))
     val probeCellsU = udf((q: Seq[Long]) =>
       nearestClusters(cents, q.toArray, probeClusters))
@@ -260,15 +274,14 @@ object Similarity {
       }
       dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
     })
-    val assigned = embeddings
-      .withColumn("q", quantU(col("embedding")))
+    val typedDf = typed.toDF("vec_id", "label", "q")
+    val assigned = typedDf
       .withColumn("c", assignU(col("q")))
       .select(col("vec_id").as("nb"), col("label").as("nb_label"),
         col("q"), col("c"))
-    val probes = broadcast(embeddings.filter(col("vec_id") < nProbes)
-      .withColumn("pq", quantU(col("embedding")))
-      .select(col("vec_id").as("probe"), col("pq"),
-        explode(probeCellsU(col("pq"))).as("pc")))
+    val probes = broadcast(typedDf.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe"), col("q").as("pq"))
+      .withColumn("pc", explode(probeCellsU(col("pq")))))
     val w = Window.partitionBy("probe")
       .orderBy(desc("cos"), asc("nb"))
     probes.join(assigned,

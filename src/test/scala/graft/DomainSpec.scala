@@ -170,12 +170,11 @@ class KrSpec extends AnyFunSuite with Matchers with SparkTest {
     } yield ("c1", 2500L + 5000L * i, "c1", 2500L + 5000L * j,
       rnd.nextInt(40).toLong + 1L))
       .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
-    // trim 0.0 so both paths keep everything: the in-task exact percentile
-    // interpolates where approx_percentile picks a dataset element, so a
-    // nonzero trim can legitimately split a borderline locus differently —
-    // here we pin the Sinkhorn/loner/normalization core instead
+    // nonzero trim: both paths use the same exact interpolated percentile
+    // formula, so trim membership must agree too (not just the
+    // Sinkhorn/loner/normalization core)
     def collect(maxEdges: Long) =
-      Kr.biases(contacts, trimPercentile = 0.0, iterations = 15,
+      Kr.biases(contacts, trimPercentile = 0.1, iterations = 15,
           maxEdgesPerTask = maxEdges)
         .collect().map(r => r.getAs[Long]("mid") -> r.getAs[Double]("bias"))
         .toMap
@@ -194,8 +193,8 @@ class KrSpec extends AnyFunSuite with Matchers with SparkTest {
       ("c1", 2500L, "c1", 12500L, 90L), ("c1", 7500L, "c1", 12500L, 80L),
       ("c1", 2500L, "c1", 17500L, 1L))) // locus 17500 nearly isolated
       .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
-    // both routing paths must trim it (in-task exact percentile and the
-    // distributed approx_percentile agree when the cutoff is unambiguous)
+    // both routing paths must trim it (identical exact interpolated
+    // percentile on both sides)
     for (maxEdges <- Seq(Long.MaxValue, 0L)) {
       val bias = Kr.biases(contacts, trimPercentile = 0.3, iterations = 5,
         maxEdgesPerTask = maxEdges)
