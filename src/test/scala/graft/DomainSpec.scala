@@ -204,6 +204,38 @@ class KrSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 }
 
+class RangedReuseSpec extends AnyFunSuite with Matchers with SparkTest {
+  test("binning a broadcast-anti-filtered ranged cache equals re-ranging") {
+    // gates the Pipeline refinement fast path: a broadcast anti-join over
+    // the dist-ranged cache must preserve the layout exactly, so
+    // assumeRanged binning and a fresh range exchange produce identical
+    // bins
+    val dir = "/root/testdata/sf0.001"
+    val keys = Seq("chr1", "mid1", "chr2", "mid2")
+    val c = hic.ContactsView(spark, dir)
+      .filter(col("dist").between(50000L, 5000000L))
+      .select(col("chr").as("chr1"), col("mid1"), col("chr").as("chr2"),
+        col("mid2"), col("contactCount"), col("dist"))
+      .persist()
+    val outliers = c.filter(pmod(col("mid1") + col("mid2"), lit(100000L))
+      === 2500L).select(keys.map(col): _*)
+    val distOrder = col("dist") +: keys.map(col)
+    val ranged = c
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        distOrder: _*)
+      .sortWithinPartitions(distOrder: _*)
+      .persist()
+    val viaReuse = hic.Binning.collectBins(
+      ranged.join(broadcast(outliers), keys, "left_anti"), 50, keys,
+      assumeRanged = true)
+    val viaRerange = hic.Binning.collectBins(
+      c.join(outliers, keys, "left_anti"), 50, keys)
+    viaReuse.length shouldBe viaRerange.length
+    viaReuse.zip(viaRerange).foreach { case (a, b) => a shouldBe b }
+    c.unpersist(); ranged.unpersist()
+  }
+}
+
 class ConnectedComponentsSpec extends AnyFunSuite with Matchers
     with SparkTest {
   test("min-label propagation finds components of chain/triangle/isolated") {
