@@ -250,6 +250,17 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L)
   }
+
+  test("non-convergence within maxIters fails loudly, never silently") {
+    import spark.implicits._
+    // a 12-chain needs ~11 propagation rounds; maxIters=3 must throw
+    // rather than return split clusters that look valid
+    val vertices = (1L to 12L).toDF("doc_id")
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    an[IllegalArgumentException] should be thrownBy
+      llm.Dedup.connectedComponents(vertices, pairs, maxIters = 3)
+        .collect()
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
