@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * chr, zero per-iteration jobs. Chromosomes above `maxEdgesPerTask` fall
   * back to the distributed per-iteration join path (edge list stays
   * sharded; only the O(loci) bias vector moves per iteration). The default
-  * cap (8M edges ≈ 250 MB task footprint) keeps every real-genome
+  * cap (2M edges: peak task footprint ≈ 300 MB — the transient boxed
+  * tuple array from the group iterator dominates before the primitive
+  * conversion frees it; at most one task per chromosome runs) keeps
+  * every real-genome
   * chromosome at Hi-C resolutions in-task while the fallback covers
   * ultra-fine resolutions at 100 TB.
   */
@@ -30,7 +33,7 @@ object Kr {
     * input, −1 for trimmed loci, 1 for kept loci with no kept partners.
     */
   def biases(contacts: DataFrame, trimPercentile: Double = 0.05,
-      iterations: Int = 20, maxEdgesPerTask: Long = 8000000L): DataFrame = {
+      iterations: Int = 20, maxEdgesPerTask: Long = 2000000L): DataFrame = {
     val intra = contacts.filter(col("chr1") === col("chr2"))
     // symmetric edge list: each undirected pair contributes both ways;
     // the diagonal once
@@ -184,7 +187,15 @@ object Kr {
     */
   private def solveDistributed(edges: DataFrame, trimPercentile: Double,
       iterations: Int): DataFrame = {
-    val marg = edges.groupBy("chr", "i").agg(sum(col("w")).as("cov"))
+    // cov is a sum of INTEGER-VALUED doubles (contact counts): exact
+    // under any partial-merge order below 2^53, so the threshold input —
+    // and hence the trim set — is bit-deterministic and agrees with the
+    // in-task path's canonical-order accumulation.
+    // Persist the O(loci) marg: kept/trimmed/loners derive from it three
+    // ways and would otherwise each re-run the full-edge aggregation +
+    // percentile before the first Sinkhorn iteration.
+    val marg = graft.ops.Caches.register(
+      edges.groupBy("chr", "i").agg(sum(col("w")).as("cov")).persist())
     val thresholds = marg.groupBy("chr")
       .agg(expr(s"percentile(cov, $trimPercentile)").as("thr"))
     val kept = marg.join(broadcast(thresholds), "chr")

@@ -40,6 +40,7 @@ object Pipeline {
     */
   def intraSignificances(frags: DataFrame, contacts: DataFrame,
       biases: Option[DataFrame], cfg: FitHiCConfig): DataFrame = {
+    require(cfg.passes >= 1, s"passes must be >= 1, got ${cfg.passes}")
     val mapped = Fragments.mappable(frags, cfg.mappabilityThr)
     val filtered = Contacts.bothEndsMappable(contacts, mapped)
     val classified = Contacts.classify(filtered, cfg.distLow, cfg.distUp)
@@ -130,11 +131,13 @@ object Pipeline {
     val filtered = Contacts.bothEndsMappable(contacts, mapped)
     val inter = Contacts.classify(filtered, cfg.distLow, cfg.distUp)
       .filter(col("cls") === "interAll")
-    val withBias = biases match {
+    // cache: the classify + double bias-join plan is read twice (N
+    // aggregate + scoring) — same pattern as the intra path's pairs cache
+    val withBias = graft.ops.Caches.register((biases match {
       case Some(b) => Contacts.withBiases(inter, b, cfg.biasLow, cfg.biasUp)
       case None => inter.withColumn("bias1", lit(1.0))
         .withColumn("bias2", lit(1.0))
-    }
+    }).persist())
     val n = withBias.agg(sum(col("contactCount"))).first() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)

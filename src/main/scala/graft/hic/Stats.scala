@@ -67,6 +67,10 @@ object Stats {
       var mn = Double.MaxValue
       it.foreach { r =>
         i += 1
+        // fail with intent, not an unboxing NPE deep in a task: a null p
+        // would otherwise have silently sorted to rank 1 above
+        require(!r.isNullAt(pIdx),
+          s"bhQ: null $pCol at rank $i — p-values must be non-null")
         val v = r.getDouble(pIdx) * m / i
         if (v < mn) mn = v
       }

@@ -85,7 +85,10 @@ object Similarity {
     typed
       .map { case (id, label, emb) => quantVec(id, label, emb) }
       .flatMap { v =>
-        val blk = (v.id % b).toInt
+        // floorMod: a JVM % on a negative id would route the vector to a
+        // negative block key its partners never emit to — every pair
+        // touching it would silently vanish
+        val blk = math.floorMod(v.id, b.toLong).toInt
         (0 until b).iterator.map(o =>
           (math.min(blk, o), math.max(blk, o), v))
       }
@@ -104,8 +107,8 @@ object Similarity {
               (a.id, c.id, cosine(a, c))
             }
           else { // cross-block: every (left, right), oriented by id
-            val left = vs.filter(v => (v.id % b).toInt == i)
-            val right = vs.filter(v => (v.id % b).toInt == j)
+            val left = vs.filter(v => math.floorMod(v.id, b.toLong) == i)
+            val right = vs.filter(v => math.floorMod(v.id, b.toLong) == j)
             for {
               a <- left.iterator
               c <- right.iterator
@@ -162,13 +165,13 @@ object Similarity {
       iters: Int): Array[Array[Double]] =
     centroidsFromQuantized(quantized(embeddings), k, iters)
 
-  /** Cached (vec_id, label, ×1e7-quantized vector) corpus — built once and
-    * shared by the k-means index build AND the search-time
+  /** Cached (vec_id, label, ×1e7-quantized vector, squared norm) corpus —
+    * built once and shared by the k-means index build AND the search-time
     * assignment/re-rank, so the corpus is scanned and quantized a single
-    * time.
+    * time and the re-rank never recomputes norms per candidate pair.
     */
   private def quantized(embeddings: DataFrame)
-      : org.apache.spark.sql.Dataset[(Long, Int, Array[Long])] = {
+      : org.apache.spark.sql.Dataset[(Long, Int, Array[Long], Long)] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     graft.ops.Caches.register(embeddings
@@ -176,27 +179,30 @@ object Similarity {
       .as[(Long, Int, Seq[Float])]
       .map { case (id, label, e) =>
         val q = new Array[Long](e.length)
+        var n2 = 0L
         var i = 0
         val it = e.iterator
-        while (it.hasNext) { q(i) = quant(it.next()); i += 1 }
-        (id, label, q)
+        while (it.hasNext) {
+          q(i) = quant(it.next()); n2 += q(i) * q(i); i += 1
+        }
+        (id, label, q, n2)
       }
       .persist())
   }
 
   private def centroidsFromQuantized(
-      typed: org.apache.spark.sql.Dataset[(Long, Int, Array[Long])],
+      typed: org.apache.spark.sql.Dataset[(Long, Int, Array[Long], Long)],
       k: Int, iters: Int): Array[Array[Double]] = {
     val spark = typed.sparkSession
     import spark.implicits._
-    var cents: Array[Array[Double]] = typed.toDF("id", "label", "q")
+    var cents: Array[Array[Double]] = typed.toDF("id", "label", "q", "n2")
       .orderBy("id")
       .limit(k).select("id", "q").as[(Long, Array[Long])].collect()
       .sortBy(_._1).map(_._2.map(_.toDouble))
     for (_ <- 1 to iters) {
       val bc = cents
       val sums = typed
-        .map { case (_, _, q) => (nearestCluster(bc, q), q) }
+        .map { case (_, _, q, _) => (nearestCluster(bc, q), q) }
         .toDF("c", "q")
         .select(col("c"), posexplode(col("q")).as(Seq("d", "v")))
         .groupBy("c", "d")
@@ -264,29 +270,28 @@ object Similarity {
     val assignU = udf((q: Seq[Long]) => nearestCluster(cents, q.toArray))
     val probeCellsU = udf((q: Seq[Long]) =>
       nearestClusters(cents, q.toArray, probeClusters))
-    val cosU = udf((a: Seq[Long], b: Seq[Long]) => {
+    // norms come precomputed from the quantized cache — the per-pair
+    // kernel is the dot product plus one division
+    val cosU = udf((a: Seq[Long], b: Seq[Long], na: Long, nb: Long) => {
       var dot = 0L
-      var na = 0L
-      var nb = 0L
       var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
       dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
     })
-    val typedDf = typed.toDF("vec_id", "label", "q")
+    val typedDf = typed.toDF("vec_id", "label", "q", "n2")
     val assigned = typedDf
       .withColumn("c", assignU(col("q")))
       .select(col("vec_id").as("nb"), col("label").as("nb_label"),
-        col("q"), col("c"))
+        col("q"), col("n2"), col("c"))
     val probes = broadcast(typedDf.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe"), col("q").as("pq"))
+      .select(col("vec_id").as("probe"), col("q").as("pq"),
+        col("n2").as("pn2"))
       .withColumn("pc", explode(probeCellsU(col("pq")))))
     val w = Window.partitionBy("probe")
       .orderBy(desc("cos"), asc("nb"))
     probes.join(assigned,
         col("pc") === col("c") && col("probe") =!= col("nb"))
-      .withColumn("cos", cosU(col("pq"), col("q")))
+      .withColumn("cos", cosU(col("pq"), col("q"), col("pn2"), col("n2")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("probe"), col("rn"), col("nb"), col("nb_label"),
