@@ -33,10 +33,15 @@ object Bench {
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
       name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the whole line under ~2.5 KB: the driver
+    // captures only the TAIL of stdout, and with full-precision doubles
+    // the 87-query line overflowed that window, truncating the leading
+    // {"metric":... header (BENCH_r07 recorded parsed:null)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

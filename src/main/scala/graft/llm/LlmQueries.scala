@@ -40,17 +40,24 @@ object LlmQueries {
       "FROM dots JOIN nrm na ON na.vec_id = va " +
       "JOIN nrm nb ON nb.vec_id = vb)"
 
-  /** Shared DuckDB CTE chain for the n-gram-Jaccard near-dup pair graph
-    * (mirrors Dedup.ngramJaccardPairs incl. the maxDf=200 stopword-shingle
-    * cutoff); spliced after WITH / WITH RECURSIVE.
+  /** DuckDB CTEs for per-doc distinct 3-gram shingles over ≥3-token docs
+    * (mirrors Dedup.withShingles without the short-doc fallback); spliced
+    * after WITH / WITH RECURSIVE.
     */
-  private val ngramCtes: String =
+  private val shingleCtes: String =
     "toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
       "FROM documents), " +
       "idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) " +
       "AS i FROM toks WHERE len(t) >= 3), " +
       "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || " +
-      "t[i+2] AS sh FROM idx), " +
+      "t[i+2] AS sh FROM idx)"
+
+  /** Shared DuckDB CTE chain for the n-gram-Jaccard near-dup pair graph
+    * (mirrors Dedup.ngramJaccardPairs incl. the maxDf=200 stopword-shingle
+    * cutoff); spliced after WITH / WITH RECURSIVE.
+    */
+  private val ngramCtes: String =
+    shingleCtes + ", " +
       "dfq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh), " +
       "shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfq USING (sh) " +
       "WHERE df <= 200), " +
@@ -479,5 +486,154 @@ object LlmQueries {
         "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)/COUNT(*) AS avg_chars " +
         "FROM documents JOIN embeddings ON doc_id = vec_id " +
-        "GROUP BY lang, label ORDER BY lang, label")))
+        "GROUP BY lang, label ORDER BY lang, label")),
+
+    "q_text_contamination" -> Q(
+      (spark, dir) => {
+        // benchmark-contamination check: eval set = doc_id % 20 == 0; for
+        // every train doc, the count/fraction of its distinct 3-gram
+        // shingles that appear anywhere in the eval set. The eval shingle
+        // set is DISTINCT, so the probe is a semi-join on sh — per-shingle
+        // fanout is 0/1 by construction and a hot stopword trigram cannot
+        // explode the join (unlike a pair join, there is no d² term).
+        val docs3 = Tables(spark, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 3)
+        val sh = Dedup.withShingles(docs3)
+          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val evalSh = sh.filter(col("doc_id") % 20 === 0)
+          .select("sh").distinct()
+        val trainSh = sh.filter(col("doc_id") % 20 =!= 0)
+        val sizes = trainSh.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"))
+        val shared = trainSh.join(evalSh, Seq("sh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        sizes.join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            Cols.fround(coalesce(col("n_shared"), lit(0L)).cast("double") /
+              col("n_shingles"), 6).as("contamination"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + shingleCtes + ", " +
+        "ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0), " +
+        "tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr " +
+        "GROUP BY doc_id), " +
+        "shared AS (SELECT tr.doc_id, COUNT(*) AS n_shared FROM tr " +
+        "JOIN ev USING (sh) GROUP BY tr.doc_id) " +
+        "SELECT doc_id, n_shingles, " +
+        "CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared, " +
+        Cols.froundSql("CAST(COALESCE(n_shared, 0) AS DOUBLE)/n_shingles",
+          6) + " AS contamination " +
+        "FROM sizes LEFT JOIN shared USING (doc_id) ORDER BY doc_id")),
+
+    "q_text_repetition" -> Q(
+      (spark, dir) =>
+        // Gopher-style repetition quality signal: fraction of duplicate
+        // 3-grams per document. Fully narrow (higher-order functions over
+        // the token array — no explode, no shuffle): the scan parallelism
+        // IS the plan at any corpus size.
+        Tables(spark, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("grams",
+            expr("transform(sequence(0, size(toks) - 3), " +
+              "i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+          .select(col("doc_id"),
+            size(col("grams")).as("n_grams"),
+            size(array_distinct(col("grams"))).as("n_distinct"),
+            Cols.fround(lit(1.0) -
+              size(array_distinct(col("grams"))).cast("double") /
+              size(col("grams")), 6).as("dup_ratio"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(g) AS INT) AS n_grams, " +
+        "CAST(len(list_distinct(g)) AS INT) AS n_distinct, " +
+        Cols.froundSql(
+          "1.0 - CAST(len(list_distinct(g)) AS DOUBLE)/len(g)", 6) +
+        " AS dup_ratio FROM (SELECT doc_id, " +
+        "list_transform(generate_series(1, len(t) - 2), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS t " +
+        "FROM documents) WHERE len(t) >= 3) ORDER BY doc_id")),
+
+    "q_text_clean" -> Q(
+      (spark, dir) => {
+        // text cleaning/normalization: strip markup-ish tags, drop
+        // non-alphanumerics, collapse whitespace, trim — narrow codegen'd
+        // regexp chain, content-addressed output for downstream dedup
+        val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
+          col("text"), "<[^>]*>", " "), "[^a-z0-9 ]", ""), " +", " "))
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            md5(cleaned.cast("binary")).as("clean_md5"),
+            length(cleaned).as("n_chars_clean"),
+            size(split(cleaned, " ")).as("n_tokens_clean"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, md5(c) AS clean_md5, " +
+        "CAST(length(c) AS INT) AS n_chars_clean, " +
+        "CAST(len(string_split(c, ' ')) AS INT) AS n_tokens_clean " +
+        "FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+        "regexp_replace(text, '<[^>]*>', ' ', 'g'), '[^a-z0-9 ]', '', " +
+        "'g'), ' +', ' ', 'g')) AS c FROM documents) ORDER BY doc_id")),
+
+    "q_dedup_apply" -> Q(
+      (spark, dir) => {
+        // apply exact dedup: the surviving corpus (min doc_id per identical
+        // text) with each keeper's copy count — groupBy + shuffle join on
+        // the keeper id, NOT a per-cluster window (a pathological
+        // million-copy document would funnel one window task; the groupBy's
+        // partial aggregation absorbs it map-side)
+        val docs = Tables(spark, dir, "documents")
+        val keep = docs
+          .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("copies"))
+          .select("doc_id", "copies")
+        docs.join(keep, "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("copies"))
+          .orderBy("doc_id")
+      },
+      Some("WITH k AS (SELECT md5(text) AS m, " +
+        "CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS copies " +
+        "FROM documents GROUP BY md5(text)) " +
+        "SELECT d.doc_id, d.lang, d.source, " +
+        "CAST(d.n_chars AS BIGINT) AS n_chars, k.copies " +
+        "FROM documents d JOIN k USING (doc_id) ORDER BY doc_id")),
+
+    "q_sample_stratified" -> Q(
+      (spark, dir) => {
+        // stratified per-language sample: exactly k docs per lang in
+        // deterministic md5(doc_id) hash order (RNG-free, stable across
+        // engines). Two-phase exact top-k per stratum: a (lang, salt)
+        // window first — the salt fans a hot language across 64 bounded
+        // tasks — then the final per-lang ranking runs over ≤ 64·k
+        // survivors per lang. Same rows as a global per-lang window (each
+        // global top-k row is in its salt group's top-k) without any
+        // unbounded single-language window task.
+        val k = 20
+        val d = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        val salted = d.withColumn("salt",
+          pmod(xxhash64(col("doc_id")), lit(64)))
+        val wSalt = Window.partitionBy("lang", "salt")
+          .orderBy(asc("h"), asc("doc_id"))
+        val wFinal = Window.partitionBy("lang")
+          .orderBy(asc("h"), asc("doc_id"))
+        salted.withColumn("r0", row_number().over(wSalt))
+          .filter(col("r0") <= k)
+          .withColumn("smp_rank", row_number().over(wFinal))
+          .filter(col("smp_rank") <= k)
+          .select(col("lang"), col("smp_rank"), col("doc_id"), col("h"))
+          .orderBy("lang", "smp_rank")
+      },
+      Some("WITH r AS (SELECT lang, doc_id, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS smp_rank " +
+        "FROM documents) " +
+        "SELECT lang, CAST(smp_rank AS INT) AS smp_rank, doc_id, h " +
+        "FROM r WHERE smp_rank <= 20 ORDER BY lang, smp_rank")))
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Functional pins for the round-8 training-data-pipeline queries
+  * (contamination, repetition, clean, dedup-apply, stratified sample):
+  * crafted-corpus expected values plus equivalence of the salted two-phase
+  * stratified sample with the naive single-window ranking.
+  */
+class LlmPipelineSpec extends AnyFunSuite with Matchers with SparkTest {
+
+  /** Write a crafted documents table into a temp sf-dir and return the dir
+    * (the declared queries read `Tables(spark, dir, "documents")`).
+    */
+  private def sfDirWith(docs: DataFrame): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_llm_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(name: String, dir: String): Array[org.apache.spark.sql.Row] =
+    try Registry.all(name).fn(spark, dir).collect()
+    finally graft.ops.Caches.drain()
+
+  test("contamination: identical/overlapping/disjoint train docs score 1, 1/3, 0") {
+    import spark.implicits._
+    // doc 0 (id % 20 == 0) is the eval set: shingles {"a b c", "b c d"}
+    val dir = sfDirWith(Seq(
+      (0L, "a b c d", "en", "s", 7L),
+      (1L, "a b c d", "en", "s", 7L), // identical → fully contaminated
+      (2L, "x y z w q", "en", "s", 9L), // disjoint → 0.0
+      (3L, "a b c x y", "en", "s", 9L)) // shares 1 of 3 shingles
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = run("q_text_contamination", dir)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L) // eval docs excluded from output
+    got(1L) shouldBe ((2L, 2L, 1.0))
+    got(2L) shouldBe ((3L, 0L, 0.0))
+    got(3L)._1 shouldBe 3L
+    got(3L)._2 shouldBe 1L
+    got(3L)._3 shouldBe (1.0 / 3 +- 1e-6)
+  }
+
+  test("repetition: duplicate-trigram fraction matches hand count") {
+    import spark.implicits._
+    // tokens [a b a b a b] → trigrams (a b a)(b a b)(a b a)(b a b):
+    // 4 total, 2 distinct, dup_ratio 0.5
+    val dir = sfDirWith(Seq(
+      (1L, "a b a b a b", "en", "s", 11L),
+      (2L, "p q r s", "en", "s", 7L), // all distinct → 0.0
+      (3L, "x y", "en", "s", 3L)) // < 3 tokens → excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = run("q_text_repetition", dir)
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L) shouldBe ((4, 2, 0.5))
+    got(2L) shouldBe ((2, 2, 0.0))
+  }
+
+  test("clean: tags stripped, punctuation dropped, whitespace collapsed") {
+    import spark.implicits._
+    val dir = sfDirWith(Seq(
+      (1L, "hello <b>world</b>!! 42", "en", "s", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = run("q_text_clean", dir).head
+    // "hello <b>world</b>!! 42" → "hello world 42"
+    r.getInt(2) shouldBe 14
+    r.getInt(3) shouldBe 3
+    import spark.implicits._
+    val expectMd5 = Seq("hello world 42").toDF("t")
+      .select(md5(col("t").cast("binary"))).head.getString(0)
+    r.getString(1) shouldBe expectMd5
+  }
+
+  test("dedup-apply: min-id keeper survives with the cluster's copy count") {
+    import spark.implicits._
+    val dir = sfDirWith(Seq(
+      (1L, "same text here", "en", "s", 14L),
+      (2L, "same text here", "de", "s", 14L),
+      (5L, "same text here", "es", "s", 14L),
+      (3L, "unique text", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = run("q_dedup_apply", dir)
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    got shouldBe Map(1L -> 3L, 3L -> 1L)
+  }
+
+  test("stratified sample: salted two-phase equals the naive global window") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Registry.all("q_sample_stratified").fn(spark, sf)
+      .select("lang", "smp_rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val naive = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("smp_rank", row_number().over(
+        Window.partitionBy("lang").orderBy(asc("h"), asc("doc_id"))))
+      .filter(col("smp_rank") <= 20)
+      .select("lang", "smp_rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    got.sorted shouldBe naive.sorted
+    // every stratum capped at 20 and ranks are dense from 1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val ranks = rows.map(_._2).sorted
+      ranks shouldBe (1 to ranks.length).toArray
+      ranks.length should be <= 20
+    }
+  }
+}

@@ -107,6 +107,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("contamination probe is a semi-join (no pair fanout)") {
+    // the eval-shingle probe must stay a semi-join: per-shingle fanout is
+    // 0/1 by construction, so a hot stopword trigram cannot explode it
+    plan("q_text_contamination") should include("LeftSemi")
+  }
+
+  test("repetition signal is computed narrow (no pre-sort shuffle)") {
+    // higher-order functions over the token array: the only exchange in
+    // the plan is the output sort's range partitioning
+    plan("q_text_repetition") should not include "hashpartitioning"
+  }
+
+  test("stratified sample goes through the salted bounded window") {
+    val p = plan("q_sample_stratified")
+    p should include("salt")
+    p should not include "SinglePartition"
+  }
+
+  test("dedup-apply keeper aggregation is two-phase") {
+    plan("q_dedup_apply") should include("partial_")
+  }
+
   test("exact cosine kernels are distributed block-pair groups") {
     // the pair space must be built by a shuffled group-local kernel —
     // never a driver-side collect/broadcast of the full embedding table
