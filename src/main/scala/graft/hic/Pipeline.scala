@@ -51,16 +51,16 @@ object Pipeline {
         .withColumn("bias2", lit(1.0))
     }
 
-    // cache first: every pass re-reads the full pair set
-    val pairs = graft.ops.Caches.register(withBias.persist())
     val m = Fragments.possibleIntraInRange(mapped, cfg.distLow, cfg.distUp)
 
-    // ONE dist-ranged cache shared by every pass's equal-occupancy
-    // binning: refinement passes re-bin a FILTERED view of this layout
-    // instead of re-shuffling the pair table per pass
-    val spark = pairs.sparkSession
+    // ONE dist-ranged cache is the only materialization of the pair set:
+    // every pass's equal-occupancy binning re-bins a FILTERED view of
+    // this layout, and per-pass scoring reads the same cache (bhQ
+    // re-partitions on p_value regardless, so scoring gains nothing from
+    // a second, unranged copy — which round 7 still paid for)
+    val spark = withBias.sparkSession
     val distOrder = col("dist") +: keys.map(col)
-    val rangedPairs = graft.ops.Caches.register(pairs
+    val rangedPairs = graft.ops.Caches.register(withBias
       .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
         distOrder: _*)
       .sortWithinPartitions(distOrder: _*)
@@ -77,7 +77,7 @@ object Pipeline {
         assumeRanged = layoutPreserved)
       if (pass == 1) n = bins.map(_.getAs[Long]("sumCount")).sum
       require(n > 0, "no intra-in-range contacts after filtering")
-      val scored = scoreFromBins(pairs, bins, n, m, cfg)
+      val scored = scoreFromBins(rangedPairs, bins, n, m, cfg)
         .withColumn("pass", lit(pass))
       result = if (result == null) scored else result.unionByName(scored)
       if (pass < cfg.passes) {

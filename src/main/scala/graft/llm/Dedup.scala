@@ -152,21 +152,64 @@ object Dedup {
   }
 
   /** Connected components over an undirected near-duplicate pair graph —
-    * the "keep one per duplicate cluster" primitive. Pregel-style min-label
-    * propagation: every vertex starts as its own root; each iteration
-    * every vertex takes the min root over itself and its neighbors; stop
-    * at fixpoint (≤ graph diameter iterations — near-dup clusters are
+    * the "keep one per duplicate cluster" primitive.
+    *
+    * Hybrid, same trade as the KR solver (hic/Kr): the near-dup EDGE list
+    * is orders of magnitude smaller than the corpus (it's the near-dup
+    * pairs, not the documents), so when it fits a driver budget
+    * (`maxDriverEdges`, ~tens of MB) an exact union-find on the driver
+    * replaces the iterative loop — one job to collect the edges, one
+    * broadcast join to label the corpus-sized vertex set, instead of
+    * O(diameter) join+agg+checkpoint rounds. Above the cap, Pregel-style
+    * min-label propagation: every vertex starts as its own root; each
+    * iteration takes the min root over itself and its neighbors; stop at
+    * fixpoint (≤ graph diameter iterations — near-dup clusters are
     * shallow). Per iteration: ONE join+agg shuffle over the edge list and
     * an O(1)-row convergence aggregate; labels are localCheckpoint'ed so
-    * the plan stays flat. Deterministic (min is order-free).
+    * the plan stays flat. Both paths are deterministic (min is order-free)
+    * and agree exactly (HybridSpec pins it).
     *
     * Returns (doc_id, cluster) with cluster = min doc_id of the component.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, maxDriverEdges: Long = 5000000L): DataFrame = {
+    // DISK_ONLY: the pair lineage (e.g. the n-gram inverted-index join) is
+    // the expensive part — materialize it once for the count + (collect |
+    // loop) instead of recomputing it per consumer
+    val pairList = graft.ops.Caches.register(
+      pairs.select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    if (pairList.count() <= maxDriverEdges) {
+      val collected = pairList.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) {
+          val p = parent.get(x)
+          parent.put(x, parent.getOrDefault(p, p)) // path halving
+          x = parent.get(x)
+        }
+        x
+      }
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by min keeps the canonical label = min doc_id directly
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val labels = collected.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(v => (v, find(v)))
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val labelDf = labels.toSeq.toDF("doc_id", "__root")
+      return vertices.join(broadcast(labelDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__root"), col("doc_id")).as("cluster"))
+    }
     val edges = graft.ops.Caches.register(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"),
+      pairList.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairList.select(col("doc_b").as("src"),
           col("doc_a").as("dst")))
         .persist())
     var labels = vertices.select(col("doc_id"), col("doc_id").as("root"))

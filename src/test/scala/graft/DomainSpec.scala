@@ -255,11 +255,32 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers
     import spark.implicits._
     // a 12-chain needs ~11 propagation rounds; maxIters=3 must throw
     // rather than return split clusters that look valid
+    // (maxDriverEdges=0 forces the distributed path — the driver
+    // union-find is exact and never iterates)
     val vertices = (1L to 12L).toDF("doc_id")
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     an[IllegalArgumentException] should be thrownBy
-      llm.Dedup.connectedComponents(vertices, pairs, maxIters = 3)
-        .collect()
+      llm.Dedup.connectedComponents(vertices, pairs, maxIters = 3,
+        maxDriverEdges = 0L).collect()
+  }
+
+  test("driver union-find and distributed propagation agree exactly") {
+    import spark.implicits._
+    // chains, a triangle, a star, isolated vertices — both paths must
+    // produce identical (doc_id, cluster) labelings
+    val vertices = (1L to 30L).toDF("doc_id")
+    val pairs = ((1L until 8L).map(i => (i, i + 1)) ++
+      Seq((10L, 11L), (11L, 12L), (10L, 12L)) ++
+      (21L to 25L).map(i => (20L, i))).toDF("doc_a", "doc_b")
+    val fast = llm.Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = llm.Dedup.connectedComponents(vertices, pairs,
+      maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe dist
+    fast(8L) shouldBe 1L // chain end reached its min label
+    fast(25L) shouldBe 20L // star leaves take the hub's min
+    fast(30L) shouldBe 30L // isolated
   }
 }
 
