@@ -635,5 +635,63 @@ object LlmQueries {
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS smp_rank " +
         "FROM documents) " +
         "SELECT lang, CAST(smp_rank AS INT) AS smp_rank, doc_id, h " +
-        "FROM r WHERE smp_rank <= 20 ORDER BY lang, smp_rank")))
+        "FROM r WHERE smp_rank <= 20 ORDER BY lang, smp_rank")),
+
+    "q_text_shard" -> Q(
+      (spark, dir) => {
+        // global shuffle + sharding for distributed training: a
+        // deterministic pseudorandom permutation (md5 hash order, RNG-free)
+        // assigns each doc a round-robin shard and an in-shard position.
+        // The global rank comes from the scalable GlobalOrder cumsum —
+        // range partition + offset merge, never a single-partition window.
+        val d = Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        graft.ops.GlobalOrder.rankAndCumsum(d,
+            Seq(col("h"), col("doc_id")), "__rank")
+          .select(col("doc_id"), col("h"),
+            pmod(col("__rank") - 1, lit(16)).cast("int").as("shard"),
+            expr("(__rank - 1) div 16").as("pos"))
+          .orderBy("doc_id")
+      },
+      Some("WITH r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, " +
+        "ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), " +
+        "doc_id) AS rk FROM documents) " +
+        "SELECT doc_id, h, CAST((rk - 1) % 16 AS INT) AS shard, " +
+        "CAST((rk - 1)//16 AS BIGINT) AS pos FROM r ORDER BY doc_id")),
+
+    "q_sample_mixture" -> Q(
+      (spark, dir) => {
+        // source-mixture rebalancing: downsample every source toward ~10
+        // docs via a deterministic hash threshold (rate k/256, k from the
+        // per-source counts). The rate table is tiny → broadcast; the keep
+        // decision is a narrow filter — one agg + one broadcast join at
+        // any corpus size, no per-source window.
+        val d = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        val rates = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+          .withColumn("k",
+            least(lit(256L), expr("(256 * 10) div n_src")))
+        val kept = d.join(broadcast(rates), "source")
+          .filter(col("k") >= 256 ||
+            substring(col("h"), 1, 2) < format_string("%02x", col("k")))
+        kept.groupBy("source")
+          .agg(min(col("n_src")).as("n_src"),
+            count(lit(1)).as("n_sampled"),
+            Cols.fround(count(lit(1)).cast("double") / min(col("n_src")),
+              6).as("rate"))
+          .orderBy("source")
+      },
+      Some("WITH d AS (SELECT doc_id, source, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "r AS (SELECT source, COUNT(*) AS n_src, " +
+        "LEAST(256, (256*10)//COUNT(*)) AS k FROM d GROUP BY source), " +
+        "s AS (SELECT d.source, d.h, r.k, r.n_src FROM d " +
+        "JOIN r USING (source) " +
+        "WHERE k >= 256 OR substr(h, 1, 2) < printf('%02x', k)) " +
+        "SELECT source, CAST(MIN(n_src) AS BIGINT) AS n_src, " +
+        "COUNT(*) AS n_sampled, " +
+        Cols.froundSql("CAST(COUNT(*) AS DOUBLE)/MIN(n_src)", 6) +
+        " AS rate FROM s GROUP BY source ORDER BY source")))
 }

@@ -92,6 +92,44 @@ class LlmPipelineSpec extends AnyFunSuite with Matchers with SparkTest {
     got shouldBe Map(1L -> 3L, 3L -> 1L)
   }
 
+  test("shard assignment is a balanced permutation in hash order") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Registry.all("q_text_shard").fn(spark, sf)
+      .select("doc_id", "h", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    // (shard, pos) is a bijection onto 0..n-1 in hash order
+    got.map(t => (t._3, t._4)).distinct.length shouldBe got.length
+    val byRank = got.sortBy(t => (t._2, t._1)) // md5 order = rank order
+    byRank.zipWithIndex.foreach { case ((_, _, shard, pos), i) =>
+      shard shouldBe i % 16
+      pos shouldBe i / 16
+    }
+    // round-robin keeps shard sizes within 1 of each other
+    val sizes = got.groupBy(_._3).values.map(_.size)
+    (sizes.max - sizes.min) should be <= 1
+  }
+
+  test("mixture: big sources downsampled by hash threshold, small kept whole") {
+    import spark.implicits._
+    val big = (0L until 50L).map(i => (i, s"doc $i text", "en", "big", 10L))
+    val small = (100L until 105L).map(i =>
+      (i, s"doc $i text", "en", "small", 10L))
+    val dir = sfDirWith((big ++ small)
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = run("q_sample_mixture", dir)
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got("small") shouldBe ((5L, 5L)) // k capped at 256 → keep all
+    // big: k = 2560/50 = 51 = 0x33 → docs with md5 2-hex-prefix < "33"
+    val expectBig = big.map(_._1).count { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.substring(0, 2) < "33"
+    }
+    got("big")._1 shouldBe 50L
+    got("big")._2 shouldBe expectBig.toLong
+  }
+
   test("stratified sample: salted two-phase equals the naive global window") {
     val sf = "/root/testdata/sf0.001"
     val got = Registry.all("q_sample_stratified").fn(spark, sf)

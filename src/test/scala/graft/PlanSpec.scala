@@ -129,6 +129,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     plan("q_dedup_apply") should include("partial_")
   }
 
+  test("shard assignment never funnels through a single partition") {
+    plan("q_text_shard") should not include "SinglePartition"
+  }
+
+  test("mixture sampling broadcasts the tiny rate table") {
+    val p = plan("q_sample_mixture")
+    p should include("BroadcastHashJoin")
+  }
+
   test("exact cosine kernels are distributed block-pair groups") {
     // the pair space must be built by a shuffled group-local kernel —
     // never a driver-side collect/broadcast of the full embedding table
