@@ -493,9 +493,12 @@ object LlmQueries {
         // benchmark-contamination check: eval set = doc_id % 20 == 0; for
         // every train doc, the count/fraction of its distinct 3-gram
         // shingles that appear anywhere in the eval set. The eval shingle
-        // set is DISTINCT, so the probe is a semi-join on sh — per-shingle
-        // fanout is 0/1 by construction and a hot stopword trigram cannot
-        // explode the join (unlike a pair join, there is no d² term).
+        // set is DISTINCT and small by construction (a benchmark suite,
+        // not the corpus) → BROADCAST semi-join: the keep decision is a
+        // narrow probe, so a hot stopword trigram's corpus-wide posting
+        // list never funnels into one shuffle task; per-shingle fanout is
+        // 0/1 (no d² term). For an eval set too big to broadcast, drop
+        // the hint and take the shuffle semi-join.
         val docs3 = Tables(spark, dir, "documents")
           .filter(size(split(col("text"), " ")) >= 3)
         val sh = Dedup.withShingles(docs3)
@@ -505,7 +508,7 @@ object LlmQueries {
         val trainSh = sh.filter(col("doc_id") % 20 =!= 0)
         val sizes = trainSh.groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"))
-        val shared = trainSh.join(evalSh, Seq("sh"), "left_semi")
+        val shared = trainSh.join(broadcast(evalSh), Seq("sh"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         sizes.join(shared, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_shingles"),

@@ -107,10 +107,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
-  test("contamination probe is a semi-join (no pair fanout)") {
-    // the eval-shingle probe must stay a semi-join: per-shingle fanout is
-    // 0/1 by construction, so a hot stopword trigram cannot explode it
-    plan("q_text_contamination") should include("LeftSemi")
+  test("contamination probe is a broadcast semi-join (narrow, no fanout)") {
+    // the eval-shingle probe must stay a BROADCAST semi-join: narrow keep
+    // decision (no shuffle task ever owns a hot trigram's posting list)
+    // and 0/1 per-shingle fanout
+    val p = plan("q_text_contamination")
+    p should include("LeftSemi")
+    p should include("BroadcastHashJoin")
   }
 
   test("repetition signal is computed narrow (no pre-sort shuffle)") {
