@@ -182,27 +182,10 @@ object Dedup {
     if (pairList.count() <= maxDriverEdges) {
       val collected = pairList.collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.getOrDefault(x, x) != x) {
-          val p = parent.get(x)
-          parent.put(x, parent.getOrDefault(p, p)) // path halving
-          x = parent.get(x)
-        }
-        x
-      }
-      collected.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        // union by min keeps the canonical label = min doc_id directly
-        if (ra < rb) parent.put(rb, ra)
-        else if (rb < ra) parent.put(ra, rb)
-      }
-      val labels = collected.flatMap { case (a, b) => Seq(a, b) }.distinct
-        .map(v => (v, find(v)))
       val spark = vertices.sparkSession
       import spark.implicits._
-      val labelDf = labels.toSeq.toDF("doc_id", "__root")
+      val labelDf = unionFindLabels(collected).toSeq
+        .toDF("doc_id", "__root")
       return vertices.join(broadcast(labelDf), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("__root"), col("doc_id")).as("cluster"))
@@ -239,6 +222,34 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIters iterations")
     labels.select(col("doc_id"), col("root").as("cluster"))
+  }
+
+  /** Exact union-find labeling of the edge-involved vertices: map from
+    * vertex → min doc_id of its component (vertices with no edges are
+    * absent — they label themselves downstream). Union-by-min + path
+    * halving; pure and order-free, so property-testable without Spark
+    * (KernelProps pins it against a brute-force closure).
+    */
+  private[graft] def unionFindLabels(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) {
+        val p = parent.get(x)
+        parent.put(x, parent.getOrDefault(p, p)) // path halving
+        x = parent.get(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // union by min keeps the canonical label = min doc_id directly
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(v => (v, find(v)))
   }
 
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle: inverted index →

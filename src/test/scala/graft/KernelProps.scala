@@ -94,4 +94,37 @@ object KernelProps extends Properties("kernels") {
       q.sliding(2).forall { case Array(a, b) => a <= b + 1e-12; case _ => true } &&
         q.forall(v => v <= 1.0 + 1e-12)
     }
+
+  private val graphEdges: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      a <- Gen.choose(0L, 24L)
+      b <- Gen.choose(0L, 24L) if a != b
+    } yield (a, b))
+
+  property("union-find labels = brute-force component minima") =
+    forAll(graphEdges) { edges0 =>
+      val edges = edges0.toArray
+      // brute-force closure: repeatedly propagate the min label over
+      // undirected edges until fixpoint
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val label = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m) { label(a) = m; changed = true }
+          if (label(b) != m) { label(b) = m; changed = true }
+        }
+      }
+      llm.Dedup.unionFindLabels(edges).toMap == label.toMap
+    }
+
+  property("union-find is edge-order invariant") =
+    forAll(graphEdges, Gen.long) { (edges0, seed) =>
+      val edges = edges0.toArray
+      val shuffled = new scala.util.Random(seed).shuffle(edges0).toArray
+      llm.Dedup.unionFindLabels(edges).toMap ==
+        llm.Dedup.unionFindLabels(shuffled).toMap
+    }
 }
