@@ -58,9 +58,14 @@ object Pipeline {
     // this layout, and per-pass scoring reads the same cache (bhQ
     // re-partitions on p_value regardless, so scoring gains nothing from
     // a second, unranged copy — which round 7 still paid for)
+    // the range exchange SAMPLES its child before shuffling — persist the
+    // source so the filter/classify/bias-join lineage runs once, not
+    // twice; released as soon as pass 1 has materialized the ranged cache
+    // (same pattern as GlobalOrder's src persist)
+    val src = withBias.persist()
     val spark = withBias.sparkSession
     val distOrder = col("dist") +: keys.map(col)
-    val rangedPairs = graft.ops.Caches.register(withBias
+    val rangedPairs = graft.ops.Caches.register(src
       .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
         distOrder: _*)
       .sortWithinPartitions(distOrder: _*)
@@ -75,7 +80,10 @@ object Pipeline {
     for (pass <- 1 to cfg.passes) {
       val bins = Binning.collectBins(nullSource, cfg.nBins, keys,
         assumeRanged = layoutPreserved)
-      if (pass == 1) n = bins.map(_.getAs[Long]("sumCount")).sum
+      if (pass == 1) {
+        n = bins.map(_.getAs[Long]("sumCount")).sum
+        src.unpersist() // pass-1 binning materialized the ranged cache
+      }
       require(n > 0, "no intra-in-range contacts after filtering")
       val scored = scoreFromBins(rangedPairs, bins, n, m, cfg)
         .withColumn("pass", lit(pass))

@@ -154,25 +154,34 @@ object Dedup {
   /** Connected components over an undirected near-duplicate pair graph —
     * the "keep one per duplicate cluster" primitive.
     *
+    * PRECONDITION: every pair endpoint must appear in `vertices` (callers
+    * derive pairs from the same filtered doc set, as q_dedup_cluster
+    * does). Endpoints outside `vertices` would propagate labels on the
+    * driver path but be dropped by the join on the distributed path — the
+    * two paths agree exactly only under the precondition.
+    *
     * Hybrid, same trade as the KR solver (hic/Kr): the near-dup EDGE list
     * is orders of magnitude smaller than the corpus (it's the near-dup
     * pairs, not the documents), so when it fits a driver budget
-    * (`maxDriverEdges`, ~tens of MB) an exact union-find on the driver
-    * replaces the iterative loop — one job to collect the edges, one
-    * broadcast join to label the corpus-sized vertex set, instead of
-    * O(diameter) join+agg+checkpoint rounds. Above the cap, Pregel-style
-    * min-label propagation: every vertex starts as its own root; each
-    * iteration takes the min root over itself and its neighbors; stop at
-    * fixpoint (≤ graph diameter iterations — near-dup clusters are
-    * shallow). Per iteration: ONE join+agg shuffle over the edge list and
-    * an O(1)-row convergence aggregate; labels are localCheckpoint'ed so
-    * the plan stays flat. Both paths are deterministic (min is order-free)
-    * and agree exactly (HybridSpec pins it).
+    * (`maxDriverEdges`) an exact union-find on the driver replaces the
+    * iterative loop — one job to collect the edges, one broadcast join to
+    * label the corpus-sized vertex set, instead of O(diameter)
+    * join+agg+checkpoint rounds. The 1M default is sized for the BOXED
+    * driver representation (collected Rows + a HashMap of boxed longs ≈
+    * 100-200 B/edge → low hundreds of MB worst-case), not the 16 B/edge
+    * raw size. Above the cap, Pregel-style min-label propagation: every
+    * vertex starts as its own root; each iteration takes the min root
+    * over itself and its neighbors; stop at fixpoint (≤ graph diameter
+    * iterations — near-dup clusters are shallow). Per iteration: ONE
+    * join+agg shuffle over the edge list and an O(1)-row convergence
+    * aggregate; labels are localCheckpoint'ed so the plan stays flat.
+    * Both paths are deterministic (min is order-free) and agree exactly
+    * (spec-pinned).
     *
     * Returns (doc_id, cluster) with cluster = min doc_id of the component.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50, maxDriverEdges: Long = 5000000L): DataFrame = {
+      maxIters: Int = 50, maxDriverEdges: Long = 1000000L): DataFrame = {
     // DISK_ONLY: the pair lineage (e.g. the n-gram inverted-index join) is
     // the expensive part — materialize it once for the count + (collect |
     // loop) instead of recomputing it per consumer

@@ -490,22 +490,26 @@ object LlmQueries {
 
     "q_text_contamination" -> Q(
       (spark, dir) => {
-        // benchmark-contamination check: eval set = doc_id % 20 == 0; for
-        // every train doc, the count/fraction of its distinct 3-gram
-        // shingles that appear anywhere in the eval set. The eval shingle
-        // set is DISTINCT and small by construction (a benchmark suite,
-        // not the corpus) → BROADCAST semi-join: the keep decision is a
-        // narrow probe, so a hot stopword trigram's corpus-wide posting
-        // list never funnels into one shuffle task; per-shingle fanout is
-        // 0/1 (no d² term). For an eval set too big to broadcast, drop
-        // the hint and take the shuffle semi-join.
+        // benchmark-contamination check: eval set = doc_id % 20 == 0 AND
+        // doc_id < 20000 — the conjunct caps the eval set at 1000 docs, so
+        // its distinct shingle set is BOUNDED BY CONSTRUCTION (a benchmark
+        // suite, not a corpus fraction) and the broadcast below can never
+        // outgrow the corpus. For every train doc: count/fraction of its
+        // distinct 3-gram shingles appearing anywhere in the eval set.
+        // BROADCAST semi-join: the keep decision is a narrow probe, so a
+        // hot stopword trigram's corpus-wide posting list never funnels
+        // into one shuffle task; per-shingle fanout is 0/1 (no d² term).
         val docs3 = Tables(spark, dir, "documents")
           .filter(size(split(col("text"), " ")) >= 3)
-        val sh = Dedup.withShingles(docs3)
+        // DISK_ONLY: three lineages read the shingle table (eval distinct,
+        // train sizes, train∩eval counts) — same trade as Dedup's
+        // inverted-index persists
+        val sh = graft.ops.Caches.register(Dedup.withShingles(docs3)
           .select(col("doc_id"), explode(col("shingles")).as("sh"))
-        val evalSh = sh.filter(col("doc_id") % 20 === 0)
-          .select("sh").distinct()
-        val trainSh = sh.filter(col("doc_id") % 20 =!= 0)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+        val isEval = col("doc_id") % 20 === 0 && col("doc_id") < 20000
+        val evalSh = sh.filter(isEval).select("sh").distinct()
+        val trainSh = sh.filter(!isEval)
         val sizes = trainSh.groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"))
         val shared = trainSh.join(broadcast(evalSh), Seq("sh"), "left_semi")
@@ -518,8 +522,10 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("WITH " + shingleCtes + ", " +
-        "ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0), " +
-        "tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0), " +
+        "ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0 " +
+        "AND doc_id < 20000), " +
+        "tr AS (SELECT * FROM sh WHERE NOT (doc_id % 20 = 0 " +
+        "AND doc_id < 20000)), " +
         "sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr " +
         "GROUP BY doc_id), " +
         "shared AS (SELECT tr.doc_id, COUNT(*) AS n_shared FROM tr " +
@@ -561,11 +567,13 @@ object LlmQueries {
 
     "q_text_clean" -> Q(
       (spark, dir) => {
-        // text cleaning/normalization: strip markup-ish tags, drop
-        // non-alphanumerics, collapse whitespace, trim — narrow codegen'd
-        // regexp chain, content-addressed output for downstream dedup
+        // text cleaning/normalization: casefold, strip markup-ish tags,
+        // drop non-alphanumerics, collapse whitespace, trim — narrow
+        // codegen'd chain, content-addressed output for downstream dedup
+        // (lower() first so case variants converge to one clean_md5)
         val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
-          col("text"), "<[^>]*>", " "), "[^a-z0-9 ]", ""), " +", " "))
+          lower(col("text")), "<[^>]*>", " "), "[^a-z0-9 ]", ""),
+          " +", " "))
         Tables(spark, dir, "documents")
           .select(col("doc_id"),
             md5(cleaned.cast("binary")).as("clean_md5"),
@@ -577,8 +585,9 @@ object LlmQueries {
         "CAST(length(c) AS INT) AS n_chars_clean, " +
         "CAST(len(string_split(c, ' ')) AS INT) AS n_tokens_clean " +
         "FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(" +
-        "regexp_replace(text, '<[^>]*>', ' ', 'g'), '[^a-z0-9 ]', '', " +
-        "'g'), ' +', ' ', 'g')) AS c FROM documents) ORDER BY doc_id")),
+        "regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM documents) " +
+        "ORDER BY doc_id")),
 
     "q_dedup_apply" -> Q(
       (spark, dir) => {
@@ -666,19 +675,22 @@ object LlmQueries {
     "q_sample_mixture" -> Q(
       (spark, dir) => {
         // source-mixture rebalancing: downsample every source toward ~10
-        // docs via a deterministic hash threshold (rate k/256, k from the
-        // per-source counts). The rate table is tiny → broadcast; the keep
-        // decision is a narrow filter — one agg + one broadcast join at
-        // any corpus size, no per-source window.
+        // docs via a deterministic hash threshold (rate k/65536, k from
+        // the per-source counts, floored at 1 so a source is never
+        // silently dropped however large it is — at 1/65536 granularity a
+        // 655k-doc source still lands near the target). The rate table is
+        // tiny → broadcast; the keep decision is a narrow filter — one
+        // agg + one broadcast join at any corpus size, no per-source
+        // window.
         val d = Tables(spark, dir, "documents")
           .select(col("doc_id"), col("source"),
             md5(col("doc_id").cast("string").cast("binary")).as("h"))
         val rates = d.groupBy("source").agg(count(lit(1)).as("n_src"))
-          .withColumn("k",
-            least(lit(256L), expr("(256 * 10) div n_src")))
+          .withColumn("k", greatest(lit(1L),
+            least(lit(65536L), expr("(65536 * 10) div n_src"))))
         val kept = d.join(broadcast(rates), "source")
-          .filter(col("k") >= 256 ||
-            substring(col("h"), 1, 2) < format_string("%02x", col("k")))
+          .filter(col("k") >= 65536 ||
+            substring(col("h"), 1, 4) < format_string("%04x", col("k")))
         kept.groupBy("source")
           .agg(min(col("n_src")).as("n_src"),
             count(lit(1)).as("n_sampled"),
@@ -689,10 +701,11 @@ object LlmQueries {
       Some("WITH d AS (SELECT doc_id, source, " +
         "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
         "r AS (SELECT source, COUNT(*) AS n_src, " +
-        "LEAST(256, (256*10)//COUNT(*)) AS k FROM d GROUP BY source), " +
+        "GREATEST(1, LEAST(65536, (65536*10)//COUNT(*))) AS k " +
+        "FROM d GROUP BY source), " +
         "s AS (SELECT d.source, d.h, r.k, r.n_src FROM d " +
         "JOIN r USING (source) " +
-        "WHERE k >= 256 OR substr(h, 1, 2) < printf('%02x', k)) " +
+        "WHERE k >= 65536 OR substr(h, 1, 4) < printf('%04x', k)) " +
         "SELECT source, CAST(MIN(n_src) AS BIGINT) AS n_src, " +
         "COUNT(*) AS n_sampled, " +
         Cols.froundSql("CAST(COUNT(*) AS DOUBLE)/MIN(n_src)", 6) +

@@ -64,16 +64,16 @@ class LlmPipelineSpec extends AnyFunSuite with Matchers with SparkTest {
     got(2L) shouldBe ((2, 2, 0.0))
   }
 
-  test("clean: tags stripped, punctuation dropped, whitespace collapsed") {
+  test("clean: casefolded, tags stripped, punctuation dropped, spaces collapsed") {
     import spark.implicits._
     val dir = sfDirWith(Seq(
-      (1L, "hello <b>world</b>!! 42", "en", "s", 23L))
+      (1L, "Hello <B>World</B>!! 42", "en", "s", 23L))
       .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val r = run("q_text_clean", dir).head
-    // "hello <b>world</b>!! 42" → "hello world 42"
+    // "Hello <B>World</B>!! 42" → "hello world 42" (lower() first, so
+    // case variants converge to the same content address)
     r.getInt(2) shouldBe 14
     r.getInt(3) shouldBe 3
-    import spark.implicits._
     val expectMd5 = Seq("hello world 42").toDF("t")
       .select(md5(col("t").cast("binary"))).head.getString(0)
     r.getString(1) shouldBe expectMd5
@@ -118,16 +118,35 @@ class LlmPipelineSpec extends AnyFunSuite with Matchers with SparkTest {
       .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val got = run("q_sample_mixture", dir)
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    got("small") shouldBe ((5L, 5L)) // k capped at 256 → keep all
-    // big: k = 2560/50 = 51 = 0x33 → docs with md5 2-hex-prefix < "33"
+    got("small") shouldBe ((5L, 5L)) // k capped at 65536 → keep all
+    // big: k = 655360/50 = 13107 = 0x3333 → md5 4-hex-prefix < "3333"
     val expectBig = big.map(_._1).count { id =>
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      h.substring(0, 2) < "33"
+      h.substring(0, 4) < "3333"
     }
     got("big")._1 shouldBe 50L
     got("big")._2 shouldBe expectBig.toLong
+  }
+
+  test("mixture: a source far above the rate granularity is never dropped") {
+    import spark.implicits._
+    // n_src > 65536·10 floors the integer rate to 0 — the k >= 1 floor
+    // must keep a thin deterministic sample instead of silently dropping
+    // the source (md5 prefixes are ~uniform: P(no "000x"-prefixed id in
+    // 66k) ≈ (1 − 2^-16)^66000 ≈ e^-1 … so assert only non-emptiness of
+    // the OUTPUT ROW, which the GROUP BY guarantees iff ≥1 doc survives;
+    // with 700k docs the expected survivors are ~10.7 and P(0) < 1e-4)
+    val huge = (0L until 700000L).map(i => (i, "x y z", "en", "huge", 5L))
+    val dir = sfDirWith(huge.toDF("doc_id", "text", "lang", "source",
+      "n_chars"))
+    val got = run("q_sample_mixture", dir)
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.contains("huge") shouldBe true // not silently dropped
+    got("huge")._1 shouldBe 700000L
+    got("huge")._2 should be > 0L
+    got("huge")._2 should be < 100L // k=1 → ~700000/65536 ≈ 11 kept
   }
 
   test("stratified sample: salted two-phase equals the naive global window") {
