@@ -77,13 +77,18 @@ object Similarity {
       : DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val typed = embeddings
-      .select(col("vec_id"), col("label"), col("embedding"))
-      .as[(Long, Int, Seq[Float])]
-    val b = numBlocks(embeddings.count(),
+    // ONE corpus scan: the cached quantized dataset feeds both the block
+    // count and the kernel (counting the raw input plan separately would
+    // re-execute an arbitrary upstream lineage twice). Zero-norm vectors
+    // (all elements under the quantization threshold) are excluded: their
+    // cosine is 0/0 = NaN, which the local top-k heap would evict as WORST
+    // while the final desc sort ranks NaN as BEST — an undefined
+    // similarity has no place in either ranking.
+    val typed = quantized(embeddings).filter(_._4 > 0L)
+    val b = numBlocks(typed.count(),
       spark.sparkContext.defaultParallelism)
     typed
-      .map { case (id, label, emb) => quantVec(id, label, emb) }
+      .map { case (id, label, q, n2) => QVec(id, label, q, n2) }
       .flatMap { v =>
         // floorMod: a JVM % on a negative id would route the vector to a
         // negative block key its partners never emit to — every pair
@@ -131,12 +136,21 @@ object Similarity {
     */
   def cosineTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val pairs = blockPairs(embeddings) { stream =>
+      // heap max (= head) is the WORST kept pair under this ordering, so
+      // once the heap is full the common case is one compare against the
+      // head — not an O(log k) enqueue+dequeue plus tuple garbage for
+      // every one of the O(n²/B²) pairs that don't make the cut
+      val ord: Ordering[(Double, Long, Long)] =
+        Ordering.by(t => (-t._1, t._2, t._3))
       val topk = scala.collection.mutable.PriorityQueue
-        .empty[(Double, Long, Long)](Ordering.by(t => (-t._1, t._2, t._3)))
+        .empty[(Double, Long, Long)](ord)
       stream.foreach { case (va, vb, cos) =>
         val cosR = math.floor(cos * 1e6 + 0.5) / 1e6 // == Cols.fround 6
-        topk.enqueue((cosR, va, vb))
-        if (topk.size > k) topk.dequeue()
+        if (topk.size < k) topk.enqueue((cosR, va, vb))
+        else {
+          val cand = (cosR, va, vb)
+          if (ord.lt(cand, topk.head)) { topk.dequeue(); topk.enqueue(cand) }
+        }
       }
       topk.iterator.map { case (cos, va, vb) => (va, vb, cos) }
     }
@@ -177,15 +191,11 @@ object Similarity {
     graft.ops.Caches.register(embeddings
       .select(col("vec_id"), col("label"), col("embedding"))
       .as[(Long, Int, Seq[Float])]
+      // quantVec is THE quantization discipline (oracle-parity-critical);
+      // one implementation, every path
       .map { case (id, label, e) =>
-        val q = new Array[Long](e.length)
-        var n2 = 0L
-        var i = 0
-        val it = e.iterator
-        while (it.hasNext) {
-          q(i) = quant(it.next()); n2 += q(i) * q(i); i += 1
-        }
-        (id, label, q, n2)
+        val v = quantVec(id, label, e)
+        (v.id, v.label, v.q, v.n2)
       }
       .persist())
   }
@@ -278,7 +288,10 @@ object Similarity {
       while (i < a.length) { dot += a(i) * b(i); i += 1 }
       dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
     })
+    // zero-norm vectors have undefined cosine (0/0 = NaN) — excluded from
+    // both legs, same contract as blockPairs
     val typedDf = typed.toDF("vec_id", "label", "q", "n2")
+      .filter(col("n2") > 0)
     val assigned = typedDf
       .withColumn("c", assignU(col("q")))
       .select(col("vec_id").as("nb"), col("label").as("nb_label"),

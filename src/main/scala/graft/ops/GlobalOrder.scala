@@ -38,6 +38,9 @@ object GlobalOrder {
     * (LongType) — and, if `cum` is given, a column holding the inclusive
     * global running sum of `cum._1` (cast to long) named `cum._2`.
     * `orderCols` must define a total order (include a unique tiebreak).
+    * Null cum values contribute 0 and the output is non-nullable — this
+    * DIVERGES from SQL's `SUM(...) OVER` (null until the first non-null):
+    * callers mirroring a SQL-window oracle must pre-coalesce nulls.
     */
   def rankAndCumsum(df: DataFrame, orderCols: Seq[Column], rankCol: String,
       cum: Option[(Column, String)] = None,
@@ -130,20 +133,29 @@ object GlobalOrder {
     for ((_, name) <- cum)
       outSchema = outSchema.add(name, LongType, nullable = false)
     if (keepPid) outSchema = outSchema.add(PID, IntegerType, nullable = false)
+    // single-array row build: this narrow pass touches EVERY row of the
+    // table inside the consumer's job, so the per-row cost matters — one
+    // preallocated Array[Any] and one wrap, not toSeq + repeated :+
+    // copies (up to 4 backing-array copies per row)
+    val nBase = df.schema.fields.length
+    val nOut = nBase + 1 + (if (cum.isDefined) 1 else 0) +
+      (if (keepPid) 1 else 0)
     val outRdd = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       val (roff, soff) = offs.getOrElse(pid, (0L, 0L))
       var i = 0L
       var s = 0L
       it.map { r =>
         i += 1
-        val base = if (hasCum) r.toSeq.dropRight(1) else r.toSeq
-        var vals = base :+ (roff + i)
+        val arr = new Array[Any](nOut)
+        var c = 0
+        while (c < nBase) { arr(c) = r.get(c); c += 1 }
+        arr(nBase) = roff + i
         if (hasCum) {
           if (!r.isNullAt(cumIdx)) s += r.getLong(cumIdx)
-          vals = vals :+ (soff + s)
+          arr(nBase + 1) = soff + s
         }
-        if (keepPid) vals = vals :+ pid
-        Row.fromSeq(vals)
+        if (keepPid) arr(nOut - 1) = pid
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
       }
     }
     val out = spark.createDataFrame(outRdd, outSchema)

@@ -9,6 +9,17 @@ import graft.{Q, Tables}
   * sort-merge + AQE.
   */
 object Joins {
+  /** Bucketed-table tmp paths with a registered exit-time cleanup. */
+  private val bucketedPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   import org.apache.spark.sql.expressions.Window
 
   def queries: Map[String, Q] = Map(
@@ -45,6 +56,12 @@ object Joins {
         val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
           ProcessHandle.current().pid()
         val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+        // the pid-unique path is never reused by another JVM — delete it
+        // on exit or every run leaks a bucketed copy of the two largest
+        // tables into tmpdir (registered once per path)
+        if (bucketedPaths.add(base))
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            deleteRecursively(new java.io.File(base))))
         val l = Tables(spark, dir, "lineitem")
           .select("l_orderkey", "l_quantity")
         val o = Tables(spark, dir, "orders")
@@ -248,8 +265,8 @@ object Joins {
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * 100, 0).cast("long")).as("__rev_c"),
+          .agg(sum(Cols.cents(col("l_extendedprice") *
+            (lit(1) - col("l_discount")))).as("__rev_c"),
             count(lit(1)).as("n"))
           .select(col("n_name"),
             (col("__rev_c").cast("double") / 100.0).as("revenue"), col("n"))

@@ -83,10 +83,10 @@ object Windows {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         Tables(spark, dir, "events")
           .select(col("event_id"), col("user_id"),
-            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
-              .as("gap_us"),
-            (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
-              .as("next_gap_us"))
+            (Cols.epochUs(col("ts")) -
+              Cols.epochUs(lag(col("ts"), 1).over(w))).as("gap_us"),
+            (Cols.epochUs(lead(col("ts"), 1).over(w)) -
+              Cols.epochUs(col("ts"))).as("next_gap_us"))
           .orderBy("event_id")
       },
       Some("SELECT event_id, user_id, " +
