@@ -20,5 +20,7 @@ object Registry {
       ops.Functions.queries ++
       hic.HicQueries.queries ++
       llm.LlmQueries.queries ++
+      llm.EmbedQueries.queries ++
+      llm.CorpusStats.queries ++
       stream.StreamQueries.queries
 }

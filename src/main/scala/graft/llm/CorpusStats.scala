@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Corpus-profiling queries a training-data pipeline runs before any
+  * filtering decision: length distributions (what does a cutoff at X
+  * characters actually drop, per language?) and n-gram frequency tables
+  * (the raw material for stopword lists and contamination probes).
+  * Both are single-shuffle aggregations whose reduced output is tiny at
+  * any corpus size.
+  */
+object CorpusStats {
+  def queries: Map[String, Q] = Map(
+    "q_text_length_hist" -> Q(
+      (spark, dir) =>
+        // per-language document-length histogram, 50-char buckets:
+        // one hash aggregation (map-side partials absorb any hot
+        // language), output bounded by |langs|×|buckets|.
+        Tables(spark, dir, "documents")
+          .select(col("lang"), expr("n_chars div 50").as("bucket"),
+            col("n_chars"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang", "bucket"),
+      Some("SELECT lang, n_chars//50 AS bucket, COUNT(*) AS n_docs, " +
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY lang, bucket ORDER BY lang, bucket")),
+
+    "q_text_bigrams" -> Q(
+      (spark, dir) =>
+        // corpus-wide top-40 bigram table: the adjacent-pair transform
+        // is narrow (higher-order functions over the token array), the
+        // only shuffle is the count aggregation, and the result leaves
+        // the cluster as a 40-row TakeOrdered — no global sort.
+        Tables(spark, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr("transform(sequence(0, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("bigram"))
+          .limit(40),
+      Some("SELECT bg AS bigram, COUNT(*) AS cnt FROM " +
+        "(SELECT unnest(list_transform(generate_series(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1])) AS bg " +
+        "FROM (SELECT string_split(text, ' ') AS t FROM documents) " +
+        "WHERE len(t) >= 2) " +
+        "GROUP BY bg ORDER BY cnt DESC, bigram LIMIT 40")))
+}

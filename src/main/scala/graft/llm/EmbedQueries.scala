@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.ops.Cols
+
+/** Embedding-column corpus operators beyond pair similarity: norm
+  * auditing, per-label centroids, and SemDedup-style semantic dedup
+  * (connected components over the cosine-threshold near-dup graph —
+  * Abbas et al. 2023's "keep one representative per semantic cluster",
+  * expressed with the exact pair kernel plus the shared CC operator).
+  *
+  * All vector math uses the ×1e7 integer quantization (the
+  * [[Similarity]] / [[LlmQueries]] discipline): per-element BIGINT
+  * lifts make every sum exact and shuffle-order-independent, so the
+  * DuckDB oracles hash-match bit-for-bit.
+  */
+object EmbedQueries {
+  /** Spark twin of the oracle's qv CTE: embedding → ×1e7 BIGINT array. */
+  private val qArr = "transform(embedding, x -> " +
+    "cast(round(cast(x as double)*10000000, 0) as bigint))"
+
+  def queries: Map[String, Q] = Map(
+    "q_embed_norms" -> Q(
+      (spark, dir) =>
+        // per-vector L2 norm audit (embedding hygiene: unnormalized or
+        // near-zero vectors poison cosine math downstream). n2 is the
+        // exact quantized squared norm; the norm itself is one sqrt +
+        // one division — identical IEEE ops on identical inputs in both
+        // engines. Fully narrow: the scan parallelism is the plan.
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr(s"aggregate($qArr, 0L, (acc, v) -> acc + v * v)")
+              .as("n2"))
+          .select(col("vec_id"), col("label"), col("n2"),
+            Cols.fround(sqrt(col("n2").cast("double")) / lit(1e7), 6)
+              .as("l2_norm"))
+          .orderBy("vec_id"),
+      Some("WITH qv AS (SELECT vec_id, " +
+        "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
+        "FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)), " +
+        "nrm AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2 FROM qv " +
+        "GROUP BY vec_id) " +
+        "SELECT e.vec_id, e.label, nrm.n2, " +
+        Cols.froundSql("SQRT(CAST(nrm.n2 AS DOUBLE))/1e7", 6) +
+        " AS l2_norm FROM embeddings e JOIN nrm USING (vec_id) " +
+        "ORDER BY vec_id")),
+
+    "q_embed_centroid" -> Q(
+      (spark, dir) =>
+        // per-label centroid (the building block behind IVF coarse
+        // quantizers and SemDedup cluster representatives): posexplode
+        // to (label, dim, q) and sum EXACT quantized integers — the
+        // centroid is bit-reproducible under any partitioning because
+        // no float addition ever reorders. Shuffle volume is
+        // |labels|×dim partial-sum rows, not the corpus.
+        Tables(spark, dir, "embeddings")
+          .select(col("label"), posexplode(expr(qArr)).as(Seq("dim", "q")))
+          .groupBy("label", "dim")
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+          .select(col("label"), col("dim"), col("n"), col("sum_q"),
+            Cols.fround(col("sum_q").cast("double") / col("n"), 6)
+              .as("centroid"))
+          .orderBy("label", "dim"),
+      Some("WITH qv AS (SELECT label, i, " +
+        "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
+        "FROM (SELECT label, generate_subscripts(embedding, 1) AS i, " +
+        "unnest(embedding) AS v FROM embeddings)) " +
+        "SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n, " +
+        "CAST(SUM(q) AS BIGINT) AS sum_q, " +
+        Cols.froundSql("CAST(SUM(q) AS DOUBLE)/COUNT(*)", 6) +
+        " AS centroid FROM qv GROUP BY label, i ORDER BY label, dim")),
+
+    "q_dedup_semantic" -> Q(
+      (spark, dir) => {
+        // SemDedup: semantic duplicate clusters = connected components
+        // of the cosine ≥ 0.35 graph; keep the min-vec_id representative
+        // per cluster. Pairs come from the bounded block-pair kernel
+        // (never all-pairs materialized), components from the hybrid CC
+        // operator (driver union-find under the edge budget, distributed
+        // min-label propagation above it).
+        val emb = Tables(spark, dir, "embeddings")
+        val pairs = Similarity.cosineAbove(emb, 0.35)
+          .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+        val cc = Dedup.connectedComponents(
+          emb.select(col("vec_id").as("doc_id")), pairs)
+        val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
+        cc.join(sizes, "cluster")
+          .select(col("doc_id").as("vec_id"), col("cluster"), col("csize"),
+            (col("doc_id") === col("cluster")).cast("int").as("keep"))
+          .orderBy("vec_id")
+      },
+      Some("WITH RECURSIVE " + LlmQueries.qvecsSql + ", " +
+        "p AS (SELECT va, vb FROM sims WHERE cos >= 0.35), " +
+        "e AS (SELECT va AS a, vb AS b FROM p " +
+        "UNION ALL SELECT vb, va FROM p), " +
+        "reach(v, root) AS (" +
+        "SELECT vec_id, vec_id FROM embeddings " +
+        "UNION " +
+        "SELECT e.b, reach.root FROM reach JOIN e ON reach.v = e.a), " +
+        "cc AS (SELECT v, MIN(root) AS cluster FROM reach GROUP BY v), " +
+        "s AS (SELECT cluster, COUNT(*) AS csize FROM cc " +
+        "GROUP BY cluster) " +
+        "SELECT cc.v AS vec_id, cc.cluster, s.csize, " +
+        "CAST(cc.v = cc.cluster AS INT) AS keep FROM cc " +
+        "JOIN s USING (cluster) ORDER BY vec_id")))
+}

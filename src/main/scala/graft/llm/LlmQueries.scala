@@ -23,8 +23,10 @@ object LlmQueries {
     "cast(round(cast(x as double)*10000000, 0) as bigint)), " +
     "0L, (acc, v) -> acc + v * v)"
 
-  /** DuckDB: quantized vectors via unnest + generate_subscripts. */
-  private val qvecsSql =
+  /** DuckDB: quantized vectors via unnest + generate_subscripts.
+    * Shared with [[EmbedQueries]] (same ×1e7 discipline, same CTE names).
+    */
+  private[llm] val qvecsSql =
     "qv AS (SELECT vec_id, label, i, CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0)" +
       " AS BIGINT) AS q FROM (SELECT vec_id, label, " +
       "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v " +

@@ -43,6 +43,33 @@ object Aggregates {
         "GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus")),
 
+    "q_agg_percentile" -> Q(
+      (spark, dir) => {
+        // exact quartiles over the cents-lifted price: order statistics
+        // on exact integers, so the linear interpolation ((1−d)·lo+d·hi
+        // with d ∈ {0,.25,.5,.75}) is exact in double on both engines.
+        // Exact percentile buffers one group's values in a single agg
+        // buffer — at 100 TB the path is approx_percentile with fixed
+        // accuracy; exact is used here for oracle parity at test SF.
+        val c = "cast(round(l_extendedprice*100, 0) as bigint)"
+        Tables(spark, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            Cols.fround(expr(s"percentile($c, 0.25)") / 100, 4).as("p25"),
+            Cols.fround(expr(s"percentile($c, 0.5)") / 100, 4).as("p50"),
+            Cols.fround(expr(s"percentile($c, 0.75)") / 100, 4).as("p75"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val c = "CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)"
+        "SELECT l_returnflag, COUNT(*) AS n, " +
+          Cols.froundSql(s"quantile_cont($c, 0.25)/100", 4) + " AS p25, " +
+          Cols.froundSql(s"quantile_cont($c, 0.5)/100", 4) + " AS p50, " +
+          Cols.froundSql(s"quantile_cont($c, 0.75)/100", 4) + " AS p75 " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      }),
+
     "q_agg_distinct" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "lineitem")
