@@ -18,6 +18,7 @@ object Registry {
       ops.Windows.queries ++
       ops.SetsSorts.queries ++
       ops.Functions.queries ++
+      ops.Subqueries.queries ++
       hic.HicQueries.queries ++
       llm.LlmQueries.queries ++
       llm.EmbedQueries.queries ++

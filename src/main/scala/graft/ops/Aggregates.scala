@@ -70,6 +70,54 @@ object Aggregates {
           "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
       }),
 
+    "q_agg_listagg" -> Q(
+      (spark, dir) => {
+        // ordered string aggregation (LISTAGG): collect_list is
+        // nondeterministic under shuffle, so the deterministic form is
+        // sort_array before join — one hash agg, output |regions| rows.
+        val nation = Tables(spark, dir, "nation")
+        val region = Tables(spark, dir, "region")
+        nation.join(broadcast(region),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_nations"),
+            array_join(sort_array(collect_list(col("n_name"))), ",")
+              .as("nations"))
+          .orderBy("r_name")
+      },
+      Some("SELECT r_name, COUNT(*) AS n_nations, " +
+        "STRING_AGG(n_name, ',' ORDER BY n_name) AS nations " +
+        "FROM nation JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name")),
+
+    "q_agg_unpivot" -> Q(
+      (spark, dir) => {
+        // wide→long unpivot (melt): per-flag exact-integer measures to a
+        // (flag, metric, value) table. The unpivot itself is narrow (an
+        // Expand node — no shuffle beyond the feeding aggregation).
+        val wide = Tables(spark, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+            count(lit(1)).as("n_rows"))
+        wide.unpivot(
+            ids = Array(col("l_returnflag")),
+            values = Array(col("sum_qty"), col("sum_price_c"),
+              col("n_rows")),
+            variableColumnName = "metric",
+            valueColumnName = "value")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("WITH w AS (SELECT l_returnflag, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)" +
+        " AS sum_price_c, COUNT(*) AS n_rows FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, metric, value FROM (" +
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w " +
+        "UNION ALL SELECT l_returnflag, 'sum_price_c', sum_price_c FROM w " +
+        "UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w) " +
+        "ORDER BY l_returnflag, metric")),
+
     "q_agg_distinct" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "lineitem")

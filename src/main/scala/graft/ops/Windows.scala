@@ -107,5 +107,30 @@ object Windows {
       Some("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
         "NTILE(10) OVER (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice, o_orderkey) AS decile " +
-        "FROM orders ORDER BY o_orderkey")))
+        "FROM orders ORDER BY o_orderkey")),
+
+    "q_win_first_last" -> Q(
+      (spark, dir) => {
+        // first/last/nth over an explicit unbounded frame: cheapest and
+        // runner-up order per priority, visible on every row. The frame
+        // must be UNBOUNDED..UNBOUNDED — last_value under the default
+        // frame (..CURRENT ROW) is the classic window footgun.
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            first(col("o_orderkey")).over(w).as("cheapest_key"),
+            last(col("o_orderkey")).over(w).as("priciest_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("runner_up_key"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderpriority, " +
+        "FIRST_VALUE(o_orderkey) OVER w AS cheapest_key, " +
+        "LAST_VALUE(o_orderkey) OVER w AS priciest_key, " +
+        "NTH_VALUE(o_orderkey, 2) OVER w AS runner_up_key " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_orderkey")))
 }

@@ -153,4 +153,36 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
       p should not include "CartesianProduct"
     }
   }
+
+  test("correlated scalar subquery is decorrelated to aggregate + join") {
+    // RewriteCorrelatedScalarSubquery must turn the per-row subquery into
+    // one groupBy(o_custkey) + equi-join — a nested-loop re-execution per
+    // outer row would be quadratic at scale
+    val p = plan("q_subquery_correlated")
+    p should include("HashAggregate")
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+  }
+
+  test("NOT IN plans as a hash anti join, not a nested loop") {
+    // null-aware anti join optimization: single-column NOT IN builds a
+    // broadcast hash relation, never the O(n·m) BNLJ fallback
+    val p = plan("q_subquery_not_in")
+    p should include("LeftAnti")
+    p should not include "NestedLoop"
+  }
+
+  test("unpivot is a narrow Expand over the aggregated rows") {
+    plan("q_agg_unpivot") should include("Expand")
+  }
+
+  test("bigram top-40 avoids a global sort") {
+    plan("q_text_bigrams") should include("TakeOrderedAndProject")
+  }
+
+  test("semantic dedup never materializes an all-pairs join") {
+    val p = plan("q_dedup_semantic")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
