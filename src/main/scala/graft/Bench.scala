@@ -33,15 +33,31 @@ object Bench {
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
       name -> median
     }
-    // 3-decimal values keep the whole line under ~2.5 KB: the driver
-    // captures only the TAIL of stdout, and with full-precision doubles
-    // the 87-query line overflowed that window, truncating the leading
-    // {"metric":... header (BENCH_r07 recorded parsed:null)
+    // The driver keeps only the LAST 2000 chars of stdout (measured:
+    // BENCH_r05..r07 all have tail len 2000 and parsed:null — the full
+    // per-query map NEVER fit once the surface passed ~70 queries, and
+    // sbt's trailing "[success] Total time..." line consumes ~75 of the
+    // window too). So the final line is a budget-capped map: slowest
+    // queries first until ~1650 chars, remainder rolled into "_rest"
+    // (so the map still sums to the total). The full map goes out on an
+    // earlier line for local tooling; the driver's tail discards it.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    println("BENCH_FULL " + bySlowest.map { case (k, v) =>
+      s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}"))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var shownSum = 0.0
+    for ((k, v) <- bySlowest) {
+      val s = "\"" + k + "\":" + f3(v)
+      if (used + s.length + 1 <= 1650) {
+        parts += s; used += s.length + 1; shownSum += v
+      }
+    }
+    if (parts.length < results.size) parts += "\"_rest\":" + f3(total - shownSum)
+    val qs = parts.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,5 +63,34 @@ object Relational {
           .orderBy("o_orderkey"),
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
         "WHERE o_orderstatus IN ('O','F') AND o_totalprice > 1000.0 " +
-        "AND o_custkey IS NOT NULL ORDER BY o_orderkey")))
+        "AND o_custkey IS NOT NULL ORDER BY o_orderkey")),
+
+    "q_sink_partitioned" -> Q(
+      (spark, dir) => {
+        // Hive-style partitioned parquet sink + partition-PRUNED read-back:
+        // directory pruning (PartitionFilters on the scan, gated in
+        // PlanSpec) is a different mechanism from q_scan_filter_pushdown's
+        // row-group predicate pushdown — at 100 TB it's the difference
+        // between listing 2 directories and scanning every file's footer.
+        // Per-run temp dir, same rationale as q_csv_roundtrip. The oracle
+        // runs the identical SQL on the ORIGINAL events table: a correct
+        // round-trip is invisible to the query.
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_sink_part_").toString
+        Tables(spark, dir, "events")
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        spark.read.parquet(out)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(Cols.epochUs(col("ts"))).as("min_ts_us"),
+            max(Cols.epochUs(col("ts"))).as("max_ts_us"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, COUNT(*) AS n, " +
+        "COUNT(DISTINCT user_id) AS n_users, " +
+        "MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us " +
+        "FROM events WHERE event_type IN ('click','purchase') " +
+        "GROUP BY event_type ORDER BY event_type")))
 }

@@ -180,6 +180,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     plan("q_text_bigrams") should include("TakeOrderedAndProject")
   }
 
+  test("partitioned sink read-back prunes directories, not just rows") {
+    val p = plan("q_sink_partitioned")
+    p should include("PartitionFilters: [")
+    p should include("event_type")
+  }
+
   test("semantic dedup never materializes an all-pairs join") {
     val p = plan("q_dedup_semantic")
     p should not include "CartesianProduct"
