@@ -490,6 +490,37 @@ object LlmQueries {
         "FROM documents JOIN embeddings ON doc_id = vec_id " +
         "GROUP BY lang, label ORDER BY lang, label")),
 
+    "q_multimodal_framesample" -> Q(
+      (spark, dir) =>
+        // frame sampling over an opaque payload: fixed 64-unit frame
+        // stride, every 3rd frame kept — the video-frame-sample stub
+        // (char slices stand in for frame byte ranges so BOTH engines
+        // slice identically and the per-frame md5 is oracle-checkable;
+        // a real codec swaps in at the substring). The per-doc fanout is
+        // a narrow generate (sequence + explode): ⌈frames/3⌉ rows per
+        // doc, bounded by payload size / stride — no shuffle until the
+        // final order, and at scale the sampled-frame table would be
+        // written partitioned, not sorted.
+        Tables(spark, dir, "documents")
+          .filter(col("n_chars") >= 192)
+          .select(col("doc_id").as("media_id"),
+            explode(expr("sequence(0, cast(n_chars div 64 as int) - 1, 3)"))
+              .as("frame_idx"),
+            col("text"))
+          .select(col("media_id"), col("frame_idx"),
+            expr("substring(text, frame_idx*64 + 1, 64)").as("frame"))
+          .select(col("media_id"), col("frame_idx"),
+            length(col("frame")).as("frame_chars"),
+            md5(col("frame")).as("frame_md5"))
+          .orderBy("media_id", "frame_idx"),
+      Some("SELECT doc_id AS media_id, frame_idx, " +
+        "LENGTH(SUBSTRING(text, frame_idx*64 + 1, 64)) AS frame_chars, " +
+        "md5(SUBSTRING(text, frame_idx*64 + 1, 64)) AS frame_md5 " +
+        "FROM (SELECT doc_id, text, " +
+        "unnest(generate_series(0, CAST(n_chars//64 AS INT) - 1, 3)) " +
+        "AS frame_idx FROM documents WHERE n_chars >= 192) " +
+        "ORDER BY media_id, frame_idx")),
+
     "q_text_contamination" -> Q(
       (spark, dir) => {
         // benchmark-contamination check: eval set = doc_id % 20 == 0 AND

@@ -17,7 +17,11 @@ import org.scalatest.matchers.should.Matchers
 class DeterminismSpec extends AnyFunSuite with Matchers with SparkTest {
   private val sf = "/root/testdata/sf0.001"
   private val reps = Seq("q_text_shard", "q_text_pack",
-    "q_hic_significances", "q_sample_stratified", "q_dedup_cluster")
+    "q_hic_significances", "q_sample_stratified", "q_dedup_cluster",
+    // round-8 cont.: CC over the cosine graph (block-pair kernel feeding
+    // the hybrid union-find) — cluster ids must not depend on which task
+    // saw which edge first
+    "q_dedup_semantic")
 
   private def runAll(parts: Int): Map[String, Seq[String]] = {
     val key = "spark.sql.shuffle.partitions"
