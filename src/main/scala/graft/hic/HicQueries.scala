@@ -84,10 +84,9 @@ object HicQueries {
       (spark, dir) => {
         // A1/A4: gzip-TSV egress + ingest round-trip through the domain
         // fragment format (written fresh each run, then re-read). Per-run
-        // temp dir: two concurrent runs on the same sfDir must not clobber
-        // each other's files mid-read.
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_csv_roundtrip_").toString
+        // scratch subdir (unique per call so concurrent runs never clobber
+        // each other mid-read; reaped at JVM exit by graft.io.Scratch).
+        val out = graft.io.Scratch.sub("csv_roundtrip")
         val c = cachedView(spark, dir)
         val frags = c.select(col("chr"), col("mid1").as("mid"),
             col("contactCount"))

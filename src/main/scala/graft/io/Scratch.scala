@@ -1,0 +1,34 @@
+package graft.io
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+import java.util.concurrent.atomic.AtomicLong
+
+/** Per-JVM scratch directories for queries that exercise a sink + re-read
+  * (q_csv_roundtrip, q_sink_partitioned). Every call gets a UNIQUE subdir
+  * (two concurrent runs must never clobber each other's files mid-read),
+  * but all of them live under one per-JVM base that a shutdown hook
+  * deletes — without this, each bench invocation (3 runs/query) plus
+  * Verify/DevSmoke/PlanSpec left another full table copy in /tmp forever.
+  */
+object Scratch {
+  private val counter = new AtomicLong()
+
+  private lazy val base: Path = {
+    val p = Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+    p
+  }
+
+  /** A fresh empty directory, reaped at JVM exit. */
+  def sub(tag: String): String =
+    Files.createDirectories(
+      base.resolve(s"${tag}_${counter.incrementAndGet()}")).toString
+
+  private def deleteTree(p: Path): Unit =
+    try {
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { try Files.delete(f) catch { case _: Throwable => () } })
+    } catch { case _: Throwable => () }
+}

@@ -17,9 +17,10 @@ import graft.ops.Cols
   * DuckDB oracles hash-match bit-for-bit.
   */
 object EmbedQueries {
-  /** Spark twin of the oracle's qv CTE: embedding → ×1e7 BIGINT array. */
-  private val qArr = "transform(embedding, x -> " +
-    "cast(round(cast(x as double)*10000000, 0) as bigint))"
+  /** Shared ×1e7 quantization ([[LlmQueries.quantArr]]) — one definition
+    * per side so a precision change can never skew one path.
+    */
+  private val qArr = LlmQueries.quantArr
 
   def queries: Map[String, Q] = Map(
     "q_embed_norms" -> Q(
@@ -31,21 +32,27 @@ object EmbedQueries {
         // engines. Fully narrow: the scan parallelism is the plan.
         Tables(spark, dir, "embeddings")
           .select(col("vec_id"), col("label"),
-            expr(s"aggregate($qArr, 0L, (acc, v) -> acc + v * v)")
-              .as("n2"))
+            expr(LlmQueries.normQ).as("n2"))
           .select(col("vec_id"), col("label"), col("n2"),
             Cols.fround(sqrt(col("n2").cast("double")) / lit(1e7), 6)
               .as("l2_norm"))
           .orderBy("vec_id"),
+      // LEFT JOIN + empty/NULL case: unnest over an empty or NULL array
+      // yields no qv rows, so an inner join would DROP the vector while
+      // Spark keeps it (aggregate over empty → 0, over NULL → NULL).
+      // Unreachable with the fixture's fixed 64-dim arrays, but the
+      // oracle should mirror Spark's semantics, not the fixture.
       Some("WITH qv AS (SELECT vec_id, " +
         "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
         "FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)), " +
         "nrm AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2 FROM qv " +
-        "GROUP BY vec_id) " +
-        "SELECT e.vec_id, e.label, nrm.n2, " +
-        Cols.froundSql("SQRT(CAST(nrm.n2 AS DOUBLE))/1e7", 6) +
-        " AS l2_norm FROM embeddings e JOIN nrm USING (vec_id) " +
-        "ORDER BY vec_id")),
+        "GROUP BY vec_id), " +
+        "n AS (SELECT e.vec_id, e.label, CASE WHEN e.embedding IS NULL " +
+        "THEN NULL ELSE COALESCE(nrm.n2, 0) END AS n2 " +
+        "FROM embeddings e LEFT JOIN nrm USING (vec_id)) " +
+        "SELECT vec_id, label, n2, " +
+        Cols.froundSql("SQRT(CAST(n2 AS DOUBLE))/1e7", 6) +
+        " AS l2_norm FROM n ORDER BY vec_id")),
 
     "q_embed_centroid" -> Q(
       (spark, dir) =>

@@ -19,9 +19,14 @@ object LlmQueries {
     "cast(round(cast(x as double)*10000000, 0) as bigint) * " +
     "cast(round(cast(y as double)*10000000, 0) as bigint)), " +
     "0L, (acc, v) -> acc + v)"
-  private val normQ = "aggregate(transform(embedding, x -> " +
-    "cast(round(cast(x as double)*10000000, 0) as bigint)), " +
-    "0L, (acc, v) -> acc + v * v)"
+  /** Quantized (×1e7) embedding → BIGINT array; the ONE Spark-side
+    * quantization expression (shared with [[EmbedQueries]] — the constant
+    * is oracle-parity-critical, so exactly one definition per side).
+    */
+  private[llm] val quantArr = "transform(embedding, x -> " +
+    "cast(round(cast(x as double)*10000000, 0) as bigint))"
+  private[llm] val normQ =
+    s"aggregate($quantArr, 0L, (acc, v) -> acc + v * v)"
 
   /** DuckDB: quantized vectors via unnest + generate_subscripts.
     * Shared with [[EmbedQueries]] (same ×1e7 discipline, same CTE names).
@@ -513,8 +518,9 @@ object LlmQueries {
             length(col("frame")).as("frame_chars"),
             md5(col("frame")).as("frame_md5"))
           .orderBy("media_id", "frame_idx"),
-      Some("SELECT doc_id AS media_id, frame_idx, " +
-        "LENGTH(SUBSTRING(text, frame_idx*64 + 1, 64)) AS frame_chars, " +
+      Some("SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx, " +
+        "CAST(LENGTH(SUBSTRING(text, frame_idx*64 + 1, 64)) AS INT) " +
+        "AS frame_chars, " +
         "md5(SUBSTRING(text, frame_idx*64 + 1, 64)) AS frame_md5 " +
         "FROM (SELECT doc_id, text, " +
         "unnest(generate_series(0, CAST(n_chars//64 AS INT) - 1, 3)) " +

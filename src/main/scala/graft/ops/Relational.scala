@@ -72,11 +72,11 @@ object Relational {
         // PlanSpec) is a different mechanism from q_scan_filter_pushdown's
         // row-group predicate pushdown — at 100 TB it's the difference
         // between listing 2 directories and scanning every file's footer.
-        // Per-run temp dir, same rationale as q_csv_roundtrip. The oracle
-        // runs the identical SQL on the ORIGINAL events table: a correct
-        // round-trip is invisible to the query.
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_sink_part_").toString
+        // Per-run scratch subdir (unique per call, reaped at JVM exit —
+        // graft.io.Scratch). The oracle runs the identical SQL on the
+        // ORIGINAL events table: a correct round-trip is invisible to
+        // the query.
+        val out = graft.io.Scratch.sub("sink_part")
         Tables(spark, dir, "events")
           .write.mode("overwrite").partitionBy("event_type").parquet(out)
         spark.read.parquet(out)

@@ -181,9 +181,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 
   test("partitioned sink read-back prunes directories, not just rows") {
+    // the filter must land INSIDE the PartitionFilters bracket — the scan
+    // prints "PartitionFilters: []" unconditionally, and event_type
+    // appears elsewhere in the plan, so two loose includes prove nothing
     val p = plan("q_sink_partitioned")
-    p should include("PartitionFilters: [")
-    p should include("event_type")
+    p should include regex """PartitionFilters: \[[^\]]*event_type"""
   }
 
   test("semantic dedup never materializes an all-pairs join") {
