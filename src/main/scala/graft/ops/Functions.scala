@@ -161,5 +161,34 @@ object Functions {
       Some("SELECT doc_id, tok AS token, COUNT(*) AS cnt FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
         "FROM documents) WHERE tok <> '' " +
-        "GROUP BY doc_id, tok ORDER BY doc_id, token")))
+        "GROUP BY doc_id, tok ORDER BY doc_id, token")),
+
+    "q_fn_nested" -> Q(
+      (spark, dir) =>
+        // nested-type export shape: group each customer's orders into a
+        // sorted array<struct> and serialize with to_json (the standard
+        // "rows → nested documents" sink stage), then parse the FIRST
+        // element back out through from_json — both directions of the
+        // nested path in one oracle-checked query. Spark's compact JSON
+        // and DuckDB's to_json(list(struct_pack ...)) are byte-identical
+        // for integer/string fields (no doubles: float formatting is
+        // engine-specific).
+        Tables(spark, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            to_json(sort_array(collect_list(
+              struct(col("o_orderkey").as("k"),
+                col("o_orderstatus").as("s"))))).as("orders_json"))
+          .select(col("o_custkey"), col("n_orders"), col("orders_json"),
+            element_at(from_json(col("orders_json"),
+              org.apache.spark.sql.types.DataTypes.createArrayType(
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "k BIGINT, s STRING"))), 1).getField("k").as("first_k"))
+          .orderBy("o_custkey"),
+      Some("SELECT o_custkey, COUNT(*) AS n_orders, " +
+        "CAST(to_json(list(struct_pack(k := o_orderkey, " +
+        "s := o_orderstatus) ORDER BY o_orderkey, o_orderstatus)) " +
+        "AS VARCHAR) AS orders_json, " +
+        "MIN(o_orderkey) AS first_k " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey")))
 }
