@@ -628,6 +628,33 @@ object LlmQueries {
         "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM documents) " +
         "ORDER BY doc_id")),
 
+    "q_text_redact" -> Q(
+      (spark, dir) => {
+        // denylist scrubbing (the PII-redaction stage shape: sensitive
+        // terms → a placeholder token before training). Fully narrow
+        // regexp_replace chain; the redaction count is derived from the
+        // length delta with IDENTICAL integer arithmetic on both engines
+        // (<TERM> is 6 chars; each replaced term contributes
+        // len(<TERM>) − len(term) — counting the placeholder directly
+        // avoids re-running the regex). Real deployments swap the term
+        // alternation for email/phone/ID patterns; the plan is the same.
+        val red = regexp_replace(col("text"),
+          "\\b(key|hash|value)\\b", "<TERM>")
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), red.as("red"))
+          .select(col("doc_id"),
+            expr("cast((length(red) - length(replace(red, '<TERM>', ''))) " +
+              "div 6 as int)").as("n_redacted"),
+            md5(col("red")).as("red_md5"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "CAST((LENGTH(red) - LENGTH(replace(red, '<TERM>', '')))//6 " +
+        "AS INT) AS n_redacted, md5(red) AS red_md5 " +
+        "FROM (SELECT doc_id, regexp_replace(text, " +
+        "'\\b(key|hash|value)\\b', '<TERM>', 'g') AS red " +
+        "FROM documents) ORDER BY doc_id")),
+
     "q_dedup_apply" -> Q(
       (spark, dir) => {
         // apply exact dedup: the surviving corpus (min doc_id per identical

@@ -118,6 +118,23 @@ object Aggregates {
         "UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w) " +
         "ORDER BY l_returnflag, metric")),
 
+    "q_agg_bool" -> Q(
+      (spark, dir) =>
+        // boolean/conditional aggregate family: count_if + bool_and/or.
+        // Spark's count_if ≡ SQL-standard COUNT(*) FILTER (WHERE …) on
+        // the DuckDB side; same partial+final hash agg shape as any sum.
+        Tables(spark, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("count_if(l_discount > 0.05)").as("n_discounted"),
+            expr("bool_and(l_quantity > 0)").as("all_positive"),
+            expr("bool_or(l_discount >= 0.09)").as("any_deep_discount"))
+          .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted, " +
+        "BOOL_AND(l_quantity > 0) AS all_positive, " +
+        "BOOL_OR(l_discount >= 0.09) AS any_deep_discount " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     "q_agg_distinct" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "lineitem")

@@ -132,5 +132,25 @@ object Windows {
         "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice, o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
-        "ORDER BY o_orderkey")))
+        "ORDER BY o_orderkey")),
+
+    "q_win_pctrank" -> Q(
+      (spark, dir) => {
+        // relative-rank family: percent_rank = (rank−1)/(n−1) and
+        // cume_dist = |rows ≤ x|/n — identical closed forms in both
+        // engines on a unique ordering, so the doubles are bit-equal
+        // (rounded anyway for the shared fround discipline).
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            Cols.fround(percent_rank().over(w), 6).as("pct_rank"),
+            Cols.fround(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderpriority, " +
+        Cols.froundSql("PERCENT_RANK() OVER w", 6) + " AS pct_rank, " +
+        Cols.froundSql("CUME_DIST() OVER w", 6) + " AS cume " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey")))
 }
