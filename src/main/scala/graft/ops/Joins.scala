@@ -282,5 +282,25 @@ object Joins {
         "JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01' " +
-        "GROUP BY n_name ORDER BY revenue DESC, n_name")))
+        "GROUP BY n_name ORDER BY revenue DESC, n_name")),
+
+    "q_join_lateral_topk" -> {
+      // correlated LATERAL subquery with ORDER BY + LIMIT (top-2 suppliers
+      // per nation by balance). Catalyst decorrelates this into
+      // WindowGroupLimit (map-side per-group limit BEFORE the shuffle,
+      // then the rank filter) + one hash join — i.e. the per-outer-row
+      // subquery never executes per row, and the shuffle carries at most
+      // k rows per group. Plan-gated in PlanSpec; unique tiebreak
+      // (s_name) keeps the top-2 deterministic.
+      val sql = "SELECT n_name, s.s_name, s.s_acctbal FROM nation, " +
+        "LATERAL (SELECT s_name, s_acctbal FROM supplier " +
+        "WHERE s_nationkey = n_nationkey " +
+        "ORDER BY s_acctbal DESC, s_name LIMIT 2) s " +
+        "ORDER BY n_name, s_acctbal DESC, s_name"
+      Q((spark, dir) => {
+        Seq("nation", "supplier").foreach(t =>
+          Tables(spark, dir, t).createOrReplaceTempView(t))
+        spark.sql(sql)
+      }, Some(sql))
+    })
 }

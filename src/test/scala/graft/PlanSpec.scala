@@ -172,6 +172,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "NestedLoop"
   }
 
+  test("lateral top-k decorrelates to WindowGroupLimit, not per-row loops") {
+    // map-side group-limit before the shuffle: the shuffle carries ≤ k
+    // rows per group instead of the whole inner table per outer row
+    val p = plan("q_join_lateral_topk")
+    p should include("WindowGroupLimit")
+    p should not include "CartesianProduct"
+  }
+
   test("unpivot is a narrow Expand over the aggregated rows") {
     plan("q_agg_unpivot") should include("Expand")
   }
