@@ -10,9 +10,9 @@ import org.scalatest.matchers.should.Matchers
   * single setting. Representatives cover each machinery class: the
   * GlobalOrder rank/cumsum (shard, pack), the multi-pass BH pipeline
   * (significances), the salted two-phase window (stratified), and the
-  * hybrid union-find labeling (dedup cluster). A full-surface sweep
-  * (all 94 queries, 7 vs 32 partitions, sf0.01) was run in round 8:
-  * zero diffs.
+  * hybrid union-find labeling (dedup cluster). Full-surface sweeps
+  * (7 vs 32 partitions, sf0.01, exact parquet diffs) were run in round 8
+  * at 94 queries and again at 113 queries: zero diffs both times.
   */
 class DeterminismSpec extends AnyFunSuite with Matchers with SparkTest {
   private val sf = "/root/testdata/sf0.001"
