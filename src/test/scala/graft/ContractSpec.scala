@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Driver-contract consistency gates (no Spark session needed).
+  * Registry.all merges the module maps with `++`, so a duplicate query
+  * name across modules would SILENTLY overwrite one query with another —
+  * the overwritten query's oracle would then grade a different program.
+  */
+class ContractSpec extends AnyFunSuite with Matchers {
+  private val modules: Seq[(String, Map[String, Q])] = Seq(
+    "ops.Relational" -> ops.Relational.queries,
+    "ops.Aggregates" -> ops.Aggregates.queries,
+    "ops.Joins" -> ops.Joins.queries,
+    "ops.Windows" -> ops.Windows.queries,
+    "ops.SetsSorts" -> ops.SetsSorts.queries,
+    "ops.Functions" -> ops.Functions.queries,
+    "ops.Subqueries" -> ops.Subqueries.queries,
+    "hic.HicQueries" -> hic.HicQueries.queries,
+    "llm.LlmQueries" -> llm.LlmQueries.queries,
+    "llm.EmbedQueries" -> llm.EmbedQueries.queries,
+    "llm.CorpusStats" -> llm.CorpusStats.queries,
+    "stream.StreamQueries" -> stream.StreamQueries.queries)
+
+  test("query names are globally unique across modules") {
+    val perModule = modules.map(_._2.size).sum
+    val dups = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+      .groupBy(_._1).filter(_._2.size > 1)
+      .map { case (k, ms) => s"$k in ${ms.map(_._2).mkString(", ")}" }
+    withClue(s"duplicated: ${dups.mkString("; ")}: ") {
+      Registry.all.size shouldBe perModule
+    }
+  }
+
+  test("names follow the q_ convention; declared oracles are non-empty") {
+    Registry.all.keys.foreach(_ should startWith("q_"))
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      withClue(s"$k: ") { sql.trim should not be empty }
+    }
+  }
+
+  test("oracle keys are exactly the declared-with-oracle query set") {
+    SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet)
+      .shouldBe(true)
+  }
+}
