@@ -10,6 +10,12 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Register the named tables as temp views for spark.sql-shaped queries
+    * (one registration discipline — session-global replace — in one place).
+    */
+  def views(spark: SparkSession, sfDir: String, tableNames: String*): Unit =
+    tableNames.foreach(t => apply(spark, sfDir, t).createOrReplaceTempView(t))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects

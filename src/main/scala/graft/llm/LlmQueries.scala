@@ -632,28 +632,24 @@ object LlmQueries {
       (spark, dir) => {
         // denylist scrubbing (the PII-redaction stage shape: sensitive
         // terms → a placeholder token before training). Fully narrow
-        // regexp_replace chain; the redaction count is derived from the
-        // length delta with IDENTICAL integer arithmetic on both engines
-        // (<TERM> is 6 chars; each replaced term contributes
-        // len(<TERM>) − len(term) — counting the placeholder directly
-        // avoids re-running the regex). Real deployments swap the term
-        // alternation for email/phone/ID patterns; the plan is the same.
-        val red = regexp_replace(col("text"),
-          "\\b(key|hash|value)\\b", "<TERM>")
+        // regexp_replace chain; n_redacted counts MATCHES OF THE PATTERN
+        // on the original text (a pre-existing literal '<TERM>' in a
+        // document must not inflate the audit column). Real deployments
+        // swap the term alternation for email/phone/ID patterns; the
+        // plan is the same.
         Tables(spark, dir, "documents")
-          .select(col("doc_id"), red.as("red"))
           .select(col("doc_id"),
-            expr("cast((length(red) - length(replace(red, '<TERM>', ''))) " +
-              "div 6 as int)").as("n_redacted"),
-            md5(col("red")).as("red_md5"))
+            expr("cast(regexp_count(text, '\\\\b(key|hash|value)\\\\b') " +
+              "as int)").as("n_redacted"),
+            md5(regexp_replace(col("text"),
+              "\\b(key|hash|value)\\b", "<TERM>")).as("red_md5"))
           .orderBy("doc_id")
       },
       Some("SELECT doc_id, " +
-        "CAST((LENGTH(red) - LENGTH(replace(red, '<TERM>', '')))//6 " +
-        "AS INT) AS n_redacted, md5(red) AS red_md5 " +
-        "FROM (SELECT doc_id, regexp_replace(text, " +
-        "'\\b(key|hash|value)\\b', '<TERM>', 'g') AS red " +
-        "FROM documents) ORDER BY doc_id")),
+        "CAST(LEN(regexp_extract_all(text, '\\b(key|hash|value)\\b')) " +
+        "AS INT) AS n_redacted, " +
+        "md5(regexp_replace(text, '\\b(key|hash|value)\\b', '<TERM>', " +
+        "'g')) AS red_md5 FROM documents ORDER BY doc_id")),
 
     "q_dedup_apply" -> Q(
       (spark, dir) => {

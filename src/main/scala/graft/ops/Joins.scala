@@ -298,8 +298,7 @@ object Joins {
         "ORDER BY s_acctbal DESC, s_name LIMIT 2) s " +
         "ORDER BY n_name, s_acctbal DESC, s_name"
       Q((spark, dir) => {
-        Seq("nation", "supplier").foreach(t =>
-          Tables(spark, dir, t).createOrReplaceTempView(t))
+        Tables.views(spark, dir, "nation", "supplier")
         spark.sql(sql)
       }, Some(sql))
     })

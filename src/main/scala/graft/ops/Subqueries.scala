@@ -15,8 +15,7 @@ import graft.{Q, Tables}
   */
 object Subqueries {
   private def views(spark: org.apache.spark.sql.SparkSession, dir: String,
-      names: String*): Unit =
-    names.foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
+      names: String*): Unit = Tables.views(spark, dir, names: _*)
 
   /** Exact average order price in cents: BIGINT sum, one double divide. */
   private val avgCents =

@@ -40,8 +40,26 @@ class ContractSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("oracle keys are exactly the declared-with-oracle query set") {
-    SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet)
-      .shouldBe(true)
+  test("no duplicate declaration sites, even within one module") {
+    // A name declared twice inside ONE module's Map literal is deduped by
+    // Scala before any runtime check can see it (the first body is lost
+    // silently) — so this gate scans the SOURCE for `"q_…" ->`
+    // declaration sites instead. The pattern (quote + arrow) only occurs
+    // at Map-entry positions, never in comments or oracle SQL.
+    import scala.jdk.CollectionConverters._
+    val decl = """"(q_[a-z0-9_]+)"\s*->""".r
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val sites = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val src = java.nio.file.Files.readString(p)
+        decl.findAllMatchIn(src).map(m => m.group(1) -> p.toString)
+      }.toSeq
+    val dups = sites.groupBy(_._1).filter(_._2.size > 1)
+      .map { case (k, ss) => s"$k at ${ss.map(_._2).distinct.mkString(", ")}" }
+    withClue(s"duplicate declaration sites: ${dups.mkString("; ")}: ") {
+      sites.size shouldBe Registry.all.size
+    }
+    sites.map(_._1).toSet shouldBe Registry.all.keySet
   }
 }

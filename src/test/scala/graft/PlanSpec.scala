@@ -177,6 +177,7 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     // rows per group instead of the whole inner table per outer row
     val p = plan("q_join_lateral_topk")
     p should include("WindowGroupLimit")
+    p should not include "NestedLoop"
     p should not include "CartesianProduct"
   }
 
