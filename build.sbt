@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST undecorated stdout line of
+// `sbt "runMain graft.Bench"`. sbt's default LoggedOutput strategy
+// prefixes every forked-stdout line with "[info] " and appends a
+// "[success] Total time..." line after the task — both of which broke
+// the driver's JSON parse for 8 straight rounds (BENCH_r01..r08 all
+// `parsed: null`). Stream the child's stdout through verbatim and
+// drop the success banner so the bench JSON is the final raw line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// lintUnused can't see task-runtime usage of outputStrategy (it IS
+// effective — verified: runMain output arrives undecorated)
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

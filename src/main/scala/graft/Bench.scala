@@ -49,11 +49,14 @@ object Bench {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     var shownSum = 0.0
-    for ((k, v) <- bySlowest) {
+    var full = false // stop at the first overflow so the emitted map is a
+                     // strict slowest-first prefix (shorter later entries
+                     // must not sneak in past a skipped slower one)
+    for ((k, v) <- bySlowest if !full) {
       val s = "\"" + k + "\":" + f3(v)
       if (used + s.length + 1 <= 1650) {
         parts += s; used += s.length + 1; shownSum += v
-      }
+      } else full = true
     }
     if (parts.length < results.size) parts += "\"_rest\":" + f3(total - shownSum)
     val qs = parts.mkString("{", ",", "}")

@@ -62,7 +62,9 @@ object Pipeline {
     // source so the filter/classify/bias-join lineage runs once, not
     // twice; released as soon as pass 1 has materialized the ranged cache
     // (same pattern as GlobalOrder's src persist)
-    val src = withBias.persist()
+    // Caches-registered so drain() reclaims it if collectBins throws
+    // before the eager pass-1 unpersist (double-unpersist is a no-op)
+    val src = graft.ops.Caches.register(withBias.persist())
     val spark = withBias.sparkSession
     val distOrder = col("dist") +: keys.map(col)
     val rangedPairs = graft.ops.Caches.register(src

@@ -25,6 +25,14 @@ object Scratch {
     Files.createDirectories(
       base.resolve(s"${tag}_${counter.incrementAndGet()}")).toString
 
+  /** A DETERMINISTIC (per tag, per JVM) directory under the same reaped
+    * base — for callers that must re-find the path later in the JVM,
+    * e.g. the bucketed-table cache keyed by sfDir. Cross-process safety
+    * comes from `base` itself being a fresh temp dir per JVM.
+    */
+  def stable(tag: String): String =
+    Files.createDirectories(base.resolve(tag)).toString
+
   private def deleteTree(p: Path): Unit =
     try {
       if (Files.exists(p))

@@ -45,7 +45,12 @@ object LlmQueries {
       "sims AS (SELECT va, vb, CAST(dot AS DOUBLE)/" +
       "SQRT(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) AS cos " +
       "FROM dots JOIN nrm na ON na.vec_id = va " +
-      "JOIN nrm nb ON nb.vec_id = vb)"
+      "JOIN nrm nb ON nb.vec_id = vb " +
+      // zero-norm vectors are excluded on the Spark side (cosine is
+      // undefined); encode the same contract here instead of relying on
+      // fixtures never containing an all-zero embedding (DuckDB would
+      // otherwise sort their NaN cosines above every real value)
+      "WHERE na.n2 > 0 AND nb.n2 > 0)"
 
   /** DuckDB CTEs for per-doc distinct 3-gram shingles over ≥3-token docs
     * (mirrors Dedup.withShingles without the short-doc fallback); spliced

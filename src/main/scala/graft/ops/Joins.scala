@@ -9,17 +9,6 @@ import graft.{Q, Tables}
   * sort-merge + AQE.
   */
 object Joins {
-  /** Bucketed-table tmp paths with a registered exit-time cleanup. */
-  private val bucketedPaths =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
-
   import org.apache.spark.sql.expressions.Window
 
   def queries: Map[String, Q] = Map(
@@ -51,17 +40,11 @@ object Joins {
         // repeats measure the join, not the one-time layout build
         // (mode=overwrite refreshes a stale on-disk path left by an
         // earlier JVM).
-        // pid in the tag: concurrent processes on the same sfDir must not
-        // race on one path (cf. q_csv_roundtrip's per-run temp dir)
-        val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
-          ProcessHandle.current().pid()
-        val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
-        // the pid-unique path is never reused by another JVM — delete it
-        // on exit or every run leaks a bucketed copy of the two largest
-        // tables into tmpdir (registered once per path)
-        if (bucketedPaths.add(base))
-          Runtime.getRuntime.addShutdownHook(new Thread(() =>
-            deleteRecursively(new java.io.File(base))))
+        // Scratch.stable: deterministic per (sfDir, JVM) so bench repeats
+        // re-find the layout and skip the write; Scratch's per-JVM base
+        // gives cross-process isolation and the single exit-time reaper
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val base = graft.io.Scratch.stable(s"bucketed_$tag")
         val l = Tables(spark, dir, "lineitem")
           .select("l_orderkey", "l_quantity")
         val o = Tables(spark, dir, "orders")
