@@ -21,11 +21,14 @@ object Stats {
     * backward suffix-min walk that runs inside the consumer's own job.
     * No single-partition window, and no `Window.partitionBy(pid)` either:
     * that would hash-exchange the full table a second time. Per-task
-    * memory for the backward walk is one partition — bounded by the
-    * shuffle partitioning, not the data size.
+    * memory for the backward walk is one CHUNK (256Ki rows), not one
+    * partition — a mis-sized shuffle partitioning costs extra chunks,
+    * never an executor OOM.
     */
   def bhQ(df: DataFrame, pCol: String, tieCols: Seq[String], qCol: String,
-      mOpt: Option[Long] = None): DataFrame = {
+      mOpt: Option[Long] = None,
+      chunkRows: Int = 1 << 18): DataFrame = {
+    require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
     val spark = df.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
@@ -61,10 +64,23 @@ object Stats {
     val roffs: Map[Int, Long] = counts.map { case (pid, c) =>
       val row = pid -> acc; acc += c; row
     }.toMap
-    // job 2: per-partition min of p·M/rank (global rank = local + offset)
-    val mins = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+    // Chunk size for the final backward walk: per-task memory is one
+    // chunk of Rows (~tens of MB), NOT one partition — so a stale
+    // numShufflePartitions (partitions ≫ chunk) degrades to more chunks,
+    // never to an OOM. At test scale every partition is a single chunk
+    // and the arithmetic (and output) is bit-identical to the unchunked
+    // walk: min is associative, so seeding each chunk with the exact
+    // suffix-min of everything after it reproduces the full backward scan.
+    def ckey(pid: Int, chunk: Int): Long = (pid.toLong << 32) | chunk.toLong
+    // job 2: per-(partition, chunk) min of p·M/rank (global rank =
+    // local + offset); same single pass as the old per-partition min,
+    // just finer-grained output (#chunks = rows/256Ki — driver-tiny)
+    val chunkMins = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       var i = roffs.getOrElse(pid, 0L)
       var mn = Double.MaxValue
+      var inChunk = 0
+      var chunk = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       it.foreach { r =>
         i += 1
         // fail with intent, not an unboxing NPE deep in a task: a null p
@@ -73,31 +89,41 @@ object Stats {
           s"bhQ: null $pCol at rank $i — p-values must be non-null")
         val v = r.getDouble(pIdx) * m / i
         if (v < mn) mn = v
+        inChunk += 1
+        if (inChunk == chunkRows) {
+          out += ((ckey(pid, chunk), mn))
+          chunk += 1; inChunk = 0; mn = Double.MaxValue
+        }
       }
-      Iterator.single((pid, mn))
+      if (inChunk > 0) out += ((ckey(pid, chunk), mn))
+      out.iterator
     }.collect().sortBy(-_._1)
-    // tail(pid) = min of p·M/rank over all strictly-later partitions
+    // tail(pid, chunk) = min of p·M/rank over all strictly-later chunks
+    // (keys sort descending as (pid, chunk) — ranges are p-ascending)
     var run = Double.MaxValue
-    val tails: Map[Int, Double] = mins.map { case (pid, mn) =>
-      val t = pid -> run; run = math.min(run, mn); t
+    val tails: Map[Long, Double] = chunkMins.map { case (key, mn) =>
+      val t = key -> run; run = math.min(run, mn); t
     }.toMap
-    // final narrow pass: backward suffix-min within the partition, seeded
-    // with the later-partition tail
+    val tailsBc = spark.sparkContext.broadcast(tails)
+    // final narrow pass: backward suffix-min per CHUNK, seeded with the
+    // exact suffix-min of all later chunks/partitions
     val outSchema = ranged.schema.add(qCol, DoubleType, nullable = false)
     val outRdd = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       val off = roffs.getOrElse(pid, 0L)
-      val rows = it.toArray
-      val q = new Array[Double](rows.length)
-      var sm = tails.getOrElse(pid, Double.MaxValue)
-      var i = rows.length - 1
-      while (i >= 0) {
-        val v = rows(i).getDouble(pIdx) * m / (off + i + 1)
-        sm = math.min(sm, v)
-        q(i) = math.min(1.0, sm)
-        i -= 1
-      }
-      rows.iterator.zipWithIndex.map { case (r, k) =>
-        Row.fromSeq(r.toSeq :+ q(k))
+      it.grouped(chunkRows).zipWithIndex.flatMap { case (rows, cIdx) =>
+        val cOff = off + cIdx.toLong * chunkRows
+        val q = new Array[Double](rows.length)
+        var sm = tailsBc.value.getOrElse(ckey(pid, cIdx), Double.MaxValue)
+        var i = rows.length - 1
+        while (i >= 0) {
+          val v = rows(i).getDouble(pIdx) * m / (cOff + i + 1)
+          sm = math.min(sm, v)
+          q(i) = math.min(1.0, sm)
+          i -= 1
+        }
+        rows.iterator.zipWithIndex.map { case (r, k) =>
+          Row.fromSeq(r.toSeq :+ q(k))
+        }
       }
     }
     spark.createDataFrame(outRdd, outSchema)

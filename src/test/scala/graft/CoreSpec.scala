@@ -108,6 +108,20 @@ class BhSpec extends AnyFunSuite with Matchers with SparkTest {
     got.except(ref).count() shouldBe 0
     ref.except(got).count() shouldBe 0
   }
+  test("chunked backward walk (chunkRows ≪ partition) is bit-identical") {
+    // the final pass buffers one CHUNK, not one partition — force many
+    // chunks per partition and require exact equality with the default
+    // (single-chunk-per-partition at this size) configuration
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 1000).map(i => (i.toLong, rnd.nextDouble()))
+      .toDF("id", "p")
+    val tiny = Stats.bhQ(df, "p", Seq("id"), "q", chunkRows = 7)
+      .select("id", "q")
+    val dflt = Stats.bhQ(df, "p", Seq("id"), "q").select("id", "q")
+    tiny.except(dflt).count() shouldBe 0
+    dflt.except(tiny).count() shouldBe 0
+  }
   test("BH with M=1 gives q = min(1, p)") {
     import spark.implicits._
     val df = Seq((1L, 0.4)).toDF("id", "p")
