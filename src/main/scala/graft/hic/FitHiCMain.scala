@@ -10,10 +10,26 @@ import org.apache.spark.sql.functions.col
   * Usage:
   *   runMain graft.hic.FitHiCMain -i contacts.gz -f fragments.gz -o outdir
   *     [-t biases.gz] [-r 5000] [-p 2] [-L 0] [-U 5000000] [-b 100]
+  *     [-m mappabilityThr] [-bL biasLow] [-bU biasUp] [-q qThreshold]
   *     [-x intraOnly|interOnly|All] [-l libName]
   */
 object FitHiCMain {
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Session-agnostic body (separately callable so tests can drive the
+    * full CLI surface without `main` stopping their shared session).
+    */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("-") => k -> v
     }.toMap
@@ -23,21 +39,19 @@ object FitHiCMain {
     val res = opts.getOrElse("-r", "5000").toLong
     val lib = opts.getOrElse("-l", "graft")
     val mode = opts.getOrElse("-x", "intraOnly")
+    val dflt = FitHiCConfig()
     val cfg = FitHiCConfig(
       nBins = opts.getOrElse("-b", "100").toInt,
       passes = opts.getOrElse("-p", "1").toInt,
       distLow = opts.getOrElse("-L", "0").toLong,
       distUp = opts.get("-U").map(_.toLong)
-        .getOrElse(Long.MaxValue / 4))
-
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+        .getOrElse(Long.MaxValue / 4),
+      mappabilityThr = opts.get("-m").map(_.toLong)
+        .getOrElse(dflt.mappabilityThr),
+      biasLow = opts.get("-bL").map(_.toDouble).getOrElse(dflt.biasLow),
+      biasUp = opts.get("-bU").map(_.toDouble).getOrElse(dflt.biasUp),
+      qThreshold = opts.get("-q").map(_.toDouble)
+        .getOrElse(dflt.qThreshold))
 
     val frags = graft.io.Tsv.readFragments(spark, fragsPath)
     val contacts = graft.io.Tsv.readContacts(spark, contactsPath)
@@ -59,6 +73,5 @@ object FitHiCMain {
       graft.io.Tsv.write(inter.orderBy("chr1", "mid1", "chr2", "mid2"),
         s"$outDir/$lib.interOnly.res$res.significances.txt.gz", sigCols)
     }
-    spark.stop()
   }
 }

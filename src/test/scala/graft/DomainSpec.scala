@@ -85,6 +85,87 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 }
 
+class FitHiCMainSpec extends AnyFunSuite with Matchers with SparkTest {
+  import org.apache.spark.sql.DataFrame
+
+  /** gz-TSV fixture library on disk: 30 loci (first 10 with hitCount 1,
+    * rest 10), near-diagonal contacts with one extreme outlier, and a
+    * bias table whose two non-unit factors (0.25, 4.0) sit OUTSIDE the
+    * default [0.5, 2.0] clamp.
+    */
+  private lazy val fixtureDir: String = {
+    import spark.implicits._
+    val dir = graft.io.Scratch.sub("fithic_cli_fixture")
+    val mids = (0 until 30).map(i => 2500L + 5000L * i)
+    val frags = mids.zipWithIndex.map { case (m, i) =>
+      ("c1", 0L, m, if (i < 10) 1L else 10L, 1) }
+      .toDF(graft.io.Tsv.fragmentSchema.fieldNames: _*)
+    val contacts = (for {
+      i <- 0 until 30; j <- i + 1 until math.min(i + 6, 30)
+    } yield ("c1", mids(i), "c1", mids(j),
+      if (i == 20 && j == 21) 500L else math.max(1L, 6L / (j - i))))
+      .toDF(graft.io.Tsv.contactSchema.fieldNames: _*)
+    val biases = mids.zipWithIndex.map { case (m, i) =>
+      ("c1", m, if (i == 22) 0.25 else if (i == 25) 4.0 else 1.0) }
+      .toDF(graft.io.Tsv.biasSchema.fieldNames: _*)
+    graft.io.Tsv.write(frags, s"$dir/frags.gz",
+      graft.io.Tsv.fragmentSchema.fieldNames)
+    graft.io.Tsv.write(contacts, s"$dir/contacts.gz",
+      graft.io.Tsv.contactSchema.fieldNames)
+    graft.io.Tsv.write(biases, s"$dir/biases.gz",
+      graft.io.Tsv.biasSchema.fieldNames)
+    dir
+  }
+
+  private def cli(extra: String*): String = {
+    val out = graft.io.Scratch.sub("fithic_cli_out")
+    graft.hic.FitHiCMain.run(spark, Array("-i", s"$fixtureDir/contacts.gz",
+      "-f", s"$fixtureDir/frags.gz", "-o", out, "-l", "t") ++ extra)
+    out
+  }
+
+  private def sig(out: String, pass: Int): DataFrame =
+    spark.read
+      .schema("chr1 STRING, mid1 LONG, chr2 STRING, mid2 LONG, " +
+        "contactCount LONG, p_value DOUBLE, q_value DOUBLE")
+      .option("sep", "\t")
+      .csv(s"$out/t.spline_pass$pass.res5000.significances.txt.gz")
+
+  private def pMap(df: DataFrame): Map[(Long, Long), Double] =
+    df.collect().map(r => (r.getLong(1), r.getLong(3)) -> r.getDouble(5))
+      .toMap
+
+  test("-m mappability threshold drops pairs touching low-hit fragments") {
+    val all = sig(cli(), 1)
+    val thr = sig(cli("-m", "5"), 1)
+    all.count() should be > thr.count()
+    // every surviving pair touches only hitCount≥5 loci (index ≥ 10)
+    thr.filter(col("mid1") < 2500L + 5000L * 10).count() shouldBe 0
+  }
+
+  test("-bL/-bU widen the bias clamp so out-of-range factors apply") {
+    // default clamp [0.5,2.0] neutralizes the 0.25/4.0 biases → identical
+    // to a run without a bias table; widened bounds change the scores
+    val noBias = pMap(sig(cli(), 1))
+    val clamped = pMap(sig(cli("-t", s"$fixtureDir/biases.gz"), 1))
+    val widened = pMap(sig(cli("-t", s"$fixtureDir/biases.gz",
+      "-bL", "0.1", "-bU", "5.0"), 1))
+    clamped shouldBe noBias
+    widened should not be clamped
+  }
+
+  test("-q refinement threshold gates the pass-2 outlier exclusion") {
+    // q=0: nothing qualifies as an outlier (strict <, and the planted
+    // outlier's q underflows to exactly 0.0) → pass 2 re-fits the same
+    // null → identical scores; default q=0.05 removes the outlier →
+    // pass 2 differs from pass 1
+    val strict = cli("-p", "2", "-q", "0")
+    pMap(sig(strict, 2)) shouldBe pMap(sig(strict, 1))
+    val dflt = cli("-p", "2")
+    pMap(sig(dflt, 2)) should not be pMap(sig(dflt, 1))
+  }
+}
+
 class BiasSpec extends AnyFunSuite with Matchers with SparkTest {
   test("withBiases clamps -1 and out-of-range factors to 1.0") {
     import spark.implicits._
