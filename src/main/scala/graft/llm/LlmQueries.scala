@@ -449,12 +449,37 @@ object LlmQueries {
         // IVF scale path for similarity search: deterministic k-means
         // coarse quantizer (exact integer per-dimension sums → centroids
         // bit-reproducible under any partitioning), probe-cell pruning,
-        // exact quantized-cosine re-rank. k-means internals not
-        // SQL-expressible → rows-only; exact-equivalence (single-cell) and
-        // determinism pinned in SimilaritySpec.
+        // exact quantized-cosine re-rank. Cell pruning is genuinely
+        // approximate (measured recall < 1.0 even at sf0.01), so THIS
+        // query stays rows-only; the full machinery is oracle-pinned by
+        // q_sim_ann_ivf_exactcheck below, and single-cell equivalence +
+        // determinism are pinned in SimilaritySpec.
         Similarity.annIvfTop3(Tables(spark, dir, "embeddings"), nProbes = 10)
           .orderBy("probe", "rn"),
       None),
+
+    "q_sim_ann_ivf_exactcheck" -> Q(
+      (spark, dir) =>
+        // The SAME IVF path — quantized cache, k-means index, cluster
+        // assignment, broadcast probe join, re-rank, tie-breaks — driven
+        // with probeClusters = k, which makes the candidate set the whole
+        // corpus BY CONSTRUCTION (independent of k-means quality). The
+        // result is therefore provably the exact top-3, i.e. plain SQL:
+        // the one non-SQL leg (which cells get probed) is the one leg
+        // this twin removes, everything else gets a hash-checked oracle.
+        Similarity.annIvfTop3(Tables(spark, dir, "embeddings"), nProbes = 10,
+          probeClusters = 16)
+          .orderBy("probe", "rn"),
+      Some("WITH " + qvecsSql + ", sym AS (" +
+        "SELECT va AS probe, vb AS nb, cos FROM sims " +
+        "UNION ALL SELECT vb, va, cos FROM sims), " +
+        "nn AS (SELECT probe, nb, cos, ROW_NUMBER() OVER " +
+        "(PARTITION BY probe ORDER BY cos DESC, nb) AS rn " +
+        "FROM sym WHERE probe < 10) " +
+        "SELECT nn.probe, CAST(nn.rn AS INT) AS rn, nn.nb, " +
+        "e.label AS nb_label, " + Cols.froundSql("nn.cos", 6) + " AS cos " +
+        "FROM nn JOIN embeddings e ON e.vec_id = nn.nb " +
+        "WHERE nn.rn <= 3 ORDER BY nn.probe, nn.rn")),
 
     "q_multimodal_binary" -> Q(
       (spark, dir) =>
