@@ -12,11 +12,17 @@ object TimeQ {
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         private val t0s = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        private val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           t0s.put(j.jobId, System.nanoTime())
+          sites.put(j.jobId,
+            j.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
+              .mkString(" | ").take(120))
+        }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val t0 = Option(t0s.remove(j.jobId)).getOrElse(System.nanoTime())
-          println(f"  JOB ${j.jobId}%3d ${(System.nanoTime()-t0)/1e9}%6.2f s")
+          val site = Option(sites.remove(j.jobId)).getOrElse("")
+          println(f"  JOB ${j.jobId}%3d ${(System.nanoTime()-t0)/1e9}%6.2f s  $site")
         }
       })
     try SparkEntry.queries("q_scan_project")(spark, dir).count() catch { case _: Throwable => }

@@ -41,17 +41,30 @@ object Pipeline {
   def intraSignificances(frags: DataFrame, contacts: DataFrame,
       biases: Option[DataFrame], cfg: FitHiCConfig): DataFrame = {
     require(cfg.passes >= 1, s"passes must be >= 1, got ${cfg.passes}")
-    val mapped = Fragments.mappable(frags, cfg.mappabilityThr)
+    // the mappable locus set is traversed three times (two loci broadcast
+    // builds + the possible-pair window) and the bias table twice (the
+    // per-end broadcast joins) — persist both so an expensive upstream
+    // (a marginals groupBy, a KR solve) can never run more than once
+    val mapped = graft.ops.Caches.register(
+      Fragments.mappable(frags, cfg.mappabilityThr).persist())
     val filtered = Contacts.bothEndsMappable(contacts, mapped)
     val classified = Contacts.classify(filtered, cfg.distLow, cfg.distUp)
     val intra = classified.filter(col("cls") === "intraInRange")
     val withBias = biases match {
-      case Some(b) => Contacts.withBiases(intra, b, cfg.biasLow, cfg.biasUp)
+      case Some(b) => Contacts.withBiases(intra,
+        graft.ops.Caches.register(b.persist()), cfg.biasLow, cfg.biasUp)
       case None => intra.withColumn("bias1", lit(1.0))
         .withColumn("bias2", lit(1.0))
     }
 
-    val m = Fragments.possibleIntraInRange(mapped, cfg.distLow, cfg.distUp)
+    // the possible-pair count (BH's M) is an independent lineage — launch
+    // it now and collect it after pass-1 binning, so its window job runs
+    // CONCURRENTLY with the binning jobs instead of serializing in front
+    // of them (concurrent actions on one session are supported; both
+    // consume the `mapped` cache under Spark's per-block get-or-compute)
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val mFut = scala.concurrent.Future(
+      Fragments.possibleIntraInRange(mapped, cfg.distLow, cfg.distUp))
 
     // ONE dist-ranged cache is the only materialization of the pair set:
     // every pass's equal-occupancy binning re-bins a FILTERED view of
@@ -76,6 +89,7 @@ object Pipeline {
     // N = observedIntraInRangeSum falls out of the pass-1 bin stats
     // (Σ sumCount over bins) — no separate full-table aggregate job
     var n = 0L
+    var m = -1L
     var nullSource = rangedPairs // pass-k null = pairs minus outliers
     var layoutPreserved = true
     var result: DataFrame = null
@@ -84,6 +98,8 @@ object Pipeline {
         assumeRanged = layoutPreserved)
       if (pass == 1) {
         n = bins.map(_.getAs[Long]("sumCount")).sum
+        m = scala.concurrent.Await.result(mFut,
+          scala.concurrent.duration.Duration.Inf)
         src.unpersist() // pass-1 binning materialized the ranged cache
       }
       require(n > 0, "no intra-in-range contacts after filtering")
@@ -148,11 +164,16 @@ object Pipeline {
       case None => inter.withColumn("bias1", lit(1.0))
         .withColumn("bias2", lit(1.0))
     }).persist())
+    // N and M are independent lineages — overlap their jobs (same pattern
+    // as the intra path's possible-pair future)
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val mFut = scala.concurrent.Future(Fragments.possibleInterAll(mapped))
     val n = withBias.agg(sum(col("contactCount"))).first() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    val m = Fragments.possibleInterAll(mapped)
+    val m = scala.concurrent.Await.result(mFut,
+      scala.concurrent.duration.Duration.Inf)
     if (n == 0) return withBias.select((keys.map(col) :+
       col("contactCount") :+ lit(1.0).as("p_value") :+
       lit(1.0).as("q_value")): _*)
