@@ -1,0 +1,117 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Runnable streaming entry point: drives the SAME [[Events]] logics the
+  * batch-equivalent queries and StreamingSpec share, as a real
+  * `readStream` → transform → `writeStream` pipeline a user can launch.
+  *
+  * Usage (all flags optional):
+  *   runMain graft.stream.StreamMain
+  *     [--logic tumbling|sliding|session|dedup|marginals]
+  *     [--source rate|files] [--dir /root/testdata/sf0.001]
+  *     [--sink console|parquet] [--out outDir]
+  *     [--watermark "10 seconds"] [--timeout-sec 30]
+  *
+  * `--source files` streams the driver-generated events parquet through
+  * the file source (one micro-batch per file); `rate` synthesizes events
+  * locally so the pipeline runs with zero inputs. `--sink parquet`
+  * appends each micro-batch's update rows via foreachBatch — the
+  * incremental-materialization shape a production job would use.
+  * The run stops cleanly after `--timeout-sec` (0 = run until killed).
+  */
+object StreamMain {
+  // ts is parquet TIMESTAMP(NANOS): read as long (nanosAsLong) and floor
+  // to micros — same discipline as graft.Tables, and timestamp_micros
+  // yields the TIMESTAMP type event-time watermarks require
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v
+    }.toMap
+    val logic = opts.getOrElse("--logic", "tumbling")
+    val source = opts.getOrElse("--source", "rate")
+    val dir = opts.getOrElse("--dir", "/root/testdata/sf0.001")
+    val sink = opts.getOrElse("--sink", "console")
+    val out = opts.getOrElse("--out", graft.io.Scratch.sub("stream_out"))
+    val watermark = opts.getOrElse("--watermark", "10 seconds")
+    val timeoutSec = opts.getOrElse("--timeout-sec", "30").toInt
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def events: DataFrame = source match {
+      case "files" =>
+        // the driver's parquet as a file-stream source (micro-batch per
+        // file) — the real "new shard landed" production shape. (The file
+        // source wants a DIRECTORY; the driver writes each table as a
+        // single file, so glob-filter the events table out of the sf dir.)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.readStream.schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+          .select(col("value").as("event_id"), col("timestamp").as("ts"),
+            (col("value") % 97).as("user_id"),
+            element_at(array(lit("click"), lit("view"), lit("purchase")),
+              (col("value") % 3 + 1).cast("int")).as("event_type"),
+            (col("value") % 1000 / 10.0).as("value"),
+            lit("{}").as("props"))
+    }
+
+    // synthetic contact stream for the incremental-marginals state logic
+    def contacts = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500).load()
+      .select(col("timestamp").as("ts"),
+        concat(lit("c"), col("value") % 4).as("chr1"),
+        (col("value") % 100 * 5000 + 2500).as("mid1"),
+        concat(lit("c"), col("value") % 4).as("chr2"),
+        (col("value") * 7 % 100 * 5000 + 2500).as("mid2"),
+        lit(1L).as("contactCount"))
+      .as[Events.ContactEvent]
+
+    val (frame, mode) = logic match {
+      case "tumbling" => (Events.tumbling(events, watermark), "update")
+      case "sliding" => (Events.sliding(events, watermark), "update")
+      case "session" => (Events.sessions(events, watermark), "update")
+      case "dedup" => (Events.dedup(events, watermark), "append")
+      case "marginals" =>
+        (Events.incrementalMarginals(contacts).toDF(), "update")
+      case other => sys.error(s"unknown --logic $other")
+    }
+
+    val writer = sink match {
+      case "parquet" =>
+        frame.writeStream.outputMode(mode)
+          .option("checkpointLocation", graft.io.Scratch.sub("stream_ckpt"))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("append").parquet(out)
+            println(s"[stream] batch $id: ${batch.count()} rows -> $out")
+          }
+      case _ =>
+        frame.writeStream.outputMode(mode).format("console")
+          .option("truncate", "false").option("numRows", "20")
+    }
+
+    val query = writer.start()
+    if (timeoutSec > 0) {
+      query.awaitTermination(timeoutSec * 1000L)
+      query.stop()
+    } else query.awaitTermination()
+    spark.stop()
+  }
+}
