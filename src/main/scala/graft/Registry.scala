@@ -19,7 +19,9 @@ object Registry {
       ops.SetsSorts.queries ++
       ops.Functions.queries ++
       ops.Subqueries.queries ++
+      ops.EventAnalytics.queries ++
       hic.HicQueries.queries ++
+      hic.Matrix.queries ++
       llm.LlmQueries.queries ++
       llm.EmbedQueries.queries ++
       llm.CorpusStats.queries ++

@@ -1,0 +1,144 @@
+package graft.hic
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.ops.Cols
+
+/** Contact-matrix analytics over the contacts view: observed/expected
+  * distance normalization, insulation scores, and directionality index —
+  * the standard downstream reads on a Hi-C matrix once significances are
+  * called (companion analyses to SURVEY A17's distance-decay prior).
+  *
+  * Scale notes (100 TB bar):
+  *   - obs/exp: the per-(chr, distance) expected table is bounded by
+  *     #chromosomes × #distinct distances (≤ chromosome length / bin size,
+  *     ~50k rows per chr at 5 kb) — broadcast it back against the full
+  *     contact set instead of shuffling the contacts.
+  *   - insulation: NO join at all. Only pairs with dist < 2·window can
+  *     straddle a boundary, and each contributes to ≤ 2·window/binSize
+  *     boundaries, so a bounded narrow explode + one hash aggregation
+  *     (map-side partials) replaces the textbook range join.
+  *   - directionality: each in-window pair contributes to exactly two
+  *     bins (upstream leg of its right end, downstream leg of its left
+  *     end) — a two-projection union + one aggregation.
+  */
+object Matrix {
+  /** Insulation / DI window: ±100 kb, i.e. 20 bins of 5 kb. */
+  val W = 100000L
+  /** Bin grid pitch of the contacts view (mid = k·5000 + 2500). */
+  val Bin = 5000L
+
+  def queries: Map[String, Q] = Map(
+    "q_hic_obs_exp" -> Q(
+      (spark, dir) => {
+        // observed/expected: expected(chr, d) = mean contact count over
+        // all observed pairs at that (chr, distance); O/E = obs/expected.
+        // Integer sums + one double division with identical expression
+        // shape on both sides keep the hash exact.
+        val c = ContactsView(spark, dir)
+          .filter(col("dist").between(HicQueries.L, HicQueries.U))
+        val exp = c.groupBy("chr", "dist")
+          .agg(sum(col("contactCount")).as("sumc"),
+            count(lit(1)).as("npairs"))
+        c.join(broadcast(exp), Seq("chr", "dist"))
+          .select(col("chr"), col("mid1"), col("mid2"), col("dist"),
+            col("contactCount"), col("npairs"),
+            Cols.fround(col("contactCount").cast("double") /
+              (col("sumc").cast("double") / col("npairs").cast("double")),
+              8).as("oe"))
+          .orderBy("chr", "mid1", "mid2")
+      },
+      Some(ContactsView.cte + ", r AS (SELECT * FROM c WHERE dist " +
+        s"BETWEEN ${HicQueries.L} AND ${HicQueries.U}), " +
+        "e AS (SELECT chr, dist, CAST(SUM(contactCount) AS BIGINT) AS sumc, " +
+        "COUNT(*) AS npairs FROM r GROUP BY chr, dist) " +
+        "SELECT r.chr, r.mid1, r.mid2, r.dist, r.contactCount, e.npairs, " +
+        Cols.froundSql("CAST(r.contactCount AS DOUBLE) / " +
+          "(CAST(e.sumc AS DOUBLE) / CAST(e.npairs AS DOUBLE))", 8) +
+        " AS oe FROM r JOIN e ON r.chr = e.chr AND r.dist = e.dist " +
+        "ORDER BY r.chr, r.mid1, r.mid2")),
+
+    "q_hic_insulation" -> Q(
+      (spark, dir) => {
+        // insulation score: for each boundary b on the bin grid, the sum
+        // of contacts crossing it within ±W. A pair (lo, hi) crosses the
+        // boundaries b ∈ (lo, hi) ∩ [hi−W, lo+W] — non-empty only when
+        // 2·Bin ≤ hi − lo < 2W, and at most 2W/Bin grid points — so the
+        // plan is filter → bounded sequence() explode → one aggregation.
+        // No join. W and the view's mids share the Bin grid (W % Bin = 0,
+        // mid ≡ 2500 mod 5000), so hi−W / lo+W are themselves grid points.
+        val c = ContactsView(spark, dir)
+          .select(col("chr"),
+            least(col("mid1"), col("mid2")).as("lo"),
+            greatest(col("mid1"), col("mid2")).as("hi"),
+            col("contactCount"))
+          .filter(col("hi") - col("lo") >= 2 * Bin &&
+            col("hi") - col("lo") < 2 * W)
+        c.select(col("chr"), col("contactCount"),
+            explode(sequence(
+              greatest(col("lo") + Bin, col("hi") - W),
+              least(col("hi") - Bin, col("lo") + W),
+              lit(Bin))).as("boundary"))
+          .groupBy("chr", "boundary")
+          .agg(sum(col("contactCount")).as("ins_sum"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("chr", "boundary")
+      },
+      // oracle: the textbook form — lateral series of candidate
+      // boundaries per pair (fine at sf0.01; the Spark side's bounded
+      // explode is the scale path)
+      Some(ContactsView.cte + ", p AS (SELECT chr, " +
+        "LEAST(mid1, mid2) AS lo, GREATEST(mid1, mid2) AS hi, " +
+        "contactCount FROM c WHERE GREATEST(mid1, mid2) - " +
+        s"LEAST(mid1, mid2) >= ${2 * Bin} AND GREATEST(mid1, mid2) - " +
+        s"LEAST(mid1, mid2) < ${2 * W}) " +
+        ", x AS (SELECT chr, contactCount, " +
+        s"unnest(generate_series(GREATEST(lo + $Bin, hi - $W), " +
+        s"LEAST(hi - $Bin, lo + $W), $Bin)) AS b FROM p) " +
+        "SELECT chr, b AS boundary, CAST(SUM(contactCount) AS BIGINT) " +
+        "AS ins_sum, COUNT(*) AS n_pairs FROM x " +
+        "GROUP BY chr, b ORDER BY chr, boundary")),
+
+    "q_hic_directionality" -> Q(
+      (spark, dir) => {
+        // directionality index: per bin, upstream (A) vs downstream (B)
+        // in-window contact sums. Each pair (lo, hi) with hi − lo ≤ W is
+        // the downstream leg of lo and the upstream leg of hi: union the
+        // two projections, aggregate once, and keep the exact integer
+        // sums plus the signed DI statistic.
+        val c = ContactsView(spark, dir)
+          .select(col("chr"),
+            least(col("mid1"), col("mid2")).as("lo"),
+            greatest(col("mid1"), col("mid2")).as("hi"),
+            col("contactCount"))
+          .filter(col("lo") < col("hi") && col("hi") - col("lo") <= W)
+        val down = c.select(col("chr"), col("lo").as("bin"),
+          col("contactCount").as("b_leg"), lit(0L).as("a_leg"))
+        val up = c.select(col("chr"), col("hi").as("bin"),
+          lit(0L).as("b_leg"), col("contactCount").as("a_leg"))
+        down.unionByName(up)
+          .groupBy("chr", "bin")
+          .agg(sum(col("a_leg")).as("a_sum"), sum(col("b_leg")).as("b_sum"))
+          .select(col("chr"), col("bin"), col("a_sum"), col("b_sum"),
+            Cols.fround((col("b_sum") - col("a_sum")).cast("double") /
+              greatest(col("a_sum") + col("b_sum"), lit(1L)).cast("double"),
+              8).as("di"))
+          .orderBy("chr", "bin")
+      },
+      Some(ContactsView.cte + ", p AS (SELECT chr, " +
+        "LEAST(mid1, mid2) AS lo, GREATEST(mid1, mid2) AS hi, " +
+        "contactCount FROM c WHERE LEAST(mid1, mid2) < " +
+        "GREATEST(mid1, mid2) AND GREATEST(mid1, mid2) - " +
+        s"LEAST(mid1, mid2) <= $W), " +
+        "legs AS (SELECT chr, lo AS bin, contactCount AS b_leg, " +
+        "CAST(0 AS BIGINT) AS a_leg FROM p UNION ALL " +
+        "SELECT chr, hi AS bin, CAST(0 AS BIGINT) AS b_leg, " +
+        "contactCount AS a_leg FROM p) " +
+        "SELECT chr, bin, CAST(SUM(a_leg) AS BIGINT) AS a_sum, " +
+        "CAST(SUM(b_leg) AS BIGINT) AS b_sum, " +
+        Cols.froundSql("CAST(SUM(b_leg) - SUM(a_leg) AS DOUBLE) / " +
+          "CAST(GREATEST(SUM(a_leg) + SUM(b_leg), 1) AS DOUBLE)", 8) +
+        " AS di FROM legs GROUP BY chr, bin ORDER BY chr, bin"))
+  )
+}

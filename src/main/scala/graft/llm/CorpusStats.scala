@@ -51,5 +51,46 @@ object CorpusStats {
         "i -> t[i] || ' ' || t[i+1])) AS bg " +
         "FROM (SELECT string_split(text, ' ') AS t FROM documents) " +
         "WHERE len(t) >= 2) " +
-        "GROUP BY bg ORDER BY cnt DESC, bigram LIMIT 40")))
+        "GROUP BY bg ORDER BY cnt DESC, bigram LIMIT 40")),
+
+    "q_text_zipf" -> Q(
+      (spark, dir) => {
+        // Zipf profile of the corpus: rank vs frequency plus each token's
+        // cumulative share of all token occurrences — the curve used to
+        // pick stopword cutoffs and sanity-check scrapes. Top-100 leaves
+        // the cluster via TakeOrdered; rank + running share are then
+        // windows over those 100 rows only (bounded single partition by
+        // construction, not a global sort).
+        import org.apache.spark.sql.expressions.Window
+        val counts = graft.Tables(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum(col("cnt")).as("total"))
+        val w = Window.orderBy(desc("cnt"), asc("token"))
+        counts.orderBy(desc("cnt"), asc("token")).limit(100)
+          .crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum_share",
+            graft.ops.Cols.fround(
+              sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).cast("double") /
+                col("total").cast("double"),
+              8))
+          .select("rank", "token", "cnt", "cum_share")
+          .orderBy("rank")
+      },
+      Some("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "counts AS (SELECT tok AS token, COUNT(*) AS cnt FROM toks " +
+        "WHERE tok <> '' GROUP BY tok), " +
+        "tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts), " +
+        "ranked AS (SELECT token, cnt, ROW_NUMBER() OVER " +
+        "(ORDER BY cnt DESC, token) AS rank, " +
+        "CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "AS cum FROM counts) " +
+        "SELECT rank, token, cnt, " +
+        graft.ops.Cols.froundSql("cum / (SELECT total FROM tot)", 8) +
+        " AS cum_share FROM ranked WHERE rank <= 100 ORDER BY rank")))
 }

@@ -118,6 +118,28 @@ object Aggregates {
         "UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w) " +
         "ORDER BY l_returnflag, metric")),
 
+    "q_agg_histogram" -> Q(
+      (spark, dir) =>
+        // fixed-width numeric histogram (profiling staple): $1000-wide
+        // price buckets via exact integer division on the cents lift —
+        // one hash aggregation, output bounded by the value range, every
+        // column an exact integer.
+        Tables(spark, dir, "lineitem")
+          .select(cents(col("l_extendedprice")).as("price_c"))
+          .withColumn("bucket", expr("price_c div 100000"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("price_c")).as("min_c"),
+            max(col("price_c")).as("max_c"),
+            sum(col("price_c")).as("sum_c"))
+          .orderBy("bucket"),
+      Some("SELECT CAST(ROUND(l_extendedprice*100,0) AS BIGINT)//100000 " +
+        "AS bucket, COUNT(*) AS n, " +
+        "MIN(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS min_c, " +
+        "MAX(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS max_c, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)" +
+        " AS sum_c FROM lineitem GROUP BY bucket ORDER BY bucket")),
+
     "q_agg_bool" -> Q(
       (spark, dir) =>
         // boolean/conditional aggregate family: count_if + bool_and/or.

@@ -17,7 +17,9 @@ class ContractSpec extends AnyFunSuite with Matchers {
     "ops.SetsSorts" -> ops.SetsSorts.queries,
     "ops.Functions" -> ops.Functions.queries,
     "ops.Subqueries" -> ops.Subqueries.queries,
+    "ops.EventAnalytics" -> ops.EventAnalytics.queries,
     "hic.HicQueries" -> hic.HicQueries.queries,
+    "hic.Matrix" -> hic.Matrix.queries,
     "llm.LlmQueries" -> llm.LlmQueries.queries,
     "llm.EmbedQueries" -> llm.EmbedQueries.queries,
     "llm.CorpusStats" -> llm.CorpusStats.queries,

@@ -202,4 +202,24 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("insulation score is join-free: bounded explode + one aggregation") {
+    // the textbook boundary×pair range join must stay rewritten as a
+    // narrow Generate whose fan-out is ≤ 2W/Bin per row
+    val p = plan("q_hic_insulation")
+    p should include("Generate")
+    p should not include "Join"
+    p should not include "CartesianProduct"
+  }
+
+  test("obs/exp broadcasts the per-(chr,dist) expected table") {
+    plan("q_hic_obs_exp") should include("BroadcastHashJoin")
+  }
+
+  test("funnel stages join on the reused user_id key, hash-partitioned") {
+    // no nested-loop fallbacks anywhere in the 3-stage funnel
+    val p = plan("q_events_funnel")
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+  }
 }
