@@ -62,10 +62,14 @@ object CorpusStats {
         // windows over those 100 rows only (bounded single partition by
         // construction, not a global sort).
         import org.apache.spark.sql.expressions.Window
-        val counts = graft.Tables(spark, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("token"))
-          .filter(col("token") =!= "")
-          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        // counts feeds two lineages (corpus total + top-k): persist the
+        // vocab-sized aggregate so the token explode runs once, not twice
+        val counts = graft.ops.Caches.register(
+          graft.Tables(spark, dir, "documents")
+            .select(explode(split(col("text"), " ")).as("token"))
+            .filter(col("token") =!= "")
+            .groupBy("token").agg(count(lit(1)).as("cnt"))
+            .persist())
         val total = counts.agg(sum(col("cnt")).as("total"))
         val w = Window.orderBy(desc("cnt"), asc("token"))
         counts.orderBy(desc("cnt"), asc("token")).limit(100)
