@@ -21,7 +21,10 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkTest {
     // round-8 cont.: CC over the cosine graph (block-pair kernel feeding
     // the hybrid union-find) — cluster ids must not depend on which task
     // saw which edge first
-    "q_dedup_semantic")
+    "q_dedup_semantic",
+    // round 9: bounded sequence-explode machinery (insulation) and the
+    // chained keyed aggregations of the funnel
+    "q_hic_insulation", "q_events_funnel")
 
   private def runAll(parts: Int): Map[String, Seq[String]] = {
     val key = "spark.sql.shuffle.partitions"
