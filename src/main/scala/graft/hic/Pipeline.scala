@@ -34,6 +34,22 @@ final case class FitHiCConfig(
 object Pipeline {
   private val keys = Seq("chr1", "mid1", "chr2", "mid2")
 
+  /** Run `body`; if it throws while a concurrently-launched action is
+    * still in flight, wait for that action to settle (success or failure)
+    * before rethrowing — otherwise the detached job keeps running while
+    * the caller's Caches.drain() unpersists its inputs, and its own
+    * failure is silently dropped.
+    */
+  private def settleOnFailure[A](fut: scala.concurrent.Future[_])
+      (body: => A): A =
+    try body
+    catch {
+      case t: Throwable =>
+        scala.util.Try(scala.concurrent.Await.ready(fut,
+          scala.concurrent.duration.Duration.Inf))
+        throw t
+    }
+
   /** Run the intra-chromosomal pipeline; returns one row per tested pair
     * and pass: chr1, mid1, chr2, mid2, contactCount, pass, p_value,
     * q_value.
@@ -94,8 +110,11 @@ object Pipeline {
     var layoutPreserved = true
     var result: DataFrame = null
     for (pass <- 1 to cfg.passes) {
-      val bins = Binning.collectBins(nullSource, cfg.nBins, keys,
-        assumeRanged = layoutPreserved)
+      // pass-1 binning is the only action between the possible-M launch
+      // and its Await: if it throws, settle mFut before unwinding
+      val bins = settleOnFailure(mFut)(
+        Binning.collectBins(nullSource, cfg.nBins, keys,
+          assumeRanged = layoutPreserved))
       if (pass == 1) {
         n = bins.map(_.getAs[Long]("sumCount")).sum
         m = scala.concurrent.Await.result(mFut,
@@ -168,10 +187,11 @@ object Pipeline {
     // as the intra path's possible-pair future)
     import scala.concurrent.ExecutionContext.Implicits.global
     val mFut = scala.concurrent.Future(Fragments.possibleInterAll(mapped))
-    val n = withBias.agg(sum(col("contactCount"))).first() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    val n = settleOnFailure(mFut)(
+      withBias.agg(sum(col("contactCount"))).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      })
     val m = scala.concurrent.Await.result(mFut,
       scala.concurrent.duration.Duration.Inf)
     if (n == 0) return withBias.select((keys.map(col) :+

@@ -93,9 +93,14 @@ object LlmQueries {
     val e = Tables(spark, dir, "embeddings")
     val probes = broadcast(e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe"), col("embedding").as("ea"),
-        expr(normQ).as("na2")))
+        expr(normQ).as("na2"))
+      .filter(col("na2") > 0))
+    // zero-norm candidates excluded to match the oracle's sims CTE —
+    // their NaN cosine would otherwise sort FIRST under desc and win
+    // the kNN row_number
     val cands = e.select(col("vec_id").as("nb"), col("embedding").as("eb"),
       expr(normQ).as("nb2"), col("label").as("nlabel"))
+      .filter(col("nb2") > 0)
     probes.join(cands, col("probe") =!= col("nb"))
       .withColumn("dot", expr(dotQ))
       .withColumn("cos", col("dot").cast("double") /

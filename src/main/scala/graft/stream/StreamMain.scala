@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   * `--source files` streams the driver-generated events parquet through
   * the file source (one micro-batch per file); `rate` synthesizes events
   * locally so the pipeline runs with zero inputs. `--sink parquet`
-  * appends each micro-batch's update rows via foreachBatch — the
-  * incremental-materialization shape a production job would use.
-  * The run stops cleanly after `--timeout-sec` (0 = run until killed).
+  * (requires `--out`, a durable directory) materializes each
+  * micro-batch via foreachBatch — the incremental-materialization shape
+  * a production job would use. The run stops cleanly after
+  * `--timeout-sec` (0 = run until killed).
   */
 object StreamMain {
   // ts is parquet TIMESTAMP(NANOS): read as long (nanosAsLong) and floor
@@ -39,7 +40,14 @@ object StreamMain {
     val source = opts.getOrElse("--source", "rate")
     val dir = opts.getOrElse("--dir", "/root/testdata/sf0.001")
     val sink = opts.getOrElse("--sink", "console")
-    val out = opts.getOrElse("--out", graft.io.Scratch.sub("stream_out"))
+    // parquet output must be durable — Scratch subdirs are reaped by the
+    // shutdown hook at JVM exit, so a defaulted path would vanish with
+    // the process right after the run reports it
+    val out = opts.get("--out").getOrElse {
+      if (sink == "parquet")
+        sys.error("--sink parquet requires --out <durable dir>")
+      ""
+    }
     val watermark = opts.getOrElse("--watermark", "10 seconds")
     val timeoutSec = opts.getOrElse("--timeout-sec", "30").toInt
 
@@ -87,7 +95,9 @@ object StreamMain {
     val (frame, mode) = logic match {
       case "tumbling" => (Events.tumbling(events, watermark), "update")
       case "sliding" => (Events.sliding(events, watermark), "update")
-      case "session" => (Events.sessions(events, watermark), "update")
+      // session_window streaming aggregation rejects update mode (Spark's
+      // UnsupportedOperationChecker); complete matches StreamingSpec
+      case "session" => (Events.sessions(events, watermark), "complete")
       case "dedup" => (Events.dedup(events, watermark), "append")
       case "marginals" =>
         (Events.incrementalMarginals(contacts).toDF(), "update")
@@ -99,8 +109,16 @@ object StreamMain {
         frame.writeStream.outputMode(mode)
           .option("checkpointLocation", graft.io.Scratch.sub("stream_ckpt"))
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            batch.write.mode("append").parquet(out)
-            println(s"[stream] batch $id: ${batch.count()} rows -> $out")
+            // persist so count + write are ONE execution of the
+            // incremental plan, not two end-to-end re-runs; complete
+            // mode re-emits the full result set each batch — overwrite,
+            // don't accumulate duplicates
+            val n = batch.persist().count()
+            batch.write
+              .mode(if (mode == "complete") "overwrite" else "append")
+              .parquet(out)
+            batch.unpersist()
+            println(s"[stream] batch $id: $n rows -> $out")
           }
       case _ =>
         frame.writeStream.outputMode(mode).format("console")
