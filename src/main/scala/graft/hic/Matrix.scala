@@ -139,6 +139,22 @@ object Matrix {
         "CAST(SUM(b_leg) AS BIGINT) AS b_sum, " +
         Cols.froundSql("CAST(SUM(b_leg) - SUM(a_leg) AS DOUBLE) / " +
           "CAST(GREATEST(SUM(a_leg) + SUM(b_leg), 1) AS DOUBLE)", 8) +
-        " AS di FROM legs GROUP BY chr, bin ORDER BY chr, bin"))
+        " AS di FROM legs GROUP BY chr, bin ORDER BY chr, bin")),
+
+    "q_hic_compartments" -> Q(
+      (spark, dir) => {
+        // A/B compartment scores: leading eigenvector of the per-chr
+        // O/E−1 matrix via fixed-count power iteration (hybrid in-task /
+        // distributed — see Compartments). Not SQL-expressible (iterative
+        // eigensolve) → rows-only; AnalyticsSpec pins the in-task kernel
+        // against a breeze dense eigendecomposition.
+        val c = ContactsView(spark, dir)
+          .filter(col("dist").between(HicQueries.L, HicQueries.U))
+        Compartments.scores(c)
+          .select(col("chr"), col("bin"),
+            Cols.fround(col("score"), 6).as("score"))
+          .orderBy("chr", "bin")
+      },
+      None)
   )
 }

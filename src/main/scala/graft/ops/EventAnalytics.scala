@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -91,6 +92,91 @@ object EventAnalytics {
         "COUNT(DISTINCT a.user_id) AS n_users " +
         "FROM active a JOIN cohort c ON a.user_id = c.user_id " +
         "GROUP BY c.cohort_day, day_offset " +
-        "ORDER BY cohort_day, day_offset"))
+        "ORDER BY cohort_day, day_offset")),
+
+    "q_events_sessionize" -> Q(
+      (spark, dir) => {
+        // batch sessionization (gaps-and-islands): a new session starts
+        // when a user's inter-event gap exceeds 30 min. lag + running
+        // sum of session starts, both over the SAME (user_id, ts) window
+        // — one exchange, per-user state only (no window ever spans two
+        // users, so partitions stay bounded at any corpus size). The
+        // batch twin of the streaming session_window query.
+        val gapUs = 30L * 60 * 1000000
+        val ev = Tables(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            Cols.epochUs(col("ts")).as("tus"))
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        ev.withColumn("prev", lag(col("tus"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev").isNull ||
+              col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+          .withColumn("sess_no", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_no")
+          .agg(min(col("tus")).as("sess_start"),
+            max(col("tus")).as("sess_end"),
+            count(lit(1)).as("n_events"),
+            sum(Cols.cents(col("value"))).as("sum_value_c"))
+          .withColumn("duration_us", col("sess_end") - col("sess_start"))
+          .select(col("user_id"), col("sess_no"), col("sess_start"),
+            col("duration_us"), col("n_events"), col("sum_value_c"))
+          .orderBy("user_id", "sess_no")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, value, " +
+        "epoch_us(ts) AS tus FROM events), " +
+        "lagged AS (SELECT *, LAG(tus) OVER " +
+        "(PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM ev), " +
+        "marked AS (SELECT *, CASE WHEN prev IS NULL OR " +
+        "tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+        "FROM lagged), " +
+        "numbered AS (SELECT *, SUM(new_sess) OVER " +
+        "(PARTITION BY user_id ORDER BY tus, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sess_no FROM marked) " +
+        "SELECT user_id, sess_no, MIN(tus) AS sess_start, " +
+        "MAX(tus) - MIN(tus) AS duration_us, COUNT(*) AS n_events, " +
+        "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS sum_value_c " +
+        "FROM numbered GROUP BY user_id, sess_no " +
+        "ORDER BY user_id, sess_no")),
+
+    "q_events_anomaly" -> Q(
+      (spark, dir) => {
+        // per-user daily-volume anomaly: flag (user, day) counts more
+        // than 2 population-σ above that user's own daily mean. Variance
+        // from exact integer Σcnt/Σcnt² (both < 2^53, so the double
+        // arithmetic is bit-identical on any engine and any partitioning
+        // — Spark's streaming stddev_pop would not be), users need ≥ 3
+        // active days. Two hash aggregations, the second keyed on the
+        // first's key prefix.
+        val ev = Tables(spark, dir, "events")
+        val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = daily.groupBy("user_id")
+          .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("s1"),
+            sum(col("cnt") * col("cnt")).as("s2"))
+          .filter(col("n_days") >= 3)
+        val mean = col("s1").cast("double") / col("n_days")
+        val variance = col("s2").cast("double") / col("n_days") -
+          mean * mean
+        daily.join(stats, "user_id")
+          .withColumn("z", (col("cnt").cast("double") - mean) /
+            sqrt(variance))
+          .filter(col("z") > 2.0)
+          .select(col("user_id"), col("day"), col("cnt"),
+            Cols.fround(col("z"), 6).as("z"))
+          .orderBy("user_id", "day")
+      },
+      Some("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "COUNT(*) AS cnt FROM events GROUP BY user_id, day), " +
+        "stats AS (SELECT user_id, COUNT(*) AS n_days, " +
+        "SUM(cnt) AS s1, SUM(cnt*cnt) AS s2 FROM daily " +
+        "GROUP BY user_id HAVING COUNT(*) >= 3), " +
+        "z AS (SELECT d.user_id, d.day, d.cnt, " +
+        "(CAST(d.cnt AS DOUBLE) - CAST(s.s1 AS DOUBLE)/s.n_days) / " +
+        "SQRT(CAST(s.s2 AS DOUBLE)/s.n_days - " +
+        "(CAST(s.s1 AS DOUBLE)/s.n_days)*(CAST(s.s1 AS DOUBLE)/s.n_days)) " +
+        "AS z FROM daily d JOIN stats s ON d.user_id = s.user_id) " +
+        "SELECT user_id, day, cnt, " + Cols.froundSql("z", 6) +
+        " AS z FROM z WHERE z > 2.0 ORDER BY user_id, day"))
   )
 }

@@ -121,4 +121,95 @@ class AnalyticsSpec extends AnyFunSuite with Matchers with SparkTest {
       min should be <= max
     }
   }
+
+  test("sessionize: events conserved, session numbering dense from 1, " +
+    "intra-session spans bounded") {
+    val rows = Registry.all("q_events_sessionize").fn(spark, dir).collect()
+    rows.map(_.getLong(4)).sum shouldBe Tables(spark, dir, "events").count()
+    rows.groupBy(_.getLong(0)).foreach { case (_, sess) =>
+      sess.map(_.getLong(1)).sorted.toSeq shouldBe
+        (1L to sess.length.toLong) // running-sum numbering is dense
+    }
+    // a session's span is < 30 min × (n_events − 1) + 1 gap allowance:
+    // each consecutive gap inside a session is ≤ 30 min by construction
+    rows.foreach { r =>
+      r.getLong(3) should be <= (r.getLong(4) - 1) * 1800000000L
+    }
+  }
+
+  test("anomaly: flagged days exceed their user's mean by > 2 sigma") {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getLong(2)))
+    val byUser = daily.groupBy(_._1)
+    val rows = Registry.all("q_events_anomaly").fn(spark, dir).collect()
+    rows.foreach { r =>
+      val (u, cnt) = (r.getLong(0), r.getLong(2))
+      val counts = byUser(u).map(_._3.toDouble)
+      counts.length should be >= 3
+      val mean = counts.sum / counts.length
+      val sd = math.sqrt(counts.map(c => c * c).sum / counts.length -
+        mean * mean)
+      cnt.toDouble should be > mean + 2 * sd - 1e-9
+      r.getDouble(3) should be > 2.0 - 1e-6
+    }
+  }
+
+  test("compartments: unit norm, sign convention, near-optimal Rayleigh " +
+    "quotient vs breeze dense eigendecomposition") {
+    val rows = Registry.all("q_hic_compartments").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.length should be > 0
+    // dense per-chr O/E−1 matrix from the same filtered view
+    val filtered = hic.ContactsView(spark, dir)
+      .filter(col("dist").between(hic.HicQueries.L, hic.HicQueries.U))
+      .collect()
+      .map(r => (r.getAs[String]("chr"), r.getAs[Long]("mid1"),
+        r.getAs[Long]("mid2"), r.getAs[Long]("dist"),
+        r.getAs[Long]("contactCount")))
+    filtered.groupBy(_._1).foreach { case (chr, ps) =>
+      val expByDist = ps.groupBy(_._4).view.mapValues(g =>
+        g.map(_._5).sum.toDouble / g.length).toMap
+      val mids = ps.flatMap(p => Seq(p._2, p._3)).distinct.sorted
+      val ix = mids.zipWithIndex.toMap
+      val n = mids.length
+      val m = breeze.linalg.DenseMatrix.zeros[Double](n, n)
+      ps.foreach { case (_, a, b, d, cnt) =>
+        val w = cnt.toDouble / expByDist(d) - 1.0
+        m(ix(a), ix(b)) += w
+        if (a != b) m(ix(b), ix(a)) += w
+      }
+      val lambdaMax = breeze.linalg.eigSym(m).eigenvalues.toArray.max
+      val chrScores = rows.filter(_._1 == chr)
+      chrScores.map(_._2).sorted shouldBe mids // one score per bin
+      val v = chrScores.sortBy(_._2).map(_._3)
+      math.sqrt(v.map(x => x * x).sum) shouldBe 1.0 +- 1e-4
+      // sign convention: first nonzero entry non-negative
+      v.find(_ != 0.0).foreach(_ should be >= 0.0)
+      // the returned vector's Rayleigh quotient v'Mv must be within 1%
+      // of the true leading eigenvalue (robust to a small eigengap,
+      // unlike direct collinearity with the breeze eigenvector)
+      val bv = breeze.linalg.DenseVector(v)
+      val rayleigh = bv.t * (m * bv)
+      lambdaMax should be > 0.0
+      rayleigh should be > 0.99 * lambdaMax
+    }
+  }
+
+  test("compartments: in-task and distributed paths agree") {
+    val c = hic.ContactsView(spark, dir)
+      .filter(col("dist").between(hic.HicQueries.L, hic.HicQueries.U))
+    def collectScores(maxEdges: Long) =
+      hic.Compartments.scores(c, maxEdgesPerTask = maxEdges)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inTask = collectScores(Long.MaxValue)
+    val dist = collectScores(0L)
+    inTask.keySet shouldBe dist.keySet
+    inTask.foreach { case (k, s) =>
+      // identical semantics, different float-accumulation order
+      math.abs(s - dist(k)) should be < 1e-9
+    }
+  }
 }
