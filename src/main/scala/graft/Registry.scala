@@ -20,6 +20,7 @@ object Registry {
       ops.Functions.queries ++
       ops.Subqueries.queries ++
       ops.EventAnalytics.queries ++
+      ops.Graph.queries ++
       hic.HicQueries.queries ++
       hic.Matrix.queries ++
       llm.LlmQueries.queries ++

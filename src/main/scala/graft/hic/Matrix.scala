@@ -1,5 +1,6 @@
 package graft.hic
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -28,6 +29,50 @@ object Matrix {
   val W = 100000L
   /** Bin grid pitch of the contacts view (mid = k·5000 + 2500). */
   val Bin = 5000L
+
+  /** Insulation scores (chr, boundary, ins_sum, n_pairs), unordered: for
+    * each boundary b on the bin grid, the sum of contacts crossing it
+    * within ±W. A pair (lo, hi) crosses the boundaries
+    * b ∈ (lo, hi) ∩ [hi−W, lo+W] — non-empty only when
+    * 2·Bin ≤ hi − lo < 2W, and at most 2W/Bin grid points — so the plan
+    * is filter → bounded sequence() explode → one aggregation. No join.
+    * W and the view's mids share the Bin grid (W % Bin = 0,
+    * mid ≡ 2500 mod 5000), so hi−W / lo+W are themselves grid points.
+    */
+  def insulation(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val c = ContactsView(spark, dir)
+      .select(col("chr"),
+        least(col("mid1"), col("mid2")).as("lo"),
+        greatest(col("mid1"), col("mid2")).as("hi"),
+        col("contactCount"))
+      .filter(col("hi") - col("lo") >= 2 * Bin &&
+        col("hi") - col("lo") < 2 * W)
+    c.select(col("chr"), col("contactCount"),
+        explode(sequence(
+          greatest(col("lo") + Bin, col("hi") - W),
+          least(col("hi") - Bin, col("lo") + W),
+          lit(Bin))).as("boundary"))
+      .groupBy("chr", "boundary")
+      .agg(sum(col("contactCount")).as("ins_sum"),
+        count(lit(1)).as("n_pairs"))
+  }
+
+  /** DuckDB twin of [[insulation]] as a CTE block ending in `ins`
+    * (textbook lateral-series form — fine at sf0.01; the Spark side's
+    * bounded explode is the scale path).
+    */
+  val insulationSql: String = ContactsView.cte + ", p AS (SELECT chr, " +
+    "LEAST(mid1, mid2) AS lo, GREATEST(mid1, mid2) AS hi, " +
+    "contactCount FROM c WHERE GREATEST(mid1, mid2) - " +
+    s"LEAST(mid1, mid2) >= ${2 * Bin} AND GREATEST(mid1, mid2) - " +
+    s"LEAST(mid1, mid2) < ${2 * W}) " +
+    ", x AS (SELECT chr, contactCount, " +
+    s"unnest(generate_series(GREATEST(lo + $Bin, hi - $W), " +
+    s"LEAST(hi - $Bin, lo + $W), $Bin)) AS b FROM p) " +
+    ", ins AS (SELECT chr, b AS boundary, " +
+    "CAST(SUM(contactCount) AS BIGINT) AS ins_sum, COUNT(*) AS n_pairs " +
+    "FROM x GROUP BY chr, b)"
 
   def queries: Map[String, Q] = Map(
     "q_hic_obs_exp" -> Q(
@@ -60,45 +105,58 @@ object Matrix {
         "ORDER BY r.chr, r.mid1, r.mid2")),
 
     "q_hic_insulation" -> Q(
+      (spark, dir) => insulation(spark, dir).orderBy("chr", "boundary"),
+      Some(insulationSql +
+        " SELECT chr, boundary, ins_sum, n_pairs FROM ins " +
+        "ORDER BY chr, boundary")),
+
+    "q_hic_tad_boundaries" -> Q(
       (spark, dir) => {
-        // insulation score: for each boundary b on the bin grid, the sum
-        // of contacts crossing it within ±W. A pair (lo, hi) crosses the
-        // boundaries b ∈ (lo, hi) ∩ [hi−W, lo+W] — non-empty only when
-        // 2·Bin ≤ hi − lo < 2W, and at most 2W/Bin grid points — so the
-        // plan is filter → bounded sequence() explode → one aggregation.
-        // No join. W and the view's mids share the Bin grid (W % Bin = 0,
-        // mid ≡ 2500 mod 5000), so hi−W / lo+W are themselves grid points.
-        val c = ContactsView(spark, dir)
-          .select(col("chr"),
-            least(col("mid1"), col("mid2")).as("lo"),
-            greatest(col("mid1"), col("mid2")).as("hi"),
-            col("contactCount"))
-          .filter(col("hi") - col("lo") >= 2 * Bin &&
-            col("hi") - col("lo") < 2 * W)
-        c.select(col("chr"), col("contactCount"),
-            explode(sequence(
-              greatest(col("lo") + Bin, col("hi") - W),
-              least(col("hi") - Bin, col("lo") + W),
-              lit(Bin))).as("boundary"))
-          .groupBy("chr", "boundary")
-          .agg(sum(col("contactCount")).as("ins_sum"),
-            count(lit(1)).as("n_pairs"))
+        // TAD boundary calls from the insulation profile: a boundary is a
+        // STRICT local minimum of ins_sum between its two grid-adjacent
+        // neighbors (gaps in the profile disqualify — lag/lead must be
+        // exactly one Bin away) that also sits strictly below its
+        // chromosome's mean insulation. The mean test is the exact
+        // integer cross-multiplication ins_sum·n_rows < chr_total (no
+        // float division anywhere), and `prominence` is an exact BIGINT.
+        // Per-chr windows/aggregations only — nothing global.
+        val ins = insulation(spark, dir)
+        val w = Window.partitionBy("chr").orderBy("boundary")
+        val chrStats = ins.groupBy("chr")
+          .agg(sum(col("ins_sum")).as("chr_total"),
+            count(lit(1)).as("n_rows"))
+        ins
+          .withColumn("prev_b", lag(col("boundary"), 1).over(w))
+          .withColumn("prev_s", lag(col("ins_sum"), 1).over(w))
+          .withColumn("next_b", lead(col("boundary"), 1).over(w))
+          .withColumn("next_s", lead(col("ins_sum"), 1).over(w))
+          .filter(col("boundary") - col("prev_b") === Bin &&
+            col("next_b") - col("boundary") === Bin &&
+            col("ins_sum") < col("prev_s") &&
+            col("ins_sum") < col("next_s"))
+          .join(broadcast(chrStats), "chr")
+          .filter(col("ins_sum") * col("n_rows") < col("chr_total"))
+          .select(col("chr"), col("boundary"), col("ins_sum"),
+            (col("prev_s") + col("next_s") - lit(2L) * col("ins_sum"))
+              .as("prominence"))
           .orderBy("chr", "boundary")
       },
-      // oracle: the textbook form — lateral series of candidate
-      // boundaries per pair (fine at sf0.01; the Spark side's bounded
-      // explode is the scale path)
-      Some(ContactsView.cte + ", p AS (SELECT chr, " +
-        "LEAST(mid1, mid2) AS lo, GREATEST(mid1, mid2) AS hi, " +
-        "contactCount FROM c WHERE GREATEST(mid1, mid2) - " +
-        s"LEAST(mid1, mid2) >= ${2 * Bin} AND GREATEST(mid1, mid2) - " +
-        s"LEAST(mid1, mid2) < ${2 * W}) " +
-        ", x AS (SELECT chr, contactCount, " +
-        s"unnest(generate_series(GREATEST(lo + $Bin, hi - $W), " +
-        s"LEAST(hi - $Bin, lo + $W), $Bin)) AS b FROM p) " +
-        "SELECT chr, b AS boundary, CAST(SUM(contactCount) AS BIGINT) " +
-        "AS ins_sum, COUNT(*) AS n_pairs FROM x " +
-        "GROUP BY chr, b ORDER BY chr, boundary")),
+      Some(insulationSql + ", nb AS (SELECT chr, boundary, ins_sum, " +
+        "LAG(boundary) OVER (PARTITION BY chr ORDER BY boundary) " +
+        "AS prev_b, LAG(ins_sum) OVER (PARTITION BY chr ORDER BY " +
+        "boundary) AS prev_s, LEAD(boundary) OVER (PARTITION BY chr " +
+        "ORDER BY boundary) AS next_b, LEAD(ins_sum) OVER (PARTITION " +
+        "BY chr ORDER BY boundary) AS next_s FROM ins), " +
+        "st AS (SELECT chr, CAST(SUM(ins_sum) AS BIGINT) AS chr_total, " +
+        "COUNT(*) AS n_rows FROM ins GROUP BY chr) " +
+        "SELECT nb.chr, nb.boundary, nb.ins_sum, " +
+        "nb.prev_s + nb.next_s - 2*nb.ins_sum AS prominence " +
+        "FROM nb JOIN st ON nb.chr = st.chr " +
+        s"WHERE nb.boundary - nb.prev_b = $Bin " +
+        s"AND nb.next_b - nb.boundary = $Bin " +
+        "AND nb.ins_sum < nb.prev_s AND nb.ins_sum < nb.next_s " +
+        "AND nb.ins_sum * st.n_rows < st.chr_total " +
+        "ORDER BY nb.chr, nb.boundary")),
 
     "q_hic_directionality" -> Q(
       (spark, dir) => {

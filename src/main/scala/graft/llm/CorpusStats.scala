@@ -96,5 +96,48 @@ object CorpusStats {
         "AS cum FROM counts) " +
         "SELECT rank, token, cnt, " +
         graft.ops.Cols.froundSql("cum / (SELECT total FROM tot)", 8) +
-        " AS cum_share FROM ranked WHERE rank <= 100 ORDER BY rank")))
+        " AS cum_share FROM ranked WHERE rank <= 100 ORDER BY rank")),
+
+    "q_text_bigram_lm" -> Q(
+      (spark, dir) => {
+        // character-bigram LM commonness score — the integer-exact stand-in
+        // for a perplexity filter: score(doc) = mean corpus frequency
+        // (parts-per-million, integer floor division) of the doc's char
+        // bigrams. Low scores mark out-of-distribution text. The bigram
+        // expansion is a narrow higher-order-function transform (2× text
+        // bytes, no shuffle); the corpus bigram table is bounded by
+        // |charset|² → broadcast back; every arithmetic step is BIGINT
+        // (ppm floor-div AFTER the exact sums), so the result is
+        // order-independent and hash-exact. Overflows its BIGINT headroom
+        // only past ~10^12 corpus chars per shard of the count table.
+        val docs = Tables(spark, dir, "documents")
+          .filter(length(col("text")) >= 2)
+        val bigrams = docs.select(col("doc_id"),
+          explode(expr("transform(sequence(1, char_length(text)-1), " +
+            "i -> substring(text, i, 2))")).as("bg"))
+        val counts = graft.ops.Caches.register(
+          bigrams.groupBy("bg").agg(count(lit(1)).as("cnt")).persist())
+        val total = counts.agg(sum(col("cnt")).as("t"))
+        bigrams.join(broadcast(counts), "bg")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).as("sum_c"), count(lit(1)).as("n_bg"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_bg"),
+            expr("((sum_c * 1000000L) div t) div n_bg").as("ppm_score"))
+          .orderBy("doc_id")
+      },
+      Some("WITH docs AS (SELECT doc_id, text FROM documents " +
+        "WHERE length(text) >= 2), " +
+        "ix AS (SELECT doc_id, text, " +
+        "unnest(generate_series(1, length(text)-1)) AS i FROM docs), " +
+        "bigrams AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) " +
+        "AS bg FROM ix), " +
+        "counts AS (SELECT bg, COUNT(*) AS cnt FROM bigrams GROUP BY bg), " +
+        "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM counts), " +
+        "agg AS (SELECT b.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS sum_c, " +
+        "COUNT(*) AS n_bg FROM bigrams b JOIN counts c ON b.bg = c.bg " +
+        "GROUP BY b.doc_id) " +
+        "SELECT doc_id, n_bg, " +
+        "((sum_c * 1000000) // (SELECT t FROM tot)) // n_bg AS ppm_score " +
+        "FROM agg ORDER BY doc_id")))
 }

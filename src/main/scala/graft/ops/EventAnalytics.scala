@@ -177,6 +177,107 @@ object EventAnalytics {
         "(CAST(s.s1 AS DOUBLE)/s.n_days)*(CAST(s.s1 AS DOUBLE)/s.n_days)) " +
         "AS z FROM daily d JOIN stats s ON d.user_id = s.user_id) " +
         "SELECT user_id, day, cnt, " + Cols.froundSql("z", 6) +
-        " AS z FROM z WHERE z > 2.0 ORDER BY user_id, day"))
+        " AS z FROM z WHERE z > 2.0 ORDER BY user_id, day")),
+
+    "q_ts_gapfill" -> Q(
+      (spark, dir) => {
+        // time-series regularization: densify each user's daily activity
+        // onto a complete calendar grid over [first day, last day], with
+        // cnt = 0 on missing days and the value sum forward-filled from
+        // the last active day. Grid generation is a bounded narrow
+        // explode of the per-user span (never a calendar × users cross
+        // join); the fill is one per-user window. Everything keys on
+        // user_id, so the daily agg, span agg, grid join, and fill window
+        // reuse one exchange and no window spans two users.
+        val daily = Tables(spark, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(Cols.cents(col("value"))).as("val_c"))
+        val grid = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            last(col("val_c"), ignoreNulls = true).over(w).as("fill_c"))
+          .orderBy("user_id", "day")
+      },
+      Some("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) " +
+        "AS val_c FROM events GROUP BY user_id, day), " +
+        "span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 " +
+        "FROM daily GROUP BY user_id), " +
+        "grid AS (SELECT user_id, CAST(unnest(generate_series(" +
+        "CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), " +
+        "INTERVAL 1 DAY)) AS DATE) AS day FROM span) " +
+        "SELECT g.user_id, g.day, COALESCE(d.cnt, 0) AS cnt, " +
+        "LAST_VALUE(d.val_c IGNORE NULLS) OVER (PARTITION BY g.user_id " +
+        "ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS fill_c " +
+        "FROM grid g LEFT JOIN daily d " +
+        "ON g.user_id = d.user_id AND g.day = d.day " +
+        "ORDER BY g.user_id, g.day")),
+
+    "q_events_attribution" -> Q(
+      (spark, dir) => {
+        // last-touch attribution: each purchase is credited to the most
+        // recent PRIOR click/view by the same user within a 7-day
+        // lookback, else 'none'. One per-user window pass (last-non-null
+        // carry over a [start, prev] frame) — the classic as-of join
+        // expressed without any join at all, so the plan is a single
+        // exchange on user_id at any event volume. Ties broken by
+        // event_id; touch_* columns are null on exactly the same rows,
+        // so the three carries pick the same touch row.
+        val sevenDaysUs = 7L * 24 * 3600 * 1000000
+        val ev = Tables(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            Cols.epochUs(col("ts")).as("tus"))
+        val isTouch = col("event_type").isin("click", "view")
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev
+          .withColumn("t_tus",
+            last(when(isTouch, col("tus")), ignoreNulls = true).over(w))
+          .withColumn("t_type",
+            last(when(isTouch, col("event_type")), ignoreNulls = true)
+              .over(w))
+          .withColumn("t_id",
+            last(when(isTouch, col("event_id")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("in_window",
+            col("t_tus").isNotNull &&
+              col("tus") - col("t_tus") <= sevenDaysUs)
+          .select(col("user_id"), col("event_id"), col("tus"),
+            when(col("in_window"), col("t_type")).otherwise(lit("none"))
+              .as("channel"),
+            when(col("in_window"), col("t_id")).as("touch_event_id"),
+            when(col("in_window"), col("tus") - col("t_tus")).as("gap_us"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(ts) AS tus FROM events), " +
+        "carried AS (SELECT *, " +
+        "LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN tus " +
+        "END IGNORE NULLS) OVER prior AS t_tus, " +
+        "LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN " +
+        "event_type END IGNORE NULLS) OVER prior AS t_type, " +
+        "LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN " +
+        "event_id END IGNORE NULLS) OVER prior AS t_id " +
+        "FROM ev WINDOW prior AS (PARTITION BY user_id " +
+        "ORDER BY tus, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, event_id, tus, " +
+        "CASE WHEN t_tus IS NOT NULL AND tus - t_tus <= 604800000000 " +
+        "THEN t_type ELSE 'none' END AS channel, " +
+        "CASE WHEN t_tus IS NOT NULL AND tus - t_tus <= 604800000000 " +
+        "THEN t_id END AS touch_event_id, " +
+        "CASE WHEN t_tus IS NOT NULL AND tus - t_tus <= 604800000000 " +
+        "THEN tus - t_tus END AS gap_us " +
+        "FROM carried WHERE event_type = 'purchase' " +
+        "ORDER BY user_id, event_id"))
   )
 }

@@ -197,6 +197,108 @@ class AnalyticsSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("tad boundaries: exactly the strict adjacent-grid local minima " +
+    "below their chromosome mean") {
+    val B = hic.Matrix.Bin
+    val ins = Registry.all("q_hic_insulation").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = ins.groupBy(_._1).flatMap { case (chr, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val n = sorted.length
+      sorted.sliding(3).collect {
+        case Array((_, pb, ps), (_, b, s), (_, nb, ns))
+          if b - pb == B && nb - b == B && s < ps && s < ns &&
+            s * n < total =>
+          (chr, b, s, ps + ns - 2 * s)
+      }
+    }.toSet
+    val got = Registry.all("q_hic_tad_boundaries").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    got shouldBe expected
+  }
+
+  test("graph transitions: per-source probabilities sum to 1 and edge " +
+    "weights conserve transition count") {
+    val rows = Registry.all("q_graph_transitions").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val nEvents = Tables(spark, dir, "events").count()
+    val nUsers = Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    rows.map(_._3).sum shouldBe nEvents - nUsers // one lag-null per user
+    rows.groupBy(_._1).values.foreach { es =>
+      es.map(_._4).sum shouldBe 1.0 +- 1e-6
+    }
+  }
+
+  test("pagerank: distribution over nodes (sums to 1, all positive)") {
+    val rows = Registry.all("q_graph_pagerank").fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    rows.length should be >= 2
+    rows.foreach { case (_, r) => r should be > 0.0 }
+    // no dangling nodes in the fixture graph → total rank mass conserved
+    // up to the per-round 1e-9 quantization
+    rows.map(_._2).sum shouldBe 1.0 +- 1e-4
+  }
+
+  test("gapfill: calendar-dense per user, counts conserved, fill carries " +
+    "the last active day's value") {
+    val rows = Registry.all("q_ts_gapfill").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getLong(2), r.getLong(3)))
+    rows.map(_._3).sum shouldBe Tables(spark, dir, "events").count()
+    rows.groupBy(_._1).values.foreach { days =>
+      val ds = days.map(_._2.toLocalDate).sortBy(_.toEpochDay)
+      // dense grid: every day between the user's first and last
+      (ds.last.toEpochDay - ds.head.toEpochDay + 1) shouldBe ds.length
+      // forward fill: walk the days; fill_c must equal the running last
+      // value of active days (first day is active by construction)
+      var carry = Long.MinValue
+      days.sortBy(_._2.getTime).foreach { case (_, _, cnt, fill) =>
+        if (cnt > 0) carry = fill // active day defines the new carry
+        else fill shouldBe carry  // gap day repeats it
+      }
+    }
+  }
+
+  test("attribution: one row per purchase, channel consistent with the " +
+    "brute-force last prior touch") {
+    val sevenDays = 7L * 24 * 3600 * 1000000
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        ops.Cols.epochUs(col("ts")).as("tus")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val rows = Registry.all("q_events_attribution").fn(spark, dir).collect()
+    rows.length shouldBe ev.count(_._3 == "purchase")
+    val byUser = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val (u, eid, tus) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val touches = byUser(u)
+        .filter(e => (e._3 == "click" || e._3 == "view") &&
+          (e._4 < tus || (e._4 == tus && e._2 < eid)))
+      val expected = touches.sortBy(e => (e._4, e._2)).lastOption
+        .filter(e => tus - e._4 <= sevenDays)
+      r.getString(3) shouldBe expected.map(_._3).getOrElse("none")
+      Option(r.get(4)).map(_.asInstanceOf[Long]) shouldBe
+        expected.map(_._2)
+    }
+  }
+
+  test("bigram lm: every eligible doc scored, ppm score within [0, 1e6]") {
+    val rows = Registry.all("q_text_bigram_lm").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val eligible = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.length(col("text")) >= 2)
+      .count()
+    rows.length.toLong shouldBe eligible.longValue()
+    rows.foreach { case (_, nBg, ppm) =>
+      nBg should be > 0L
+      ppm should be >= 0L
+      ppm should be <= 1000000L
+    }
+  }
+
   test("compartments: in-task and distributed paths agree") {
     val c = hic.ContactsView(spark, dir)
       .filter(col("dist").between(hic.HicQueries.L, hic.HicQueries.U))

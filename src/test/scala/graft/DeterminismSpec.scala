@@ -24,7 +24,11 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkTest {
     "q_dedup_semantic",
     // round 9: bounded sequence-explode machinery (insulation) and the
     // chained keyed aggregations of the funnel
-    "q_hic_insulation", "q_events_funnel")
+    "q_hic_insulation", "q_events_funnel",
+    // round 9 cont.: iterative broadcast rank loop (per-round fround must
+    // absorb partial-agg order), calendar-grid explode + forward-fill
+    // window, and the corpus-total crossJoin + broadcast count join
+    "q_graph_pagerank", "q_ts_gapfill", "q_text_bigram_lm")
 
   private def runAll(parts: Int): Map[String, Seq[String]] = {
     val key = "spark.sql.shuffle.partitions"
