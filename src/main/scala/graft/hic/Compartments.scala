@@ -56,18 +56,25 @@ object Compartments {
         (col("contactCount").cast("double") /
           (col("sumc").cast("double") / col("npairs").cast("double")) -
           lit(1.0)).as("w"))
-    // symmetric edge list: each undirected pair both ways, diagonal once
-    val edges = graft.ops.Caches.register(oe
+    // symmetric edge list: each undirected pair both ways, diagonal once.
+    // Not persisted: the in-task path consumes it exactly once (the chr
+    // shuffle) and routing comes from the pre-join pair counts (same
+    // job-count trim as Kr.biases); the distributed path re-caches its
+    // slice in its iteration layout anyway.
+    val edges = oe
       .select(col("chr"), col("mid1").as("i"), col("mid2").as("j"),
         col("w"))
       .unionByName(oe.filter(col("mid1") =!= col("mid2"))
         .select(col("chr"), col("mid2").as("i"), col("mid1").as("j"),
           col("w")))
-      .persist())
 
-    // route each chromosome by edge count (tiny collect; also the job
-    // that materializes the edge cache)
-    val sizes = edges.groupBy("chr").count().collect()
+    // route each chromosome by edge count (tiny collect; the O/E join
+    // preserves cardinality so the count comes from the raw pairs)
+    val sizes = contacts.groupBy(col("chr"))
+      .agg((count(lit(1)) * 2 -
+        sum(when(col("mid1") === col("mid2"), 1L).otherwise(0L)))
+        .as("ne"))
+      .collect()
       .map(r => r.getString(0) -> r.getLong(1))
     val small = sizes.filter(_._2 <= maxEdgesPerTask).map(_._1)
     val big = sizes.filter(_._2 > maxEdgesPerTask).map(_._1)

@@ -36,18 +36,24 @@ object Kr {
       iterations: Int = 20, maxEdgesPerTask: Long = 2000000L): DataFrame = {
     val intra = contacts.filter(col("chr1") === col("chr2"))
     // symmetric edge list: each undirected pair contributes both ways;
-    // the diagonal once
+    // the diagonal once. NOT persisted here: the in-task path consumes it
+    // exactly once (the chr shuffle), so routing on the pre-union pair
+    // counts below (edges/chr = 2·pairs − diagonals) saves the whole
+    // doubled-union materialization — measured ~2 s off the pipeline's
+    // serial prefix at sf0.1. The distributed path, which does traverse
+    // the list twice, persists its own filtered slice.
     val edges = intra.select(col("chr1").as("chr"), col("mid1").as("i"),
         col("mid2").as("j"), col("contactCount").cast("double").as("w"))
       .unionByName(intra.filter(col("mid1") =!= col("mid2"))
         .select(col("chr1").as("chr"), col("mid2").as("i"),
           col("mid1").as("j"), col("contactCount").cast("double").as("w")))
-      .persist()
-    graft.ops.Caches.register(edges)
 
-    // route each chromosome by edge count (tiny collect; also the job
-    // that materializes the edge cache)
-    val sizes = edges.groupBy("chr").count().collect()
+    // route each chromosome by edge count (tiny collect)
+    val sizes = intra.groupBy(col("chr1"))
+      .agg((count(lit(1)) * 2 -
+        sum(when(col("mid1") === col("mid2"), 1L).otherwise(0L)))
+        .as("ne"))
+      .collect()
       .map(r => r.getString(0) -> r.getLong(1))
     val small = sizes.filter(_._2 <= maxEdgesPerTask).map(_._1)
     val big = sizes.filter(_._2 > maxEdgesPerTask).map(_._1)
@@ -57,8 +63,9 @@ object Kr {
        else List(solveInTask(edges.filter(col("chr")
          .isInCollection(small)), trimPercentile, iterations))) ++
       (if (big.isEmpty) Nil
-       else List(solveDistributed(edges.filter(col("chr")
-         .isInCollection(big)), trimPercentile, iterations)))
+       else List(solveDistributed(graft.ops.Caches.register(
+         edges.filter(col("chr").isInCollection(big)).persist()),
+         trimPercentile, iterations)))
     parts match {
       case Nil => // no intra edges at all → empty bias table, not a crash
         val spark = contacts.sparkSession
