@@ -21,6 +21,7 @@ object Registry {
       ops.Subqueries.queries ++
       ops.EventAnalytics.queries ++
       ops.Graph.queries ++
+      ops.Warehouse.queries ++
       hic.HicQueries.queries ++
       hic.Matrix.queries ++
       llm.LlmQueries.queries ++

@@ -180,6 +180,33 @@ object Aggregates {
           .orderBy("event_type"),
       None),
 
+    "q_agg_hll_sketch" -> Q(
+      (spark, dir) => {
+        // mergeable distinct-count sketches — the 100 TB shape for
+        // distinct users: each shard/group reduces to a fixed-size Datasketches
+        // HLL buffer (order-independent by construction), and group
+        // sketches MERGE (hll_union_agg) into the corpus total without
+        // ever revisiting rows — contrast with q_agg_distinct's exact
+        // shuffle. Estimates ≠ DuckDB's sketch → rows-only; AggSpec pins
+        // the estimates to the exact counts within HLL error.
+        val sk = graft.ops.Caches.register(
+          Tables(spark, dir, "events")
+            .groupBy("event_type")
+            .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+              count(lit(1)).as("n"))
+            .persist())
+        val per = sk.select(col("event_type"),
+          hll_sketch_estimate(col("sketch")).as("approx_users"), col("n"))
+        val all = sk.agg(
+            hll_sketch_estimate(hll_union_agg(col("sketch")))
+              .as("approx_users"),
+            sum(col("n")).as("n"))
+          .select(lit("__all").as("event_type"), col("approx_users"),
+            col("n"))
+        per.unionByName(all).orderBy("event_type")
+      },
+      None),
+
     "q_agg_pivot" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "lineitem")

@@ -53,6 +53,32 @@ object Events {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase paired with every view by
+    * the same user in the preceding 30 minutes. The canonical Structured
+    * Streaming two-stream join — watermarks on BOTH sides plus an
+    * event-time range predicate are exactly what lets Spark expire join
+    * state (a view older than watermark + 30 min can never match again).
+    * Pure DataFrame → DataFrame: the batch-equivalent declared query
+    * (q_stream_interval_join) and the MemoryStream parity test share it.
+    */
+  def intervalJoin(purchases: DataFrame, views: DataFrame,
+      watermark: String = defaultWatermark): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = views
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+          col("v_ts") < col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("v_id"),
+        col("v_ts"))
+  }
+
   /** A streamed Hi-C contact observation (SURVEY.md §2.10 incremental
     * analog).
     */

@@ -88,5 +88,28 @@ object StreamQueries {
       Some("SELECT DISTINCT event_id, user_id, event_type, " +
         "epoch_us(ts) AS ts_us FROM " +
         "(SELECT * FROM events UNION ALL SELECT * FROM events) " +
-        "ORDER BY event_id")))
+        "ORDER BY event_id")),
+
+    "q_stream_interval_join" -> Q(
+      (spark, dir) => {
+        // batch frame of Events.intervalJoin (stream-stream purchase ⋈
+        // prior-views-within-30min); StreamingSpec asserts MemoryStream
+        // parity of the same transform. Timestamps leave as epoch-µs.
+        val ev = Tables(spark, dir, "events")
+        val joined = Events.intervalJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"))
+        joined.select(col("p_id"), col("user_id"),
+            Cols.epochUs(col("p_ts")).as("p_tus"), col("v_id"),
+            Cols.epochUs(col("v_ts")).as("v_tus"))
+          .orderBy("p_id", "v_id")
+      },
+      Some("SELECT p.event_id AS p_id, p.user_id, " +
+        "epoch_us(p.ts) AS p_tus, v.event_id AS v_id, " +
+        "epoch_us(v.ts) AS v_tus " +
+        "FROM events p JOIN events v ON p.user_id = v.user_id " +
+        "AND p.event_type = 'purchase' AND v.event_type = 'view' " +
+        "AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000 " +
+        "AND epoch_us(v.ts) < epoch_us(p.ts) " +
+        "ORDER BY p_id, v_id")))
 }

@@ -208,6 +208,25 @@ class ApproxDistinctSpec extends AnyFunSuite with Matchers with SparkTest {
       math.abs(a - x) / x should be <= 0.1
     }
   }
+
+  test("hll sketches: per-group estimates near exact; union-merged " +
+    "estimate near the global exact count") {
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables(spark, dir, "events")
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = e.select("user_id").distinct().count()
+    val rows = Registry.all("q_agg_hll_sketch").fn(spark, dir).collect()
+    rows.length shouldBe exact.size + 1
+    rows.foreach { r =>
+      val truth = if (r.getString(0) == "__all") exactAll
+        else exact(r.getString(0))
+      math.abs(r.getLong(1).toDouble - truth) / truth should be <= 0.1
+    }
+    // the merged row counts every event exactly once
+    rows.find(_.getString(0) == "__all").get.getLong(2) shouldBe e.count()
+  }
 }
 
 class KrSpec extends AnyFunSuite with Matchers with SparkTest {

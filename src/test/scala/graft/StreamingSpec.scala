@@ -104,6 +104,28 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("interval join: stream-stream purchase x prior-views equals batch") {
+    val sp = spark
+    import sp.implicits._
+    val data = Seq(
+      ev(1, 0, typ = "view"), ev(2, 10, typ = "view"),
+      ev(3, 25, typ = "purchase"),  // pairs with views at 0 and 10
+      ev(4, 100, typ = "view"),
+      ev(5, 120, typ = "purchase"), // pairs with the view at 100 only
+      ev(6, 300, typ = "purchase"), // no view in its 30-min lookback
+      ev(7, 10, user = 2, typ = "purchase")) // other user: no own views
+    val logic = (df: org.apache.spark.sql.DataFrame) =>
+      Events.intervalJoin(
+        df.filter(col("event_type") === "purchase"),
+        df.filter(col("event_type") === "view"))
+    val streamed = runStream(Seq(data.take(4), data.drop(4)), logic,
+      "append")
+    val batch = logic(data.toDF()).collect()
+    streamed.map(_.toString).sorted shouldBe batch.map(_.toString).sorted
+    streamed.map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("v_id")))
+      .sorted shouldBe Array((3L, 1L), (3L, 2L), (5L, 4L))
+  }
+
   test("sessions: stream equals batch gaps-and-islands on in-order data") {
     val sp = spark
     import sp.implicits._
