@@ -115,12 +115,22 @@ object CorpusStats {
         val bigrams = docs.select(col("doc_id"),
           explode(expr("transform(sequence(1, char_length(text)-1), " +
             "i -> substring(text, i, 2))")).as("bg"))
-        val counts = graft.ops.Caches.register(
-          bigrams.groupBy("bg").agg(count(lit(1)).as("cnt")).persist())
+        // aggregate multiplicities per (doc, bigram) FIRST: the raw
+        // explode (2× corpus bytes) is consumed exactly once, and both
+        // downstream reads — the corpus count table and the scoring join
+        // — run over the ≤ |docs|·|charset|² reduced table. Σ over
+        // occurrences ≡ Σ mult·cnt exactly (integers), so the oracle's
+        // per-occurrence formulation is unchanged. Halved the 8× probe
+        // time vs the join-back-onto-the-explode form.
+        val bgDoc = graft.ops.Caches.register(bigrams
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("mult"))
+          .persist())
+        val counts = bgDoc.groupBy("bg").agg(sum(col("mult")).as("cnt"))
         val total = counts.agg(sum(col("cnt")).as("t"))
-        bigrams.join(broadcast(counts), "bg")
+        bgDoc.join(broadcast(counts), "bg")
           .groupBy("doc_id")
-          .agg(sum(col("cnt")).as("sum_c"), count(lit(1)).as("n_bg"))
+          .agg(sum(col("mult") * col("cnt")).as("sum_c"),
+            sum(col("mult")).as("n_bg"))
           .crossJoin(broadcast(total))
           .select(col("doc_id"), col("n_bg"),
             expr("((sum_c * 1000000L) div t) div n_bg").as("ppm_score"))

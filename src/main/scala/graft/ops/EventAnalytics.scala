@@ -239,14 +239,16 @@ object EventAnalytics {
         val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         ev
-          .withColumn("t_tus",
-            last(when(isTouch, col("tus")), ignoreNulls = true).over(w))
-          .withColumn("t_type",
+          // one select → ONE Window node for all three carries (chained
+          // withColumns leave three same-spec Window passes in the plan)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("tus"),
+            last(when(isTouch, col("tus")), ignoreNulls = true).over(w)
+              .as("t_tus"),
             last(when(isTouch, col("event_type")), ignoreNulls = true)
-              .over(w))
-          .withColumn("t_id",
+              .over(w).as("t_type"),
             last(when(isTouch, col("event_id")), ignoreNulls = true)
-              .over(w))
+              .over(w).as("t_id"))
           .filter(col("event_type") === "purchase")
           .withColumn("in_window",
             col("t_tus").isNotNull &&

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   *
   * Usage (all flags optional):
   *   runMain graft.stream.StreamMain
-  *     [--logic tumbling|sliding|session|dedup|marginals]
+  *     [--logic tumbling|sliding|session|dedup|join|marginals]
   *     [--source rate|files] [--dir /root/testdata/sf0.001]
   *     [--sink console|parquet] [--out outDir]
   *     [--watermark "10 seconds"] [--timeout-sec 30]
@@ -99,6 +99,14 @@ object StreamMain {
       // UnsupportedOperationChecker); complete matches StreamingSpec
       case "session" => (Events.sessions(events, watermark), "complete")
       case "dedup" => (Events.dedup(events, watermark), "append")
+      case "join" =>
+        // stream-stream interval join (purchase ⋈ prior views): the two
+        // sides are independent filters of the same source stream — the
+        // production shape where both legs arrive on one bus
+        val ev = events
+        (Events.intervalJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"), watermark), "append")
       case "marginals" =>
         (Events.incrementalMarginals(contacts).toDF(), "update")
       case other => sys.error(s"unknown --logic $other")

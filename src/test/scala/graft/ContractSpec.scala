@@ -18,6 +18,8 @@ class ContractSpec extends AnyFunSuite with Matchers {
     "ops.Functions" -> ops.Functions.queries,
     "ops.Subqueries" -> ops.Subqueries.queries,
     "ops.EventAnalytics" -> ops.EventAnalytics.queries,
+    "ops.Graph" -> ops.Graph.queries,
+    "ops.Warehouse" -> ops.Warehouse.queries,
     "hic.HicQueries" -> hic.HicQueries.queries,
     "hic.Matrix" -> hic.Matrix.queries,
     "llm.LlmQueries" -> llm.LlmQueries.queries,

@@ -222,4 +222,41 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "NestedLoop"
     p should not include "CartesianProduct"
   }
+
+  test("tpch q5: every dimension broadcasts, date pushdown on orders") {
+    val p = plan("q_tpch_q5")
+    // four dims chained as BroadcastHashJoins onto the fact pipeline;
+    // no dim is large enough to justify a shuffle at any SF by design
+    p.sliding("BroadcastHashJoin".length).count(
+      _ == "BroadcastHashJoin") should be >= 4
+    p should not include "SortMergeJoin"
+    p should include regex """PushedFilters: \[[^\]]*o_orderdate"""
+  }
+
+  test("attribution is one per-user window pass: no join, one exchange") {
+    val p = plan("q_events_attribution")
+    p should not include "Join"
+    // exactly one hash exchange (user_id) + the final ordering exchange
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("gapfill grid is a bounded explode, never calendar x users") {
+    val p = plan("q_ts_gapfill")
+    p should include("Generate")
+    p should not include "CartesianProduct"
+    p should not include "NestedLoop"
+  }
+
+  test("pagerank rounds stay broadcast-sized: no shuffle join in the " +
+    "rank iteration") {
+    val p = plan("q_graph_pagerank")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("bigram lm: corpus count table broadcasts back over the bigrams") {
+    val p = plan("q_text_bigram_lm")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
 }
