@@ -149,5 +149,38 @@ object CorpusStats {
         "GROUP BY b.doc_id) " +
         "SELECT doc_id, n_bg, " +
         "((sum_c * 1000000) // (SELECT t FROM tot)) // n_bg AS ppm_score " +
-        "FROM agg ORDER BY doc_id")))
+        "FROM agg ORDER BY doc_id")),
+
+    "q_text_chunk" -> Q(
+      (spark, dir) => {
+        // pre-embedding document chunker: fixed 128-token windows at
+        // stride 96 (32-token overlap) — the standard shape feeding an
+        // embedding model. Pure narrow generate (bounded fan-out
+        // ≈ n_toks/stride per doc, no shuffle until the output sort);
+        // chunk content leaves as md5 (identical hex in Spark and
+        // DuckDB) so the oracle compares content without shipping the
+        // text itself through the hash compare.
+        val W = 128
+        val S = 96
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(expr(s"sequence(0, greatest(size(toks)-1, 0), $S)"))
+              .as("start"))
+          .select(col("doc_id"),
+            expr(s"start div $S").as("chunk_id"),
+            least(lit(W), size(col("toks")) - col("start")).as("n_toks"),
+            md5(array_join(expr(s"slice(toks, start+1, $W)"), " "))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, toks, " +
+        "unnest(generate_series(0, GREATEST(len(toks)-1, 0), 96)) " +
+        "AS start FROM t) " +
+        "SELECT doc_id, start//96 AS chunk_id, " +
+        "LEAST(128, len(toks) - start) AS n_toks, " +
+        "md5(array_to_string(toks[start+1:start+128], ' ')) AS chunk_md5 " +
+        "FROM s ORDER BY doc_id, chunk_id")))
 }

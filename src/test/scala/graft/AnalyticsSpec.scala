@@ -299,6 +299,27 @@ class AnalyticsSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("chunker: stride/window coverage and md5 content match a " +
+    "brute-force walk") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Registry.all("q_text_chunk").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 to math.max(toks.length - 1, 0) by 96).map { start =>
+        (id, (start / 96).toLong,
+          math.min(128, toks.length - start),
+          md5hex(toks.slice(start, start + 128).mkString(" ")))
+      }
+    }.toSet
+    rows.toSet shouldBe expected
+  }
+
   test("compartments: in-task and distributed paths agree") {
     val c = hic.ContactsView(spark, dir)
       .filter(col("dist").between(hic.HicQueries.L, hic.HicQueries.U))
