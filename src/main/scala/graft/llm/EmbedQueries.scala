@@ -111,5 +111,45 @@ object EmbedQueries {
         "GROUP BY cluster) " +
         "SELECT cc.v AS vec_id, cc.cluster, s.csize, " +
         "CAST(cc.v = cc.cluster AS INT) AS keep FROM cc " +
-        "JOIN s USING (cluster) ORDER BY vec_id")))
+        "JOIN s USING (cluster) ORDER BY vec_id")),
+
+    "q_embed_quantize" -> Q(
+      (spark, dir) =>
+        // int8 range quantization (embedding compression, the storage
+        // half of a PQ/SQ serving pipeline): per-vector min/max → 0..255
+        // codes + total reconstruction error, computed ENTIRELY on the
+        // ×1e7 integer plane with floor division — no float op anywhere,
+        // so the oracle hash-matches without rounding discipline. Fully
+        // narrow (higher-order transforms; the scan parallelism is the
+        // plan); codes leave as md5, errors as exact BIGINT sums.
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), expr(qArr).as("q"))
+          .select(col("vec_id"), array_min(col("q")).as("mn"),
+            array_max(col("q")).as("mx"), col("q"))
+          .select(col("vec_id"), col("mn"), col("mx"),
+            expr("transform(q, x -> ((x - mn) * 255) div " +
+              "greatest(mx - mn, 1L))").as("codes"), col("q"))
+          .select(col("vec_id"), col("mn"), col("mx"),
+            md5(array_join(col("codes"), ",")).as("codes_md5"),
+            expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_code"),
+            // recon_i = mn + (code_i·(mx−mn)) div 255 ≤ q_i, so the
+            // error terms are non-negative by construction
+            expr("aggregate(zip_with(q, codes, (x, c) -> " +
+              "x - mn - (c * (mx - mn)) div 255), 0L, (a, e) -> a + e)")
+              .as("sum_abs_err"))
+          .orderBy("vec_id"),
+      Some("WITH qv AS (SELECT vec_id, list_transform(embedding, x -> " +
+        "CAST(ROUND(CAST(x AS DOUBLE)*10000000, 0) AS BIGINT)) AS q " +
+        "FROM embeddings), " +
+        "mm AS (SELECT vec_id, q, CAST(list_min(q) AS BIGINT) AS mn, " +
+        "CAST(list_max(q) AS BIGINT) AS mx FROM qv), " +
+        "cd AS (SELECT vec_id, mn, mx, q, list_transform(q, x -> " +
+        "((x - mn) * 255) // GREATEST(mx - mn, 1)) AS codes FROM mm) " +
+        "SELECT vec_id, mn, mx, " +
+        "md5(array_to_string(codes, ',')) AS codes_md5, " +
+        "CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_code, " +
+        "CAST(list_aggregate(list_transform(list_zip(q, codes), p -> " +
+        "p[1] - mn - (p[2] * (mx - mn)) // 255), 'sum') AS BIGINT) " +
+        "AS sum_abs_err " +
+        "FROM cd ORDER BY vec_id")))
 }

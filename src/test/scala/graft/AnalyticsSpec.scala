@@ -320,6 +320,25 @@ class AnalyticsSpec extends AnyFunSuite with Matchers with SparkTest {
     rows.toSet shouldBe expected
   }
 
+  test("embedding quantization: codes span [0,255] and reconstruction " +
+    "error is bounded by the step size") {
+    val rows = Registry.all("q_embed_quantize").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    rows.length should be > 0
+    val dims = Tables(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    rows.foreach { case (_, mn, mx, sumCode, sumErr) =>
+      mx should be >= mn
+      sumCode should be >= 0L
+      sumCode should be <= 255L * dims
+      sumErr should be >= 0L
+      // per-element error < quantization step (mx−mn)/255 + 1
+      sumErr should be < ((mx - mn) / 255 + 1) * dims
+    }
+  }
+
   test("compartments: in-task and distributed paths agree") {
     val c = hic.ContactsView(spark, dir)
       .filter(col("dist").between(hic.HicQueries.L, hic.HicQueries.U))
