@@ -36,6 +36,47 @@ object Graph {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Weighted PageRank over an edge table (src, dst, w), `iters` fixed
+    * rounds from a uniform start, damping 0.85, dangling mass dropped
+    * (classic simplified form). Each round quantizes the rank to the 1e-9
+    * grid so the ≤|nodes| per-node float-sum's partial order can never
+    * drift the result — deterministic under any partitioning. All
+    * per-round tables are |nodes|-bounded → broadcast joins; the node
+    * count is the one driver-side scalar (same bounded-collect discipline
+    * as Kr's chromosome routing). Returns (node, r).
+    */
+  def pagerank(edges: org.apache.spark.sql.DataFrame,
+      iters: Int = Iters): org.apache.spark.sql.DataFrame = {
+    val e = Caches.register(edges.persist())
+    val out = e.groupBy("src").agg(sum(col("w")).as("out_w"))
+    val nodes = Caches.register(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct().persist())
+    val n = nodes.count().toDouble
+    // 0.15 written as a literal, NOT 1.0 − Damping: the subtraction
+    // yields 0.15000000000000002 while the oracle parses "0.15"
+    val base = lit(0.15) / lit(n)
+    var r = nodes.select(col("node"), (lit(1.0) / lit(n)).as("r"))
+    for (_ <- 1 to iters) {
+      // Seq-keyed joins (not df("col") refs): r's lineage includes e
+      // and nodes, so apply-column equality would be an ambiguous
+      // self-join on later rounds
+      val contrib = e.join(broadcast(out), "src")
+        .join(broadcast(r.withColumnRenamed("node", "src")), Seq("src"))
+        .groupBy("dst")
+        .agg(sum(col("w").cast("double") / col("out_w").cast("double") *
+          col("r")).as("s"))
+      r = nodes.join(
+          broadcast(contrib.withColumnRenamed("dst", "node")),
+          Seq("node"), "left")
+        .select(col("node"),
+          Cols.fround(base + lit(Damping) * coalesce(col("s"),
+            lit(0.0)), 9).as("r"))
+    }
+    r
+  }
+
   private val edgesSql: String =
     "WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus " +
       "FROM events), " +
@@ -67,44 +108,11 @@ object Graph {
 
     "q_graph_pagerank" -> Q(
       (spark, dir) => {
-        // Weighted PageRank, Iters fixed rounds, uniform init. Each round
-        // quantizes the rank to the 1e-9 grid (fround) so the ≤|types|
-        // per-node float sum's partial order can never drift the hash —
-        // the oracle applies the identical quantization. All per-round
-        // tables (edges, out-weights, ranks) are |types|-bounded →
-        // broadcast joins; the node count is the one driver-side scalar
-        // (bounded by |event types|, same discipline as Kr's chromosome
-        // routing). Dangling-node mass is dropped (classic simplified
-        // form) — the fixture's transition graph has none.
-        val e = Caches.register(edges(spark, dir).persist())
-        val out = e.groupBy("src").agg(sum(col("w")).as("out_w"))
-        val nodes = Caches.register(
-          e.select(col("src").as("node"))
-            .unionByName(e.select(col("dst").as("node")))
-            .distinct().persist())
-        val n = nodes.count().toDouble
-        // 0.15 written as a literal, NOT 1.0 − Damping: the subtraction
-        // yields 0.15000000000000002 while the oracle parses "0.15"
-        val base = lit(0.15) / lit(n)
-        var r = nodes.select(col("node"),
-          (lit(1.0) / lit(n)).as("r"))
-        for (_ <- 1 to Iters) {
-          // Seq-keyed joins (not df("col") refs): r's lineage includes e
-          // and nodes, so apply-column equality would be an ambiguous
-          // self-join on later rounds
-          val contrib = e.join(broadcast(out), "src")
-            .join(broadcast(r.withColumnRenamed("node", "src")), Seq("src"))
-            .groupBy("dst")
-            .agg(sum(col("w").cast("double") / col("out_w").cast("double") *
-              col("r")).as("s"))
-          r = nodes.join(
-              broadcast(contrib.withColumnRenamed("dst", "node")),
-              Seq("node"), "left")
-            .select(col("node"),
-              Cols.fround(base + lit(Damping) * coalesce(col("s"),
-                lit(0.0)), 9).as("r"))
-        }
-        r.select(col("node"), Cols.fround(col("r"), 6).as("rank"))
+        // weighted PageRank over the transition graph — see [[pagerank]]
+        // (the fixture's graph has no dangling nodes, so the dropped-mass
+        // simplification loses nothing here)
+        pagerank(edges(spark, dir), Iters)
+          .select(col("node"), Cols.fround(col("r"), 6).as("rank"))
           .orderBy("node")
       },
       Some {

@@ -243,6 +243,51 @@ class AnalyticsSpec extends AnyFunSuite with Matchers with SparkTest {
     rows.map(_._2).sum shouldBe 1.0 +- 1e-4
   }
 
+  test("pagerank operator matches an in-memory reference on seeded " +
+    "random graphs (incl. dangling and disconnected nodes)") {
+    val sp = spark
+    import sp.implicits._
+    def ref(edges: Seq[(String, String, Long)], iters: Int)
+        : Map[String, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.length.toDouble
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val c = collection.mutable.Map[String, Double]()
+          .withDefaultValue(0.0)
+        for ((s, d, w) <- edges) c(d) += w.toDouble / out(s) * r(s)
+        r = nodes.map(nd => nd -> q9(0.15 / n + 0.85 * c(nd))).toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nNodes = 3 + rnd.nextInt(8)
+      val names = (0 until nNodes).map(i => s"n$i")
+      val edges = (for {
+        s <- names; d <- names
+        if s != d && rnd.nextInt(3) == 0
+      } yield (s, d, 1L + rnd.nextInt(9).toLong)).toSeq
+      if (edges.nonEmpty) {
+        val got = ops.Graph.pagerank(
+            edges.toDF("src", "dst", "w"), iters = 5)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val want = ref(edges, 5)
+        withClue(s"trial $trial (${edges.length} edges): ") {
+          got.keySet shouldBe want.keySet
+          got.foreach { case (k, v) =>
+            // equal up to one 1e-9 quantization grid step (partial-agg
+            // float order vs the reference's scan order)
+            math.abs(v - want(k)) should be <= 2e-9
+          }
+        }
+      }
+      graft.ops.Caches.drain()
+    }
+  }
+
   test("gapfill: calendar-dense per user, counts conserved, fill carries " +
     "the last active day's value") {
     val rows = Registry.all("q_ts_gapfill").fn(spark, dir).collect()
