@@ -182,5 +182,19 @@ object CorpusStats {
         "SELECT doc_id, start//96 AS chunk_id, " +
         "LEAST(128, len(toks) - start) AS n_toks, " +
         "md5(array_to_string(toks[start+1:start+128], ' ')) AS chunk_md5 " +
-        "FROM s ORDER BY doc_id, chunk_id")))
+        "FROM s ORDER BY doc_id, chunk_id")),
+
+    "q_text_bpe_learn" -> Q(
+      (spark, dir) => {
+        // distributed BPE tokenizer training (see llm.Bpe): 20 merge
+        // rounds over the vocabulary-bounded word table; the corpus is
+        // scanned exactly once. Iterative corpus-wide argmax → not
+        // SQL-expressible → rows-only; BpeSpec pins the full merge
+        // sequence against an in-memory reference implementation.
+        import spark.implicits._
+        Bpe.learnMerges(Tables(spark, dir, "documents"), nMerges = 20)
+          .toDF("rank", "left", "right", "pair_count")
+          .orderBy("rank")
+      },
+      None))
 }
