@@ -92,5 +92,57 @@ object Relational {
         "COUNT(DISTINCT user_id) AS n_users, " +
         "MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us " +
         "FROM events WHERE event_type IN ('click','purchase') " +
-        "GROUP BY event_type ORDER BY event_type")))
+        "GROUP BY event_type ORDER BY event_type")),
+
+    "q_sink_orc" -> Q(
+      (spark, dir) => {
+        // ORC round-trip (the other columnar interchange format): write,
+        // read back with a predicate — ORC scans take pushed filters the
+        // same way parquet does, so the round-trip must not lose the
+        // pushdown. The oracle runs the identical SQL on the ORIGINAL
+        // table: a correct round-trip is invisible to the query.
+        val out = graft.io.Scratch.sub("sink_orc")
+        Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_shipdate",
+            "l_returnflag")
+          .write.mode("overwrite").orc(out)
+        spark.read.orc(out)
+          .filter(col("l_shipdate") >= Cols.ts("1998-01-01"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    "q_sink_jsonl" -> Q(
+      (spark, dir) => {
+        // gzip JSON-lines round-trip — the interchange format every LLM
+        // corpus actually ships as. Write documents as .jsonl.gz, read
+        // back WITH an explicit schema (schema inference would re-scan
+        // the corpus at 100 TB), aggregate. Oracle runs on the original
+        // table: the round-trip must be lossless.
+        val out = graft.io.Scratch.sub("sink_jsonl")
+        val docs = Tables(spark, dir, "documents")
+        docs.write.mode("overwrite").option("compression", "gzip")
+          .json(out)
+        spark.read.schema(docs.schema).json(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+            // content integrity, not just counts: order-independent
+            // checksum over (doc_id, text) survives the round-trip
+            // (per-term modulo keeps the ANSI BIGINT sum overflow-free
+            // at any corpus size)
+            sum(xxhash64(col("doc_id"), col("text")) % 1000000007L)
+              .as("content_sum"))
+          .orderBy("lang")
+      },
+      // DuckDB has no xxhash64 — the checksum column can never hash-match
+      // an oracle, so the query is rows-only and AnalyticsSpec asserts
+      // the whole result (checksums included) equals the same aggregate
+      // run directly on the original table (no round-trip).
+      None))
 }

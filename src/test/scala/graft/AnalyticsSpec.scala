@@ -384,6 +384,19 @@ class AnalyticsSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("jsonl round-trip: content checksums equal the same aggregate on " +
+    "the original table") {
+    val direct = Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        sum(xxhash64(col("doc_id"), col("text")) % 1000000007L)
+          .as("content_sum"))
+      .orderBy("lang").collect().map(_.toString)
+    val roundTrip = Registry.all("q_sink_jsonl").fn(spark, dir)
+      .collect().map(_.toString)
+    roundTrip shouldBe direct
+  }
+
   test("compartments: in-task and distributed paths agree") {
     val c = hic.ContactsView(spark, dir)
       .filter(col("dist").between(hic.HicQueries.L, hic.HicQueries.U))

@@ -28,7 +28,13 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkTest {
     // round 9 cont.: iterative broadcast rank loop (per-round fround must
     // absorb partial-agg order), calendar-grid explode + forward-fill
     // window, and the corpus-total crossJoin + broadcast count join
-    "q_graph_pagerank", "q_ts_gapfill", "q_text_bigram_lm")
+    "q_graph_pagerank", "q_ts_gapfill", "q_text_bigram_lm",
+    // round 9 cont.: iterative argmax loop (BPE tie-breaks), SCD2 window
+    // chain, stream-stream interval join, integer-plane quantization,
+    // HLL sketch merge (order-independent by construction), and the
+    // 4-broadcast-dim warehouse chain
+    "q_text_bpe_learn", "q_scd2_props", "q_stream_interval_join",
+    "q_embed_quantize", "q_agg_hll_sketch", "q_tpch_q5")
 
   private def runAll(parts: Int): Map[String, Seq[String]] = {
     val key = "spark.sql.shuffle.partitions"

@@ -223,6 +223,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("orc round-trip keeps predicate pushdown on the read-back scan") {
+    val p = plan("q_sink_orc")
+    p should include regex """PushedFilters: \[[^\]]*l_shipdate"""
+  }
+
   test("tpch q5: every dimension broadcasts, date pushdown on orders") {
     val p = plan("q_tpch_q5")
     // four dims chained as BroadcastHashJoins onto the fact pipeline;
