@@ -71,6 +71,10 @@ object CorpusStats {
             .groupBy("token").agg(count(lit(1)).as("cnt"))
             .persist())
         val total = counts.agg(sum(col("cnt")).as("total"))
+        // unpartitioned window is safe HERE ONLY: it runs on the
+        // .limit(100) result, so the single partition holds exactly 100
+        // rows at any corpus size (the WindowExec warning is expected
+        // and bounded; everything upstream is a hash aggregation)
         val w = Window.orderBy(desc("cnt"), asc("token"))
         counts.orderBy(desc("cnt"), asc("token")).limit(100)
           .crossJoin(broadcast(total))
