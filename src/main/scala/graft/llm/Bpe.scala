@@ -47,6 +47,17 @@ object Bpe {
     */
   def learnMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String,
       String, Long)] = {
+    val (merges, words) = learn(docs, nMerges)
+    words.unpersist()
+    merges
+  }
+
+  /** [[learnMerges]] plus the final fused word table (count, symbols) —
+    * i.e. the corpus ENCODED with the learned tokenizer, vocabulary-
+    * bounded. The caller owns releasing the returned Dataset.
+    */
+  def learn(docs: DataFrame, nMerges: Int): (Seq[(Int, String, String,
+      Long)], Dataset[(Long, Seq[String])]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE pass over the corpus: whitespace words → (count, char syms)
@@ -92,7 +103,6 @@ object Bpe {
         rank += 1
       }
     }
-    words.unpersist()
-    merges.toSeq
+    (merges.toSeq, words)
   }
 }

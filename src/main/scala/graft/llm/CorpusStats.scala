@@ -200,5 +200,26 @@ object CorpusStats {
           .toDF("rank", "left", "right", "pair_count")
           .orderBy("rank")
       },
+      None),
+
+    "q_text_bpe_vocab" -> Q(
+      (spark, dir) => {
+        // the tokenizer APPLIED: learn 20 merges, then read the token
+        // vocabulary straight off the final fused word table (which IS
+        // the encoded corpus, vocabulary-bounded — no second corpus
+        // pass). Top-25 tokens by exact occurrence count, tie-broken
+        // lexicographically. Rows-only; BpeSpec pins the table against
+        // the reference encoder.
+        import spark.implicits._
+        val (_, words) = Bpe.learn(Tables(spark, dir, "documents"),
+          nMerges = 20)
+        words.flatMap { case (cnt, syms) => syms.iterator.map((_, cnt)) }
+          .toDF("token", "cnt")
+          .groupBy("token").agg(sum(col("cnt")).as("n_occ"))
+          .orderBy(desc("n_occ"), asc("token")).limit(25)
+          .select(col("token"), col("n_occ"),
+            length(col("token")).as("n_chars"))
+          .orderBy(desc("n_occ"), asc("token"))
+      },
       None))
 }

@@ -52,4 +52,28 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkTest {
     got.length shouldBe 12 // the fixture corpus has ≥ 12 learnable pairs
     ops.Caches.drain()
   }
+
+  test("vocab query equals the reference encoder's token counts") {
+    val texts = Tables(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    // reference final word table after 20 merges
+    var words: Map[Seq[String], Long] = texts
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => (w.map(_.toString) :+ Bpe.EndOfWord, c) }
+    refMerges(texts, 20).foreach { case (_, l, r, _) =>
+      words = words.groupMapReduce {
+        case (syms, _) => Bpe.fuse(syms, l, r)
+      } { case (_, cnt) => cnt }(_ + _)
+    }
+    val tokenCounts = collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for ((syms, cnt) <- words; t <- syms) tokenCounts(t) += cnt
+    val want = tokenCounts.toSeq.sortBy { case (t, c) => (-c, t) }.take(25)
+      .map { case (t, c) => (t, c, t.length) }
+    val got = Registry.all("q_text_bpe_vocab").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    got shouldBe want
+    ops.Caches.drain()
+  }
 }
