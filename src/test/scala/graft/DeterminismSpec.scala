@@ -34,7 +34,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkTest {
     // HLL sketch merge (order-independent by construction), and the
     // 4-broadcast-dim warehouse chain
     "q_text_bpe_learn", "q_scd2_props", "q_stream_interval_join",
-    "q_embed_quantize", "q_agg_hll_sketch", "q_tpch_q5")
+    "q_embed_quantize", "q_agg_hll_sketch", "q_tpch_q5",
+    "q_text_bpe_vocab")
 
   private def runAll(parts: Int): Map[String, Seq[String]] = {
     val key = "spark.sql.shuffle.partitions"
