@@ -158,6 +158,86 @@ object Matrix {
         "AND nb.ins_sum * st.n_rows < st.chr_total " +
         "ORDER BY nb.chr, nb.boundary")),
 
+    "q_hic_loops" -> Q(
+      (spark, dir) => {
+        // HiCCUPS-style loop scoring (Rao et al. 2014's donut filter):
+        // rank pixels by observed count vs the mean of their "donut"
+        // neighborhood (the 2–5-bin L∞ annulus, 112 cells, absent
+        // cells = 0 so the statistic is density-robust) and emit the
+        // top-100. The neighborhood lookup is NOT an all-pairs
+        // self-join: candidates (> 2× their chromosome's mean cell
+        // count — an exact integer cross-multiplication, so the set
+        // adapts to any coverage) crossed with the FIXED 112-offset
+        // table probe the symmetric cell map with one equi-join; probe
+        // volume = candidates × 112. Candidates stay > 10 bins
+        // off-diagonal so the annulus never crosses the diagonal (no
+        // reflection double-counting). enr_milli = obs·112·1000 div
+        // donut_sum is integer-exact; (enr desc, chr, mid1, mid2) is a
+        // total order so the top-100 is deterministic and hash-stable.
+        import spark.implicits._
+        val sym = graft.ops.Caches.register(ContactsView(spark, dir)
+          .select(col("chr"), least(col("mid1"), col("mid2")).as("lo"),
+            greatest(col("mid1"), col("mid2")).as("hi"),
+            col("contactCount"))
+          .groupBy("chr", "lo", "hi")
+          .agg(sum(col("contactCount")).as("cnt"))
+          .persist())
+        val chrStats = sym.groupBy("chr")
+          .agg(count(lit(1)).as("nc"), sum(col("cnt")).as("tot"))
+        val cand = sym.join(broadcast(chrStats), "chr")
+          .filter(col("cnt") * col("nc") > lit(2L) * col("tot") &&
+            col("hi") - col("lo") > 10 * Bin)
+          .select("chr", "lo", "hi", "cnt")
+        val offs = (for {
+          dx <- -5 to 5; dy <- -5 to 5
+          if math.max(dx.abs, dy.abs) >= 2
+        } yield (dx, dy)).toDF("dx", "dy")
+        val probes = cand
+          .crossJoin(broadcast(offs))
+          .select(col("chr"), col("lo"), col("hi"), col("cnt"),
+            (col("lo") + col("dx") * Bin).as("nlo"),
+            (col("hi") + col("dy") * Bin).as("nhi"))
+        probes
+          .join(sym.select(col("chr"), col("lo").as("nlo"),
+            col("hi").as("nhi"), col("cnt").as("ncnt")),
+            Seq("chr", "nlo", "nhi"), "left")
+          .groupBy("chr", "lo", "hi", "cnt")
+          .agg(count(col("ncnt")).as("donut_present"),
+            coalesce(sum(col("ncnt")), lit(0L)).as("donut_sum"))
+          .select(col("chr"), col("lo").as("mid1"), col("hi").as("mid2"),
+            col("cnt").as("obs"), col("donut_present"), col("donut_sum"),
+            expr("(cnt * 112000L) div greatest(donut_sum, 1L)")
+              .as("enr_milli"))
+          .orderBy(desc("enr_milli"), asc("chr"), asc("mid1"), asc("mid2"))
+          .limit(100)
+      },
+      Some(ContactsView.cte + ", s AS (SELECT chr, " +
+        "LEAST(mid1, mid2) AS lo, GREATEST(mid1, mid2) AS hi, " +
+        "CAST(SUM(contactCount) AS BIGINT) AS cnt FROM c " +
+        "GROUP BY 1, 2, 3), " +
+        "st AS (SELECT chr, COUNT(*) AS nc, " +
+        "CAST(SUM(cnt) AS BIGINT) AS tot FROM s GROUP BY chr), " +
+        "cand AS (SELECT s.chr, s.lo, s.hi, s.cnt FROM s " +
+        "JOIN st ON s.chr = st.chr WHERE s.cnt*st.nc > 2*st.tot " +
+        s"AND s.hi - s.lo > ${10 * Bin}), " +
+        "offs AS (SELECT dx.x AS dx, dy.y AS dy FROM " +
+        "(SELECT unnest(generate_series(-5, 5)) AS x) dx, " +
+        "(SELECT unnest(generate_series(-5, 5)) AS y) dy " +
+        "WHERE GREATEST(ABS(dx.x), ABS(dy.y)) >= 2), " +
+        "probes AS (SELECT cand.chr, cand.lo, cand.hi, cand.cnt, " +
+        s"cand.lo + offs.dx*$Bin AS nlo, cand.hi + offs.dy*$Bin AS nhi " +
+        "FROM cand CROSS JOIN offs), " +
+        "donut AS (SELECT p.chr, p.lo, p.hi, p.cnt, " +
+        "COUNT(s2.cnt) AS donut_present, " +
+        "CAST(COALESCE(SUM(s2.cnt), 0) AS BIGINT) AS donut_sum " +
+        "FROM probes p LEFT JOIN s s2 ON s2.chr = p.chr " +
+        "AND s2.lo = p.nlo AND s2.hi = p.nhi GROUP BY 1, 2, 3, 4) " +
+        "SELECT chr, lo AS mid1, hi AS mid2, cnt AS obs, " +
+        "donut_present, donut_sum, " +
+        "(cnt * 112000) // GREATEST(donut_sum, 1) AS enr_milli " +
+        "FROM donut " +
+        "ORDER BY enr_milli DESC, chr, mid1, mid2 LIMIT 100")),
+
     "q_hic_directionality" -> Q(
       (spark, dir) => {
         // directionality index: per bin, upstream (A) vs downstream (B)
