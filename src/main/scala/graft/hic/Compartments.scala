@@ -115,7 +115,11 @@ object Compartments {
     // block-scope the boxed tuples (same footprint trick as Kr.solveChr)
     val (mids, ia, ja, wa) = {
       val es = it.toArray
-      es.sortInPlaceBy(e => (e._2, e._3))
+      // include w in the key: duplicate (i, j) entries (the symmetric
+      // union of an un-canonicalized contact list can hold both
+      // orientations of a pair) would otherwise keep shuffle-arrival
+      // order under the stable sort, varying the float sum order
+      es.sortInPlaceBy(e => (e._2, e._3, e._4))
       val mids0 = es.map(_._2).distinct.sorted
       val ne0 = es.length
       val ia0 = new Array[Int](ne0)

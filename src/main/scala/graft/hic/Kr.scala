@@ -99,7 +99,10 @@ object Kr {
     // arrays (~20 B/edge), not the tuples (~56 B/edge)
     val (mids, ia, ja, wa) = {
       val es = it.toArray
-      es.sortInPlaceBy(e => (e._2, e._3))
+      // w included in the sort key so duplicate (i, j) entries cannot
+      // keep shuffle-arrival order (stable sort) and vary the float
+      // accumulation order across partitionings
+      es.sortInPlaceBy(e => (e._2, e._3, e._4))
       // the symmetric edge list's i side covers every endpoint
       val mids0 = es.map(_._2).distinct.sorted
       val ne0 = es.length

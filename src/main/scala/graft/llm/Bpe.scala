@@ -41,36 +41,66 @@ object Bpe {
     out.toSeq
   }
 
+  /** ONE pass over the corpus: whitespace words → (count, char-symbol
+    * sequence + end-of-word marker). Trillions of tokens reduce to a
+    * vocabulary-bounded table here; everything downstream (learning
+    * rounds, merge application) runs on this bounded table. Not
+    * persisted — the caller decides lifetime.
+    */
+  def wordTable(docs: DataFrame): Dataset[(Long, Seq[String])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, cnt) =>
+        (cnt, (w.map(_.toString) :+ EndOfWord): Seq[String])
+      }
+  }
+
+  /** Apply an ordered merge list to a word table in ONE narrow map —
+    * BPE *apply* is a pure per-word function (fold [[fuse]] over the
+    * merges in learn order), so encoding needs no per-round Spark jobs
+    * and reproduces the training-time segmentation exactly.
+    */
+  def applyMerges(words: Dataset[(Long, Seq[String])],
+      merges: Seq[(String, String)]): Dataset[(Long, Seq[String])] = {
+    import words.sparkSession.implicits._
+    words.map { case (cnt, syms) =>
+      (cnt, merges.foldLeft(syms) { case (s, (l, r)) => fuse(s, l, r) })
+    }
+  }
+
+  // merge sequences are bit-deterministic under any partitioning (exact
+  // integer pair counts + total-order tie-break), so memoizing per
+  // (cache key, nMerges) within a session is safe: q_text_bpe_learn and
+  // q_text_bpe_vocab each stay independently runnable, and whichever
+  // runs first pays the distributed learn
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[(Int, String, String, Long)]]()
+
+  /** Memoized [[learnMerges]]; `cacheKey` should identify the corpus
+    * (e.g. its directory path).
+    */
+  def cachedMerges(cacheKey: String, nMerges: Int)(
+      docs: => DataFrame): Seq[(Int, String, String, Long)] =
+    memo.computeIfAbsent((cacheKey, nMerges),
+      _ => learnMerges(docs, nMerges))
+
   /** Learn `nMerges` merges from a corpus of (text) rows. Returns
     * (rank, left, right, pair_count), rank 1-based in learn order; stops
-    * early if no adjacent pair remains (fully fused corpus).
+    * early if no adjacent pair remains (fully fused corpus). All interim
+    * tables (the persisted word table and each round's localCheckpoint)
+    * are released before returning.
     */
   def learnMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String,
       String, Long)] = {
-    val (merges, words) = learn(docs, nMerges)
-    words.unpersist()
-    merges
-  }
-
-  /** [[learnMerges]] plus the final fused word table (count, symbols) —
-    * i.e. the corpus ENCODED with the learned tokenizer, vocabulary-
-    * bounded. The caller owns releasing the returned Dataset.
-    */
-  def learn(docs: DataFrame, nMerges: Int): (Seq[(Int, String, String,
-      Long)], Dataset[(Long, Seq[String])]) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // ONE pass over the corpus: whitespace words → (count, char syms)
-    var words: Dataset[(Long, Seq[String])] = graft.ops.Caches
-      .register(docs
-        .select(explode(split(col("text"), "\\s+")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .as[(String, Long)]
-        .map { case (w, cnt) =>
-          (cnt, (w.map(_.toString) :+ EndOfWord): Seq[String])
-        }
-        .persist())
+    val base = wordTable(docs).persist()
+    var words: Dataset[(Long, Seq[String])] = base
 
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
@@ -99,10 +129,15 @@ object Bpe {
         // as Kr.solveDistributed's per-iteration checkpoint)
         words = prev.map { case (cnt, syms) => (cnt, fuse(syms, l, r)) }
           .localCheckpoint(eager = true)
-        prev.unpersist()
+        // for round ≥ 2 `prev` is itself a localCheckpoint, whose blocks
+        // a plain unpersist() does NOT free — release the backing RDD
+        if (prev eq base) prev.unpersist()
+        else graft.ops.Caches.releaseLocalCheckpoint(prev)
         rank += 1
       }
     }
-    (merges.toSeq, words)
+    if (!(words eq base)) graft.ops.Caches.releaseLocalCheckpoint(words)
+    base.unpersist()
+    merges.toSeq
   }
 }

@@ -195,8 +195,10 @@ object CorpusStats {
         // scanned exactly once. Iterative corpus-wide argmax → not
         // SQL-expressible → rows-only; BpeSpec pins the full merge
         // sequence against an in-memory reference implementation.
+        // cachedMerges: shares the (bit-deterministic) learn with
+        // q_text_bpe_vocab within a session — whichever runs first pays.
         import spark.implicits._
-        Bpe.learnMerges(Tables(spark, dir, "documents"), nMerges = 20)
+        Bpe.cachedMerges(dir, 20)(Tables(spark, dir, "documents"))
           .toDF("rank", "left", "right", "pair_count")
           .orderBy("rank")
       },
@@ -204,15 +206,18 @@ object CorpusStats {
 
     "q_text_bpe_vocab" -> Q(
       (spark, dir) => {
-        // the tokenizer APPLIED: learn 20 merges, then read the token
-        // vocabulary straight off the final fused word table (which IS
-        // the encoded corpus, vocabulary-bounded — no second corpus
-        // pass). Top-25 tokens by exact occurrence count, tie-broken
-        // lexicographically. Rows-only; BpeSpec pins the table against
-        // the reference encoder.
+        // the tokenizer APPLIED: take the 20 learned merges (memoized —
+        // learning happens at most once per session, see Bpe.cachedMerges)
+        // and encode the word table in ONE narrow map (Bpe.fuse folded
+        // over the merge list), then read the token vocabulary off the
+        // encoded table. Top-25 tokens by exact occurrence count,
+        // tie-broken lexicographically. Rows-only; BpeSpec pins the
+        // table against the reference encoder.
         import spark.implicits._
-        val (_, words) = Bpe.learn(Tables(spark, dir, "documents"),
-          nMerges = 20)
+        val docs = Tables(spark, dir, "documents")
+        val merges = Bpe.cachedMerges(dir, 20)(docs)
+          .map { case (_, l, r, _) => (l, r) }
+        val words = Bpe.applyMerges(Bpe.wordTable(docs), merges)
         words.flatMap { case (cnt, syms) => syms.iterator.map((_, cnt)) }
           .toDF("token", "cnt")
           .groupBy("token").agg(sum(col("cnt")).as("n_occ"))

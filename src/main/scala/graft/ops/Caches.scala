@@ -22,4 +22,18 @@ object Caches {
     bag.foreach(_.unpersist())
     bag.clear()
   }
+
+  /** Free the blocks behind a localCheckpoint'ed Dataset. A plain
+    * `ds.unpersist()` is a no-op there: the persisted RDD is the internal
+    * checkpoint RDD wrapped by the plan's `LogicalRDD` leaf, not a cache
+    * entry on the Dataset itself — so iterative loops that checkpoint per
+    * round (BPE, KR, connected components) would otherwise leak one table
+    * per round until RDD GC.
+    */
+  def releaseLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -133,9 +133,14 @@ object EventAnalytics {
         "numbered AS (SELECT *, SUM(new_sess) OVER " +
         "(PARTITION BY user_id ORDER BY tus, event_id " +
         "ROWS UNBOUNDED PRECEDING) AS sess_no FROM marked) " +
-        "SELECT user_id, sess_no, MIN(tus) AS sess_start, " +
+        // DuckDB's SUM returns HUGEINT, which the driver's compare path
+        // surfaces as float64 — cast both summed columns back to BIGINT
+        // to match Spark (same convention as q_ts_gapfill below).
+        "SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, " +
+        "MIN(tus) AS sess_start, " +
         "MAX(tus) - MIN(tus) AS duration_us, COUNT(*) AS n_events, " +
-        "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS sum_value_c " +
+        "CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) " +
+        "AS sum_value_c " +
         "FROM numbered GROUP BY user_id, sess_no " +
         "ORDER BY user_id, sess_no")),
 
@@ -159,6 +164,11 @@ object EventAnalytics {
         val variance = col("s2").cast("double") / col("n_days") -
           mean * mean
         daily.join(stats, "user_id")
+          // integer-exact zero-variance guard: a user with identical
+          // daily counts has variance 0 → z = 0/0 = NaN, and NaN > 2.0
+          // is TRUE under Spark/DuckDB NaN-greatest ordering — drop
+          // those rows before the z filter on both sides.
+          .filter(col("s2") * col("n_days") > col("s1") * col("s1"))
           .withColumn("z", (col("cnt").cast("double") - mean) /
             sqrt(variance))
           .filter(col("z") > 2.0)
@@ -170,7 +180,8 @@ object EventAnalytics {
         "COUNT(*) AS cnt FROM events GROUP BY user_id, day), " +
         "stats AS (SELECT user_id, COUNT(*) AS n_days, " +
         "SUM(cnt) AS s1, SUM(cnt*cnt) AS s2 FROM daily " +
-        "GROUP BY user_id HAVING COUNT(*) >= 3), " +
+        "GROUP BY user_id HAVING COUNT(*) >= 3 " +
+        "AND SUM(cnt*cnt) * COUNT(*) > SUM(cnt) * SUM(cnt)), " +
         "z AS (SELECT d.user_id, d.day, d.cnt, " +
         "(CAST(d.cnt AS DOUBLE) - CAST(s.s1 AS DOUBLE)/s.n_days) / " +
         "SQRT(CAST(s.s2 AS DOUBLE)/s.n_days - " +

@@ -143,7 +143,11 @@ object Warehouse {
           .orderBy("user_id", "valid_from", "k")
       },
       Some("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus, " +
-        "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k " +
+        // TRY_CAST(NULLIF(..., '')) mirrors Spark's cast-to-null on a
+        // non-matching props row (regexp_extract returns '' there and a
+        // plain DuckDB CAST('' AS BIGINT) errors out)
+        "TRY_CAST(NULLIF(regexp_extract(props, '\"k\": (\\d+)', 1), '') " +
+        "AS BIGINT) AS k " +
         "FROM events), " +
         "lagged AS (SELECT *, LAG(k) OVER " +
         "(PARTITION BY user_id ORDER BY tus, event_id) AS prev_k FROM ev), " +
