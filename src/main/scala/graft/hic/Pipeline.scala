@@ -172,7 +172,11 @@ object Pipeline {
   /** Inter-chromosomal model (A21): uniform bias-scaled prior. */
   def interSignificances(frags: DataFrame, contacts: DataFrame,
       biases: Option[DataFrame], cfg: FitHiCConfig): DataFrame = {
-    val mapped = Fragments.mappable(frags, cfg.mappabilityThr)
+    // traversed three times (two semi-join broadcast builds + the
+    // possible-M closed form) — persist so an expensive upstream (a
+    // marginals groupBy) runs once, same as the intra path
+    val mapped = graft.ops.Caches.register(
+      Fragments.mappable(frags, cfg.mappabilityThr).persist())
     val filtered = Contacts.bothEndsMappable(contacts, mapped)
     val inter = Contacts.classify(filtered, cfg.distLow, cfg.distUp)
       .filter(col("cls") === "interAll")

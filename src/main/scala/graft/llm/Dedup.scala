@@ -129,9 +129,17 @@ object Dedup {
     * Hamming verification ≤ maxHamming. Scales as #candidate-collisions,
     * not #pairs.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    val sh = docs.withColumn("sim",
-      simhash64(split(col("text"), " ")))
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame =
+    bandedHammingPairs(docs.withColumn("sim",
+      simhash64(split(col("text"), " "))), maxHamming)
+
+  /** The banding + candidate-join + Hamming-verify leg of
+    * [[simhashPairs]], over any (doc_id, sim: long) frame — split out so
+    * an oracle-expressible signature (q_dedup_simhash_bands' md5-derived
+    * sim) can pin this exact plumbing against DuckDB while the murmur
+    * signature stays rows-only.
+    */
+  def bandedHammingPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val banded = sh.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -255,6 +255,33 @@ object LlmQueries {
           .orderBy("doc_id"),
       None),
 
+    "q_text_fingerprint_check" -> Q(
+      (spark, dir) =>
+        // oracle twin for q_text_fingerprint: the SAME rolling modular
+        // Horner fold, with the per-token hash swapped from xxhash64
+        // (Spark-internal seeding) to md5-ascii arithmetic both engines
+        // compute identically. The token hash stays < 2^23 < p, so
+        // DuckDB's init-less list_reduce (first element seeds the fold)
+        // agrees with Spark's 0-seeded aggregate on every document.
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            expr("aggregate(split(text, ' '), 0L, (h, t) -> " +
+              "pmod(h * 1000003L + " +
+              "ascii(substring(md5(t), 1, 1)) * 65536L + " +
+              "ascii(substring(md5(t), 2, 1)) * 256L + " +
+              "ascii(substring(md5(t), 3, 1)), " +
+              "2147483647L))").as("fingerprint"),
+            length(col("text")).as("n_chars_obs"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "list_reduce(list_transform(string_split(text, ' '), t -> " +
+        "CAST(ascii(substring(md5(t), 1, 1)) AS BIGINT) * 65536 + " +
+        "ascii(substring(md5(t), 2, 1)) * 256 + " +
+        "ascii(substring(md5(t), 3, 1))), " +
+        "(h, x) -> (h * 1000003 + x) % 2147483647) AS fingerprint, " +
+        "CAST(LENGTH(text) AS INT) AS n_chars_obs " +
+        "FROM documents ORDER BY doc_id")),
+
     "q_text_tokens" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "documents")
@@ -341,6 +368,39 @@ object LlmQueries {
         Dedup.simhashPairs(Tables(spark, dir, "documents"), maxHamming = 16)
           .orderBy("doc_a", "doc_b"),
       None),
+
+    "q_dedup_simhash_bands" -> Q(
+      (spark, dir) => {
+        // oracle twin for q_dedup_simhash: the SAME banding + candidate
+        // self-join + Hamming-verify code path (Dedup.bandedHammingPairs),
+        // driven by an md5-derived 64-bit signature both engines can
+        // compute — pins the band plumbing hash-for-hash in DuckDB; only
+        // the murmur simhash signature itself stays rows-only.
+        val sim = (1 to 8).map(i =>
+            expr(s"cast(ascii(substring(md5(text), $i, 1)) as bigint)") *
+              lit(1L << ((8 - i) * 8)))
+          .reduce(_ + _)
+        Dedup.bandedHammingPairs(
+          Tables(spark, dir, "documents")
+            .select(col("doc_id"), sim.as("sim")), maxHamming = 16)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val simSql = (1 to 8).map(i =>
+          s"CAST(ascii(substring(md5(text), $i, 1)) AS BIGINT) * " +
+            (1L << ((8 - i) * 8))).mkString(" + ")
+        "WITH s AS (SELECT doc_id, " + simSql + " AS sim FROM documents), " +
+        "bands AS (SELECT unnest([0, 1, 2, 3]) AS band), " +
+        "b AS (SELECT doc_id, sim, band, " +
+        "(sim >> (band * 16)) & 65535 AS key FROM s, bands), " +
+        "c AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, " +
+        "l.sim AS sim_a, r.sim AS sim_b FROM b l JOIN b r " +
+        "ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id), " +
+        "h AS (SELECT doc_a, doc_b, " +
+        "CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming FROM c) " +
+        "SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 16 " +
+        "ORDER BY doc_a, doc_b"
+      }),
 
     "q_dedup_ngram_jaccard" -> Q(
       (spark, dir) =>
@@ -503,7 +563,9 @@ object LlmQueries {
     "q_multimodal_features" -> Q(
       (spark, dir) => {
         // typed mapPartitions feature extraction with the STUBBED decoder
-        // (Multimodal.decodeStub) — exercises the real batch plumbing
+        // (Multimodal.decodeStub) — exercises the real batch plumbing.
+        // The stub's pseudo-dimensions are md5-derived, so the oracle can
+        // replay the whole feature table in SQL (md5 + ascii arithmetic).
         val media = Multimodal.asMedia(Tables(spark, dir, "documents"))
         Multimodal.extractFeatures(media).toDF()
           .groupBy("kind")
@@ -511,7 +573,16 @@ object LlmQueries {
             min(col("width")).as("min_w"), max(col("height")).as("max_h"))
           .orderBy("kind")
       },
-      None),
+      Some("WITH f AS (SELECT source AS kind, " +
+        "CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
+        "md5(text) AS hx FROM documents) " +
+        "SELECT kind, COUNT(*) AS n, " +
+        "CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, " +
+        "MIN(64 + (ascii(substring(hx, 1, 1))*256 + " +
+        "ascii(substring(hx, 2, 1))) % 1024) AS min_w, " +
+        "MAX(64 + (ascii(substring(hx, 3, 1))*256 + " +
+        "ascii(substring(hx, 4, 1))) % 1024) AS max_h " +
+        "FROM f GROUP BY kind ORDER BY kind")),
 
     "q_multimodal_join" -> Q(
       (spark, dir) =>

@@ -18,28 +18,28 @@ object Multimodal {
   case class MediaRow(media_id: Long, payload: Array[Byte], kind: String,
       n_bytes: Int)
 
-  /** Extracted features; `width`/`height`/`channels` come from the stub. */
+  /** Extracted features; `width`/`height`/`channels` come from the stub
+    * and `checksum` is the payload's md5 hex digest.
+    */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-      width: Int, height: Int, channels: Int, checksum: Long)
+      width: Int, height: Int, channels: Int, checksum: String)
+
+  private def md5Hex(payload: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map(b => f"$b%02x").mkString
 
   /** STUB decode ??? — stands in for a real image/audio decoder; derives
-    * deterministic pseudo-dimensions from the payload so the downstream
-    * plumbing (schema, joins, aggregations) is fully testable.
+    * deterministic pseudo-dimensions from the payload's md5 so the
+    * downstream plumbing (schema, joins, aggregations) is fully testable
+    * AND the whole feature table is SQL-expressible for the DuckDB oracle
+    * (md5 + ascii arithmetic over the hex digest — the same cross-engine
+    * trick as q_multimodal_framesample's per-frame md5).
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-    val w = 64 + math.abs(h % 1024).toInt
-    val ht = 64 + math.abs((h >> 10) % 1024).toInt
+    val hx = md5Hex(payload)
+    val w = 64 + (hx(0).toInt * 256 + hx(1).toInt) % 1024
+    val ht = 64 + (hx(2).toInt * 256 + hx(3).toInt) % 1024
     (w, ht, 3)
-  }
-
-  private def checksum(payload: Array[Byte]): Long = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-    h
   }
 
   /** Lift documents into binary media rows (text bytes standing in for an
@@ -65,7 +65,7 @@ object Multimodal {
       rows.map { r =>
         val (w, h, c) = decodeStub(r.payload)
         MediaFeatures(r.media_id, r.kind, r.n_bytes, w, h, c,
-          checksum(r.payload))
+          md5Hex(r.payload))
       }
     }
   }
