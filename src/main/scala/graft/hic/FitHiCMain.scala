@@ -60,13 +60,27 @@ object FitHiCMain {
     val sigCols = Seq("chr1", "mid1", "chr2", "mid2", "contactCount",
       "p_value", "q_value")
     if (mode == "intraOnly" || mode == "All") {
-      val intra = Pipeline.intraSignificances(frags, contacts, biases, cfg)
+      // per-pass spline/bin diagnostics (A26's data, sans plot): the bins
+      // are already on the driver for the spline fit, so emitting the
+      // table costs one tiny write per pass, no extra Spark job
+      val diags = scala.collection.mutable.ArrayBuffer
+        .empty[Pipeline.PassDiagnostics]
+      val intra = Pipeline.intraSignificances(frags, contacts, biases, cfg,
+        diagSink = Some(diags ++= _))
       for (pass <- 1 to cfg.passes)
         graft.io.Tsv.write(
           intra.filter(col("pass") === pass)
             .orderBy("chr1", "mid1", "mid2"),
           s"$outDir/$lib.spline_pass$pass.res$res.significances.txt.gz",
           sigCols)
+      import spark.implicits._
+      for (pass <- 1 to cfg.passes)
+        graft.io.Tsv.write(
+          diags.filter(_.pass == pass).toSeq.toDS().toDF()
+            .orderBy("binIdx"),
+          s"$outDir/$lib.spline_pass$pass.res$res.bins.txt.gz",
+          Seq("binIdx", "pairCount", "sumCount", "avgDist", "rawProb",
+            "splineProb"))
     }
     if (mode == "interOnly" || mode == "All") {
       val inter = Pipeline.interSignificances(frags, contacts, biases, cfg)

@@ -50,12 +50,22 @@ object Pipeline {
         throw t
     }
 
+  /** Per-pass null-model diagnostics (A26's data content, sans plot):
+    * one row per equal-occupancy bin with its average distance, raw
+    * contact probability, and the PAVA-fitted monotone prior.
+    */
+  final case class PassDiagnostics(pass: Int, binIdx: Int, pairCount: Long,
+      sumCount: Long, avgDist: Double, rawProb: Double, splineProb: Double)
+
   /** Run the intra-chromosomal pipeline; returns one row per tested pair
     * and pass: chr1, mid1, chr2, mid2, contactCount, pass, p_value,
-    * q_value.
+    * q_value. `diagSink`, when given, receives each pass's ≤ nBins
+    * diagnostic rows (driver-side — the bins are already collected for
+    * the spline fit, so this adds no Spark job).
     */
   def intraSignificances(frags: DataFrame, contacts: DataFrame,
-      biases: Option[DataFrame], cfg: FitHiCConfig): DataFrame = {
+      biases: Option[DataFrame], cfg: FitHiCConfig,
+      diagSink: Option[Seq[PassDiagnostics] => Unit] = None): DataFrame = {
     require(cfg.passes >= 1, s"passes must be >= 1, got ${cfg.passes}")
     // the mappable locus set is traversed three times (two loci broadcast
     // builds + the possible-pair window) and the bias table twice (the
@@ -122,6 +132,12 @@ object Pipeline {
         src.unpersist() // pass-1 binning materialized the ranged cache
       }
       require(n > 0, "no intra-in-range contacts after filtering")
+      diagSink.foreach { sink =>
+        val (xs, raw, fitted) = Spline.fitFromBins(bins, n)
+        sink(bins.indices.map(i => PassDiagnostics(pass,
+          bins(i).getAs[Int]("binIdx"), bins(i).getAs[Long]("pairCount"),
+          bins(i).getAs[Long]("sumCount"), xs(i), raw(i), fitted(i))))
+      }
       val scored = scoreFromBins(rangedPairs, bins, n, m, cfg)
         .withColumn("pass", lit(pass))
       result = if (result == null) scored else result.unionByName(scored)

@@ -44,6 +44,21 @@ class ContractSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bench final line stays inside the driver's stdout tail window") {
+    // the driver keeps only the LAST 2000 chars of stdout; sbt's trailing
+    // banner can eat ~75 more. Render the line for the FULL current
+    // registry at worst-case value widths (hundreds of seconds) so query
+    // additions that would overflow the window fail here, not in a
+    // driver round with parsed:null.
+    val worst = Registry.all.keys.map(_ -> 999.999).toMap
+    val line = Bench.renderLine(worst, runs = 3,
+      sfDir = "/root/testdata/sf0.1")
+    line.length should be < 1900
+    // and it must be one self-contained JSON object on a single line
+    line should startWith("{\"metric\":\"total\"")
+    line should not include "\n"
+  }
+
   test("no duplicate declaration sites, even within one module") {
     // A name declared twice inside ONE module's Map literal is deduped by
     // Scala before any runtime check can see it (the first body is lost

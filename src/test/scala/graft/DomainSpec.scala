@@ -164,6 +164,30 @@ class FitHiCMainSpec extends AnyFunSuite with Matchers with SparkTest {
     val dflt = cli("-p", "2")
     pMap(sig(dflt, 2)) should not be pMap(sig(dflt, 1))
   }
+
+  test("per-pass bins diagnostics emit the fitted monotone null curve") {
+    val out = cli("-p", "2")
+    def bins(pass: Int) = spark.read
+      .schema("binIdx INT, pairCount LONG, sumCount LONG, " +
+        "avgDist DOUBLE, rawProb DOUBLE, splineProb DOUBLE")
+      .option("sep", "\t")
+      .csv(s"$out/t.spline_pass$pass.res5000.bins.txt.gz")
+      .orderBy("binIdx").collect()
+    for (pass <- 1 to 2) {
+      val b = bins(pass)
+      b.length should be > 0
+      // knots ascend in distance; the fitted prior is non-increasing
+      // (the PAVA contract) and a genuine probability
+      val dist = b.map(_.getDouble(3))
+      dist.zip(dist.tail).foreach { case (x, y) => x should be <= y }
+      val fit = b.map(_.getDouble(5))
+      fit.zip(fit.tail).foreach { case (x, y) => x should be >= y }
+      fit.foreach { p => p should (be > 0.0 and be <= 1.0) }
+    }
+    // pass 2 refits without the planted outlier → a different curve
+    bins(1).map(_.getDouble(5)).toSeq should not be
+      bins(2).map(_.getDouble(5)).toSeq
+  }
 }
 
 class BiasSpec extends AnyFunSuite with Matchers with SparkTest {
