@@ -234,14 +234,36 @@ object Compartments {
     // per-chr spectral-radius estimates)
     val noShift = Seq.empty[(String, Double)].toDF("chr", "c")
     var v = v0.withColumn("nrm", lit(0.0))
-    for (_ <- 1 to EstIters)
+    // each step is an eager checkpoint, so the previous iterate's blocks
+    // can be released as soon as the new one exists (plain unpersist is a
+    // no-op on localCheckpoints); the phase-1 FINAL iterate must outlive
+    // phase 2 — every shifted step re-reads `shifts`, a lazy agg over it
+    var prevCkpt: DataFrame = null
+    for (_ <- 1 to EstIters) {
       v = step(v.select("chr", "i", "s"), noShift)
+      if (prevCkpt != null) graft.ops.Caches.releaseLocalCheckpoint(prevCkpt)
+      prevCkpt = v
+    }
+    val phase1Final = prevCkpt
     val shifts = v.groupBy("chr")
       .agg((max(col("nrm")) * 1.1).as("c")) // nrm constant within a chr
     // phase 2: shifted iterations from a fresh start
     v = v0.withColumn("nrm", lit(0.0))
-    for (_ <- EstIters + 1 to iters)
+    prevCkpt = null
+    for (_ <- EstIters + 1 to iters) {
       v = step(v.select("chr", "i", "s"), shifts)
+      if (prevCkpt != null) graft.ops.Caches.releaseLocalCheckpoint(prevCkpt)
+      prevCkpt = v
+    }
+    if (phase1Final != null) {
+      // phase 2 ran → its eager steps consumed shifts; otherwise keep the
+      // blocks until drain()
+      if (prevCkpt != null)
+        graft.ops.Caches.releaseLocalCheckpoint(phase1Final)
+      else graft.ops.Caches.registerCheckpoint(phase1Final)
+    }
+    // the final iterate feeds the returned plan lazily — release at drain()
+    graft.ops.Caches.registerCheckpoint(v)
     // sign convention: flip each chromosome so its smallest nonzero-score
     // bin is positive
     val w = org.apache.spark.sql.expressions.Window.partitionBy("chr")

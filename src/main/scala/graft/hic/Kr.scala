@@ -235,6 +235,7 @@ object Kr {
       .select(col("chr"), col("i").as("mid"), lit(1.0).as("bias"))
 
     var bias = connected.withColumn("b", lit(1.0))
+    var prevCkpt: org.apache.spark.sql.DataFrame = null
     for (iter <- 1 to iterations) {
       val rs = keptEdges
         .join(bias.select(col("chr"), col("i").as("j"),
@@ -253,7 +254,14 @@ object Kr {
       // iteration and recomputation explodes (measured 6× slower when
       // checkpointing every 3rd, ~2× when every 2nd)
       bias = bias.localCheckpoint(eager = true)
+      // the eager checkpoint has materialized every consumer of the
+      // previous iterate — release its blocks now (plain unpersist is a
+      // no-op on checkpoints); the FINAL iterate stays alive for the
+      // returned plan and is released at Caches.drain()
+      if (prevCkpt != null) graft.ops.Caches.releaseLocalCheckpoint(prevCkpt)
+      prevCkpt = if (iter < iterations) bias else null
     }
+    graft.ops.Caches.registerCheckpoint(bias)
     // fix the free scale: report biases with per-chromosome mean 1 (the
     // conventional normalization — downstream clamps to [0.5, 2])
     val scale = bias.groupBy("chr")

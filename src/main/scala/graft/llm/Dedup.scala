@@ -229,10 +229,16 @@ object Dedup {
       val changed = next
         .join(labels.withColumnRenamed("root", "prev"), "doc_id")
         .filter(col("root") =!= col("prev")).count()
+      // the convergence count was the previous label table's last
+      // consumer — release its checkpoint blocks now (plain unpersist is
+      // a no-op on localCheckpoints)
+      graft.ops.Caches.releaseLocalCheckpoint(labels)
       labels = next
       converged = changed == 0L
       iter += 1
     }
+    // the final labels feed the returned plan lazily — release at drain()
+    graft.ops.Caches.registerCheckpoint(labels)
     // a silently-truncated propagation would return split clusters that
     // LOOK valid — fail loudly instead (simple min-propagation needs
     // component-diameter rounds; raise maxIters for pathological graphs)

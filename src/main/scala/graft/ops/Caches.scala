@@ -14,12 +14,22 @@ import org.apache.spark.sql.Dataset
   * a harmless no-op.
   */
 object Caches {
-  private val bag = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private val bag = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
-  def register[T <: Dataset[_]](ds: T): T = synchronized { bag += ds; ds }
+  def register[T <: Dataset[_]](ds: T): T =
+    synchronized { bag += (() => ds.unpersist()); ds }
+
+  /** Register a localCheckpoint'ed Dataset for release at [[drain]] —
+    * for the FINAL iterate of a checkpointing loop, which the operator's
+    * returned plan still references lazily (releasing it before the
+    * consumer materializes would make the lineage-truncated RDD
+    * unrecoverable; intermediate iterates are released inline instead).
+    */
+  def registerCheckpoint[T <: Dataset[_]](ds: T): T =
+    synchronized { bag += (() => releaseLocalCheckpoint(ds)); ds }
 
   def drain(): Unit = synchronized {
-    bag.foreach(_.unpersist())
+    bag.foreach(f => scala.util.Try(f()))
     bag.clear()
   }
 
