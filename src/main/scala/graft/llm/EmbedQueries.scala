@@ -151,5 +151,32 @@ object EmbedQueries {
         "CAST(list_aggregate(list_transform(list_zip(q, codes), p -> " +
         "p[1] - mn - (p[2] * (mx - mn)) // 255), 'sum') AS BIGINT) " +
         "AS sum_abs_err " +
-        "FROM cd ORDER BY vec_id")))
+        "FROM cd ORDER BY vec_id")),
+
+    "q_embed_pca" -> Q(
+      (spark, dir) => {
+        // covariance eigen-spectrum of the embedding corpus (see
+        // llm.Pca): one narrow pass folds every partition into a 64×64
+        // integer Gram summary, the driver merges O(P) summaries and
+        // eigendecomposes 64×64 — the whitening/compression audit that
+        // precedes ANN index builds. Eigendecomposition isn't
+        // SQL-expressible → rows-only; PcaSpec pins the spectrum against
+        // an in-memory reference on the same quantized integers.
+        import spark.implicits._
+        val dim = 64
+        val ev = Pca.eigenvalues(
+          Pca.summarize(Tables(spark, dir, "embeddings"), dim), dim)
+        val total = ev.sum
+        var cum = 0.0
+        ev.toSeq.zipWithIndex.map { case (v, i) =>
+          cum += v
+          (i, v, v / total, cum / total)
+        }.toDF("component", "eigenvalue", "var_explained", "cum_explained")
+          .select(col("component"),
+            Cols.fround(col("eigenvalue"), 6).as("eigenvalue"),
+            Cols.fround(col("var_explained"), 6).as("var_explained"),
+            Cols.fround(col("cum_explained"), 6).as("cum_explained"))
+          .orderBy("component")
+      },
+      None))
 }

@@ -6,6 +6,47 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
+/** Differential gate for the distributed PCA: the spectrum from the
+  * one-pass integer-Gram summary must equal a direct in-memory breeze
+  * eigendecomposition of the covariance of the SAME ×1e3-quantized
+  * vectors (the quantization defines the operator), and the summary
+  * itself must be partition-count-invariant.
+  */
+class PcaSpec extends AnyFunSuite with Matchers with SparkTest {
+  import graft.llm.Pca
+  private val dir = "/root/testdata/sf0.001"
+  private val dim = 64
+
+  test("one-pass spectrum equals in-memory reference; partition-invariant") {
+    val emb = Tables(spark, dir, "embeddings")
+    val s = Pca.summarize(emb, dim)
+    // exact-integer summary is identical under a different partitioning
+    val s11 = Pca.summarize(emb.repartition(11), dim)
+    s11.n shouldBe s.n
+    s11.sums.toSeq shouldBe s.sums.toSeq
+    s11.gram.toSeq shouldBe s.gram.toSeq
+
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = vecs.length.toLong
+    val q = vecs.map(_.map(x => math.round(x * Pca.Quant)))
+    val m = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val exy = q.map(v => v(i) * v(j)).sum.toDouble / n
+      val ex = q.map(_(i)).sum.toDouble / n
+      val ey = q.map(_(j)).sum.toDouble / n
+      m(i, j) = (exy - ex * ey) / (Pca.Quant * Pca.Quant)
+    }
+    val want = breeze.linalg.eigSym(m).eigenvalues.toArray.sortBy(-_)
+    val got = Pca.eigenvalues(s, dim)
+    got.length shouldBe dim
+    got.zip(want).foreach { case (g, w) => g shouldBe w +- 1e-9 }
+    // covariance spectra are non-negative up to float fuzz, descending
+    got.foreach(_ should be > -1e-9)
+    got.zip(got.tail).foreach { case (a, b) => a should be >= b }
+  }
+}
+
 /** Functional pins for the round-8 training-data-pipeline queries
   * (contamination, repetition, clean, dedup-apply, stratified sample):
   * crafted-corpus expected values plus equivalence of the salted two-phase
