@@ -35,17 +35,28 @@ object Dedup {
   /** MinHash signature over a doc's 64-bit shingle hashes: for table t,
     * min over shingles of splitmix64(h ⊕ seed_t). Primitive loops — one
     * pass per doc, no matrix, no ml.Vector boxing.
+    *
+    * `mixed = false` swaps the family to plain min(h ⊕ seed_t) with
+    * small per-table seeds (t·1000003): a degenerate-but-valid MinHash
+    * family whose every step is SQL-expressible, so the oracle twin
+    * (q_dedup_near_check) can drive this SAME code path against DuckDB.
+    * xor is injective, so candidate collisions still imply a shared
+    * shingle hash in both families.
     */
-  private def signatureUdf(numTables: Int, seed: Long): UserDefinedFunction =
+  private def signatureUdf(numTables: Int, seed: Long,
+      mixed: Boolean = true): UserDefinedFunction =
     udf { hs: Seq[Long] =>
       val out = new Array[Long](numTables)
       var t = 0
       while (t < numTables) {
-        val st = seed + t.toLong * 0x9e3779b97f4a7c15L
+        val st =
+          if (mixed) seed + t.toLong * 0x9e3779b97f4a7c15L
+          else seed + t.toLong * 1000003L
         var m = Long.MaxValue
         val it = hs.iterator
         while (it.hasNext) {
-          val v = mix64(it.next() ^ st)
+          val x = it.next() ^ st
+          val v = if (mixed) mix64(x) else x
           if (v < m) m = v
         }
         out(t) = m
@@ -77,7 +88,9 @@ object Dedup {
     * the cheaper currency at 100 TB).
     */
   def minhashPairs(docs: DataFrame, maxDist: Double = 0.8,
-      numTables: Int = 5, seed: Long = 42L): DataFrame = {
+      numTables: Int = 5, seed: Long = 42L,
+      shingleHash: String = "xxhash64(s)",
+      mixed: Boolean = true): DataFrame = {
     // DISK_ONLY: the table is corpus-sized (must never pin executor
     // memory or be broadcast), but three lineages read it — banding plus
     // both verify joins — so spilling it to local disk beats recomputing
@@ -85,10 +98,10 @@ object Dedup {
     val hashed = graft.ops.Caches.register(withShingles(docs)
       .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
       .select(col("doc_id"),
-        expr("transform(shingles, s -> xxhash64(s))").as("sh"))
+        expr(s"transform(shingles, s -> $shingleHash)").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val banded = hashed
-      .withColumn("sig", signatureUdf(numTables, seed)(col("sh")))
+      .withColumn("sig", signatureUdf(numTables, seed, mixed)(col("sh")))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("table", "mh")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.mh") === col("b.mh") &&

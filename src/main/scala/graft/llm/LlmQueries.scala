@@ -363,6 +363,57 @@ object LlmQueries {
           .orderBy("doc_a", "doc_b"),
       None),
 
+    "q_dedup_near_check" -> Q(
+      (spark, dir) => {
+        // oracle twin for q_dedup_near: the SAME MinHash-LSH code path
+        // (Dedup.minhashPairs — shingle hash table, per-table signature
+        // UDF, band self-join, exact hashed-Jaccard verify) driven by an
+        // md5-ascii shingle hash and the unmixed xor signature family,
+        // every step of which DuckDB replays — so the LSH plumbing is
+        // hash-pinned, and only the xxhash64/splitmix64 family of
+        // q_dedup_near itself stays rows-only. Docs under 3 tokens are
+        // excluded on both sides (the oracle's shingle CTE drops them).
+        val h = (1 to 8).map(i =>
+          s"CAST(ascii(substring(md5(s), $i, 1)) AS BIGINT) * " +
+            (1L << ((8 - i) * 8))).mkString(" + ")
+        Dedup.minhashPairs(Tables(spark, dir, "documents")
+            .filter(size(split(col("text"), " ")) >= 3),
+            maxDist = 0.9, numTables = 5, seed = 7L,
+            shingleHash = h, mixed = false)
+          .select(col("doc_a"), col("doc_b"),
+            Cols.fround(col("jaccard_dist"), 6).as("jaccard_dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val h = (1 to 8).map(i =>
+          s"CAST(ascii(substring(md5(sh), $i, 1)) AS BIGINT) * " +
+            (1L << ((8 - i) * 8))).mkString(" + ")
+        "WITH " + shingleCtes + ", " +
+        "hh AS (SELECT doc_id, " + h + " AS h FROM sh), " +
+        "tbl AS (SELECT unnest([0, 1, 2, 3, 4]) AS t), " +
+        "sig AS (SELECT doc_id, t, MIN(xor(h, 7 + t * 1000003)) AS mh " +
+        "FROM hh, tbl GROUP BY doc_id, t), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM sig a JOIN sig b ON a.t = b.t AND a.mh = b.mh " +
+        "AND a.doc_id < b.doc_id), " +
+        // mirror jaccardHashes exactly: the left side is a SET of hashes
+        // (distinct), the right side a LIST (one row per shingle)
+        "da AS (SELECT DISTINCT doc_id, h FROM hh), " +
+        "na AS (SELECT doc_id, COUNT(*) AS sza FROM da GROUP BY doc_id), " +
+        "nb AS (SELECT doc_id, COUNT(*) AS szb FROM hh GROUP BY doc_id), " +
+        "ix AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i FROM cand c " +
+        "JOIN hh hb ON hb.doc_id = c.doc_b " +
+        "JOIN da ON da.doc_id = c.doc_a AND da.h = hb.h " +
+        "GROUP BY c.doc_a, c.doc_b), " +
+        "jd AS (SELECT ix.doc_a, ix.doc_b, 1.0 - CAST(ix.i AS DOUBLE) / " +
+        "(na.sza + nb.szb - ix.i) AS jaccard_dist FROM ix " +
+        "JOIN na ON na.doc_id = ix.doc_a " +
+        "JOIN nb ON nb.doc_id = ix.doc_b) " +
+        "SELECT doc_a, doc_b, " + Cols.froundSql("jaccard_dist", 6) +
+        " AS jaccard_dist FROM jd WHERE jaccard_dist <= 0.9 " +
+        "ORDER BY doc_a, doc_b"
+      }),
+
     "q_dedup_simhash" -> Q(
       (spark, dir) =>
         Dedup.simhashPairs(Tables(spark, dir, "documents"), maxHamming = 16)
