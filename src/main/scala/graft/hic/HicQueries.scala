@@ -103,7 +103,18 @@ object HicQueries {
             min(col("mid")).as("min_mid"), max(col("mid")).as("max_mid"))
           .orderBy("chr")
       },
-      None),
+      // the oracle never sees the scratch TSV — it recomputes the same
+      // aggregate from the ORIGINAL tables, so a hash match proves the
+      // gz-TSV write/read leg is exactly lossless (longs in, longs out)
+      Some(ContactsView.cte + ", marg AS (SELECT chr, mid, " +
+        "CAST(SUM(contactCount) AS BIGINT) AS hitCount FROM " +
+        "(SELECT chr, mid1 AS mid, contactCount FROM c " +
+        "UNION ALL SELECT chr, mid2 AS mid, contactCount FROM c) " +
+        "GROUP BY chr, mid) " +
+        "SELECT chr, COUNT(*) AS n_frags, " +
+        "CAST(SUM(hitCount) AS BIGINT) AS hits, " +
+        "MIN(mid) AS min_mid, MAX(mid) AS max_mid " +
+        "FROM marg GROUP BY chr ORDER BY chr")),
 
     "q_hic_kr_biases" -> Q(
       (spark, dir) => {

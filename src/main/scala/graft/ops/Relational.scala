@@ -129,20 +129,30 @@ object Relational {
         val docs = Tables(spark, dir, "documents")
         docs.write.mode("overwrite").option("compression", "gzip")
           .json(out)
+        // content integrity, not just counts: order-independent checksum
+        // over (doc_id, text) that survives the round-trip. md5-ascii
+        // arithmetic (not xxhash64) so DuckDB computes the identical
+        // term — the oracle runs the same aggregate on the ORIGINAL
+        // table, pinning losslessness hash-for-hash. Per-term modulo
+        // keeps the ANSI BIGINT sum overflow-free at any corpus size.
+        val term = (1 to 8).map(i =>
+          "CAST(ascii(substring(md5(concat(cast(doc_id as string), " +
+            s"'|', text)), $i, 1)) AS BIGINT) * " + (1L << ((8 - i) * 8)))
+          .mkString("(", " + ", s") % 1000000007L")
         spark.read.schema(docs.schema).json(out)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
-            // content integrity, not just counts: order-independent
-            // checksum over (doc_id, text) survives the round-trip
-            // (per-term modulo keeps the ANSI BIGINT sum overflow-free
-            // at any corpus size)
-            sum(xxhash64(col("doc_id"), col("text")) % 1000000007L)
-              .as("content_sum"))
+            sum(expr(term)).as("content_sum"))
           .orderBy("lang")
       },
-      // DuckDB has no xxhash64 — the checksum column can never hash-match
-      // an oracle, so the query is rows-only and AnalyticsSpec asserts
-      // the whole result (checksums included) equals the same aggregate
-      // run directly on the original table (no round-trip).
-      None))
+      Some {
+        val term = (1 to 8).map(i =>
+          "CAST(ascii(substring(md5(CAST(doc_id AS VARCHAR) || '|' || " +
+            s"text), $i, 1)) AS BIGINT) * " + (1L << ((8 - i) * 8)))
+          .mkString("(", " + ", ") % 1000000007")
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars, " +
+        s"CAST(SUM($term) AS BIGINT) AS content_sum " +
+        "FROM documents GROUP BY lang ORDER BY lang"
+      }))
 }

@@ -413,11 +413,15 @@ class AnalyticsSpec extends AnyFunSuite with Matchers with SparkTest {
 
   test("jsonl round-trip: content checksums equal the same aggregate on " +
     "the original table") {
+    // same md5-ascii checksum as the query (and its DuckDB oracle)
+    val term = (1 to 8).map(i =>
+      "CAST(ascii(substring(md5(concat(cast(doc_id as string), " +
+        s"'|', text)), $i, 1)) AS BIGINT) * " + (1L << ((8 - i) * 8)))
+      .mkString("(", " + ", ") % 1000000007L")
     val direct = Tables(spark, dir, "documents")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
-        sum(xxhash64(col("doc_id"), col("text")) % 1000000007L)
-          .as("content_sum"))
+        sum(expr(term)).as("content_sum"))
       .orderBy("lang").collect().map(_.toString)
     val roundTrip = Registry.all("q_sink_jsonl").fn(spark, dir)
       .collect().map(_.toString)
