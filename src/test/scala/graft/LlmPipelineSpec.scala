@@ -47,6 +47,68 @@ class PcaSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 }
 
+/** Pins the localCheckpoint release discipline: a plain unpersist() is a
+  * no-op on checkpoints, so without the explicit backing-RDD release each
+  * loop iteration would strand one table of blocks until RDD GC. Every
+  * checkpointing loop is driven on its DISTRIBUTED path (routing caps
+  * forced to 0 — the in-task paths never checkpoint) and must leave the
+  * persistent-RDD registry exactly as it found it after Caches.drain().
+  */
+class CheckpointHygieneSpec extends AnyFunSuite with Matchers
+    with SparkTest {
+  import graft.hic
+  import graft.llm
+  private val dir = "/root/testdata/sf0.001"
+
+  private def leaked(body: => Unit): Set[Int] = {
+    ops.Caches.drain()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    body
+    ops.Caches.drain()
+    (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+  }
+
+  test("BPE learn releases every merge round's table") {
+    leaked {
+      llm.Bpe.learnMerges(Tables(spark, dir, "documents"), nMerges = 6)
+      ()
+    } shouldBe empty
+  }
+
+  test("distributed KR releases every balancing iterate") {
+    val c = hic.ContactsView(spark, dir)
+      .select(col("chr").as("chr1"), col("mid1"),
+        col("chr").as("chr2"), col("mid2"), col("contactCount"))
+    leaked {
+      hic.Kr.biases(c, trimPercentile = 0.05, iterations = 4,
+        maxEdgesPerTask = 0L).count()
+      ()
+    } shouldBe empty
+  }
+
+  test("distributed compartments release every power iterate") {
+    val c = hic.ContactsView(spark, dir)
+      .filter(col("dist").between(hic.HicQueries.L, hic.HicQueries.U))
+    leaked {
+      hic.Compartments.scores(c, iterations = 20, maxEdgesPerTask = 0L)
+        .count()
+      ()
+    } shouldBe empty
+  }
+
+  test("distributed CC releases every label table") {
+    import spark.implicits._
+    val verts = (0L to 9L).toDF("doc_id")
+    val pairs = (0L until 9L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    leaked {
+      llm.Dedup.connectedComponents(verts, pairs, maxIters = 50,
+        maxDriverEdges = 0L).count()
+      ()
+    } shouldBe empty
+  }
+}
+
 /** Functional pins for the round-8 training-data-pipeline queries
   * (contamination, repetition, clean, dedup-apply, stratified sample):
   * crafted-corpus expected values plus equivalence of the salted two-phase
