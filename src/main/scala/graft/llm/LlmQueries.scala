@@ -507,6 +507,43 @@ object LlmQueries {
       },
       None),
 
+    "q_sample_pps" -> Q(
+      (spark, dir) => {
+        // probability-proportional-to-size systematic sampling (~100
+        // docs, weight = n_chars): lay the docs on an exact integer
+        // cumulative-weight line (GlobalOrder — range partition + offset
+        // merge, never a single-partition window) and select every doc
+        // whose weight interval (cum−w, cum] crosses a multiple of
+        // step = ceil(total/100). Pure integer arithmetic end to end, so
+        // the selected set is bit-identical under any partitioning and
+        // in DuckDB — the deterministic stand-in for seeded weighted
+        // sampling in a training-mixture pipeline.
+        val docs = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+        val (ranked, stats, cleanup) =
+          graft.ops.GlobalOrder.rankAndCumsumWithStats(docs,
+            Seq(col("doc_id")), "__rank", cum = Some((col("w"), "__cum")))
+        val k = 100L
+        val step = (stats.total + k - 1) / k
+        val out = ranked
+          .filter(expr(s"(__cum div ${step}L) > ((__cum - w) div ${step}L)"))
+          .select(col("doc_id"), col("w"), col("__cum").as("cum"))
+          .orderBy("doc_id")
+        // the filter+order consumer re-reads the ranged cache after this
+        // query's action; Caches.drain releases it (cleanup kept for the
+        // operator-library callers that drain eagerly)
+        val _ = cleanup
+        out
+      },
+      Some("WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, w, CAST(SUM(w) OVER (ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM w), " +
+        "s AS (SELECT (CAST(SUM(w) AS BIGINT) + 99) // 100 AS step " +
+        "FROM w) " +
+        "SELECT doc_id, w, cum FROM c, s " +
+        "WHERE cum // step > (cum - w) // step ORDER BY doc_id")),
+
     "q_sample_split" -> Q(
       (spark, dir) => {
         // deterministic salted train/val/test split: bucket on the first
