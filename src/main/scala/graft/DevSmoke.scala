@@ -29,14 +29,14 @@ object DevSmoke {
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[stream.Events.ContactEvent]
-      val q = stream.Events.incrementalMarginals(mem.toDS()).writeStream
+        .MemoryStream[stream.HicStream.ContactEvent]
+      val q = stream.HicStream.incrementalMarginals(mem.toDS()).writeStream
         .format("memory").queryName("devsmoke_marg").outputMode("update")
         .start()
       val t0 = new java.sql.Timestamp(1704067200000L)
-      mem.addData(stream.Events.ContactEvent(t0, "chr1", 2500, "chr1", 7500, 5))
+      mem.addData(stream.HicStream.ContactEvent(t0, "chr1", 2500, "chr1", 7500, 5))
       q.processAllAvailable()
-      mem.addData(stream.Events.ContactEvent(t0, "chr1", 2500, "chr1", 12500, 3))
+      mem.addData(stream.HicStream.ContactEvent(t0, "chr1", 2500, "chr1", 12500, 3))
       q.processAllAvailable()
       println("STREAM_MARGINALS:")
       spark.table("devsmoke_marg").show(10, truncate = false)

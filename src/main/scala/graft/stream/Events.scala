@@ -1,8 +1,7 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Structured Streaming jobs over the events schema (SURVEY.md §2.10).
   *
@@ -79,36 +78,6 @@ object Events {
         col("v_ts"))
   }
 
-  /** A streamed Hi-C contact observation (SURVEY.md §2.10 incremental
-    * analog).
-    */
-  case class ContactEvent(ts: java.sql.Timestamp, chr1: String, mid1: Long,
-      chr2: String, mid2: Long, contactCount: Long)
-
-  /** Running per-locus marginal (the streaming version of SURVEY A1/A24
-    * hitCount maintenance).
-    */
-  case class LocusMarginal(chr: String, mid: Long, hitCount: Long)
-
-  /** Incremental per-locus marginal counts over a stream of contacts:
-    * custom keyed state via mapGroupsWithState. State is one Long per
-    * locus — bounded by genome size, not stream length. Emit in Update
-    * mode; the spline refit stays a micro-batch foreachBatch driver step
-    * downstream.
-    */
-  def incrementalMarginals(contacts: Dataset[ContactEvent])
-      : Dataset[LocusMarginal] = {
-    val spark = contacts.sparkSession
-    import spark.implicits._
-    contacts
-      .flatMap(c => Seq((c.chr1, c.mid1, c.contactCount),
-        (c.chr2, c.mid2, c.contactCount)))
-      .groupByKey { case (chr, mid, _) => (chr, mid) }
-      .mapGroupsWithState[Long, LocusMarginal](GroupStateTimeout.NoTimeout) {
-        case ((chr, mid), rows, state) =>
-          val total = state.getOption.getOrElse(0L) + rows.map(_._3).sum
-          state.update(total)
-          LocusMarginal(chr, mid, total)
-      }
-  }
+  // The incremental Hi-C analog (SURVEY §2.10: flatMapGroupsWithState
+  // marginals + foreachBatch spline refit) lives in [[HicStream]].
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   *
   * Usage (all flags optional):
   *   runMain graft.stream.StreamMain
-  *     [--logic tumbling|sliding|session|dedup|join|marginals]
+  *     [--logic tumbling|sliding|session|dedup|join|marginals|spline]
   *     [--source rate|files] [--dir /root/testdata/sf0.001]
   *     [--sink console|parquet] [--out outDir]
   *     [--watermark "10 seconds"] [--timeout-sec 30]
@@ -90,7 +90,7 @@ object StreamMain {
         concat(lit("c"), col("value") % 4).as("chr2"),
         (col("value") * 7 % 100 * 5000 + 2500).as("mid2"),
         lit(1L).as("contactCount"))
-      .as[Events.ContactEvent]
+      .as[HicStream.ContactEvent]
 
     val (frame, mode) = logic match {
       case "tumbling" => (Events.tumbling(events, watermark), "update")
@@ -108,7 +108,32 @@ object StreamMain {
           ev.filter(col("event_type") === "purchase"),
           ev.filter(col("event_type") === "view"), watermark), "append")
       case "marginals" =>
-        (Events.incrementalMarginals(contacts).toDF(), "update")
+        (HicStream.incrementalMarginals(contacts, watermark).toDF(),
+          "update")
+      case "spline" =>
+        // §2.10 incremental null-model: foreachBatch spline refit over
+        // the synthetic contact stream; prints the knot count + first/last
+        // fitted probability after each refit
+        val refitter = new HicStream.SplineRefitter(
+          nBins = 20, distLo = 0L, distHi = Long.MaxValue)
+        val q = contacts.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              HicStream.ContactEvent], id: Long) =>
+            refitter.processBatch(batch, id)
+            refitter.latest.foreach { f =>
+              println(s"[spline] batch $id: total=${f.total} " +
+                s"knots=${f.avgDist.length} " +
+                s"p=[${f.fittedProb.headOption.getOrElse(0.0)}.." +
+                s"${f.fittedProb.lastOption.getOrElse(0.0)}]")
+            }
+          }
+          .start()
+        if (timeoutSec > 0) { q.awaitTermination(timeoutSec * 1000L); q.stop() }
+        else q.awaitTermination()
+        refitter.close()
+        spark.stop()
+        return
       case other => sys.error(s"unknown --logic $other")
     }
 

@@ -90,6 +90,40 @@ object StreamQueries {
         "(SELECT * FROM events UNION ALL SELECT * FROM events) " +
         "ORDER BY event_id")),
 
+    "q_stream_hic_marginals" -> Q(
+      (spark, dir) => {
+        // batch-equivalent of the §2.10 incremental Hi-C job: the SAME
+        // locusUpdates column logic HicStream.incrementalMarginals feeds
+        // into flatMapGroupsWithState, aggregated to the per-chromosome
+        // summary the streaming state converges to (StreamingSpec pins
+        // the stream side against batch q_hic_marginals per locus; this
+        // declared query oracle-pins the shared transform per chr).
+        val c = graft.hic.ContactsView(spark, dir)
+          .select(col("chr").as("chr1"), col("mid1"),
+            col("chr").as("chr2"), col("mid2"), col("contactCount"))
+        HicStream.locusUpdates(c)
+          .groupBy("chr", "mid")
+          .agg(sum(col("contactCount")).as("hitCount"),
+            count(lit(1)).as("n_pairs"))
+          .groupBy("chr")
+          .agg(count(lit(1)).as("n_loci"),
+            sum(col("hitCount")).as("sum_hits"),
+            max(col("hitCount")).as("max_hits"),
+            sum(col("n_pairs")).as("n_pair_ends"))
+          .orderBy("chr")
+      },
+      Some(graft.hic.ContactsView.cte + ", m AS (SELECT chr, mid, " +
+        "CAST(SUM(contactCount) AS BIGINT) AS hitCount, " +
+        "COUNT(*) AS n_pairs FROM " +
+        "(SELECT chr, mid1 AS mid, contactCount FROM c " +
+        "UNION ALL SELECT chr, mid2 AS mid, contactCount FROM c) " +
+        "GROUP BY chr, mid) " +
+        "SELECT chr, COUNT(*) AS n_loci, " +
+        "CAST(SUM(hitCount) AS BIGINT) AS sum_hits, " +
+        "CAST(MAX(hitCount) AS BIGINT) AS max_hits, " +
+        "CAST(SUM(n_pairs) AS BIGINT) AS n_pair_ends " +
+        "FROM m GROUP BY chr ORDER BY chr")),
+
     "q_stream_interval_join" -> Q(
       (spark, dir) => {
         // batch frame of Events.intervalJoin (stream-stream purchase ⋈

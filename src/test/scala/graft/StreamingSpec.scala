@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.stream.Events
+import graft.stream.{Events, HicStream}
 import graft.stream.Events.Event
 
 /** Structured Streaming semantics (SURVEY.md §2.10, FIXTURES.md §4):
@@ -84,24 +84,143 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
-    val mem = MemoryStream[Events.ContactEvent]
+    val mem = MemoryStream[HicStream.ContactEvent]
     val name = s"marg_${System.nanoTime()}"
-    val q = Events.incrementalMarginals(mem.toDS()).writeStream
+    val q = HicStream.incrementalMarginals(mem.toDS()).writeStream
       .format("memory").queryName(name).outputMode("update").start()
     try {
-      mem.addData(Events.ContactEvent(ts(0), "chr1", 2500L, "chr1", 7500L, 5L))
+      mem.addData(
+        HicStream.ContactEvent(ts(0), "chr1", 2500L, "chr1", 7500L, 5L))
       q.processAllAvailable()
-      mem.addData(Events.ContactEvent(ts(1), "chr1", 2500L, "chr1", 7500L, 3L),
-        Events.ContactEvent(ts(2), "chr1", 2500L, "chr2", 2500L, 2L))
+      mem.addData(
+        HicStream.ContactEvent(ts(1), "chr1", 2500L, "chr1", 7500L, 3L),
+        HicStream.ContactEvent(ts(2), "chr1", 2500L, "chr2", 2500L, 2L))
+      q.processAllAvailable()
+      val byLocus = sp.table(name).groupBy("chr", "mid")
+        .agg(org.apache.spark.sql.functions.max("hitCount").as("h"),
+          org.apache.spark.sql.functions.max("n_pairs").as("np"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3)))
+        .toMap
+      byLocus(("chr1", 2500L)) shouldBe ((10L, 3L)) // 5+3+2 carried in state
+      byLocus(("chr1", 7500L)) shouldBe ((8L, 2L))
+      byLocus(("chr2", 2500L)) shouldBe ((2L, 1L))
+    } finally q.stop()
+  }
+
+  test("incremental marginals: steady state equals batch q_hic_marginals") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val contacts = graft.hic.ContactsView(sp, dir)
+      .select("chr", "mid1", "mid2", "contactCount").collect()
+      .map(r => HicStream.ContactEvent(ts(0), r.getString(0), r.getLong(1),
+        r.getString(0), r.getLong(2), r.getLong(3)))
+    // three micro-batches over the full sf0.001 contact set
+    val batches = contacts.grouped((contacts.length + 2) / 3).toSeq
+    val mem = MemoryStream[HicStream.ContactEvent]
+    val name = s"margpar_${System.nanoTime()}"
+    val q = HicStream.incrementalMarginals(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // final state per locus = last (max — both fields are monotone)
+      val streamed = sp.table(name).groupBy("chr", "mid")
+        .agg(org.apache.spark.sql.functions.max("hitCount").as("hitCount"),
+          org.apache.spark.sql.functions.max("n_pairs").as("n_pairs"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted
+      val batch = SparkEntry.queries("q_hic_marginals")(sp, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted
+      streamed shouldBe batch
+    } finally { q.stop(); graft.ops.Caches.drain() }
+  }
+
+  test("incremental marginals drop contacts older than the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[HicStream.ContactEvent]
+    val name = s"marglate_${System.nanoTime()}"
+    val q = HicStream.incrementalMarginals(mem.toDS(), "10 minutes")
+      .writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try {
+      mem.addData(
+        HicStream.ContactEvent(ts(0), "chr1", 2500L, "chr1", 7500L, 5L))
+      q.processAllAvailable()
+      // advance watermark to 200m − 10m = 190m
+      mem.addData(
+        HicStream.ContactEvent(ts(200), "chr2", 2500L, "chr2", 7500L, 1L))
+      q.processAllAvailable()
+      // a 30m-stamped delta is far older than the watermark → dropped
+      mem.addData(
+        HicStream.ContactEvent(ts(30), "chr1", 2500L, "chr1", 7500L, 7L),
+        HicStream.ContactEvent(ts(210), "chr3", 2500L, "chr3", 7500L, 2L))
       q.processAllAvailable()
       val byLocus = sp.table(name).groupBy("chr", "mid")
         .agg(org.apache.spark.sql.functions.max("hitCount").as("h"))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
         .toMap
-      byLocus(("chr1", 2500L)) shouldBe 10L // 5 + 3 + 2, carried in state
-      byLocus(("chr1", 7500L)) shouldBe 8L
-      byLocus(("chr2", 2500L)) shouldBe 2L
+      byLocus(("chr1", 2500L)) shouldBe 5L // late +7 did NOT count
+      byLocus(("chr3", 2500L)) shouldBe 2L // on-time row same batch counted
     } finally q.stop()
+  }
+
+  test("foreachBatch spline refit equals the batch A14-A16 fit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.hic.ContactsView(sp, dir)
+      .select("chr", "mid1", "mid2", "contactCount").collect()
+    // split some pair counts across batches: the refitter must merge
+    // per-pair deltas back into the batch row before binning
+    val events = rows.zipWithIndex.flatMap { case (r, i) =>
+      val (chr, m1, m2, c) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      if (i < 50 && c > 1)
+        Seq(HicStream.ContactEvent(ts(0), chr, m1, chr, m2, c - 1),
+          HicStream.ContactEvent(ts(1), chr, m1, chr, m2, 1L))
+      else Seq(HicStream.ContactEvent(ts(0), chr, m1, chr, m2, c))
+    }
+    val batches = events.grouped((events.length + 2) / 3).toSeq
+    val refitter = new HicStream.SplineRefitter(
+      nBins = 100, distLo = graft.hic.HicQueries.L,
+      distHi = graft.hic.HicQueries.U)
+    val mem = MemoryStream[HicStream.ContactEvent]
+    val q = mem.toDS().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[HicStream.ContactEvent],
+            id: Long) => refitter.processBatch(b, id)
+      }
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      refitter.refitCount shouldBe batches.length
+      // the batch-side fit over the identical observation set
+      val f = graft.hic.ContactsView(sp, dir)
+        .filter(org.apache.spark.sql.functions.col("dist")
+          .between(graft.hic.HicQueries.L, graft.hic.HicQueries.U))
+        .persist()
+      val total = f.agg(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.col("contactCount")))
+        .first().getLong(0)
+      val bins = graft.hic.Binning.collectBins(f, 100,
+        Seq("chr", "mid1", "mid2"))
+      f.unpersist()
+      val (xs, raw, fit) = graft.hic.Spline.fitFromBins(bins, total)
+      val got = refitter.latest.get
+      got.total shouldBe total
+      got.avgDist shouldBe xs
+      got.rawProb shouldBe raw
+      got.fittedProb shouldBe fit
+    } finally { q.stop(); refitter.close() }
   }
 
   test("interval join: stream-stream purchase x prior-views equals batch") {
