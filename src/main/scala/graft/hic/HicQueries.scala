@@ -169,6 +169,40 @@ object HicQueries {
       },
       None),
 
+    "q_hic_fisher_tail_check" -> Q(
+      (spark, dir) => {
+        // oracle twin for the χ² tail: the SAME FisherCombine.pValue
+        // (commons-math regularized gamma) that q_hic_fisher_pvalue
+        // calls, driven at fixed dof 2·k0 on the per-row-mean statistic
+        // stat/k (a moderate x, so the tail is non-degenerate). Even dof
+        // makes the survival function closed-form —
+        // e^{−x/2}·Σ_{i<k0}(x/2)^i/i! — which DuckDB evaluates exactly,
+        // hash-pinning the tail leg that stays rows-only upstream.
+        val fisher = udaf(graft.functions.FisherCombine,
+          org.apache.spark.sql.Encoders.scalaDouble)
+        val pUdf = udf((stat: Double, k: Long) =>
+          graft.functions.FisherCombine.pValue(stat, k))
+        ContactsView(spark, dir)
+          .groupBy("chr")
+          .agg(count(lit(1)).as("k"),
+            Cols.fround(fisher(col("pseudo_p")), 4).as("fisher_stat"))
+          .select(col("chr"), col("k"), col("fisher_stat"),
+            Cols.fround(
+              pUdf(col("fisher_stat") / col("k"), lit(5L)), 8)
+              .as("tail_p"))
+          .orderBy("chr")
+      },
+      Some(ContactsView.cte + ", s AS (SELECT chr, COUNT(*) AS k, " +
+        Cols.froundSql("-2.0 * CAST(SUM(CAST(ROUND(LN(LEAST(GREATEST(" +
+          "pseudo_p, 1e-300), 1.0))*1000000, 0) AS BIGINT)) AS BIGINT)/1e6",
+          4) + " AS fisher_stat FROM c GROUP BY chr), " +
+        "t AS (SELECT chr, k, fisher_stat, " +
+        "fisher_stat / k / 2.0 AS h FROM s) " +
+        "SELECT chr, k, fisher_stat, " +
+        Cols.froundSql("EXP(-h) * (1.0 + h + h*h/2.0 + h*h*h/6.0 + " +
+          "h*h*h*h/24.0)", 8) + " AS tail_p " +
+        "FROM t ORDER BY chr")),
+
     "q_hic_marginals" -> Q(
       (spark, dir) => {
         // A1/A24: per-locus marginal counts — union both contact ends

@@ -507,6 +507,32 @@ object LlmQueries {
       },
       None),
 
+    "q_sim_ann_lsh_exactcheck" -> Q(
+      (spark, dir) =>
+        // The SAME annTop3 path — featurization, threshold filter,
+        // re-rank window, tie-breaks, rounding — with the one
+        // non-SQL-expressible leg (hash-bucket candidate pruning)
+        // replaced by a by-construction-complete broadcast candidate
+        // join and an unreachable threshold: the result is provably the
+        // exact Euclidean top-3, so everything downstream of the
+        // bucketing gets a hash-checked oracle (DuckDB list_distance on
+        // the same float→double lift). The hash path's own candidates
+        // are pinned ⊆ this relation in SimilaritySpec.
+        Similarity.annTop3(Tables(spark, dir, "embeddings"), nProbes = 10,
+          euclidThreshold = 1e12, exhaustive = true)
+          .orderBy("probe", "rn"),
+      Some("WITH d AS (SELECT a.vec_id AS probe, b.vec_id AS nb, " +
+        "b.label AS nb_label, " +
+        "list_distance(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])) AS euclid " +
+        "FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id < 10 AND b.vec_id != a.vec_id), " +
+        "nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe " +
+        "ORDER BY euclid, nb) AS rn FROM d) " +
+        "SELECT probe, CAST(rn AS INT) AS rn, nb, nb_label, " +
+        Cols.froundSql("euclid", 6) + " AS euclid " +
+        "FROM nn WHERE rn <= 3 ORDER BY probe, rn")),
+
     "q_sample_pps" -> Q(
       (spark, dir) => {
         // probability-proportional-to-size systematic sampling (~100

@@ -318,22 +318,50 @@ object Similarity {
   /** Top-3 approximate neighbors for each of the first `nProbes` vec_ids:
     * LSH candidate pairs within `euclidThreshold`, re-ranked by exact
     * euclidean distance. Deterministic via fixed seed.
+    *
+    * `exhaustive = true` swaps ONLY the candidate generator — the
+    * hash-bucket-collision join (the one non-SQL-expressible leg) becomes
+    * a broadcast probes×corpus join whose candidate set is complete BY
+    * CONSTRUCTION — while the distance function (the same
+    * `sqrt(Vectors.sqdist)` the LSH join's distCol evaluates), threshold
+    * filter, re-rank window, tie-breaks, and rounding stay the shared
+    * code below. That makes the exhaustive result the provably exact
+    * Euclidean top-3, so q_sim_ann_lsh_exactcheck can hash-check every
+    * downstream leg against a DuckDB oracle; SimilaritySpec pins the
+    * hash path's candidates against the exhaustive relation.
     */
   def annTop3(embeddings: DataFrame, nProbes: Int,
-      euclidThreshold: Double = 1.5, seed: Long = 42L): DataFrame = {
+      euclidThreshold: Double = 1.5, seed: Long = 42L,
+      exhaustive: Boolean = false): DataFrame = {
     val feat = embeddings
       .select(col("vec_id"), col("label"), toVec(col("embedding")).as("f"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("f").setOutputCol("h")
-      .setBucketLength(0.5).setNumHashTables(4).setSeed(seed)
-    val model = lsh.fit(feat)
     val probes = feat.filter(col("vec_id") < nProbes)
-    val cand = model.approxSimilarityJoin(probes, feat, euclidThreshold,
-        "euclid")
-      .filter(col("datasetA.vec_id") =!= col("datasetB.vec_id"))
-      .select(col("datasetA.vec_id").as("probe"),
-        col("datasetB.vec_id").as("nb"),
-        col("datasetB.label").as("nb_label"), col("euclid"))
+    val cand =
+      if (exhaustive) {
+        // same keyDistance as BucketedRandomProjectionLSH.distCol
+        val dist = udf(
+          (a: org.apache.spark.ml.linalg.Vector,
+              b: org.apache.spark.ml.linalg.Vector) =>
+            math.sqrt(Vectors.sqdist(a, b)))
+        broadcast(probes
+            .select(col("vec_id").as("p_id"), col("f").as("p_f")))
+          .join(feat, col("p_id") =!= col("vec_id"))
+          .withColumn("euclid", dist(col("p_f"), col("f")))
+          .filter(col("euclid") < euclidThreshold)
+          .select(col("p_id").as("probe"), col("vec_id").as("nb"),
+            col("label").as("nb_label"), col("euclid"))
+      } else {
+        val lsh = new BucketedRandomProjectionLSH()
+          .setInputCol("f").setOutputCol("h")
+          .setBucketLength(0.5).setNumHashTables(4).setSeed(seed)
+        val model = lsh.fit(feat)
+        model.approxSimilarityJoin(probes, feat, euclidThreshold,
+            "euclid")
+          .filter(col("datasetA.vec_id") =!= col("datasetB.vec_id"))
+          .select(col("datasetA.vec_id").as("probe"),
+            col("datasetB.vec_id").as("nb"),
+            col("datasetB.label").as("nb_label"), col("euclid"))
+      }
     val w = Window.partitionBy("probe").orderBy(asc("euclid"), asc("nb"))
     cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)

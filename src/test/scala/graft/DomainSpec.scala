@@ -454,6 +454,97 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTest {
       .orderBy("probe", "rn").collect().map(_.toSeq).toSeq
     run() shouldBe run()
   }
+
+  test("LSH exhaustive mode is the exact Euclidean top-3") {
+    val e = embeddings
+    val got = llm.Similarity
+      .annTop3(e, nProbes = 5, euclidThreshold = 1e12, exhaustive = true)
+      .orderBy("probe", "rn").collect()
+      .map(r => (r.getAs[Long]("probe"), r.getAs[Int]("rn"),
+        r.getAs[Long]("nb")))
+    val vecs = e.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+    }.toMap
+    def euclid(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val expected = (0L until 5L).flatMap { p =>
+      vecs.keys.filter(_ != p).toSeq
+        .map(nb => (nb, euclid(vecs(p), vecs(nb))))
+        .sortBy { case (nb, d) => (d, nb) }
+        .take(3).zipWithIndex
+        .map { case ((nb, _), i) => (p, i + 1, nb) }
+    }
+    got.toSeq shouldBe expected
+  }
+
+  test("LSH hash-path rows appear in the exhaustive relation " +
+      "with identical distances") {
+    val e = embeddings
+    def rows(exhaustive: Boolean) = llm.Similarity
+      .annTop3(e, nProbes = 5, euclidThreshold = 1e12,
+        exhaustive = exhaustive)
+      .collect()
+      .map(r => (r.getAs[Long]("probe"), r.getAs[Long]("nb")) ->
+        r.getAs[Double]("euclid")).toMap
+    val lsh = rows(exhaustive = false)
+    val full = rows(exhaustive = true)
+    lsh.nonEmpty shouldBe true
+    // a pruned top-3 can rank differently, but every LSH (probe, nb)
+    // surviving to the top-3 must carry the exact distance the complete
+    // path computed for that pair — the distance kernels are the same fn
+    lsh.foreach { case (pair, d) =>
+      full.get(pair).foreach(_ shouldBe d)
+    }
+    // with an unreachable threshold and 4 hash tables over 30 vectors,
+    // rank-1 neighbors collide in practice for this seed: the two paths
+    // agree on every probe's nearest neighbor
+    val nn1 = (0L until 5L).map { p =>
+      full.collect { case ((pp, nb), d) if pp == p => (d, nb) }.min._2
+    }
+    val lshTop = llm.Similarity
+      .annTop3(e, nProbes = 5, euclidThreshold = 1e12)
+      .filter(col("rn") === 1).orderBy("probe").collect()
+      .map(_.getAs[Long]("nb")).toSeq
+    lshTop shouldBe nn1
+  }
+}
+
+/** Golden/differential pin for the Fisher χ² tail
+  * ([[graft.functions.FisherCombine.pValue]]): for even dof 2k the
+  * survival function has the closed form e^{−x/2}·Σ_{i<k}(x/2)^i/i! —
+  * the same identity the q_hic_fisher_tail_check DuckDB oracle uses.
+  */
+class FisherTailSpec extends AnyFunSuite with Matchers {
+  private def closedForm(x: Double, k: Int): Double = {
+    val h = x / 2.0
+    var term = 1.0
+    var sum = 1.0
+    for (i <- 1 until k) { term *= h / i; sum += term }
+    math.exp(-h) * sum
+  }
+
+  test("pValue equals the even-dof closed form across a parameter sweep") {
+    for (k <- Seq(1, 2, 5, 10, 25); x <- Seq(0.1, 1.0, 5.0, 10.0, 20.0,
+        50.0, 100.0)) {
+      val got = graft.functions.FisherCombine.pValue(x, k.toLong)
+      val want = closedForm(x, k)
+      // pValue = 1 − CDF: absolute precision bottoms out at ~ulp(1.0)
+      // (the 1−cdf cancellation), so deep tails are pinned absolutely
+      // and moderate values relatively
+      math.abs(got - want) should be <=
+        math.max(1e-14, 1e-12 * want)
+    }
+  }
+
+  test("pValue edge cases and monotonicity") {
+    graft.functions.FisherCombine.pValue(5.0, 0L) shouldBe 1.0
+    graft.functions.FisherCombine.pValue(0.0, 3L) shouldBe 1.0 +- 1e-12
+    val ps = (1 to 40).map(i =>
+      graft.functions.FisherCombine.pValue(i * 2.5, 5L))
+    ps.sliding(2).foreach { case Seq(a, b) => b should be <= a }
+    ps.last should be < 1e-6
+  }
 }
 
 class MergeFilterSpec extends AnyFunSuite with Matchers with SparkTest {
