@@ -82,12 +82,25 @@ object Bpe {
     (String, Int), Seq[(Int, String, String, Long)]]()
 
   /** Memoized [[learnMerges]]; `cacheKey` should identify the corpus
-    * (e.g. its directory path).
+    * (e.g. its directory path). CONTRACT: the corpus behind a key must be
+    * immutable for the session (the driver's testdata is) — regenerating
+    * data at the same path within one JVM requires a fresh key. The learn
+    * runs OUTSIDE the map lock (it launches Spark jobs; holding a
+    * computeIfAbsent stripe lock across them would block every concurrent
+    * cache user); racing computes are deterministic-equal and the first
+    * write wins.
     */
   def cachedMerges(cacheKey: String, nMerges: Int)(
-      docs: => DataFrame): Seq[(Int, String, String, Long)] =
-    memo.computeIfAbsent((cacheKey, nMerges),
-      _ => learnMerges(docs, nMerges))
+      docs: => DataFrame): Seq[(Int, String, String, Long)] = {
+    val key = (cacheKey, nMerges)
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      val computed = learnMerges(docs, nMerges)
+      val prev = memo.putIfAbsent(key, computed)
+      if (prev != null) prev else computed
+    }
+  }
 
   /** Learn `nMerges` merges from a corpus of (text) rows. Returns
     * (rank, left, right, pair_count), rank 1-based in learn order; stops
@@ -106,7 +119,10 @@ object Bpe {
       .empty[(Int, String, String, Long)]
     var rank = 1
     var live = true
-    while (rank <= nMerges && live) {
+    // try/finally: a Spark failure mid-learn must not strand the
+    // persisted word table or the in-flight round's localCheckpoint
+    // (double-release on the success path is a no-op)
+    try while (rank <= nMerges && live) {
       val top = words
         .flatMap { case (cnt, syms) =>
           (0 until syms.length - 1).iterator
@@ -135,9 +151,10 @@ object Bpe {
         else graft.ops.Caches.releaseLocalCheckpoint(prev)
         rank += 1
       }
+    } finally {
+      if (!(words eq base)) graft.ops.Caches.releaseLocalCheckpoint(words)
+      base.unpersist()
     }
-    if (!(words eq base)) graft.ops.Caches.releaseLocalCheckpoint(words)
-    base.unpersist()
     merges.toSeq
   }
 }

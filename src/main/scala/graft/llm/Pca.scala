@@ -48,7 +48,18 @@ object Pca {
           require(v != null && v.length == dim,
             s"pca: expected dim-$dim vector, got ${Option(v).map(_.length)}")
           var i = 0
-          while (i < dim) { q(i) = math.round(v(i) * Quant); i += 1 }
+          while (i < dim) {
+            q(i) = math.round(v(i) * Quant)
+            // exactness contract: the ~1e12-row headroom assumes
+            // N·max(q)² < 2^63, i.e. |q| ≤ √(2^63/1e12) ≈ 3e3
+            // (components ≤ 3.0 in original units). Out-of-range inputs
+            // would silently overflow the Gram accumulators — fail loud.
+            require(q(i) <= 3000L && q(i) >= -3000L,
+              s"pca: |component| ${v(i)} exceeds 3.0 — the integer Gram " +
+                "accumulator's 1e12-row exactness bound assumes " +
+                "|q| <= 3000 (see Quant)")
+            i += 1
+          }
           n += 1
           var k = 0
           i = 0

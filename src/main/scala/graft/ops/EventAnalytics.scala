@@ -164,11 +164,16 @@ object EventAnalytics {
         val variance = col("s2").cast("double") / col("n_days") -
           mean * mean
         daily.join(stats, "user_id")
-          // integer-exact zero-variance guard: a user with identical
-          // daily counts has variance 0 → z = 0/0 = NaN, and NaN > 2.0
-          // is TRUE under Spark/DuckDB NaN-greatest ordering — drop
-          // those rows before the z filter on both sides.
-          .filter(col("s2") * col("n_days") > col("s1") * col("s1"))
+          // zero-variance guard: a user with identical daily counts has
+          // variance 0 → z = 0/0 = NaN, and NaN > 2.0 is TRUE under
+          // Spark/DuckDB NaN-greatest ordering — drop those rows before
+          // the z filter. Compared in DOUBLE via the same expression the
+          // sqrt consumes (identical arithmetic on both sides): the
+          // earlier integer form s2·n_days > s1² could overflow BIGINT
+          // on the Spark side at extreme per-day counts while DuckDB
+          // widens to HUGEINT — a cross-engine divergence this form
+          // cannot have.
+          .filter(variance > 0.0)
           .withColumn("z", (col("cnt").cast("double") - mean) /
             sqrt(variance))
           .filter(col("z") > 2.0)
@@ -181,7 +186,9 @@ object EventAnalytics {
         "stats AS (SELECT user_id, COUNT(*) AS n_days, " +
         "SUM(cnt) AS s1, SUM(cnt*cnt) AS s2 FROM daily " +
         "GROUP BY user_id HAVING COUNT(*) >= 3 " +
-        "AND SUM(cnt*cnt) * COUNT(*) > SUM(cnt) * SUM(cnt)), " +
+        "AND CAST(SUM(cnt*cnt) AS DOUBLE)/COUNT(*) - " +
+        "(CAST(SUM(cnt) AS DOUBLE)/COUNT(*))*" +
+        "(CAST(SUM(cnt) AS DOUBLE)/COUNT(*)) > 0.0), " +
         "z AS (SELECT d.user_id, d.day, d.cnt, " +
         "(CAST(d.cnt AS DOUBLE) - CAST(s.s1 AS DOUBLE)/s.n_days) / " +
         "SQRT(CAST(s.s2 AS DOUBLE)/s.n_days - " +
