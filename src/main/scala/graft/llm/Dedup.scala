@@ -296,9 +296,22 @@ object Dedup {
     * shingle shared by d docs fans out to d²/2 join rows, so one hot
     * stopword trigram in a web corpus is a skew bomb — the cutoff bounds
     * the worst inverted-index key at maxDf by construction.
+    *
+    * `maxCandidatesPerDoc` (default off) is the production knob for
+    * pathological near-clone clusters, whose candidate volume is
+    * inherently quadratic in cluster size even after the df cutoff: keep
+    * a pair only if it ranks in the top-k by intersection count
+    * (ties → lower partner id) for AT LEAST ONE of its endpoints. This
+    * bounds the per-doc survivor list — and with it the sizes join and
+    * the output — at k·|docs| total rows. Exact duplicates have the
+    * maximal intersection with their clones, so they rank first and
+    * survive any k ≥ clone-cluster size − 1 (spec-pinned); the rows a cap
+    * drops are exactly the weakest-overlap candidates a dedup pipeline
+    * would discard downstream anyway.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      minJaccard: Double = 0.0, maxDf: Int = 200): DataFrame = {
+      minJaccard: Double = 0.0, maxDf: Int = 200,
+      maxCandidatesPerDoc: Int = Int.MaxValue): DataFrame = {
     val shAll = withShingles(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
     // df via groupBy + join, NOT a sh-partitioned window: partial (map-side)
@@ -321,7 +334,25 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val capped =
+      if (maxCandidatesPerDoc == Int.MaxValue) inter
+      else {
+        // per-endpoint row_number over the candidate list being bounded:
+        // the window's partition IS the list the cap exists to shrink, so
+        // its cost is the pre-cap candidate count — strictly less work
+        // than letting those rows reach the sizes join and the output
+        val wa = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_a").orderBy(desc("inter"), asc("doc_b"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_b").orderBy(desc("inter"), asc("doc_a"))
+        inter
+          .withColumn("__ra", row_number().over(wa))
+          .withColumn("__rb", row_number().over(wb))
+          .filter(col("__ra") <= maxCandidatesPerDoc ||
+            col("__rb") <= maxCandidatesPerDoc)
+          .drop("__ra", "__rb")
+      }
+    capped
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),

@@ -604,6 +604,48 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTest {
       .get.getAs[Double]("jaccard") shouldBe 1.0
     pairs.exists(r => r.getAs[Long]("doc_b") == 4L) shouldBe false
   }
+
+  test("ngram jaccard candidate cap keeps all exact-dup pairs") {
+    import spark.implicits._
+    // one 3-clone cluster, a hub document sharing a weak overlap with
+    // many satellites (the pathological candidate fan-out), an unrelated
+    // doc; satellites share their tail with the hub only
+    val hubBase = "alpha beta gamma delta epsilon zeta eta theta"
+    val clones = (1L to 3L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en", "s", 0L))
+    val hub = Seq((10L, hubBase, "en", "s", 0L))
+    val sats = (11L to 22L).map(i =>
+      (i, s"unique$i words$i only$i " + hubBase, "en", "s", 0L))
+    val other = Seq((99L, "entirely different content nothing shared here",
+      "en", "s", 0L))
+    val d = (clones ++ hub ++ sats ++ other)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def pairSet(k: Int) =
+      Dedup.ngramJaccardPairs(d, 3, 0.0, maxCandidatesPerDoc = k)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+    val uncapped = pairSet(Int.MaxValue)
+    val capped = pairSet(3)
+    // the cap only removes rows, never invents them
+    capped.subsetOf(uncapped) shouldBe true
+    // it actually bounded the quadratic fan-out: the 12 satellites all
+    // pair with each other (66 sat-sat candidates), and only pairs in
+    // some endpoint's top-3 survive. (Hub-sat pairs all survive via the
+    // satellites' own top-3 — union semantics keeps a pair its weaker
+    // endpoint still values, which is exactly the recall-preserving
+    // behavior the knob documents.)
+    capped.size should be < uncapped.size
+    def satSat(s: Set[(Long, Long, Double)]) =
+      s.count { case (a, b, _) => a >= 11L && a <= 22L && b >= 11L &&
+        b <= 22L }
+    satSat(capped) should be < satSat(uncapped)
+    // every exact-duplicate pair (jaccard == 1.0) survives: clones rank
+    // first for their endpoints by maximal intersection
+    val exactPairs = uncapped.filter(_._3 == 1.0)
+    exactPairs.nonEmpty shouldBe true
+    exactPairs.subsetOf(capped) shouldBe true
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
