@@ -204,6 +204,30 @@ object CorpusStats {
       },
       None),
 
+    "q_text_bpe_first_merge" -> Q(
+      (spark, dir) => {
+        // oracle twin for the BPE learn loop's argmax leg: ONE round of
+        // the SAME learnMerges path (word table → weighted adjacent-pair
+        // counts → (n DESC, l, r) argmax) is plain SQL, so the leg the
+        // full 20-round learn repeats gets a hash-checked oracle; the
+        // sequential dependence between rounds stays pinned by BpeSpec's
+        // full-sequence differential.
+        import spark.implicits._
+        Bpe.learnMerges(Tables(spark, dir, "documents"), nMerges = 1)
+          .toDF("rank", "merge_l", "merge_r", "pair_count")
+      },
+      Some("WITH w AS (SELECT word, COUNT(*) AS cnt FROM (SELECT " +
+        "unnest(string_split_regex(text, '\\s+')) AS word " +
+        "FROM documents) WHERE word <> '' GROUP BY word), " +
+        "p AS (SELECT substr(word, i, 1) AS merge_l, " +
+        "CASE WHEN i = len(word) THEN '</w>' " +
+        "ELSE substr(word, i + 1, 1) END AS merge_r, cnt " +
+        "FROM w, unnest(generate_series(1, len(word))) AS t(i)) " +
+        "SELECT CAST(1 AS INT) AS rank, merge_l, merge_r, " +
+        "CAST(SUM(cnt) AS BIGINT) AS pair_count FROM p " +
+        "GROUP BY merge_l, merge_r " +
+        "ORDER BY pair_count DESC, merge_l, merge_r LIMIT 1")),
+
     "q_text_bpe_vocab" -> Q(
       (spark, dir) => {
         // the tokenizer APPLIED: take the 20 learned merges (memoized —

@@ -178,5 +178,41 @@ object EmbedQueries {
             Cols.fround(col("cum_explained"), 6).as("cum_explained"))
           .orderBy("component")
       },
-      None))
+      None),
+
+    "q_embed_pca_gram_check" -> Q(
+      (spark, dir) => {
+        // oracle twin for PCA's one DISTRIBUTED leg: the exact integer
+        // Gram/sum/count summary (the same llm.Pca.summarize fold
+        // q_embed_pca eigendecomposes) flattened to upper-triangular
+        // (i, j) rows. Pure ×1e3-quantized integer arithmetic → DuckDB
+        // replays it bit-for-bit; the remaining driver-side 64×64 eigen
+        // leg is pinned against breeze in PcaSpec, so between the two
+        // checks every leg of the PCA operator is covered.
+        import spark.implicits._
+        val dim = 64
+        val s = Pca.summarize(Tables(spark, dir, "embeddings"), dim)
+        val rows = for {
+          i <- 0 until dim
+          j <- i until dim
+        } yield {
+          val k = i * dim - i * (i - 1) / 2 + (j - i)
+          (i, j, s.gram(k), s.sums(i), s.sums(j), s.n)
+        }
+        rows.toDF("i", "j", "gram", "sum_i", "sum_j", "n")
+          .orderBy("i", "j")
+      },
+      Some("WITH qv AS (SELECT vec_id, CAST(i AS INT) - 1 AS i, " +
+        "CAST(ROUND(CAST(v AS DOUBLE)*1000, 0) AS BIGINT) AS q " +
+        "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "unnest(embedding) AS v FROM embeddings)), " +
+        "g AS (SELECT a.i AS i, b.i AS j, " +
+        "CAST(SUM(a.q * b.q) AS BIGINT) AS gram FROM qv a JOIN qv b " +
+        "ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2), " +
+        "s AS (SELECT i, CAST(SUM(q) AS BIGINT) AS sm FROM qv " +
+        "GROUP BY i), " +
+        "cnt AS (SELECT COUNT(*) AS n FROM embeddings) " +
+        "SELECT g.i, g.j, g.gram, sa.sm AS sum_i, sb.sm AS sum_j, " +
+        "cnt.n FROM g JOIN s sa ON sa.i = g.i " +
+        "JOIN s sb ON sb.i = g.j, cnt ORDER BY g.i, g.j")))
 }

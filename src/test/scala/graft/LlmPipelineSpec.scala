@@ -107,6 +107,29 @@ class CheckpointHygieneSpec extends AnyFunSuite with Matchers
       ()
     } shouldBe empty
   }
+
+  test("streaming spline refitter releases every cumulative iterate") {
+    import spark.implicits._
+    val sp = spark
+    leaked {
+      val refitter = new graft.stream.HicStream.SplineRefitter(
+        nBins = 5, distLo = 0L, distHi = Long.MaxValue)
+      val mk = (lo: Long) => (lo until lo + 20L).map(i =>
+        graft.stream.HicStream.ContactEvent(
+          new java.sql.Timestamp(1704067200000L), "c1", i * 5000L + 2500L,
+          "c1", (i + 1 + i % 7) * 5000L + 2500L, i % 5 + 1L)).toDS()
+      // three foreachBatch-shaped folds: each localCheckpoints a new
+      // cumulative table and must release the previous one inline...
+      refitter.processBatch(mk(0L), 0L)
+      refitter.processBatch(mk(100L), 1L)
+      refitter.processBatch(mk(200L), 2L)
+      refitter.refitCount shouldBe 3
+      // ...and close() releases the final iterate
+      refitter.close()
+      ()
+    } shouldBe empty
+    val _ = sp
+  }
 }
 
 /** Functional pins for the round-8 training-data-pipeline queries
