@@ -27,5 +27,6 @@ object Registry {
       llm.LlmQueries.queries ++
       llm.EmbedQueries.queries ++
       llm.CorpusStats.queries ++
+      llm.SpanDedup.queries ++
       stream.StreamQueries.queries
 }

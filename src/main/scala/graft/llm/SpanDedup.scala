@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Exact duplicate-SPAN detection — the token-window analog of
+  * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better"): a span of W
+  * consecutive tokens that occurs more than once in the corpus marks
+  * boilerplate / templated / copied text that whole-document dedup
+  * (exact or MinHash) cannot see, because the containing documents
+  * differ elsewhere.
+  *
+  * Spark shape instead of a suffix array: every document emits its
+  * n_toks−W+1 sliding windows as 16-byte md5 keys (a narrow
+  * higher-order transform — the raw window text never shuffles), and
+  * one hash aggregation over the window keys finds every span with
+  * global multiplicity > 1. That is the same work a distributed
+  * suffix-array construction would shuffle anyway, without the
+  * sequential construction step; W is the minimum match length the
+  * suffix array would be queried at.
+  *
+  * Two consumers of the same window table:
+  *  - q_dedup_spans: the most-duplicated spans themselves (top-100 by
+  *    multiplicity — TakeOrdered, so the driver result stays bounded
+  *    even on a fixture where every window is duplicated);
+  *  - q_dedup_span_coverage: the per-document filter signal — what
+  *    fraction (ppm, integer-exact) of a doc's windows are duplicated
+  *    anywhere in the corpus (including repeats within the SAME doc —
+  *    self-repetition is boilerplate too).
+  *
+  * Both are pure integer/md5 arithmetic end to end → full DuckDB
+  * oracles. 100 TB shape: the explode is ≈ n_tokens rows of fixed
+  * 16-byte keys; both aggregations are map-side-combinable hash
+  * aggregates; nothing driver-side except the bounded top-100.
+  */
+object SpanDedup {
+  /** Window length in tokens — the minimum duplicated-span length the
+    * detector reports. 8 on the ~54-token test docs corresponds to the
+    * 50-token windows Lee et al. use on ~1k-token web documents.
+    */
+  private val W = 8
+
+  private val winsSpark =
+    // positions i = 0 .. size-W (1-based slice), windows intact only
+    s"transform(sequence(0, size(toks) - $W), " +
+      s"i -> md5(concat_ws(' ', slice(toks, i + 1, $W))))"
+
+  /** Shared CTE: one md5 window key per (doc, position). DuckDB slices
+    * are inclusive-inclusive: toks[i : i+W−1] has W elements.
+    */
+  private val winsSql =
+    "w AS (SELECT doc_id, md5(array_to_string(" +
+      s"toks[i : i + ${W - 1}], ' ')) AS win_md5 " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS toks " +
+      s"FROM documents WHERE len(string_split(text, ' ')) >= $W), " +
+      s"unnest(generate_series(1, len(toks) - ${W - 1})) AS s(i))"
+
+  private def windows(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"), explode(expr(winsSpark)).as("win_md5"))
+
+  def queries: Map[String, Q] = Map(
+    "q_dedup_spans" -> Q(
+      (spark, dir) =>
+        // the most-duplicated spans: one hash aggregation over window
+        // keys, HAVING count > 1, top-100 via TakeOrdered (never a
+        // global sort; win_md5 tiebreak makes the limit deterministic)
+        windows(spark, dir)
+          .groupBy("win_md5")
+          .agg(count(lit(1)).as("n_occ"),
+            count_distinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("min_doc"))
+          .filter(col("n_occ") > 1)
+          .orderBy(desc("n_occ"), asc("win_md5"))
+          .limit(100),
+      Some("WITH " + winsSql + " " +
+        "SELECT win_md5, COUNT(*) AS n_occ, " +
+        "COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS min_doc " +
+        "FROM w GROUP BY win_md5 HAVING COUNT(*) > 1 " +
+        "ORDER BY n_occ DESC, win_md5 LIMIT 100")),
+
+    "q_dedup_span_coverage" -> Q(
+      (spark, dir) => {
+        // per-doc duplicated-window fraction. ONE corpus-sized shuffle:
+        // repartition by win_md5 satisfies both the (doc, window)
+        // multiplicity groupBy (clustering on a key subset) and the
+        // window-function global count over win_md5 — without it Spark
+        // plans two full exchanges back to back. Then one groupBy
+        // doc_id over the doc-sized aggregate. All counts exact BIGINT;
+        // the ratio is ppm floor division.
+        import org.apache.spark.sql.expressions.Window
+        val perDoc = windows(spark, dir)
+          .repartition(col("win_md5"))
+          .groupBy("doc_id", "win_md5").agg(count(lit(1)).as("mult"))
+        val g = sum(col("mult")).over(Window.partitionBy("win_md5"))
+        perDoc.withColumn("g", g)
+          .groupBy("doc_id")
+          .agg(sum(col("mult")).as("n_wins"),
+            sum(when(col("g") > 1, col("mult")).otherwise(0L))
+              .as("n_dup_wins"))
+          .select(col("doc_id"), col("n_wins"), col("n_dup_wins"),
+            expr("(n_dup_wins * 1000000L) div n_wins").as("dup_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + winsSql + ", " +
+        "pd AS (SELECT doc_id, win_md5, COUNT(*) AS mult FROM w " +
+        "GROUP BY doc_id, win_md5), " +
+        "wg AS (SELECT doc_id, mult, " +
+        "SUM(mult) OVER (PARTITION BY win_md5) AS g FROM pd) " +
+        "SELECT doc_id, CAST(SUM(mult) AS BIGINT) AS n_wins, " +
+        "CAST(SUM(CASE WHEN g > 1 THEN mult ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_wins, " +
+        "(CAST(SUM(CASE WHEN g > 1 THEN mult ELSE 0 END) AS BIGINT) " +
+        "* 1000000) // CAST(SUM(mult) AS BIGINT) AS dup_ppm " +
+        "FROM wg GROUP BY doc_id ORDER BY doc_id")))
+}

@@ -47,6 +47,65 @@ class PcaSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 }
 
+/** Differential gate for deterministic Lloyd k-means: the distributed
+  * trajectory (10 rounds, exact-integer distances, re-quantized means,
+  * lowest-id seeding and tie-breaks) must equal an independent
+  * in-memory reimplementation on the same quantized integers, and must
+  * be partition-count-invariant (exact integers make this structural,
+  * the test makes it observable).
+  */
+class KmeansSpec extends AnyFunSuite with Matchers with SparkTest {
+  import graft.llm.Kmeans
+
+  private def quantRef(x: Float): Long = {
+    val v = x.toDouble * 1e7
+    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+  }
+  private def meanRef(s: Long, n: Long): Long =
+    if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+  private def nearRef(v: Array[Long],
+      cs: Array[Array[Long]]): (Int, Long) = {
+    val ds = cs.map(c => c.indices.map { i =>
+      val t = v(i) - c(i); t * t
+    }.sum)
+    val d = ds.min
+    (ds.indexOf(d), d) // indexOf = lowest cluster id on ties
+  }
+
+  test("lloyd trajectory equals in-memory reference; partition-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(quantRef).toArray))
+      .sortBy(_._1)
+    var ctr = q.take(8).map(_._2.clone())
+    for (_ <- 0 until 10) {
+      val byC = q.map { case (_, v) => (nearRef(v, ctr)._1, v) }
+        .groupBy(_._1)
+      ctr = ctr.zipWithIndex.map { case (c, i) =>
+        byC.get(i) match {
+          case None => c.clone()
+          case Some(ms) =>
+            val n = ms.length.toLong
+            Array.tabulate(c.length)(d => meanRef(ms.map(_._2(d)).sum, n))
+        }
+      }
+    }
+    val wantAsg = q.map { case (id, v) =>
+      val (c, d2) = nearRef(v, ctr); (id, c, d2)
+    }
+
+    try {
+      val (gotC, gotA) = Kmeans.lloyd(emb, k = 8, iters = 10)
+      gotC.map(_.toSeq).toSeq shouldBe ctr.map(_.toSeq).toSeq
+      gotA.collect().sortBy(_._1).toSeq shouldBe wantAsg.toSeq
+      // same trajectory under a different partitioning
+      val (gotC3, _) = Kmeans.lloyd(emb.repartition(3), k = 8, iters = 10)
+      gotC3.map(_.toSeq).toSeq shouldBe ctr.map(_.toSeq).toSeq
+    } finally graft.ops.Caches.drain()
+  }
+}
+
 /** Pins the localCheckpoint release discipline: a plain unpersist() is a
   * no-op on checkpoints, so without the explicit backing-RDD release each
   * loop iteration would strand one table of blocks until RDD GC. Every
@@ -295,5 +354,35 @@ class LlmPipelineSpec extends AnyFunSuite with Matchers with SparkTest {
       ranks shouldBe (1 to ranks.length).toArray
       ranks.length should be <= 20
     }
+  }
+
+  test("span dedup: cross-doc and within-doc duplicated windows hand-count") {
+    import spark.implicits._
+    // W = 8. doc 1/2 share exactly one 8-token window ("a..h");
+    // doc 3 is an 8-periodic 16-token string, so its first and last
+    // windows coincide (within-doc dup) while the 7 seam rotations are
+    // unique; doc 4 is below the window length and must be excluded.
+    val dir = sfDirWith(Seq(
+      (1L, "a b c d e f g h i", "en", "s", 17L),
+      (2L, "z a b c d e f g h", "en", "s", 17L),
+      (3L, "p q r s t u v w p q r s t u v w", "en", "s", 31L),
+      (4L, "m n", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val spans = run("q_dedup_spans", dir)
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val md5of = (s: String) => Seq(s).toDF("t")
+      .select(md5(col("t").cast("binary"))).head.getString(0)
+    spans.size shouldBe 2
+    spans(md5of("a b c d e f g h")) shouldBe ((2L, 2L, 1L))
+    spans(md5of("p q r s t u v w")) shouldBe ((2L, 1L, 3L))
+
+    val cov = run("q_dedup_span_coverage", dir)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    cov.keySet shouldBe Set(1L, 2L, 3L)
+    cov(1L) shouldBe ((2L, 1L, 500000L))
+    cov(2L) shouldBe ((2L, 1L, 500000L))
+    cov(3L) shouldBe ((9L, 2L, 222222L))
   }
 }
