@@ -153,6 +153,67 @@ object EmbedQueries {
         "AS sum_abs_err " +
         "FROM cd ORDER BY vec_id")),
 
+    "q_embed_kmeans" -> Q(
+      (spark, dir) => {
+        // deterministic Lloyd k-means (see llm.Kmeans): k=8, 10 rounds,
+        // init = the 8 lowest-vec_id vectors, every step exact-integer
+        // so the trajectory is partition-invariant. Output: per-cluster
+        // population, exact inertia (Σ d² to the final centroid), and
+        // the final centroid as an md5 content address. Iterative
+        // corpus-wide argmin → not SQL-expressible → rows-only;
+        // KmeansSpec pins the full trajectory against an in-memory
+        // reference and q_embed_kmeans_assign hash-pins the assignment
+        // kernel on the SAME code path.
+        import spark.implicits._
+        val (centroids, assigned) =
+          Kmeans.lloyd(Tables(spark, dir, "embeddings"), k = 8, iters = 10)
+        val cdf = centroids.zipWithIndex
+          .map { case (c, i) => (i, c.mkString(",")) }
+          .toSeq.toDF("cluster", "cstr")
+        assigned.toDF("vec_id", "cluster", "d2")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+          .join(broadcast(cdf), Seq("cluster"), "right")
+          .select(col("cluster"),
+            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+            coalesce(col("inertia"), lit(0L)).as("inertia"),
+            md5(col("cstr").cast("binary")).as("centroid_md5"))
+          .orderBy("cluster")
+      },
+      None),
+
+    "q_embed_kmeans_assign" -> Q(
+      (spark, dir) => {
+        // oracle twin for the k-means assignment kernel: ONE round of
+        // the SAME Kmeans.assign path (exact integer d², lowest-id
+        // tiebreak) against the deterministic init centroids — plain
+        // SQL, so the step Lloyd repeats 10× is hash-checked; the
+        // sequential dependence between rounds stays pinned by
+        // KmeansSpec's trajectory differential.
+        import spark.implicits._
+        val qv = graft.ops.Caches.register(
+          Kmeans.quantized(Tables(spark, dir, "embeddings")).persist())
+        Kmeans.assign(qv, Kmeans.initCentroids(qv, 8))
+          .toDF("vec_id", "cluster", "d2")
+          .orderBy("vec_id")
+      },
+      Some("WITH qv AS (SELECT vec_id, CAST(i AS INT) - 1 AS i, " +
+        "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
+        "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "unnest(embedding) AS v FROM embeddings)), " +
+        "init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY vec_id) - 1 AS INT) AS cid FROM " +
+        "(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+        "cq AS (SELECT init.cid, qv.i, qv.q FROM init " +
+        "JOIN qv USING (vec_id)), " +
+        "d AS (SELECT a.vec_id, c.cid, " +
+        "CAST(SUM((a.q - c.q)*(a.q - c.q)) AS BIGINT) AS d2 " +
+        "FROM qv a JOIN cq c ON a.i = c.i GROUP BY a.vec_id, c.cid), " +
+        "r AS (SELECT vec_id, cid, d2, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d) " +
+        "SELECT vec_id, cid AS cluster, d2 FROM r WHERE rn = 1 " +
+        "ORDER BY vec_id")),
+
     "q_embed_pca" -> Q(
       (spark, dir) => {
         // covariance eigen-spectrum of the embedding corpus (see
