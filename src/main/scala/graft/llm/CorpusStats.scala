@@ -155,6 +155,66 @@ object CorpusStats {
         "((sum_c * 1000000) // (SELECT t FROM tot)) // n_bg AS ppm_score " +
         "FROM agg ORDER BY doc_id")),
 
+    "q_text_perplexity" -> Q(
+      (spark, dir) => {
+        // true bigram-LM perplexity per document (the filter signal a
+        // quality pipeline thresholds): ppl = exp(−(1/N)·Σ ln p(bg)),
+        // p(bg) from the corpus's own char-bigram MLE. The float-sum
+        // hazard (Σ ln p is order-dependent in IEEE) is removed with
+        // the quantized-log device q_hic_fisher_stat pinned: each
+        // DISTINCT bigram's log-prob becomes the integer
+        // ROUND(ln(cnt/total)·1e6) ONCE, per-doc sums are exact BIGINT
+        // Σ mult·lp, and only the final exp/division is float — an
+        // identical IEEE expression on both engines under fround 4.
+        // Same two-shuffle shape as q_text_bigram_lm: the raw explode
+        // is reduced to (doc, bigram, mult) first, the |charset|²
+        // count table broadcasts back.
+        val docs = Tables(spark, dir, "documents")
+          .filter(length(col("text")) >= 2)
+        val bgDoc = graft.ops.Caches.register(docs
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, char_length(text)-1), " +
+              "i -> substring(text, i, 2))")).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("mult"))
+          .persist())
+        val counts = bgDoc.groupBy("bg").agg(sum(col("mult")).as("cnt"))
+        val total = counts.agg(sum(col("cnt")).as("t"))
+        val lp = counts.crossJoin(broadcast(total))
+          .select(col("bg"),
+            expr("CAST(ROUND(ln(CAST(cnt AS DOUBLE) / " +
+              "CAST(t AS DOUBLE)) * 1000000, 0) AS BIGINT)").as("lp_q"))
+        bgDoc.join(broadcast(lp), "bg")
+          .groupBy("doc_id")
+          .agg(sum(col("mult") * col("lp_q")).as("sum_lp_q"),
+            sum(col("mult")).as("n_bg"))
+          .select(col("doc_id"), col("n_bg"),
+            (-col("sum_lp_q")).as("nll_q"),
+            graft.ops.Cols.fround(
+              exp(-col("sum_lp_q").cast("double") /
+                (col("n_bg").cast("double") * lit(1e6))), 4).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some("WITH docs AS (SELECT doc_id, text FROM documents " +
+        "WHERE length(text) >= 2), " +
+        "ix AS (SELECT doc_id, text, " +
+        "unnest(generate_series(1, length(text)-1)) AS i FROM docs), " +
+        "bd AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg, " +
+        "COUNT(*) AS mult FROM ix GROUP BY doc_id, bg), " +
+        "counts AS (SELECT bg, CAST(SUM(mult) AS BIGINT) AS cnt " +
+        "FROM bd GROUP BY bg), " +
+        "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM counts), " +
+        "lp AS (SELECT bg, CAST(ROUND(LN(CAST(cnt AS DOUBLE) / " +
+        "CAST((SELECT t FROM tot) AS DOUBLE)) * 1000000, 0) AS BIGINT) " +
+        "AS lp_q FROM counts), " +
+        "agg AS (SELECT b.doc_id, " +
+        "CAST(SUM(b.mult * lp.lp_q) AS BIGINT) AS sum_lp_q, " +
+        "CAST(SUM(b.mult) AS BIGINT) AS n_bg FROM bd b " +
+        "JOIN lp USING (bg) GROUP BY b.doc_id) " +
+        "SELECT doc_id, n_bg, -sum_lp_q AS nll_q, " +
+        graft.ops.Cols.froundSql(
+          "EXP(-CAST(sum_lp_q AS DOUBLE) / (CAST(n_bg AS DOUBLE) * 1e6))",
+          4) + " AS ppl FROM agg ORDER BY doc_id")),
+
     "q_text_chunk" -> Q(
       (spark, dir) => {
         // pre-embedding document chunker: fixed 128-token windows at
