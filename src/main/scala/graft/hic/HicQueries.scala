@@ -331,7 +331,8 @@ object HicQueries {
         // A17+A18: spline-derived prior per pair → binomial survival
         // p-value (commons-math3 regularized incomplete beta UDF). Not
         // SQL-expressible in DuckDB → no oracle; pinned by GraftSpec
-        // golden/property tests instead.
+        // golden/property tests plus q_hic_binom_tail_check's
+        // closed-form oracle twin on the same binom_sf kernel.
         val f = graft.ops.Caches.register(
           ContactsView(spark, dir).filter(col("dist").between(L, U))
             .persist())
@@ -348,6 +349,44 @@ object HicQueries {
           .orderBy("chr", "mid1", "mid2")
       },
       None),
+
+    "q_hic_binom_tail_check" -> Q(
+      (spark, dir) => {
+        // oracle twin for the binomial-tail leg (the q_hic_fisher_tail
+        // _check device, A18 edition): the SAME codegen'd `binom_sf`
+        // Catalyst expression the significance pipeline runs, driven at
+        // k=1,2 where the survival function is closed-form —
+        // 1−(1−p)^n and 1−(1−p)^n − np(1−p)^{n−1} — which DuckDB
+        // evaluates directly. p = pseudo_p/1000 at n=1000 keeps np ≤ 1
+        // (non-degenerate tails). commons-math's incomplete-beta
+        // evaluation agrees with the closed form to ≲6e-14 ABSOLUTE
+        // (probed over a 2M-point grid spanning this p range), so at
+        // fround 4 on a deterministic 1-in-16 row subset the
+        // boundary-flip risk is ~4e-6 per run. Pins the native
+        // expression's plumbing + tail values; the spline prior that
+        // feeds the production k,n stays rows-only by contract.
+        graft.functions.BinomSf.register(spark)
+        ContactsView(spark, dir)
+          .filter(expr("(mid1 div 5000) % 16 = 0"))
+          .select(col("chr"), col("mid1"), col("mid2"),
+            Cols.fround(
+              expr("binom_sf(1L, 1000L, pseudo_p / 1000.0)"), 4)
+              .as("tail1"),
+            Cols.fround(
+              expr("binom_sf(2L, 1000L, pseudo_p / 1000.0)"), 4)
+              .as("tail2"))
+          .orderBy("chr", "mid1", "mid2")
+      },
+      Some(ContactsView.cte + " SELECT chr, mid1, mid2, " +
+        Cols.froundSql(
+          "1.0 - POWER(1.0 - pseudo_p / 1000.0, 1000)", 4) +
+        " AS tail1, " +
+        Cols.froundSql(
+          "1.0 - POWER(1.0 - pseudo_p / 1000.0, 1000) - " +
+            "1000.0 * (pseudo_p / 1000.0) * " +
+            "POWER(1.0 - pseudo_p / 1000.0, 999)", 4) +
+        " AS tail2 FROM c WHERE (mid1 // 5000) % 16 = 0 " +
+        "ORDER BY chr, mid1, mid2")),
 
     "q_hic_fixed_frags" -> Q(
       (spark, dir) => {
