@@ -848,6 +848,43 @@ object LlmQueries {
         "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM documents) " +
         "ORDER BY doc_id")),
 
+    "q_dedup_keep_best" -> Q(
+      (spark, dir) => {
+        // quality-aware duplicate resolution: cluster key = the
+        // q_text_clean normalization's content address (case/markup/
+        // punctuation variants of one document converge), keeper = the
+        // HIGHEST-QUALITY member — longest original text, ties to the
+        // lowest doc_id — rather than dedup_apply's min-id rule. One
+        // narrow clean pass + one window over the clean-key partition
+        // (group sizes are duplicate multiplicities, bounded); no pair
+        // join anywhere.
+        import org.apache.spark.sql.expressions.Window
+        val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("text")), "<[^>]*>", " "), "[^a-z0-9 ]", ""),
+          " +", " "))
+        val w = Window.partitionBy("ckey")
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            md5(cleaned.cast("binary")).as("ckey"))
+          .withColumn("gsize", count(lit(1)).over(w))
+          .withColumn("rnk", row_number().over(
+            w.orderBy(desc("n_chars"), asc("doc_id"))))
+          .select(col("doc_id"), col("ckey"), col("gsize"),
+            col("rnk"), (col("rnk") === 1).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("WITH c AS (SELECT doc_id, n_chars, " +
+        "md5(trim(regexp_replace(regexp_replace(regexp_replace(" +
+        "lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), " +
+        "' +', ' ', 'g'))) AS ckey FROM documents) " +
+        "SELECT doc_id, ckey, " +
+        "COUNT(*) OVER (PARTITION BY ckey) AS gsize, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY ckey " +
+        "ORDER BY n_chars DESC, doc_id) AS INT) AS rnk, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY ckey " +
+        "ORDER BY n_chars DESC, doc_id) = 1 AS INT) AS keep " +
+        "FROM c ORDER BY doc_id")),
+
     "q_text_redact" -> Q(
       (spark, dir) => {
         // denylist scrubbing (the PII-redaction stage shape: sensitive

@@ -47,12 +47,13 @@ object SpanDedup {
     s"transform(sequence(0, size(toks) - $W), " +
       s"i -> md5(concat_ws(' ', slice(toks, i + 1, $W))))"
 
-  /** Shared CTE: one md5 window key per (doc, position). DuckDB slices
-    * are inclusive-inclusive: toks[i : i+W−1] has W elements.
+  /** Shared CTE: one md5 window key per (doc, 1-based start position).
+    * DuckDB slices are inclusive-inclusive: toks[i : i+W−1] has W
+    * elements.
     */
   private val winsSql =
-    "w AS (SELECT doc_id, md5(array_to_string(" +
-      s"toks[i : i + ${W - 1}], ' ')) AS win_md5 " +
+    "w AS (SELECT doc_id, CAST(i AS BIGINT) AS st, " +
+      s"md5(array_to_string(toks[i : i + ${W - 1}], ' ')) AS win_md5 " +
       "FROM (SELECT doc_id, string_split(text, ' ') AS toks " +
       s"FROM documents WHERE len(string_split(text, ' ')) >= $W), " +
       s"unnest(generate_series(1, len(toks) - ${W - 1})) AS s(i))"
@@ -62,7 +63,10 @@ object SpanDedup {
     Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= W)
-      .select(col("doc_id"), explode(expr(winsSpark)).as("win_md5"))
+      .select(col("doc_id"),
+        posexplode(expr(winsSpark)).as(Seq("pos", "win_md5")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
+        col("win_md5"))
 
   def queries: Map[String, Q] = Map(
     "q_dedup_spans" -> Q(
@@ -117,5 +121,55 @@ object SpanDedup {
         "AS n_dup_wins, " +
         "(CAST(SUM(CASE WHEN g > 1 THEN mult ELSE 0 END) AS BIGINT) " +
         "* 1000000) // CAST(SUM(mult) AS BIGINT) AS dup_ppm " +
-        "FROM wg GROUP BY doc_id ORDER BY doc_id")))
+        "FROM wg GROUP BY doc_id ORDER BY doc_id")),
+
+    "q_dedup_span_islands" -> Q(
+      (spark, dir) => {
+        // the "what to cut" artifact of span dedup: duplicated windows
+        // per doc, merged into maximal token intervals (a window at
+        // start st covers tokens [st, st+W−1]; overlapping OR
+        // contiguous covered ranges fuse). Classic gaps-and-islands:
+        // break when st exceeds the running max covered end + 1, island
+        // id = running sum of breaks. Pure integer window arithmetic →
+        // identical SQL on both engines. Shuffle shape: one corpus
+        // exchange on win_md5 for the global count, one on doc_id for
+        // the per-doc interval windows (docs are bounded, so the
+        // per-partition sort is bounded).
+        import org.apache.spark.sql.expressions.Window
+        val dup = windows(spark, dir)
+          .withColumn("g",
+            count(lit(1)).over(Window.partitionBy("win_md5")))
+          .filter(col("g") > 1)
+          .select(col("doc_id"), col("st"),
+            (col("st") + (W - 1)).as("en"))
+        val byDoc = Window.partitionBy("doc_id").orderBy("st")
+        val brk = when(
+          col("st") > coalesce(
+            max(col("en")).over(byDoc.rowsBetween(
+              Window.unboundedPreceding, -1)), lit(-1L)) + 1, 1L)
+          .otherwise(0L)
+        dup.withColumn("brk", brk)
+          .withColumn("island", sum(col("brk")).over(
+            byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "island")
+          .agg(min(col("st")).as("start_tok"), max(col("en")).as("end_tok"))
+          .select(col("doc_id"), col("island"), col("start_tok"),
+            col("end_tok"),
+            (col("end_tok") - col("start_tok") + 1).as("n_toks"))
+          .orderBy("doc_id", "island")
+      },
+      Some("WITH " + winsSql + ", " +
+        "dup AS (SELECT doc_id, st, st + " + (W - 1) + " AS en FROM " +
+        "(SELECT doc_id, st, COUNT(*) OVER (PARTITION BY win_md5) AS g " +
+        "FROM w) WHERE g > 1), " +
+        "f AS (SELECT doc_id, st, en, CASE WHEN st > COALESCE(" +
+        "MAX(en) OVER (PARTITION BY doc_id ORDER BY st " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 " +
+        "THEN 1 ELSE 0 END AS brk FROM dup), " +
+        "i AS (SELECT doc_id, st, en, CAST(SUM(brk) OVER " +
+        "(PARTITION BY doc_id ORDER BY st ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f) " +
+        "SELECT doc_id, island, MIN(st) AS start_tok, " +
+        "MAX(en) AS end_tok, MAX(en) - MIN(st) + 1 AS n_toks " +
+        "FROM i GROUP BY doc_id, island ORDER BY doc_id, island")))
 }

@@ -384,5 +384,16 @@ class LlmPipelineSpec extends AnyFunSuite with Matchers with SparkTest {
     cov(1L) shouldBe ((2L, 1L, 500000L))
     cov(2L) shouldBe ((2L, 1L, 500000L))
     cov(3L) shouldBe ((9L, 2L, 222222L))
+
+    // islands: doc 1's dup window starts at token 1, doc 2's at 2; doc
+    // 3's two dup windows cover [1,8] and [9,16] — contiguous, so they
+    // MUST fuse into one 16-token island
+    val isl = run("q_dedup_span_islands", dir)
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    isl.size shouldBe 3
+    isl((1L, 1L)) shouldBe ((1L, 8L, 8L))
+    isl((2L, 1L)) shouldBe ((2L, 9L, 8L))
+    isl((3L, 1L)) shouldBe ((1L, 16L, 16L))
   }
 }
