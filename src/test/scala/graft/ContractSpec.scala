@@ -25,6 +25,7 @@ class ContractSpec extends AnyFunSuite with Matchers {
     "llm.LlmQueries" -> llm.LlmQueries.queries,
     "llm.EmbedQueries" -> llm.EmbedQueries.queries,
     "llm.CorpusStats" -> llm.CorpusStats.queries,
+    "llm.SpanDedup" -> llm.SpanDedup.queries,
     "stream.StreamQueries" -> stream.StreamQueries.queries)
 
   test("query names are globally unique across modules") {
