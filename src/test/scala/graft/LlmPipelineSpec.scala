@@ -396,4 +396,49 @@ class LlmPipelineSpec extends AnyFunSuite with Matchers with SparkTest {
     isl((2L, 1L)) shouldBe ((2L, 9L, 8L))
     isl((3L, 1L)) shouldBe ((1L, 16L, 16L))
   }
+
+  test("span islands: randomized differential vs naive interval merge") {
+    import spark.implicits._
+    // tiny vocab forces plenty of (cross- and within-doc) duplicate
+    // windows; fixed seed keeps the fixture deterministic
+    val rng = new scala.util.Random(7)
+    // 2-symbol vocab: only 2^8 distinct windows, so ~600 drawn windows
+    // collide constantly — cross-doc, within-doc, overlapping, touching
+    val vocab = Array("a", "b")
+    val docs = (0 until 30).map { id =>
+      val toks = Array.fill(rng.nextInt(41))(vocab(rng.nextInt(2)))
+      (id.toLong, toks.mkString(" "), "en", "s", 1L)
+    }
+    val W = 8
+    // naive reference: global window multiset → per-doc dup starts →
+    // merge [st, st+W−1] intervals that overlap or touch
+    val winsByDoc = docs.map { case (id, text, _, _, _) =>
+      val t = text.split(" ", -1)
+      id -> (if (t.length >= W)
+        (0 to t.length - W).map(i => t.slice(i, i + W).mkString(" "))
+      else Seq.empty)
+    }
+    val global = winsByDoc.flatMap(_._2).groupBy(identity)
+      .map { case (w, o) => w -> o.size }
+    val want = winsByDoc.flatMap { case (id, ws) =>
+      val dupSt = ws.zipWithIndex.collect {
+        case (w, i) if global(w) > 1 => (i + 1).toLong
+      }
+      val islands = dupSt.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: tail, st) if st <= e + 1 =>
+          (s, st + W - 1) :: tail
+        case (acc, st) => (st, st + W - 1) :: acc
+      }.reverse
+      islands.zipWithIndex.map { case ((s, e), k) =>
+        (id, (k + 1).toLong, s, e, e - s + 1)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val dir = sfDirWith(docs.toDF("doc_id", "text", "lang", "source",
+      "n_chars"))
+    val got = run("q_dedup_span_islands", dir)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    want.nonEmpty shouldBe true // the fixture must actually exercise it
+  }
 }
