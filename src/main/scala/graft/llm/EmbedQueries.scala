@@ -153,6 +153,63 @@ object EmbedQueries {
         "AS sum_abs_err " +
         "FROM cd ORDER BY vec_id")),
 
+    "q_embed_outliers" -> Q(
+      (spark, dir) => {
+        // intra-class outlier audit (embedding hygiene: a vector far
+        // from its own label's centroid marks a mislabel or a poisoned
+        // embedding). Centroids re-quantize the exact-integer mean to
+        // the ×1e7 plane (the Kmeans.meanQ device, sign-split so
+        // floor==truncate in both engines); d² to the own-label
+        // centroid is then exact BIGINT, and the outlier flag compares
+        // d² against 2× the label's mean d² (integer floor mean —
+        // deterministic, no float anywhere). Shape: one narrow
+        // posexplode feeds |labels|×dim partials; the centroid array
+        // (array_sort over the collected (dim, c) structs — collection
+        // order-free) broadcasts back; d² is a narrow zip_with; label
+        // means are |labels| rows broadcast again.
+        val qv = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label"), expr(qArr).as("q"))
+        val cent = qv
+          .select(col("label"), posexplode(col("q")).as(Seq("dim", "qd")))
+          .groupBy("label", "dim")
+          .agg(sum(col("qd")).as("s"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            expr("CASE WHEN s >= 0 THEN (2*s + n) div (2*n) " +
+              "ELSE -((2*(-s) + n) div (2*n)) END").as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c)))," +
+            " x -> x.c)").as("carr"))
+        val d2 = qv.join(broadcast(cent), "label")
+          .select(col("vec_id"), col("label"),
+            expr("aggregate(zip_with(q, carr, (a, b) -> (a - b) * " +
+              "(a - b)), 0L, (acc, v) -> acc + v)").as("d2"))
+        val stats = d2.groupBy("label")
+          .agg(expr("sum(d2) div count(1)").as("mean_d2"))
+        d2.join(broadcast(stats), "label")
+          .select(col("vec_id"), col("label"), col("d2"), col("mean_d2"),
+            (col("d2") > lit(2L) * col("mean_d2")).cast("int")
+              .as("outlier"))
+          .orderBy("vec_id")
+      },
+      Some("WITH qv AS (SELECT vec_id, label, CAST(i AS INT) - 1 AS i, " +
+        "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
+        "FROM (SELECT vec_id, label, " +
+        "generate_subscripts(embedding, 1) AS i, " +
+        "unnest(embedding) AS v FROM embeddings)), " +
+        "cent AS (SELECT label, i, CASE WHEN SUM(q) >= 0 " +
+        "THEN (2*CAST(SUM(q) AS BIGINT) + COUNT(*)) // (2*COUNT(*)) " +
+        "ELSE -((2*(-CAST(SUM(q) AS BIGINT)) + COUNT(*)) // " +
+        "(2*COUNT(*))) END AS c FROM qv GROUP BY label, i), " +
+        "d AS (SELECT qv.vec_id, qv.label, " +
+        "CAST(SUM((qv.q - cent.c)*(qv.q - cent.c)) AS BIGINT) AS d2 " +
+        "FROM qv JOIN cent ON qv.label = cent.label AND qv.i = cent.i " +
+        "GROUP BY qv.vec_id, qv.label), " +
+        "st AS (SELECT label, CAST(SUM(d2) AS BIGINT) // COUNT(*) " +
+        "AS mean_d2 FROM d GROUP BY label) " +
+        "SELECT d.vec_id, d.label, d.d2, st.mean_d2, " +
+        "CAST(d.d2 > 2*st.mean_d2 AS INT) AS outlier " +
+        "FROM d JOIN st USING (label) ORDER BY d.vec_id")),
+
     "q_embed_kmeans" -> Q(
       (spark, dir) => {
         // deterministic Lloyd k-means (see llm.Kmeans): k=8, 10 rounds,
