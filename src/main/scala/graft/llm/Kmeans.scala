@@ -89,7 +89,7 @@ object Kmeans {
   /** Exact-rational mean re-quantized to the integer plane: round half
     * away from zero of sum/n, computed in integer arithmetic.
     */
-  @inline private def meanQ(sum: Long, n: Long): Long =
+  @inline private[graft] def meanQ(sum: Long, n: Long): Long =
     if (sum >= 0) (2 * sum + n) / (2 * n) else -((2 * -sum + n) / (2 * n))
 
   /** `iters` Lloyd rounds. Returns the final centroids and the final

@@ -127,4 +127,15 @@ object KernelProps extends Properties("kernels") {
       llm.Dedup.unionFindLabels(edges).toMap ==
         llm.Dedup.unionFindLabels(shuffled).toMap
     }
+
+  // k-means centroid re-quantization: integer meanQ must equal the
+  // BigDecimal HALF_UP (round half away from zero) of sum/n across the
+  // full magnitude range the ×1e7 quantized sums can reach
+  property("kmeans meanQ = BigDecimal HALF_UP of sum/n") =
+    forAll(Gen.choose(-(1L << 40), 1L << 40), Gen.choose(1L, 1L << 20)) {
+      (s, n) =>
+        val want = BigDecimal(s)./(BigDecimal(n))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+        llm.Kmeans.meanQ(s, n) == want
+    }
 }
