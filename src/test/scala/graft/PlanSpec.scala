@@ -264,4 +264,38 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
   }
+
+  test("span coverage fuses the groupBy and window onto ONE win_md5 exchange") {
+    val p = plan("q_dedup_span_coverage")
+    // the explicit repartition satisfies both the (doc, window)
+    // aggregate and the win_md5 window — exactly 3 exchanges remain:
+    // win_md5 repartition, the doc_id aggregate, the output sort
+    "hashpartitioning\\(win_md5".r.findAllIn(p).length shouldBe 1
+    p should not include "SinglePartition"
+  }
+
+  test("perplexity: count + log-prob tables broadcast back; no fact-fact join") {
+    val p = plan("q_text_perplexity")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("keep-best dedup is pair-join free (one narrow pass + windows)") {
+    val p = plan("q_dedup_keep_best")
+    p should not include "Join"
+    p should not include "SinglePartition"
+  }
+
+  test("kmeans assignment is a narrow map (no exchange before the sort)") {
+    val p = plan("q_embed_kmeans_assign")
+    // rangepartitioning for the output orderBy is the ONLY exchange
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+  }
+
+  test("embedding outlier audit broadcasts centroid + stats tables") {
+    val p = plan("q_embed_outliers")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "SinglePartition"
+  }
 }
