@@ -68,6 +68,44 @@ object SpanDedup {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
         col("win_md5"))
 
+  /** Factored so q_pipeline_keep can reference it without re-entering
+    * the (def-built) queries map during its own construction.
+    */
+  private lazy val coverageQ: Q = Q(
+    (spark, dir) => {
+      // per-doc duplicated-window fraction. ONE corpus-sized shuffle:
+      // repartition by win_md5 satisfies both the (doc, window)
+      // multiplicity groupBy (clustering on a key subset) and the
+      // window-function global count over win_md5 — without it Spark
+      // plans two full exchanges back to back. Then one groupBy
+      // doc_id over the doc-sized aggregate. All counts exact BIGINT;
+      // the ratio is ppm floor division.
+      import org.apache.spark.sql.expressions.Window
+      val perDoc = windows(spark, dir)
+        .repartition(col("win_md5"))
+        .groupBy("doc_id", "win_md5").agg(count(lit(1)).as("mult"))
+      val g = sum(col("mult")).over(Window.partitionBy("win_md5"))
+      perDoc.withColumn("g", g)
+        .groupBy("doc_id")
+        .agg(sum(col("mult")).as("n_wins"),
+          sum(when(col("g") > 1, col("mult")).otherwise(0L))
+            .as("n_dup_wins"))
+        .select(col("doc_id"), col("n_wins"), col("n_dup_wins"),
+          expr("(n_dup_wins * 1000000L) div n_wins").as("dup_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("WITH " + winsSql + ", " +
+      "pd AS (SELECT doc_id, win_md5, COUNT(*) AS mult FROM w " +
+      "GROUP BY doc_id, win_md5), " +
+      "wg AS (SELECT doc_id, mult, " +
+      "SUM(mult) OVER (PARTITION BY win_md5) AS g FROM pd) " +
+      "SELECT doc_id, CAST(SUM(mult) AS BIGINT) AS n_wins, " +
+      "CAST(SUM(CASE WHEN g > 1 THEN mult ELSE 0 END) AS BIGINT) " +
+      "AS n_dup_wins, " +
+      "(CAST(SUM(CASE WHEN g > 1 THEN mult ELSE 0 END) AS BIGINT) " +
+      "* 1000000) // CAST(SUM(mult) AS BIGINT) AS dup_ppm " +
+      "FROM wg GROUP BY doc_id ORDER BY doc_id"))
+
   def queries: Map[String, Q] = Map(
     "q_dedup_spans" -> Q(
       (spark, dir) =>
@@ -88,40 +126,7 @@ object SpanDedup {
         "FROM w GROUP BY win_md5 HAVING COUNT(*) > 1 " +
         "ORDER BY n_occ DESC, win_md5 LIMIT 100")),
 
-    "q_dedup_span_coverage" -> Q(
-      (spark, dir) => {
-        // per-doc duplicated-window fraction. ONE corpus-sized shuffle:
-        // repartition by win_md5 satisfies both the (doc, window)
-        // multiplicity groupBy (clustering on a key subset) and the
-        // window-function global count over win_md5 — without it Spark
-        // plans two full exchanges back to back. Then one groupBy
-        // doc_id over the doc-sized aggregate. All counts exact BIGINT;
-        // the ratio is ppm floor division.
-        import org.apache.spark.sql.expressions.Window
-        val perDoc = windows(spark, dir)
-          .repartition(col("win_md5"))
-          .groupBy("doc_id", "win_md5").agg(count(lit(1)).as("mult"))
-        val g = sum(col("mult")).over(Window.partitionBy("win_md5"))
-        perDoc.withColumn("g", g)
-          .groupBy("doc_id")
-          .agg(sum(col("mult")).as("n_wins"),
-            sum(when(col("g") > 1, col("mult")).otherwise(0L))
-              .as("n_dup_wins"))
-          .select(col("doc_id"), col("n_wins"), col("n_dup_wins"),
-            expr("(n_dup_wins * 1000000L) div n_wins").as("dup_ppm"))
-          .orderBy("doc_id")
-      },
-      Some("WITH " + winsSql + ", " +
-        "pd AS (SELECT doc_id, win_md5, COUNT(*) AS mult FROM w " +
-        "GROUP BY doc_id, win_md5), " +
-        "wg AS (SELECT doc_id, mult, " +
-        "SUM(mult) OVER (PARTITION BY win_md5) AS g FROM pd) " +
-        "SELECT doc_id, CAST(SUM(mult) AS BIGINT) AS n_wins, " +
-        "CAST(SUM(CASE WHEN g > 1 THEN mult ELSE 0 END) AS BIGINT) " +
-        "AS n_dup_wins, " +
-        "(CAST(SUM(CASE WHEN g > 1 THEN mult ELSE 0 END) AS BIGINT) " +
-        "* 1000000) // CAST(SUM(mult) AS BIGINT) AS dup_ppm " +
-        "FROM wg GROUP BY doc_id ORDER BY doc_id")),
+    "q_dedup_span_coverage" -> coverageQ,
 
     "q_dedup_span_islands" -> Q(
       (spark, dir) => {
@@ -171,5 +176,55 @@ object SpanDedup {
         "PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f) " +
         "SELECT doc_id, island, MIN(st) AS start_tok, " +
         "MAX(en) AS end_tok, MAX(en) - MIN(st) + 1 AS n_toks " +
-        "FROM i GROUP BY doc_id, island ORDER BY doc_id, island")))
+        "FROM i GROUP BY doc_id, island ORDER BY doc_id, island")),
+
+    "q_pipeline_keep" -> Q(
+      (spark, dir) => {
+        // the capstone keep/drop decision a training-data pipeline
+        // actually ships: compose the DECLARED quality and span-coverage
+        // operators (the same registry fns, not re-implementations) and
+        // fold their signals into one verdict per document with the
+        // first-failing reason — short (< 20 tokens), stopword-poor
+        // (< 0.10 — the gibberish heuristic), span-duplicated
+        // (> 50% duplicated windows), else keep. Docs below the window
+        // length have no coverage row → dup_ppm coalesces to 0 (they
+        // are 'short' anyway). All signals are exact ints or identical
+        // IEEE divisions, so the composition stays hash-green.
+        val quality = LlmQueries.queries("q_text_quality").fn(spark, dir)
+          .select("doc_id", "n_tokens", "stop_ratio")
+        val cov = coverageQ.fn(spark, dir)
+          .select("doc_id", "dup_ppm")
+        val reason = when(col("n_tokens") < 20, "short")
+          .when(col("stop_ratio") < 0.10, "stopword")
+          .when(col("dup_ppm") > 500000L, "dup_spans")
+          .otherwise("keep")
+        quality.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+            coalesce(col("dup_ppm"), lit(0L)).as("dup_ppm"))
+          .withColumn("reason", reason)
+          .select(col("doc_id"), col("n_tokens"), col("dup_ppm"),
+            col("reason"),
+            (col("reason") === "keep").cast("int").as("keep"))
+          .orderBy("doc_id")
+      }, {
+        // oracle composed from the SAME declared oracles, as CTEs
+        val covSql = coverageQ.oracle.get
+        Some("WITH q AS (SELECT doc_id, " +
+          "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+          "CAST(len(list_filter(string_split(text, ' '), t -> " +
+          "list_contains(['the','a','of','and','to','value','table'," +
+          "'row'], t))) AS DOUBLE)/len(string_split(text, ' ')) " +
+          "AS stop_ratio FROM documents), " +
+          "c AS (" + covSql + "), " +
+          "j AS (SELECT q.doc_id, q.n_tokens, q.stop_ratio, " +
+          "COALESCE(c.dup_ppm, 0) AS dup_ppm FROM q " +
+          "LEFT JOIN c ON q.doc_id = c.doc_id), " +
+          "r AS (SELECT doc_id, n_tokens, dup_ppm, " +
+          "CASE WHEN n_tokens < 20 THEN 'short' " +
+          "WHEN stop_ratio < 0.10 THEN 'stopword' " +
+          "WHEN dup_ppm > 500000 THEN 'dup_spans' " +
+          "ELSE 'keep' END AS reason FROM j) " +
+          "SELECT doc_id, n_tokens, dup_ppm, reason, " +
+          "CAST(reason = 'keep' AS INT) AS keep FROM r ORDER BY doc_id")
+      }))
 }
