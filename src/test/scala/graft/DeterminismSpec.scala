@@ -61,4 +61,37 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkTest {
       }
     }
   }
+
+  // AQE re-plans at runtime (coalesced shuffle partitions, demoted
+  // joins, skew splits) — a second independent execution-shape axis the
+  // partition-count sweep never varies. Round-11 machinery classes:
+  // the fused repartition+window coverage pass, gaps-and-islands, the
+  // 10-round integer k-means trajectory, the quantized-log perplexity,
+  // the composed keep/drop decision, and the centroid outlier audit.
+  private val aqeReps = Seq("q_dedup_span_coverage",
+    "q_dedup_span_islands", "q_embed_kmeans", "q_text_perplexity",
+    "q_pipeline_keep", "q_embed_outliers", "q_hic_significances",
+    "q_dedup_cluster")
+
+  test("representative queries are bit-identical with AQE on vs off") {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    def run(on: Boolean): Map[String, Seq[String]] =
+      try {
+        spark.conf.set(key, on.toString)
+        aqeReps.map { name =>
+          val rows =
+            try Registry.all(name).fn(spark, sf).collect()
+            finally graft.ops.Caches.drain()
+          name -> rows.map(_.toString).sorted.toSeq
+        }.toMap
+      } finally spark.conf.set(key, prev)
+    val on = run(true)
+    val off = run(false)
+    aqeReps.foreach { name =>
+      withClue(s"$name differs between AQE on/off: ") {
+        on(name) shouldBe off(name)
+      }
+    }
+  }
 }
