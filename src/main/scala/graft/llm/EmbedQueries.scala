@@ -183,8 +183,15 @@ object EmbedQueries {
           .select(col("vec_id"), col("label"),
             expr("aggregate(zip_with(q, carr, (a, b) -> (a - b) * " +
               "(a - b)), 0L, (acc, v) -> acc + v)").as("d2"))
+        // decimal-lifted sum: worst-case d² is 64·(2e7)² ≈ 2.6e16, so a
+        // plain Long sum would WRAP silently past ~350 worst-case (or
+        // ~5k realistic) vectors per label while DuckDB's HUGEINT sum
+        // would not — the decimal(38) accumulator keeps both engines
+        // exact to ~10^21 vectors; the floored mean is back in Long
+        // range by construction
         val stats = d2.groupBy("label")
-          .agg(expr("sum(d2) div count(1)").as("mean_d2"))
+          .agg(expr("cast(sum(cast(d2 as decimal(38,0))) div count(1) " +
+            "as bigint)").as("mean_d2"))
         d2.join(broadcast(stats), "label")
           .select(col("vec_id"), col("label"), col("d2"), col("mean_d2"),
             (col("d2") > lit(2L) * col("mean_d2")).cast("int")

@@ -88,6 +88,10 @@ object Kmeans {
 
   /** Exact-rational mean re-quantized to the integer plane: round half
     * away from zero of sum/n, computed in integer arithmetic.
+    * Headroom contract: |q| ≤ 1e7 keeps the per-(cluster, dim) Long sum
+    * exact to ~9·10^11 members per cluster and the 2·sum lift to half
+    * that — the same documented range class as llm.Pca's Gram
+    * accumulators; past it, lift the update aggregation to decimal.
     */
   @inline private[graft] def meanQ(sum: Long, n: Long): Long =
     if (sum >= 0) (2 * sum + n) / (2 * n) else -((2 * -sum + n) / (2 * n))
