@@ -236,7 +236,11 @@ object EmbedQueries {
           .toSeq.toDF("cluster", "cstr")
         assigned.toDF("vec_id", "cluster", "d2")
           .groupBy("cluster")
-          .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+          .agg(count(lit(1)).as("n_vecs"),
+            // decimal-lifted like q_embed_outliers' mean: worst-case d²
+            // ≈ 2.6e16, so a Long inertia would wrap silently past
+            // ~350 worst-case members; decimal(38) is exact to ~10^21
+            sum(col("d2").cast("decimal(38,0)")).as("inertia"))
           .join(broadcast(cdf), Seq("cluster"), "right")
           .select(col("cluster"),
             coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
