@@ -15,9 +15,12 @@ object TimeQ {
         private val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           t0s.put(j.jobId, System.nanoTime())
+          val graftFrames = j.stageInfos.flatMap(si =>
+            si.details.linesIterator.find(l => l.contains("graft.") &&
+              !l.contains("TimeQ"))).map(_.trim.stripPrefix("at ")).distinct
           sites.put(j.jobId,
-            j.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
-              .mkString(" | ").take(120))
+            (j.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
+              .mkString(" | ") + " @ " + graftFrames.mkString(" | ")).take(220))
         }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val t0 = Option(t0s.remove(j.jobId)).getOrElse(System.nanoTime())

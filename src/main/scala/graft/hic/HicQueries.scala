@@ -536,10 +536,12 @@ object HicQueries {
             col("contactCount")))
           .groupBy("chr", "mid")
           .agg(sum(col("contactCount")).as("hitCount"))
-        val kr = Kr.biases(contacts.filter(
+        // thunked: the KR solve (and its eager routing count) runs on a
+        // background thread overlapping the marginals/possible-M jobs
+        val kr = () => Kr.biases(contacts.filter(
           abs(col("mid2") - col("mid1")).between(L, U)),
           trimPercentile = 0.05, iterations = 10)
-        Pipeline.intraSignificances(frags, contacts, Some(kr),
+        Pipeline.intraSignificancesWith(frags, contacts, Some(kr),
             FitHiCConfig(nBins = 100, passes = 1, distLow = L, distUp = U))
           .select(col("chr1").as("chr"), col("mid1"), col("mid2"),
             col("contactCount"),

@@ -48,18 +48,33 @@ object Kr {
         .select(col("chr1").as("chr"), col("mid2").as("i"),
           col("mid1").as("j"), col("contactCount").cast("double").as("w")))
 
-    // route each chromosome by edge count (tiny collect)
-    val sizes = intra.groupBy(col("chr1"))
-      .agg((count(lit(1)) * 2 -
-        sum(when(col("mid1") === col("mid2"), 1L).otherwise(0L)))
-        .as("ne"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    val small = sizes.filter(_._2 <= maxEdgesPerTask).map(_._1)
-    val big = sizes.filter(_._2 > maxEdgesPerTask).map(_._1)
-
+    // Route each chromosome by edge count. Fast path first: ONE narrow
+    // count of the intra pair rows (cheap over a cached upstream — no
+    // shuffle). If even the WHOLE symmetric edge list fits one task
+    // (2·pairs is an upper bound on edges), every chromosome does, and
+    // the per-chromosome groupBy routing job is skipped entirely — it
+    // was ~1 s of serial prefix in front of the pipeline at test SF.
+    // The exact per-chr routing only runs when the total is above the
+    // cap (the scale path, where its cost is amortized by the solve).
+    val totalPairs = intra.count()
+    val allSmall = totalPairs * 2 <= maxEdgesPerTask
+    val (small, big): (Seq[String], Seq[String]) =
+      if (allSmall) (Nil, Nil)
+      else {
+        val sizes = intra.groupBy(col("chr1"))
+          .agg((count(lit(1)) * 2 -
+            sum(when(col("mid1") === col("mid2"), 1L).otherwise(0L)))
+            .as("ne"))
+          .collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        (sizes.filter(_._2 <= maxEdgesPerTask).map(_._1).toSeq,
+          sizes.filter(_._2 > maxEdgesPerTask).map(_._1).toSeq)
+      }
     val parts =
-      (if (small.isEmpty) Nil
+      (if (totalPairs == 0L) Nil
+       else if (allSmall) // fast path: no per-chr filter needed
+         List(solveInTask(edges, trimPercentile, iterations))
+       else if (small.isEmpty) Nil
        else List(solveInTask(edges.filter(col("chr")
          .isInCollection(small)), trimPercentile, iterations))) ++
       (if (big.isEmpty) Nil

@@ -40,13 +40,13 @@ object Pipeline {
     * the caller's Caches.drain() unpersists its inputs, and its own
     * failure is silently dropped.
     */
-  private def settleOnFailure[A](fut: scala.concurrent.Future[_])
+  private def settleOnFailure[A](futs: scala.concurrent.Future[_]*)
       (body: => A): A =
     try body
     catch {
       case t: Throwable =>
-        scala.util.Try(scala.concurrent.Await.ready(fut,
-          scala.concurrent.duration.Duration.Inf))
+        futs.foreach(fut => scala.util.Try(scala.concurrent.Await.ready(fut,
+          scala.concurrent.duration.Duration.Inf)))
         throw t
     }
 
@@ -65,6 +65,18 @@ object Pipeline {
     */
   def intraSignificances(frags: DataFrame, contacts: DataFrame,
       biases: Option[DataFrame], cfg: FitHiCConfig,
+      diagSink: Option[Seq[PassDiagnostics] => Unit] = None): DataFrame =
+    intraSignificancesWith(frags, contacts, biases.map(b => () => b), cfg,
+      diagSink)
+
+  /** As [[intraSignificances]], taking the bias table as a THUNK: bias
+    * construction that runs eager driver work (the KR solve's routing
+    * count) executes on a background thread, overlapping the
+    * mappable/marginals materialization and the possible-M window job
+    * instead of serializing in front of the whole pipeline.
+    */
+  def intraSignificancesWith(frags: DataFrame, contacts: DataFrame,
+      mkBiases: Option[() => DataFrame], cfg: FitHiCConfig,
       diagSink: Option[Seq[PassDiagnostics] => Unit] = None): DataFrame = {
     require(cfg.passes >= 1, s"passes must be >= 1, got ${cfg.passes}")
     // the mappable locus set is traversed three times (two loci broadcast
@@ -76,21 +88,38 @@ object Pipeline {
     val filtered = Contacts.bothEndsMappable(contacts, mapped)
     val classified = Contacts.classify(filtered, cfg.distLow, cfg.distUp)
     val intra = classified.filter(col("cls") === "intraInRange")
-    val withBias = biases match {
-      case Some(b) => Contacts.withBiases(intra,
-        graft.ops.Caches.register(b.persist()), cfg.biasLow, cfg.biasUp)
-      case None => intra.withColumn("bias1", lit(1.0))
-        .withColumn("bias2", lit(1.0))
-    }
-
-    // the possible-pair count (BH's M) is an independent lineage — launch
-    // it now and collect it after pass-1 binning, so its window job runs
-    // CONCURRENTLY with the binning jobs instead of serializing in front
-    // of them (concurrent actions on one session are supported; both
-    // consume the `mapped` cache under Spark's per-block get-or-compute)
+    // Concurrent-lineage overlap (same session, per-block get-or-compute
+    // makes shared caches safe): launch independent lineages as Futures
+    // so their jobs run while pass-1 binning compiles and materializes.
     import scala.concurrent.ExecutionContext.Implicits.global
+    // (1) the possible-pair count (BH's M) is an independent lineage —
+    // launch it first and collect it after pass-1 binning, so its window
+    // job runs CONCURRENTLY with the bias solve and the binning jobs
+    // instead of serializing in front of them
     val mFut = scala.concurrent.Future(
       Fragments.possibleIntraInRange(mapped, cfg.distLow, cfg.distUp))
+    // (2) bias CONSTRUCTION (a KR solve runs an eager routing job) on a
+    // background thread, overlapping the marginals/possible-M job — then
+    // (3) bias MATERIALIZATION as a further concurrent action, so the
+    // per-chromosome solves run while pass-1 compiles and scans: the
+    // solve's result is only consumed via a broadcast build inside the
+    // pass-1 job, and by the time that build starts the bias cache is
+    // already populated
+    val constructFut: scala.concurrent.Future[DataFrame] = mkBiases match {
+      case Some(mk) => scala.concurrent.Future(mk())
+      case None => scala.concurrent.Future.successful(null)
+    }
+    var biasMatFut: scala.concurrent.Future[Long] =
+      scala.concurrent.Future.successful(0L)
+    val withBias = settleOnFailure(mFut)(scala.concurrent.Await.result(
+        constructFut, scala.concurrent.duration.Duration.Inf)) match {
+      case null => intra.withColumn("bias1", lit(1.0))
+        .withColumn("bias2", lit(1.0))
+      case b =>
+        val bp = graft.ops.Caches.register(b.persist())
+        biasMatFut = scala.concurrent.Future(bp.count())
+        Contacts.withBiases(intra, bp, cfg.biasLow, cfg.biasUp)
+    }
 
     // ONE dist-ranged cache is the only materialization of the pair set:
     // every pass's equal-occupancy binning re-bins a FILTERED view of
@@ -120,14 +149,20 @@ object Pipeline {
     var layoutPreserved = true
     var result: DataFrame = null
     for (pass <- 1 to cfg.passes) {
-      // pass-1 binning is the only action between the possible-M launch
-      // and its Await: if it throws, settle mFut before unwinding
-      val bins = settleOnFailure(mFut)(
+      // pass-1 binning is the only action between the concurrent-lineage
+      // launches and their Awaits: if it throws, settle both before
+      // unwinding (constructFut was already awaited above)
+      val bins = settleOnFailure(mFut, biasMatFut)(
         Binning.collectBins(nullSource, cfg.nBins, keys,
           assumeRanged = layoutPreserved))
       if (pass == 1) {
         n = bins.map(_.getAs[Long]("sumCount")).sum
         m = scala.concurrent.Await.result(mFut,
+          scala.concurrent.duration.Duration.Inf)
+        // done by now (the pass-1 broadcast build consumed the bias
+        // cache) — awaited so a failure on the eager-materialization
+        // thread can never be silently dropped
+        scala.concurrent.Await.result(biasMatFut,
           scala.concurrent.duration.Duration.Inf)
         src.unpersist() // pass-1 binning materialized the ranged cache
       }
