@@ -166,6 +166,17 @@ object CorpusStats {
         // ROUND(ln(cnt/total)·1e6) ONCE, per-doc sums are exact BIGINT
         // Σ mult·lp, and only the final exp/division is float — an
         // identical IEEE expression on both engines under fround 4.
+        // PROBED LN-PARITY ASSUMPTION (same class as binom_tail_check's
+        // documented boundary-flip risk): the device additionally
+        // assumes Spark's java.lang.Math.log and DuckDB's LN agree to
+        // the last ulp on every cnt/t this corpus produces — a 1-ulp
+        // ln difference landing exactly on a ROUND(x*1e6) half-boundary
+        // would flip one lp_q by 1 and break the hash. Probed at sf0.01
+        // (round 12): across all 114 corpus bigrams the nearest
+        // ln(cnt/t)*1e6 to a .5 boundary is 0.0057 absolute ≈ 6.1e6
+        // ulps away, so last-ulp libm drift cannot flip a row here; a
+        // future engine/libm bump that DID close that gap would show up
+        // as a re-run of this probe, not a mystery hash diff.
         // Same two-shuffle shape as q_text_bigram_lm: the raw explode
         // is reduced to (doc, bigram, mult) first, the |charset|²
         // count table broadcasts back.

@@ -303,7 +303,9 @@ object Dedup {
     * a pair only if it ranks in the top-k by intersection count
     * (ties → lower partner id) for AT LEAST ONE of its endpoints. This
     * bounds the per-doc survivor list — and with it the sizes join and
-    * the output — at k·|docs| total rows. Exact duplicates have the
+    * the output — at 2k·|docs| total rows (union semantics: a pair kept
+    * for either endpoint survives, so each doc can contribute its own
+    * top-k AND appear in up to k other docs' lists). Exact duplicates have the
     * maximal intersection with their clones, so they rank first and
     * survive any k ≥ clone-cluster size − 1 (spec-pinned); the rows a cap
     * drops are exactly the weakest-overlap candidates a dedup pipeline

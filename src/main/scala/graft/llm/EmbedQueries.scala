@@ -241,7 +241,11 @@ object EmbedQueries {
             // ≈ 2.6e16, so a Long inertia would wrap silently past
             // ~350 worst-case members; decimal(38) is exact to ~10^21
             sum(col("d2").cast("decimal(38,0)")).as("inertia"))
-          .join(broadcast(cdf), Seq("cluster"), "right")
+          // left join FROM cdf so every centroid appears even when its
+          // cluster is empty; the aggregated side carries the hint —
+          // BroadcastHashJoin builds the non-preserved side, so hinting
+          // the preserved side of an outer join cannot be honored
+          .transform(agg => cdf.join(broadcast(agg), Seq("cluster"), "left"))
           .select(col("cluster"),
             coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
             coalesce(col("inertia"), lit(0L)).as("inertia"),

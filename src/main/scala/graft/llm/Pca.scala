@@ -29,6 +29,18 @@ object Pca {
     */
   val Quant = 1000.0
 
+  /** ×Quant quantization, rounding half AWAY FROM ZERO — NOT
+    * math.round's Java half-up: the q_embed_pca_gram_check oracle
+    * quantizes with DuckDB `ROUND(v*1000, 0)` (away-from-zero at .5),
+    * and a float like -0.0625f lands exactly on the .5 boundary, where
+    * the two conventions diverge (-62 vs -63). Same sign-split device
+    * as Kmeans.quant; pinned against BigDecimal HALF_UP in KernelProps.
+    */
+  @inline private[graft] def quant(x: Float): Long = {
+    val v = x.toDouble * Quant
+    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+  }
+
   /** (row count, per-dim Σq, upper-triangular Σ q_i·q_j row-major). */
   final case class Summary(n: Long, sums: Array[Long], gram: Array[Long])
 
@@ -49,7 +61,7 @@ object Pca {
             s"pca: expected dim-$dim vector, got ${Option(v).map(_.length)}")
           var i = 0
           while (i < dim) {
-            q(i) = math.round(v(i) * Quant)
+            q(i) = quant(v(i))
             // exactness contract: the ~1e12-row headroom assumes
             // N·max(q)² < 2^63, i.e. |q| ≤ √(2^63/1e12) ≈ 3e3
             // (components ≤ 3.0 in original units). Out-of-range inputs

@@ -138,4 +138,19 @@ object KernelProps extends Properties("kernels") {
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
         llm.Kmeans.meanQ(s, n) == want
     }
+
+  // PCA element quantization: must match the oracle's DuckDB
+  // ROUND(v*1000,0) = half away from zero, including floats landing
+  // exactly on the .5 boundary (e.g. -0.0625f*1000 = -62.5 → -63,
+  // where Java half-up would give -62)
+  property("pca quant = BigDecimal HALF_UP of v*1000") =
+    forAll(Gen.oneOf(
+      Gen.choose(-3.0f, 3.0f),
+      Gen.choose(-3000, 3000).map(_ / 1000.0f),
+      Gen.choose(-48, 48).map(i => i / 16.0f) // exact .5-boundary floats
+    )) { v =>
+      val want = BigDecimal(v.toDouble) * BigDecimal(1000)
+      llm.Pca.quant(v) ==
+        want.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    }
 }
