@@ -4,7 +4,19 @@ by disjoint-key union of sf0.1 x8. Same methodology as the round-8 probe:
 copies are byte-identical except the primary keys, which are offset per
 copy so exact-key operators see 8x distinct entities while content-hash
 operators (near-dup, semantic dedup) see designed cross-copy duplicates.
-Usage: python3 tools/make_sfbig.py [srcDir] [outDir] [copies]
+Usage: python3 tools/make_sfbig.py [srcDir] [outDir] [copies] [--skew]
+
+--skew (round-12, verdict task 3) builds the Zipf-skew variant of the
+same fixture — identical row counts, three deliberately hot keys:
+  * lineitem: copies 0..n-2 rewrite l_linestatus to 'Z', so ONE
+    chromosome holds (n-1)/n of all Hi-C contacts (87.5% at n=8; the
+    plain fixture's worst chr holds 50%) — stresses the per-chromosome
+    KR routing and any chr-keyed aggregation;
+  * events: user_id % 10 < 3 collapses to ONE hot user (~30% of all
+    events in a single sessionize/window partition);
+  * documents: doc_id % 10 < 3 get a fixed 20-token boilerplate
+    PREFIX (~30% of the corpus shares every boilerplate window/shingle
+    — the span-dedup win_md5 and n-gram inverted-index skew bomb).
 """
 import os
 import sys
@@ -13,7 +25,9 @@ import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
-n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+skew = "--skew" in sys.argv
+argv = [a for a in sys.argv if a != "--skew"]
+n = int(argv[3]) if len(argv) > 3 else 8
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
@@ -38,13 +52,23 @@ for t in ("region", "nation", "customer", "supplier", "part", "orders"):
         con.execute(f"COPY (SELECT * FROM read_parquet('{p}')) TO "
                     f"'{out}/{t}.parquet' (FORMAT PARQUET)")
 
+ls_skew = ("CASE WHEN {i} < " + str(n - 1) +
+           " THEN 'Z' ELSE l_linestatus END AS l_linestatus, ") \
+    if skew else ""
 build("lineitem",
-      "SELECT * REPLACE (l_partkey + {i}*" + str(OFF) + " AS l_partkey, "
+      "SELECT * REPLACE (" + ls_skew +
+      "l_partkey + {i}*" + str(OFF) + " AS l_partkey, "
       "l_suppkey + {i}*" + str(OFF) + " AS l_suppkey, "
       "l_orderkey + {i}*" + str(OFF) + " AS l_orderkey) "
       f"FROM read_parquet('{src}/lineitem.parquet')")
+BOILER = ("terms of service privacy policy all rights reserved "
+          "subscribe to our newsletter for updates click here to "
+          "accept cookies and continue ")  # 20 tokens, > W=8 windows
+doc_skew = ("CASE WHEN doc_id % 10 < 3 THEN '" + BOILER +
+            "' || text ELSE text END AS text, ") if skew else ""
 build("documents",
-      "SELECT * REPLACE (doc_id + {i}*" + str(OFF) + " AS doc_id) "
+      "SELECT * REPLACE (" + doc_skew +
+      "doc_id + {i}*" + str(OFF) + " AS doc_id) "
       f"FROM read_parquet('{src}/documents.parquet')")
 build("embeddings",
       "SELECT * REPLACE (vec_id + {i}*" + str(OFF) + " AS vec_id) "
@@ -63,6 +87,16 @@ for i in range(n):
     for key in ("event_id", "user_id"):
         idx = t.schema.get_field_index(key)
         t = t.set_column(idx, key, pc.add(t[key], i * OFF))
+    if skew:
+        # ~30% of ALL events collapse onto one hot user (id 777):
+        # source user_ids are uniform, so % 10 < 3 selects ~30% in
+        # every copy (the per-copy offset is a multiple of 10)
+        import numpy as np
+        uidx = t.schema.get_field_index("user_id")
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.set_column(uidx, "user_id",
+                         pa.array(np.where(uid % 10 < 3, 777, uid),
+                                  type=t.schema.field(uidx).type))
     copies.append(t)
 pq.write_table(pa.concat_tables(copies), f"{out}/events.parquet",
                use_deprecated_int96_timestamps=False,
