@@ -43,12 +43,17 @@ object Compartments {
     */
   val EstIters = 15
 
-  def scores(contacts: DataFrame, iterations: Int = 100,
-      maxEdgesPerTask: Long = 2000000L): DataFrame = {
-    require(iterations > EstIters,
-      s"iterations must exceed the $EstIters estimation iterations")
-    // O/E weights: expected(chr, d) = mean observed count at (chr, d) —
-    // bounded by #chr × #distances, broadcast back over the pairs
+  /** The O/E−1 symmetric edge list — the distributed leg both solve paths
+    * consume (and the leg q_hic_compartments_matvec hash-pins in DuckDB).
+    * O/E weights: expected(chr, d) = mean observed count at (chr, d) —
+    * bounded by #chr × #distances, broadcast back over the pairs. Each
+    * undirected pair appears both ways, the diagonal once.
+    * Not persisted: the in-task path consumes it exactly once (the chr
+    * shuffle) and routing comes from the pre-join pair counts (same
+    * job-count trim as Kr.biases); the distributed path re-caches its
+    * slice in its iteration layout anyway.
+    */
+  def edgeList(contacts: DataFrame): DataFrame = {
     val exp = contacts.groupBy("chr", "dist")
       .agg(sum(col("contactCount")).as("sumc"), count(lit(1)).as("npairs"))
     val oe = contacts.join(broadcast(exp), Seq("chr", "dist"))
@@ -56,17 +61,18 @@ object Compartments {
         (col("contactCount").cast("double") /
           (col("sumc").cast("double") / col("npairs").cast("double")) -
           lit(1.0)).as("w"))
-    // symmetric edge list: each undirected pair both ways, diagonal once.
-    // Not persisted: the in-task path consumes it exactly once (the chr
-    // shuffle) and routing comes from the pre-join pair counts (same
-    // job-count trim as Kr.biases); the distributed path re-caches its
-    // slice in its iteration layout anyway.
-    val edges = oe
-      .select(col("chr"), col("mid1").as("i"), col("mid2").as("j"),
+    oe.select(col("chr"), col("mid1").as("i"), col("mid2").as("j"),
         col("w"))
       .unionByName(oe.filter(col("mid1") =!= col("mid2"))
         .select(col("chr"), col("mid2").as("i"), col("mid1").as("j"),
           col("w")))
+  }
+
+  def scores(contacts: DataFrame, iterations: Int = 100,
+      maxEdgesPerTask: Long = 2000000L): DataFrame = {
+    require(iterations > EstIters,
+      s"iterations must exceed the $EstIters estimation iterations")
+    val edges = edgeList(contacts)
 
     // route each chromosome by edge count (tiny collect; the O/E join
     // preserves cardinality so the count comes from the raw pairs)

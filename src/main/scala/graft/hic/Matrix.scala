@@ -293,6 +293,66 @@ object Matrix {
             Cols.fround(col("score"), 6).as("score"))
           .orderBy("chr", "bin")
       },
-      None)
+      None),
+
+    "q_hic_compartments_matvec" -> Q(
+      (spark, dir) => {
+        // oracle twin for the compartment solver's DISTRIBUTED leg: the
+        // O/E−1 symmetric edge build (the SAME Compartments.edgeList
+        // scores() consumes) plus two UNROLLED power-iteration matvec
+        // rounds from the constant start vector, on ×1e4-quantized
+        // integer weights with NO per-round normalization — power
+        // iteration is scale-free, so skipping the norm keeps every sum
+        // exact-BIGINT (order-free) while still pinning the matvec
+        // wiring end-to-end. w itself is a quotient of exact integer
+        // aggregates (IEEE-exact ops, identical shape both sides) and
+        // the ×1e4 lift uses the FLOOR(x+0.5) half-away split — the
+        // same parity discipline as Kmeans.quant/Cols.fround. The
+        // in-task eigensolve kernel stays pinned by AnalyticsSpec's
+        // breeze differential; only the fixed-point composition remains
+        // rows-only (q_hic_compartments). Round-2 products are summed in
+        // decimal(38,0) (wq·v1 ≲ 1e14 at test SF; the lift guards the
+        // 8×/64× fixtures — past ~1e38 per-bin the twin would need a
+        // smaller quantization scale, documented here, not silent).
+        val c = ContactsView(spark, dir)
+          .filter(col("dist").between(HicQueries.L, HicQueries.U))
+        val wd = col("w") * lit(10000.0)
+        val e = Compartments.edgeList(c)
+          .select(col("chr"), col("i"), col("j"),
+            when(wd >= 0, floor(wd + lit(0.5)))
+              .otherwise(-floor(-wd + lit(0.5))).cast("long").as("wq"))
+        val r1 = e.groupBy(col("chr"), col("i"))
+          .agg(sum(col("wq")).as("v1"))
+        e.join(r1.select(col("chr"), col("i").as("j"), col("v1")),
+            Seq("chr", "j"))
+          .groupBy(col("chr"), col("i"))
+          .agg(sum(col("wq").cast("decimal(19,0)") *
+            col("v1").cast("decimal(19,0)")).as("v2d"))
+          .select(col("chr"), col("i").as("bin"),
+            col("v2d").cast("long").as("v2"))
+          .orderBy("chr", "bin")
+      },
+      Some(ContactsView.cte + ", f AS (SELECT chr, mid1, mid2, dist, " +
+        s"contactCount FROM c WHERE dist BETWEEN ${HicQueries.L} " +
+        s"AND ${HicQueries.U}), " +
+        "ex AS (SELECT chr, dist, CAST(SUM(contactCount) AS BIGINT) " +
+        "AS sumc, COUNT(*) AS npairs FROM f GROUP BY chr, dist), " +
+        "oe AS (SELECT f.chr, f.mid1, f.mid2, " +
+        "CAST(f.contactCount AS DOUBLE) / (CAST(ex.sumc AS DOUBLE) / " +
+        "CAST(ex.npairs AS DOUBLE)) - 1.0 AS w " +
+        "FROM f JOIN ex ON f.chr = ex.chr AND f.dist = ex.dist), " +
+        "ed AS (SELECT chr, mid1 AS i, mid2 AS j, w FROM oe " +
+        "UNION ALL SELECT chr, mid2 AS i, mid1 AS j, w FROM oe " +
+        "WHERE mid1 <> mid2), " +
+        "eq AS (SELECT chr, i, j, CASE WHEN w*10000 >= 0 " +
+        "THEN CAST(FLOOR(w*10000 + 0.5) AS BIGINT) " +
+        "ELSE -CAST(FLOOR(-(w*10000) + 0.5) AS BIGINT) END AS wq " +
+        "FROM ed), " +
+        "r1 AS (SELECT chr, i, CAST(SUM(wq) AS BIGINT) AS v1 " +
+        "FROM eq GROUP BY chr, i) " +
+        "SELECT eq.chr, eq.i AS bin, " +
+        "CAST(SUM(CAST(eq.wq AS HUGEINT) * r1.v1) AS BIGINT) AS v2 " +
+        "FROM eq JOIN r1 ON eq.chr = r1.chr AND eq.j = r1.i " +
+        "GROUP BY eq.chr, eq.i ORDER BY chr, bin"))
   )
 }

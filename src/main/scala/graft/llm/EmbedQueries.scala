@@ -286,6 +286,60 @@ object EmbedQueries {
         "SELECT vec_id, cid AS cluster, d2 FROM r WHERE rn = 1 " +
         "ORDER BY vec_id")),
 
+    "q_embed_kmeans_update" -> Q(
+      (spark, dir) => {
+        // oracle twin for the k-means UPDATE leg (the other half of a
+        // Lloyd round — the assignment leg is q_embed_kmeans_assign):
+        // one round's per-(cluster, dim) exact BIGINT partial sums from
+        // the deterministic init centroids via the SAME Kmeans.updateSums
+        // aggregation lloyd collects, re-quantized with the SAME meanQ
+        // half-away-from-zero integer formula. Empty clusters keep their
+        // init centroid (the left-join COALESCE mirrors lloyd's
+        // `centroids.clone()` carry-over). With both legs hash-pinned,
+        // only the 10-round sequential composition remains rows-only
+        // (q_embed_kmeans; KmeansSpec pins the full trajectory).
+        import spark.implicits._
+        val qv = graft.ops.Caches.register(
+          Kmeans.quantized(Tables(spark, dir, "embeddings")).persist())
+        val init = Kmeans.initCentroids(qv, 8)
+        val grid = init.zipWithIndex.flatMap { case (c, cid) =>
+          c.zipWithIndex.map { case (q0, d) => (cid, d, q0) }
+        }.toSeq.toDF("cluster", "dim", "q0")
+        val upd = Kmeans.updateSums(qv, init)
+          .as[(Int, Int, Long, Long)]
+          .map { case (c, d, s, n) => (c, d, Kmeans.meanQ(s, n)) }
+          .toDF("cluster", "dim", "c")
+        grid.join(upd, Seq("cluster", "dim"), "left")
+          .select(col("cluster"), col("dim"),
+            coalesce(col("c"), col("q0")).as("c_new"))
+          .orderBy("cluster", "dim")
+      },
+      Some("WITH qv AS (SELECT vec_id, CAST(i AS INT) - 1 AS i, " +
+        "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
+        "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "unnest(embedding) AS v FROM embeddings)), " +
+        "init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY vec_id) - 1 AS INT) AS cid FROM " +
+        "(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+        "cq AS (SELECT init.cid, qv.i, qv.q FROM init " +
+        "JOIN qv USING (vec_id)), " +
+        "d AS (SELECT a.vec_id, c.cid, " +
+        "CAST(SUM((a.q - c.q)*(a.q - c.q)) AS BIGINT) AS d2 " +
+        "FROM qv a JOIN cq c ON a.i = c.i GROUP BY a.vec_id, c.cid), " +
+        "r AS (SELECT vec_id, cid, d2, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d), " +
+        "asn AS (SELECT vec_id, cid FROM r WHERE rn = 1), " +
+        "sums AS (SELECT asn.cid AS cluster, qv.i AS dim, " +
+        "CAST(SUM(qv.q) AS BIGINT) AS s, COUNT(*) AS n " +
+        "FROM asn JOIN qv USING (vec_id) GROUP BY 1, 2), " +
+        "upd AS (SELECT cluster, dim, CASE WHEN s >= 0 " +
+        "THEN (2*s + n) // (2*n) " +
+        "ELSE -((2*(-s) + n) // (2*n)) END AS c FROM sums) " +
+        "SELECT cq.cid AS cluster, cq.i AS dim, " +
+        "CAST(COALESCE(upd.c, cq.q) AS BIGINT) AS c_new " +
+        "FROM cq LEFT JOIN upd ON upd.cluster = cq.cid " +
+        "AND upd.dim = cq.i ORDER BY cluster, dim")),
+
     "q_embed_pca" -> Q(
       (spark, dir) => {
         // covariance eigen-spectrum of the embedding corpus (see

@@ -96,6 +96,21 @@ object Kmeans {
   @inline private[graft] def meanQ(sum: Long, n: Long): Long =
     if (sum >= 0) (2 * sum + n) / (2 * n) else -((2 * -sum + n) / (2 * n))
 
+  /** One update round's distributed leg: per-(cluster, dim) exact BIGINT
+    * partial sums + member counts of the quantized corpus assigned to the
+    * given centroids — exactly the aggregation [[lloyd]] collects each
+    * round (and the leg q_embed_kmeans_update hash-pins in DuckDB).
+    */
+  def updateSums(qv: Dataset[KVec],
+      centroids: Array[Array[Long]]): DataFrame = {
+    import qv.sparkSession.implicits._
+    qv.map(v => (nearest(v.q, centroids)._1, v.q))
+      .toDF("cluster", "q")
+      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "qd")))
+      .groupBy("cluster", "dim")
+      .agg(sum(col("qd")).as("s"), count(lit(1)).as("n"))
+  }
+
   /** `iters` Lloyd rounds. Returns the final centroids and the final
     * assignment (vec_id, cluster, d² to the final centroid).
     */
@@ -110,13 +125,7 @@ object Kmeans {
       // one narrow assign+explode pass, k×dim×P map-combined partials,
       // k×dim rows to the driver; empty clusters keep their previous
       // centroid (deterministic — spark.ml would drop them)
-      val sums = qv
-        .map(v => (nearest(v.q, centroids)._1, v.q))
-        .toDF("cluster", "q")
-        .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "qd")))
-        .groupBy("cluster", "dim")
-        .agg(sum(col("qd")).as("s"), count(lit(1)).as("n"))
-        .collect()
+      val sums = updateSums(qv, centroids).collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = meanQ(r.getLong(2), r.getLong(3))
