@@ -18,12 +18,18 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long and floor to
-      // microseconds — exactly what DuckDB's epoch_us sees.
+      // events.ts has shipped as either parquet TIMESTAMP(NANOS) — which
+      // Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) unless read as
+      // long — or native TIMESTAMP(MICROS). Adapt on the actual footer
+      // type: nanos-as-long gets floored to micros (exactly what DuckDB's
+      // epoch_us sees); micros is already the target type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

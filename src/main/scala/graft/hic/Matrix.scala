@@ -353,6 +353,6 @@ object Matrix {
         "SELECT eq.chr, eq.i AS bin, " +
         "CAST(SUM(CAST(eq.wq AS HUGEINT) * r1.v1) AS BIGINT) AS v2 " +
         "FROM eq JOIN r1 ON eq.chr = r1.chr AND eq.j = r1.i " +
-        "GROUP BY eq.chr, eq.i ORDER BY chr, bin"))
+        "GROUP BY eq.chr, eq.i ORDER BY eq.chr, bin"))
   )
 }

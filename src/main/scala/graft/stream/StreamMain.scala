@@ -32,6 +32,9 @@ object StreamMain {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  private val eventsSchemaMicros = StructType(eventsSchema.map(f =>
+    if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k -> v
@@ -66,11 +69,19 @@ object StreamMain {
         // file) — the real "new shard landed" production shape. (The file
         // source wants a DIRECTORY; the driver writes each table as a
         // single file, so glob-filter the events table out of the sf dir.)
+        // match Tables: adapt to nanos-as-long vs native-micros footers
+        // (readStream needs the schema up front, so sniff it via a batch
+        // read of the same file — cheap, footer-only).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.readStream.schema(eventsSchema)
+        val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+          .schema("ts").dataType == LongType
+        val raw = spark.readStream
+          .schema(if (tsIsLong) eventsSchema else eventsSchemaMicros)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        if (tsIsLong)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
       case _ =>
         spark.readStream.format("rate").option("rowsPerSecond", 500).load()
           .select(col("value").as("event_id"), col("timestamp").as("ts"),

@@ -23,7 +23,7 @@ object StreamQueries {
         Tables(spark, dir, "events")
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(valUnits).as("__v"))
-          .select(unix_micros(col("w.start")).as("win_start_us"),
+          .select(Cols.epochUs(col("w.start")).as("win_start_us"),
             col("event_type"), col("n"),
             (col("__v").cast("double") / 1000000.0).as("sum_value"))
           .orderBy("win_start_us", "event_type"),
@@ -39,7 +39,7 @@ object StreamQueries {
           .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
             col("event_type"))
           .agg(count(lit(1)).as("n"))
-          .select(unix_micros(col("w.start")).as("win_start_us"),
+          .select(Cols.epochUs(col("w.start")).as("win_start_us"),
             col("event_type"), col("n"))
           .orderBy("win_start_us", "event_type"),
       // a 1h/15min sliding window always covers each row exactly 4 times:
@@ -56,7 +56,7 @@ object StreamQueries {
             col("user_id"))
           .agg(count(lit(1)).as("n"), sum(valUnits).as("__v"))
           .select(col("user_id"),
-            unix_micros(col("w.start")).as("sess_start_us"),
+            Cols.epochUs(col("w.start")).as("sess_start_us"),
             col("n"),
             (col("__v").cast("double") / 1000000.0).as("sum_value"))
           .orderBy("user_id", "sess_start_us"),
@@ -80,7 +80,7 @@ object StreamQueries {
         // dropDuplicates is deterministic here
         val e = Tables(spark, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
-            unix_micros(col("ts")).as("ts_us"))
+            Cols.epochUs(col("ts")).as("ts_us"))
         e.unionByName(e)
           .dropDuplicates("event_id")
           .orderBy("event_id")
