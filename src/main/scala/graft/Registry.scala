@@ -28,5 +28,6 @@ object Registry {
       llm.EmbedQueries.queries ++
       llm.CorpusStats.queries ++
       llm.SpanDedup.queries ++
+      llm.Selection.queries ++
       stream.StreamQueries.queries
 }

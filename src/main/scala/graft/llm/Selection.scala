@@ -1,0 +1,239 @@
+package graft.llm
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.ops.Cols
+import graft.{Q, Tables}
+
+/** Data-selection operators for a training pipeline: incremental
+  * corpus-membership via a Bloom filter (the "is this new shard's document
+  * already in the 100 TB corpus?" primitive) and DSIR-style hashed-n-gram
+  * importance weights (Xie et al. 2023, "Data Selection for Language
+  * Models via Importance Resampling") for choosing pre-training data that
+  * looks like a target distribution.
+  */
+object Selection {
+
+  /** Spark ships `bloom_filter_agg` / `might_contain` as Catalyst
+    * expressions (they power runtime join filters) but does not expose
+    * them in the public FunctionRegistry — register them for the session.
+    */
+  def registerBloom(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("bloom_filter_agg",
+      (c: Seq[Expression]) => new BloomFilterAggregate(c(0), c(1), c(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction("might_contain",
+      (c: Seq[Expression]) => BloomFilterMightContain(c(0), c(1)),
+      "built-in")
+  }
+
+  /** Distributed Bloom-filter build over `keyCol`: per-partition partial
+    * filters OR-merged by the aggregate — bitwise-commutative, so the
+    * returned bytes are independent of partitioning and row order (pinned
+    * in SelectionSpec). The blob is numBits/8 bytes regardless of input
+    * size; at 100 TB, numBits sizes to corpus-key cardinality (1 % FPP ≈
+    * 9.6 bits/key) and the build stays one map-combined aggregation.
+    */
+  def bloomBuild(keys: DataFrame, keyCol: Column, expectedItems: Long,
+      numBits: Long): Array[Byte] = {
+    registerBloom(keys.sparkSession)
+    keys.select(xxhash64(keyCol).as("__k"))
+      .agg(call_function("bloom_filter_agg", col("__k"),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd membership probe against a built filter: the serialized
+    * filter rides into the plan as a BinaryType literal (deserialized
+    * once per task, Spark's own runtime-filter pattern), so the probe
+    * side is a pure narrow map — no shuffle, no join.
+    */
+  def bloomMightContain(filter: Array[Byte], keyCol: Column): Column =
+    call_function("might_contain", lit(filter), xxhash64(keyCol))
+
+  /** The q_text_clean normalization chain (same expression shape there —
+    * casefold, strip tags, drop non-alphanumerics, collapse whitespace,
+    * trim), reduced to its md5 content address.
+    */
+  private def cleanMd5: Column =
+    md5(trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(col("text")), "<[^>]*>", " "), "[^a-z0-9 ]", ""),
+      " +", " ")).cast("binary"))
+
+  private val cleanMd5Sql: String =
+    "md5(trim(regexp_replace(regexp_replace(regexp_replace(" +
+      "lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), " +
+      "' +', ' ', 'g')))"
+
+  /** Simulated shard split: incoming = every 10th doc, corpus = the rest
+    * (deterministic, engine-agnostic — both sides express it as doc_id
+    * arithmetic).
+    */
+  private val shardMod = 7
+
+  // DSIR hash-bucket count: real DSIR uses 10^4–10^6 buckets; 4096 keeps
+  // the per-bucket count tables broadcast-sized at any corpus scale (the
+  // tables are B rows by construction — corpus size never touches them).
+  private val B = 4096
+
+  /** Deterministic bucket hash both engines compute identically: three
+    * hex chars of md5 via the ascii() device (the same trick
+    * q_dedup_simhash_bands pins), folded mod B. Not murmur — the POINT is
+    * a fixed B-bucket feature hash whose exact function is irrelevant to
+    * the algorithm, only its determinism and spread.
+    */
+  private def bucketCol(c: Column): Column =
+    (ascii(substring(c, 1, 1)) * lit(256) +
+      ascii(substring(c, 2, 1)) * lit(16) +
+      ascii(substring(c, 3, 1))) % lit(B)
+
+  private def bucketSql(e: String): String =
+    s"(ascii(substr($e, 1, 1)) * 256 + ascii(substr($e, 2, 1)) * 16 + " +
+      s"ascii(substr($e, 3, 1))) % $B"
+
+  def queries: Map[String, Q] = Map(
+    "q_dedup_bloom" -> Q(
+      (spark, dir) => {
+        // Incremental corpus dedup, the at-scale shape: ONE distributed
+        // aggregation builds the corpus-side filter (bytes are
+        // partition-order-free), then the incoming shard is probed by a
+        // narrow codegen'd map — the incoming side never shuffles and the
+        // corpus is never joined. might_contain can false-positive
+        // (maybe_in_corpus=true for a genuinely new doc, FPP ~0.004 at
+        // this sizing) but NEVER false-negatives: maybe_in_corpus=false
+        // is a proof the content address is new. SelectionSpec pins
+        // no-false-negatives against the exact join, byte determinism
+        // across partitionings, and the FPP band; the bloom bit array
+        // itself is not SQL-expressible → rows-only, with the twin below
+        // oracle-pinning every other leg of this plan.
+        val keyed = Tables(spark, dir, "documents")
+          .select(col("doc_id"), cleanMd5.as("clean_md5"))
+        val corpus = keyed.filter(col("doc_id") % 10 =!= shardMod)
+        val bytes = bloomBuild(corpus, col("clean_md5"),
+          expectedItems = 1L << 16, numBits = 1L << 20)
+        keyed.filter(col("doc_id") % 10 === shardMod)
+          .select(col("doc_id"), col("clean_md5"),
+            bloomMightContain(bytes, col("clean_md5"))
+              .as("maybe_in_corpus"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    "q_dedup_bloom_exactcheck" -> Q(
+      (spark, dir) => {
+        // Oracle twin for q_dedup_bloom: the SAME shard split, clean-md5
+        // content address, output shape and ordering, with the one
+        // non-SQL-expressible leg (the bloom probe) replaced by exact
+        // membership — a broadcast left-semi-shaped mark join on the
+        // corpus side. Exact-in ⊆ bloom-maybe is the no-false-negative
+        // law SelectionSpec asserts between the two.
+        val keyed = Tables(spark, dir, "documents")
+          .select(col("doc_id"), cleanMd5.as("clean_md5"))
+        val corpusKeys = keyed.filter(col("doc_id") % 10 =!= shardMod)
+          .select(col("clean_md5")).distinct()
+          .withColumn("__in", lit(true))
+        keyed.filter(col("doc_id") % 10 === shardMod)
+          .join(broadcast(corpusKeys), Seq("clean_md5"), "left")
+          .select(col("doc_id"), col("clean_md5"),
+            coalesce(col("__in"), lit(false)).as("in_corpus"))
+          .orderBy("doc_id")
+      },
+      Some("WITH keyed AS (SELECT doc_id, " + cleanMd5Sql +
+        " AS clean_md5 FROM documents) " +
+        "SELECT k.doc_id, k.clean_md5, EXISTS (SELECT 1 FROM keyed c " +
+        s"WHERE c.doc_id % 10 <> $shardMod " +
+        "AND c.clean_md5 = k.clean_md5) AS in_corpus " +
+        s"FROM keyed k WHERE k.doc_id % 10 = $shardMod ORDER BY doc_id")),
+
+    "q_text_importance" -> Q(
+      (spark, dir) => {
+        // DSIR-style importance weight per document: score(d) =
+        // Σ_features mult·[ln p_target(b) − ln p_source(b)] over hashed
+        // word-bigram buckets, target = the corpus's English slice,
+        // source = the whole corpus, add-1 smoothing over the B buckets.
+        // Plan shape is the q_text_perplexity two-shuffle discipline: the
+        // bigram explode reduces to (doc, bucket, mult) once, the
+        // per-bucket count tables are ≤ B rows (broadcast back — corpus
+        // size never reaches them), and the per-doc sum is exact BIGINT
+        // via the quantized-log device: each DISTINCT bucket's llr
+        // becomes ROUND((ln pt − ln ps)·1e6) ONCE, so the order-dependent
+        // float-sum hazard is gone and both engines share one IEEE
+        // expression shape under fround. Ln-parity boundary probe
+        // (round-14, sf0.01): min distance of llr·1e6 to a .5 boundary
+        // across all 4096 buckets is 1.03e-3 ≈ 4.5e12 ulps — last-ulp
+        // libm drift cannot flip a bucket here (same probed assumption
+        // as q_text_perplexity documents).
+        val docs = Tables(spark, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+        val feat = graft.ops.Caches.register(docs
+          .select(col("doc_id"), col("lang"),
+            explode(expr("transform(sequence(0, size(toks) - 2), " +
+              "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bg"))
+          .select(col("doc_id"), col("lang"),
+            bucketCol(md5(col("bg"))).as("hb"))
+          .groupBy("doc_id", "lang", "hb")
+          .agg(count(lit(1)).as("mult"))
+          .persist())
+        val srcCnt = feat.groupBy("hb").agg(sum(col("mult")).as("cs"))
+        val tgtCnt = feat.filter(col("lang") === "en")
+          .groupBy("hb").agg(sum(col("mult")).as("ct"))
+        val totals = srcCnt.agg(sum(col("cs")).as("ts")).crossJoin(
+          tgtCnt.agg(sum(col("ct")).as("tt")))
+        // full B-bucket smoothed tables: buckets unseen in the target (or
+        // even the source) still carry a defined llr — seq 0..B-1 ⟕ counts
+        val llr = spark.range(0, B).select(col("id").cast("int").as("hb"))
+          .join(srcCnt, Seq("hb"), "left")
+          .join(tgtCnt, Seq("hb"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("hb"), expr(
+            "CAST(ROUND((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / " +
+              s"CAST(tt + $B AS DOUBLE)) - " +
+              "ln(CAST(coalesce(cs, 0) + 1 AS DOUBLE) / " +
+              s"CAST(ts + $B AS DOUBLE))) * 1000000, 0) AS BIGINT)")
+            .as("llr_q"))
+        feat.join(broadcast(llr), "hb")
+          .groupBy("doc_id")
+          .agg(sum(col("mult") * col("llr_q")).as("llr_sum_q"),
+            sum(col("mult")).as("n_bg"))
+          .select(col("doc_id"), col("n_bg"), col("llr_sum_q"),
+            Cols.fround(col("llr_sum_q").cast("double") /
+              (col("n_bg").cast("double") * lit(1e6)), 6)
+              .as("importance"))
+          .orderBy("doc_id")
+      },
+      Some("WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') " +
+        "AS t FROM documents), " +
+        "bg AS (SELECT doc_id, lang, " +
+        "unnest(list_transform(generate_series(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1])) AS bg FROM docs WHERE len(t) >= 2), " +
+        "feat AS (SELECT doc_id, lang, " + bucketSql("md5(bg)") +
+        " AS hb, COUNT(*) AS mult FROM bg GROUP BY doc_id, lang, " +
+        bucketSql("md5(bg)") + "), " +
+        "sc AS (SELECT hb, CAST(SUM(mult) AS BIGINT) AS cs FROM feat " +
+        "GROUP BY hb), " +
+        "tc AS (SELECT hb, CAST(SUM(mult) AS BIGINT) AS ct FROM feat " +
+        "WHERE lang = 'en' GROUP BY hb), " +
+        "tot AS (SELECT (SELECT CAST(SUM(cs) AS BIGINT) FROM sc) AS ts, " +
+        "(SELECT CAST(SUM(ct) AS BIGINT) FROM tc) AS tt), " +
+        s"ids AS (SELECT unnest(generate_series(0, ${B - 1})) AS hb), " +
+        "llr AS (SELECT ids.hb, CAST(ROUND((LN(CAST(" +
+        s"coalesce(tc.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + $B " +
+        "AS DOUBLE)) - LN(CAST(coalesce(sc.cs, 0) + 1 AS DOUBLE) / " +
+        s"CAST(tot.ts + $B AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
+        "AS llr_q FROM ids LEFT JOIN sc ON ids.hb = sc.hb " +
+        "LEFT JOIN tc ON ids.hb = tc.hb CROSS JOIN tot), " +
+        "agg AS (SELECT f.doc_id, " +
+        "CAST(SUM(f.mult * l.llr_q) AS BIGINT) AS llr_sum_q, " +
+        "CAST(SUM(f.mult) AS BIGINT) AS n_bg FROM feat f " +
+        "JOIN llr l ON f.hb = l.hb GROUP BY f.doc_id) " +
+        "SELECT doc_id, n_bg, llr_sum_q, " +
+        Cols.froundSql("CAST(llr_sum_q AS DOUBLE) / " +
+          "(CAST(n_bg AS DOUBLE) * 1e6)", 6) +
+        " AS importance FROM agg ORDER BY doc_id"))
+  )
+}

@@ -33,6 +33,14 @@ object Cols {
     floor(c * p + 0.5) / p
   }
 
+  /** JVM-side twin of [[fround]] for spec differentials — the same IEEE
+    * op sequence (mul, add, floor, div) on a plain Double.
+    */
+  def froundDouble(x: Double, k: Int): Double = {
+    val p = math.pow(10, k)
+    math.floor(x * p + 0.5) / p
+  }
+
   /** DuckDB-side twin of [[fround]]; splice around a SQL expression. */
   def froundSql(expr: String, k: Int): String = {
     val p = "1e" + k

@@ -26,6 +26,7 @@ class ContractSpec extends AnyFunSuite with Matchers {
     "llm.EmbedQueries" -> llm.EmbedQueries.queries,
     "llm.CorpusStats" -> llm.CorpusStats.queries,
     "llm.SpanDedup" -> llm.SpanDedup.queries,
+    "llm.Selection" -> llm.Selection.queries,
     "stream.StreamQueries" -> stream.StreamQueries.queries)
 
   test("query names are globally unique across modules") {

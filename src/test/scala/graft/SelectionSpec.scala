@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-14 data-selection operators (llm.Selection): Bloom-filter
+  * incremental corpus membership and DSIR-style importance weights.
+  * The sf corpus has no cross-shard exact duplicates, so the membership
+  * laws are exercised on a planted-duplicate frame here, not just the
+  * declared queries.
+  */
+class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
+  import spark.implicits._
+
+  // 200 synthetic docs with a 157-period content repeat: 157 ∤ 10, so a
+  // duplicate pair (i, i+157) always straddles the id%10==7 shard split —
+  // the incoming shard has genuine cross-shard members AND non-members
+  private def frame = (0L until 200L).map(i => (i, s"content-${i % 157}"))
+    .toDF("doc_id", "key")
+
+  private def split = {
+    val corpus = frame.filter(col("doc_id") % 10 =!= 7)
+    val incoming = frame.filter(col("doc_id") % 10 === 7)
+    (corpus, incoming)
+  }
+
+  test("bloom membership has no false negatives vs exact join") {
+    val (corpus, incoming) = split
+    val bytes = llm.Selection.bloomBuild(corpus, col("key"), 4096L, 65536L)
+    val flags = incoming.select(col("doc_id"), col("key"),
+        llm.Selection.bloomMightContain(bytes, col("key")).as("maybe"))
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    val exact = corpus.select("key").distinct()
+      .collect().map(_.getString(0)).toSet
+    // every exact member MUST be flagged (bloom can never false-negative)
+    flags.foreach { case (k, maybe) =>
+      if (exact(k)) assert(maybe, s"false negative on $k")
+    }
+    // and at this sizing (4k items / 64k bits) the planted split has
+    // genuine members AND genuine non-members, so both branches ran
+    flags.count { case (k, _) => exact(k) } should be > 0
+    flags.count { case (k, _) => !exact(k) } should be > 0
+    // false-positive band: 64k bits for ≤200 keys → FPP ≪ 1 %, and the
+    // non-member keys here number ~20, so expect zero-to-rare FPs
+    val fps = flags.count { case (k, maybe) => maybe && !exact(k) }
+    fps should be <= 1
+  }
+
+  test("bloom bytes are independent of partitioning and row order") {
+    val (corpus, _) = split
+    val a = llm.Selection.bloomBuild(corpus, col("key"), 4096L, 65536L)
+    val b = llm.Selection.bloomBuild(corpus.repartition(13, col("doc_id")),
+      col("key"), 4096L, 65536L)
+    val c = llm.Selection.bloomBuild(
+      corpus.orderBy(desc("doc_id")).coalesce(1), col("key"), 4096L, 65536L)
+    a should equal(b)
+    a should equal(c)
+  }
+
+  test("declared bloom query obeys the no-false-negative law vs its twin") {
+    val dir = "/root/testdata/sf0.001"
+    val bloom = Registry.all("q_dedup_bloom").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val exact = Registry.all("q_dedup_bloom_exactcheck").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    bloom.keySet should equal(exact.keySet)
+    exact.foreach { case (id, in) =>
+      if (in) assert(bloom(id), s"false negative on doc $id")
+    }
+    ops.Caches.drain()
+  }
+
+  test("importance weights: sign follows target affinity, exact sums") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Registry.all("q_text_importance").fn(spark, dir)
+      .join(Tables(spark, dir, "documents").select("doc_id", "lang"),
+        "doc_id")
+      .select("lang", "llr_sum_q", "n_bg", "importance")
+      .collect()
+    rows.length should be > 0
+    // DSIR law at the distribution level: target-language docs must score
+    // higher on average than non-target (their features ARE the target
+    // distribution) — a sign/wiring check that catches swapped numerators
+    val (en, rest) = rows.partition(_.getString(0) == "en")
+    val avg = (xs: Array[org.apache.spark.sql.Row]) =>
+      xs.map(_.getDouble(3)).sum / xs.length
+    en.length should be > 0
+    rest.length should be > 0
+    avg(en) should be > avg(rest)
+    // importance is exactly llr_sum_q / (n_bg · 1e6) under fround 6 —
+    // the float leg is one expression over exact integers
+    rows.foreach { r =>
+      val recomputed = ops.Cols.froundDouble(
+        r.getLong(1).toDouble / (r.getLong(2).toDouble * 1e6), 6)
+      r.getDouble(3) shouldBe recomputed
+    }
+    ops.Caches.drain()
+  }
+}
