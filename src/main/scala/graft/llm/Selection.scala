@@ -95,6 +95,77 @@ object Selection {
     s"(ascii(substr($e, 1, 1)) * 256 + ascii(substr($e, 2, 1)) * 16 + " +
       s"ascii(substr($e, 3, 1))) % $B"
 
+  /** Shared DSIR scoring kernel: (doc_id, n_bg, llr_sum_q) — exact BIGINT
+    * per-doc sums over the B-bucket quantized-llr table. Consumed by both
+    * q_text_importance (weights) and q_sample_importance (resampling).
+    */
+  private def importanceScores(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+    val feat = graft.ops.Caches.register(docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        bucketCol(md5(col("bg"))).as("hb"))
+      .groupBy("doc_id", "lang", "hb")
+      .agg(count(lit(1)).as("mult"))
+      .persist())
+    val srcCnt = feat.groupBy("hb").agg(sum(col("mult")).as("cs"))
+    val tgtCnt = feat.filter(col("lang") === "en")
+      .groupBy("hb").agg(sum(col("mult")).as("ct"))
+    val totals = srcCnt.agg(sum(col("cs")).as("ts")).crossJoin(
+      tgtCnt.agg(sum(col("ct")).as("tt")))
+    // full B-bucket smoothed tables: buckets unseen in the target (or
+    // even the source) still carry a defined llr — seq 0..B-1 ⟕ counts
+    val llr = spark.range(0, B).select(col("id").cast("int").as("hb"))
+      .join(srcCnt, Seq("hb"), "left")
+      .join(tgtCnt, Seq("hb"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("hb"), expr(
+        "CAST(ROUND((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / " +
+          s"CAST(tt + $B AS DOUBLE)) - " +
+          "ln(CAST(coalesce(cs, 0) + 1 AS DOUBLE) / " +
+          s"CAST(ts + $B AS DOUBLE))) * 1000000, 0) AS BIGINT)")
+        .as("llr_q"))
+    feat.join(broadcast(llr), "hb")
+      .groupBy("doc_id")
+      .agg(sum(col("mult") * col("llr_q")).as("llr_sum_q"),
+        sum(col("mult")).as("n_bg"))
+  }
+
+  /** DuckDB twin of [[importanceScores]]: the WITH-body producing `agg`
+    * (doc_id, llr_sum_q, n_bg) — spliced into both importance oracles.
+    */
+  private val importanceCtes: String =
+    "docs AS (SELECT doc_id, lang, string_split(text, ' ') " +
+      "AS t FROM documents), " +
+      "bg AS (SELECT doc_id, lang, " +
+      "unnest(list_transform(generate_series(1, len(t) - 1), " +
+      "i -> t[i] || ' ' || t[i+1])) AS bg FROM docs WHERE len(t) >= 2), " +
+      "feat AS (SELECT doc_id, lang, " + bucketSql("md5(bg)") +
+      " AS hb, COUNT(*) AS mult FROM bg GROUP BY doc_id, lang, " +
+      bucketSql("md5(bg)") + "), " +
+      "sc AS (SELECT hb, CAST(SUM(mult) AS BIGINT) AS cs FROM feat " +
+      "GROUP BY hb), " +
+      "tc AS (SELECT hb, CAST(SUM(mult) AS BIGINT) AS ct FROM feat " +
+      "WHERE lang = 'en' GROUP BY hb), " +
+      "tot AS (SELECT (SELECT CAST(SUM(cs) AS BIGINT) FROM sc) AS ts, " +
+      "(SELECT CAST(SUM(ct) AS BIGINT) FROM tc) AS tt), " +
+      s"ids AS (SELECT unnest(generate_series(0, ${B - 1})) AS hb), " +
+      "llr AS (SELECT ids.hb, CAST(ROUND((LN(CAST(" +
+      s"coalesce(tc.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + $B " +
+      "AS DOUBLE)) - LN(CAST(coalesce(sc.cs, 0) + 1 AS DOUBLE) / " +
+      s"CAST(tot.ts + $B AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
+      "AS llr_q FROM ids LEFT JOIN sc ON ids.hb = sc.hb " +
+      "LEFT JOIN tc ON ids.hb = tc.hb CROSS JOIN tot), " +
+      "agg AS (SELECT f.doc_id, " +
+      "CAST(SUM(f.mult * l.llr_q) AS BIGINT) AS llr_sum_q, " +
+      "CAST(SUM(f.mult) AS BIGINT) AS n_bg FROM feat f " +
+      "JOIN llr l ON f.hb = l.hb GROUP BY f.doc_id)"
+
   def queries: Map[String, Q] = Map(
     "q_dedup_bloom" -> Q(
       (spark, dir) => {
@@ -167,73 +238,75 @@ object Selection {
         // across all 4096 buckets is 1.03e-3 ≈ 4.5e12 ulps — last-ulp
         // libm drift cannot flip a bucket here (same probed assumption
         // as q_text_perplexity documents).
-        val docs = Tables(spark, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 2)
-        val feat = graft.ops.Caches.register(docs
-          .select(col("doc_id"), col("lang"),
-            explode(expr("transform(sequence(0, size(toks) - 2), " +
-              "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bg"))
-          .select(col("doc_id"), col("lang"),
-            bucketCol(md5(col("bg"))).as("hb"))
-          .groupBy("doc_id", "lang", "hb")
-          .agg(count(lit(1)).as("mult"))
-          .persist())
-        val srcCnt = feat.groupBy("hb").agg(sum(col("mult")).as("cs"))
-        val tgtCnt = feat.filter(col("lang") === "en")
-          .groupBy("hb").agg(sum(col("mult")).as("ct"))
-        val totals = srcCnt.agg(sum(col("cs")).as("ts")).crossJoin(
-          tgtCnt.agg(sum(col("ct")).as("tt")))
-        // full B-bucket smoothed tables: buckets unseen in the target (or
-        // even the source) still carry a defined llr — seq 0..B-1 ⟕ counts
-        val llr = spark.range(0, B).select(col("id").cast("int").as("hb"))
-          .join(srcCnt, Seq("hb"), "left")
-          .join(tgtCnt, Seq("hb"), "left")
-          .crossJoin(broadcast(totals))
-          .select(col("hb"), expr(
-            "CAST(ROUND((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / " +
-              s"CAST(tt + $B AS DOUBLE)) - " +
-              "ln(CAST(coalesce(cs, 0) + 1 AS DOUBLE) / " +
-              s"CAST(ts + $B AS DOUBLE))) * 1000000, 0) AS BIGINT)")
-            .as("llr_q"))
-        feat.join(broadcast(llr), "hb")
-          .groupBy("doc_id")
-          .agg(sum(col("mult") * col("llr_q")).as("llr_sum_q"),
-            sum(col("mult")).as("n_bg"))
+        importanceScores(spark, dir)
           .select(col("doc_id"), col("n_bg"), col("llr_sum_q"),
             Cols.fround(col("llr_sum_q").cast("double") /
               (col("n_bg").cast("double") * lit(1e6)), 6)
               .as("importance"))
           .orderBy("doc_id")
       },
-      Some("WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') " +
-        "AS t FROM documents), " +
-        "bg AS (SELECT doc_id, lang, " +
-        "unnest(list_transform(generate_series(1, len(t) - 1), " +
-        "i -> t[i] || ' ' || t[i+1])) AS bg FROM docs WHERE len(t) >= 2), " +
-        "feat AS (SELECT doc_id, lang, " + bucketSql("md5(bg)") +
-        " AS hb, COUNT(*) AS mult FROM bg GROUP BY doc_id, lang, " +
-        bucketSql("md5(bg)") + "), " +
-        "sc AS (SELECT hb, CAST(SUM(mult) AS BIGINT) AS cs FROM feat " +
-        "GROUP BY hb), " +
-        "tc AS (SELECT hb, CAST(SUM(mult) AS BIGINT) AS ct FROM feat " +
-        "WHERE lang = 'en' GROUP BY hb), " +
-        "tot AS (SELECT (SELECT CAST(SUM(cs) AS BIGINT) FROM sc) AS ts, " +
-        "(SELECT CAST(SUM(ct) AS BIGINT) FROM tc) AS tt), " +
-        s"ids AS (SELECT unnest(generate_series(0, ${B - 1})) AS hb), " +
-        "llr AS (SELECT ids.hb, CAST(ROUND((LN(CAST(" +
-        s"coalesce(tc.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + $B " +
-        "AS DOUBLE)) - LN(CAST(coalesce(sc.cs, 0) + 1 AS DOUBLE) / " +
-        s"CAST(tot.ts + $B AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
-        "AS llr_q FROM ids LEFT JOIN sc ON ids.hb = sc.hb " +
-        "LEFT JOIN tc ON ids.hb = tc.hb CROSS JOIN tot), " +
-        "agg AS (SELECT f.doc_id, " +
-        "CAST(SUM(f.mult * l.llr_q) AS BIGINT) AS llr_sum_q, " +
-        "CAST(SUM(f.mult) AS BIGINT) AS n_bg FROM feat f " +
-        "JOIN llr l ON f.hb = l.hb GROUP BY f.doc_id) " +
-        "SELECT doc_id, n_bg, llr_sum_q, " +
+      Some("WITH " + importanceCtes +
+        " SELECT doc_id, n_bg, llr_sum_q, " +
         Cols.froundSql("CAST(llr_sum_q AS DOUBLE) / " +
           "(CAST(n_bg AS DOUBLE) * 1e6)", 6) +
-        " AS importance FROM agg ORDER BY doc_id"))
+        " AS importance FROM agg ORDER BY doc_id")),
+
+    "q_sample_importance" -> Q(
+      (spark, dir) => {
+        // The DSIR resampling step itself: sample-without-replacement
+        // ∝ exp(score) via Gumbel-top-k — key = score + Gumbel(0,1),
+        // take the K largest. Randomness is a SEEDED engine-agnostic
+        // device (the md5-hex→uniform lift below, u = (v+0.5)/16^6 from
+        // the doc_id's hex digits), so both engines draw the SAME noise
+        // and the selection is reproducible run-to-run and across
+        // partitionings — the property an at-scale pipeline needs to
+        // resume a selection job. score = length-normalized importance
+        // (llr_sum_q/(n_bg·1e6), the q_text_importance weight) so
+        // selection isn't dominated by document length. TakeOrdered K —
+        // never a global sort. Float-parity: the key is one shared IEEE
+        // expression over exact integers; ordering can only diverge if
+        // two keys sit within a ulp — probed at sf0.01 (round 14): min
+        // adjacent key gap over ALL 500 keys is 1.8e-5 (≈ 8e10 ulps),
+        // the K=64 boundary gap is 4.2e-3, and the top-64's fround
+        // emissions sit ≥ 1.5e-3 from a .5 boundary — last-ulp libm
+        // drift cannot flip a rank or a rounded digit here.
+        val K = 64
+        val scored = importanceScores(spark, dir)
+        val u = (expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS " +
+          "STRING) AS BINARY)), 1, 6), 16, 10) AS BIGINT)")
+          .cast("double") + lit(0.5)) / lit(16777216.0)
+        scored
+          .withColumn("gkey",
+            col("llr_sum_q").cast("double") /
+              (col("n_bg").cast("double") * lit(1e6)) -
+              log(-log(u)))
+          .orderBy(desc("gkey"), asc("doc_id"))
+          .limit(K)
+          .select(col("doc_id"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(desc("gkey"), asc("doc_id"))).as("rk"),
+            Cols.fround(col("gkey"), 6).as("gumbel_key"))
+          .orderBy("rk")
+      },
+      Some {
+        // DuckDB's md5 hex digits → the same uniform: hex char value =
+        // ascii − 48 − 39·[ascii ≥ 97] (digits vs a-f), horner-folded
+        val hx = (i: Int) =>
+          s"(ascii(substr(h, $i, 1)) - 48 - " +
+            s"CASE WHEN ascii(substr(h, $i, 1)) >= 97 THEN 39 ELSE 0 END)"
+        val v = (1 to 6).map(i => s"${hx(i)} * ${1L << ((6 - i) * 4)}")
+          .mkString(" + ")
+        "WITH " + importanceCtes + ", " +
+          "hsh AS (SELECT doc_id, llr_sum_q, n_bg, " +
+          "md5(CAST(doc_id AS VARCHAR)) AS h FROM agg), " +
+          s"keyed AS (SELECT doc_id, (CAST($v AS DOUBLE) + 0.5) / " +
+          "16777216.0 AS u, CAST(llr_sum_q AS DOUBLE) / " +
+          "(CAST(n_bg AS DOUBLE) * 1e6) AS sc FROM hsh), " +
+          "rk AS (SELECT doc_id, sc - LN(-LN(u)) AS gkey FROM keyed " +
+          "ORDER BY gkey DESC, doc_id LIMIT 64) " +
+          "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY gkey DESC, " +
+          "doc_id) AS INT) AS rk, " + Cols.froundSql("gkey", 6) +
+          " AS gumbel_key FROM rk ORDER BY rk"
+      })
   )
 }

@@ -71,6 +71,27 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     ops.Caches.drain()
   }
 
+  test("gumbel resample: seeded, size-K, drawn from the importance pool") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Registry.all("q_sample_importance").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    ops.Caches.drain()
+    val b = Registry.all("q_sample_importance").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    ops.Caches.drain()
+    // seeded noise → the selection is bit-reproducible run to run
+    a should equal(b)
+    a.length shouldBe 64
+    a.map(_._2).toSeq shouldBe (1 to 64)
+    // keys strictly descend in rank order (the probed gap law means no
+    // ties at this SF; a tie would break the oracle hash anyway)
+    a.map(_._3).toSeq shouldBe a.map(_._3).sorted.reverse
+    val pool = Registry.all("q_text_importance").fn(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    a.foreach { case (id, _, _) => pool should contain(id) }
+    ops.Caches.drain()
+  }
+
   test("importance weights: sign follows target affinity, exact sums") {
     val dir = "/root/testdata/sf0.001"
     val rows = Registry.all("q_text_importance").fn(spark, dir)
