@@ -298,4 +298,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "SortMergeJoin"
     p should not include "SinglePartition"
   }
+
+  test("bloom probe side is join-free (filter rides in as a literal)") {
+    val p = plan("q_dedup_bloom")
+    // the corpus never joins the incoming shard: the built filter is a
+    // BinaryType literal probed by a narrow map — the output sort's
+    // range exchange is the only data movement
+    p should not include "Join"
+    p should include("might_contain")
+    ops.Caches.drain()
+  }
+
+  test("importance: llr table broadcasts back; no fact-fact join") {
+    val p = plan("q_text_importance")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    ops.Caches.drain()
+  }
+
+  test("importance resample leaves as TakeOrdered K, no global sort") {
+    val p = plan("q_sample_importance")
+    p should include("TakeOrderedAndProject")
+    ops.Caches.drain()
+  }
 }
