@@ -321,5 +321,60 @@ object CorpusStats {
             length(col("token")).as("n_chars"))
           .orderBy(desc("n_occ"), asc("token"))
       },
-      None))
+      None),
+
+    "q_text_entropy" -> Q(
+      (spark, dir) => {
+        // per-document character Shannon entropy — the classic gibberish
+        // / binary-junk detector a quality pipeline thresholds (CCNet,
+        // RefinedWeb class): H(d) = −Σ_c (n_c/N)·ln(n_c/N) in nats.
+        // Spark shape: the char explode reduces to (doc, ch, mult) in
+        // ONE hash aggregation; each DISTINCT (doc, ch) gets its
+        // quantized log-prob ROUND(ln(mult/N)·1e6) ONCE (the same
+        // exact-integer device as q_text_perplexity — per-doc sums are
+        // order-free BIGINT), and a single repartition on doc_id serves
+        // both the N window and the final per-doc sum (the span-coverage
+        // exchange-fusion discipline). Ln-parity boundary probe
+        // (round-14, sf0.01): min distance of ln(mult/N)·1e6 to a .5
+        // boundary across all 11 989 (doc, ch) rows is 3.3e-5 ≈ 1.7e4
+        // ulps at the ~1e7 operand magnitude — a last-ulp (≤ 2 ulp)
+        // libm divergence cannot flip a quantized row.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+        val chDoc = Tables(spark, dir, "documents")
+          .filter(length(col("text")) >= 1)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, char_length(text)), " +
+              "i -> substring(text, i, 1))")).as("ch"))
+          .repartition(col("doc_id"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("mult"))
+        chDoc
+          .withColumn("n", sum(col("mult")).over(w))
+          .select(col("doc_id"), col("n"),
+            (col("mult") * expr("CAST(ROUND(ln(CAST(mult AS DOUBLE) / " +
+              "CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)")).as("t"))
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("n_chars"), (-sum(col("t"))).as("ent_q"))
+          .select(col("doc_id"), col("n_chars"), col("ent_q"),
+            graft.ops.Cols.fround(col("ent_q").cast("double") /
+              (col("n_chars").cast("double") * lit(1e6)), 6)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("WITH ix AS (SELECT doc_id, text, " +
+        "unnest(generate_series(1, length(text))) AS i FROM documents " +
+        "WHERE length(text) >= 1), " +
+        "cd AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch, " +
+        "COUNT(*) AS mult FROM ix GROUP BY doc_id, ch), " +
+        "wn AS (SELECT doc_id, ch, mult, " +
+        "CAST(SUM(mult) OVER (PARTITION BY doc_id) AS BIGINT) AS n " +
+        "FROM cd), " +
+        "agg AS (SELECT doc_id, MAX(n) AS n_chars, " +
+        "-CAST(SUM(mult * CAST(ROUND(LN(CAST(mult AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)) AS BIGINT) " +
+        "AS ent_q FROM wn GROUP BY doc_id) " +
+        "SELECT doc_id, n_chars, ent_q, " +
+        graft.ops.Cols.froundSql("CAST(ent_q AS DOUBLE) / " +
+          "(CAST(n_chars AS DOUBLE) * 1e6)", 6) +
+        " AS entropy FROM agg ORDER BY doc_id")))
 }

@@ -95,6 +95,28 @@ object Selection {
     s"(ascii(substr($e, 1, 1)) * 256 + ascii(substr($e, 2, 1)) * 16 + " +
       s"ascii(substr($e, 3, 1))) % $B"
 
+  /** W=8 token-window md5 keys per doc — the SAME window device as
+    * SpanDedup (`md5(concat_ws(' ', slice(toks, i+1, W)))`), emitted here
+    * with the doc_id for the shard-split bloom/contamination queries.
+    */
+  private val W = 8
+
+  private def spanKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(toks) - $W), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $W))))"))
+          .as("win_md5"))
+
+  private val spanKeysSql: String =
+    "w AS (SELECT doc_id, " +
+      s"md5(array_to_string(toks[i : i + ${W - 1}], ' ')) AS win_md5 " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS toks " +
+      s"FROM documents WHERE len(string_split(text, ' ')) >= $W), " +
+      s"unnest(generate_series(1, len(toks) - ${W - 1})) AS s(i))"
+
   /** Shared DSIR scoring kernel: (doc_id, n_bg, llr_sum_q) — exact BIGINT
     * per-doc sums over the B-bucket quantized-llr table. Consumed by both
     * q_text_importance (weights) and q_sample_importance (resampling).
@@ -219,6 +241,70 @@ object Selection {
         s"WHERE c.doc_id % 10 <> $shardMod " +
         "AND c.clean_md5 = k.clean_md5) AS in_corpus " +
         s"FROM keyed k WHERE k.doc_id % 10 = $shardMod ORDER BY doc_id")),
+
+    "q_dedup_bloom_spans" -> Q(
+      (spark, dir) => {
+        // Span-granular incremental contamination — the join-free scale
+        // path for "does this new shard copy any W-token span already in
+        // the corpus?" (the q_text_contamination question, asked against
+        // the WHOLE corpus instead of a small eval set, where a join
+        // would shuffle corpus-sized window tables). One aggregation
+        // builds the filter over the corpus's window keys (the SAME
+        // W=8 md5-window device as SpanDedup); the incoming shard's
+        // windows are probed by the literal-riding might_contain map and
+        // reduced per-doc to an exact-integer hit ppm. maybe-hit can
+        // false-positive (ppm is an upper bound — safe direction for a
+        // drop decision) but never false-negative: ppm=0 proves the doc
+        // shares no W-token span with the corpus. Rows-only; the twin
+        // below swaps the probe for exact membership (full oracle) and
+        // SelectionSpec asserts the per-doc upper-bound law.
+        val keyed = spanKeys(spark, dir)
+        val corpus = keyed.filter(col("doc_id") % 10 =!= shardMod)
+        val bytes = bloomBuild(corpus, col("win_md5"),
+          expectedItems = 1L << 20, numBits = 1L << 23)
+        keyed.filter(col("doc_id") % 10 === shardMod)
+          .select(col("doc_id"),
+            bloomMightContain(bytes, col("win_md5")).cast("long")
+              .as("hit"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_win"), sum(col("hit")).as("n_hit"))
+          .select(col("doc_id"), col("n_win"), col("n_hit"),
+            expr("(n_hit * 1000000L) div n_win").as("hit_ppm"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    "q_dedup_bloom_spans_exactcheck" -> Q(
+      (spark, dir) => {
+        // Oracle twin: the SAME shard split, window device, per-doc
+        // reduction and output shape, with the bloom probe replaced by
+        // exact window membership (left join against the corpus's
+        // distinct window keys — broadcast at test SF, a key-partitioned
+        // semi-join at scale). Exact ppm ≤ bloom ppm per doc is the
+        // upper-bound law SelectionSpec asserts.
+        val keyed = spanKeys(spark, dir)
+        val corpusWins = keyed.filter(col("doc_id") % 10 =!= shardMod)
+          .select("win_md5").distinct().withColumn("__in", lit(1L))
+        keyed.filter(col("doc_id") % 10 === shardMod)
+          .join(broadcast(corpusWins), Seq("win_md5"), "left")
+          .select(col("doc_id"), coalesce(col("__in"), lit(0L)).as("hit"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_win"), sum(col("hit")).as("n_hit"))
+          .select(col("doc_id"), col("n_win"), col("n_hit"),
+            expr("(n_hit * 1000000L) div n_win").as("hit_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + spanKeysSql + " " +
+        "SELECT k.doc_id, COUNT(*) AS n_win, " +
+        "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM w c WHERE " +
+        s"c.doc_id % 10 <> $shardMod AND c.win_md5 = k.win_md5) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "(CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM w c WHERE " +
+        s"c.doc_id % 10 <> $shardMod AND c.win_md5 = k.win_md5) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) " +
+        "AS hit_ppm " +
+        s"FROM w k WHERE k.doc_id % 10 = $shardMod " +
+        "GROUP BY k.doc_id ORDER BY doc_id")),
 
     "q_text_importance" -> Q(
       (spark, dir) => {

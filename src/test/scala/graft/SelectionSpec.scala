@@ -71,6 +71,59 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     ops.Caches.drain()
   }
 
+  test("span bloom: per-doc hit counts upper-bound the exact twin") {
+    val dir = "/root/testdata/sf0.001"
+    val bloom = Registry.all("q_dedup_bloom_spans").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    ops.Caches.drain()
+    val exact = Registry.all("q_dedup_bloom_spans_exactcheck")
+      .fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    ops.Caches.drain()
+    bloom.keySet should equal(exact.keySet)
+    exact.foreach { case (id, (nWin, nHit)) =>
+      bloom(id)._1 shouldBe nWin
+      // bloom can over-count (false positives) but never under-count
+      bloom(id)._2 should be >= nHit
+    }
+    // the sf corpora DO share spans cross-shard (unlike whole-doc
+    // content addresses) — the membership branch runs on real data
+    exact.values.map(_._2).sum should be > 0L
+  }
+
+  test("entropy: bounds, exact reconstruction, uniform-text law") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Registry.all("q_text_entropy").fn(spark, dir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val ent = r.getDouble(3)
+      // 0 ≤ H ≤ ln(n): entropy of n chars can't exceed log of the count
+      ent should be >= 0.0
+      ent should be <= math.log(n.toDouble) + 1e-6
+      // output column is exactly the quantized sum re-divided
+      ent shouldBe ops.Cols.froundDouble(
+        r.getLong(2).toDouble / (n.toDouble * 1e6), 6)
+    }
+    // naive JVM differential on the same docs: group chars, apply the
+    // identical quantization, exact integer sum — must match bit-for-bit
+    val texts = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, entQ) =>
+      // codepoint-based like Spark/DuckDB substr, not UTF-16 units
+      val cs = texts(id).codePoints().toArray.toSeq
+        .groupBy(identity).values.map(_.size.toLong)
+      val n = cs.sum
+      val naive = -cs.map(m =>
+        m * math.round(math.log(m.toDouble / n.toDouble) * 1e6)).sum
+      entQ shouldBe naive
+    }
+  }
+
   test("gumbel resample: seeded, size-K, drawn from the importance pool") {
     val dir = "/root/testdata/sf0.001"
     val a = Registry.all("q_sample_importance").fn(spark, dir).collect()
