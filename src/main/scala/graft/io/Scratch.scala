@@ -15,7 +15,15 @@ object Scratch {
   private val counter = new AtomicLong()
 
   private lazy val base: Path = {
-    val p = Files.createTempDirectory("graft_scratch_")
+    // Prefer a tmpfs mount when one exists: the sink/roundtrip queries
+    // time a full table write + re-read, and /tmp on a shared spinning
+    // root has produced a load-noise driver flag every round (BASELINE
+    // r9 orc, r10 orc, r11 csv). Output content is identical either way.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, "graft_scratch_")
+      else Files.createTempDirectory("graft_scratch_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
     p
   }

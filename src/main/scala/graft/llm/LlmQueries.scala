@@ -747,6 +747,108 @@ object LlmQueries {
         "AS frame_idx FROM documents WHERE n_chars >= 192) " +
         "ORDER BY media_id, frame_idx")),
 
+    "q_multimodal_decode" -> Q(
+      (spark, dir) => {
+        // REAL byte-range container parsing (replaces one consumer of the
+        // Multimodal.decodeStub): each doc's text bytes are packed into a
+        // fixed-layout length-prefixed container — magic 'GF' (2 B) +
+        // big-endian frame count (2 B) + a directory of 3 big-endian
+        // 2-byte frame lengths + the frame payloads — and then PARSED
+        // back from the opaque container alone: magic check, count read,
+        // per-frame length from the directory, frame offset = header +
+        // running sum of prior lengths (a bounded per-media window —
+        // the stbl-atom shape of real media containers). The container
+        // is modeled in hex-space (2 chars = 1 byte; this DuckDB build
+        // has no BLOB substring/md5, and hex-space keeps every byte
+        // offset oracle-checkable verbatim) — the parse arithmetic is
+        // byte arithmetic throughout, doubled at the substring. All
+        // narrow codegen'd string expressions; the only exchanges are
+        // the 3-row-per-media window and the output sort.
+        // uppercase hex digit → value: ascii − 48 − 7·[ascii ≥ 65]
+        def hexd(c: String): String =
+          s"(ascii($c) - 48 - CASE WHEN ascii($c) >= 65 THEN 7 ELSE 0 END)"
+        def hexint(s: String, off: String): String =
+          s"(((${hexd(s"substring($s, $off, 1)")} * 16 + " +
+            s"${hexd(s"substring($s, ($off) + 1, 1)")}) * 16 + " +
+            s"${hexd(s"substring($s, ($off) + 2, 1)")}) * 16 + " +
+            s"${hexd(s"substring($s, ($off) + 3, 1)")})"
+        val F = 3
+        // build: body hex, then the container
+        val packed = Tables(spark, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            hex(col("text").cast("binary")).as("body"),
+            length(col("text").cast("binary")).as("nb"))
+          .filter(col("nb") >= 64)
+          .select(col("media_id"), expr(
+            "concat('4746', lpad(hex(3), 4, '0'), " +
+              (1 to F).map(i => s"lpad(hex(8 + (nb + 13*$i) % 24), 4, '0')")
+                .mkString(", ") + ", " +
+              (1 to F).map(i =>
+                s"substring(body, (($i*31) % greatest(1, nb - " +
+                  s"(8 + (nb + 13*$i) % 24)))*2 + 1, " +
+                  s"(8 + (nb + 13*$i) % 24)*2)").mkString(", ") + ")")
+            .as("container"))
+        // parse: ONLY the container column is consumed from here on
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("frame_idx")
+        packed
+          .filter(expr("substring(container, 1, 4) = '4746'"))
+          .select(col("media_id"), col("container"),
+            explode(expr(
+              s"sequence(1, ${hexint("container", "5")})")).as("frame_idx"))
+          .select(col("media_id"), col("container"), col("frame_idx"),
+            expr(hexint("container", "9 + 4*(frame_idx - 1)"))
+              .as("frame_len"))
+          .withColumn("data_start",
+            lit(9) + lit(4) * expr(hexint("container", "5")))
+          .withColumn("frame_off", col("data_start") +
+            (sum(col("frame_len")).over(w) - col("frame_len")) * 2)
+          .select(col("media_id"), col("frame_idx"), col("frame_len"),
+            ((col("frame_off") - 1) / 2).cast("long").as("frame_off_bytes"),
+            md5(expr("substring(container, frame_off, frame_len*2)"))
+              .as("frame_md5"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some {
+        def hexd(c: String): String =
+          s"(ascii($c) - 48 - CASE WHEN ascii($c) >= 65 THEN 7 ELSE 0 END)"
+        def hexint(s: String, off: String): String =
+          s"(((${hexd(s"substring($s, $off, 1)")} * 16 + " +
+            s"${hexd(s"substring($s, ($off) + 1, 1)")}) * 16 + " +
+            s"${hexd(s"substring($s, ($off) + 2, 1)")}) * 16 + " +
+            s"${hexd(s"substring($s, ($off) + 3, 1)")})"
+        "WITH src AS (SELECT doc_id AS media_id, " +
+          "hex(encode(text)) AS body, " +
+          "octet_length(encode(text)) AS nb FROM documents " +
+          "WHERE octet_length(encode(text)) >= 64), " +
+          "packed AS (SELECT media_id, '4746' || lpad(hex(3), 4, '0') || " +
+          (1 to 3).map(i => s"lpad(hex(8 + (nb + 13*$i) % 24), 4, '0')")
+            .mkString(" || ") + " || " +
+          (1 to 3).map(i =>
+            s"substring(body, (($i*31) % greatest(1, nb - " +
+              s"(8 + (nb + 13*$i) % 24)))*2 + 1, " +
+              s"(8 + (nb + 13*$i) % 24)*2)").mkString(" || ") +
+          " AS container FROM src), " +
+          "idx AS (SELECT media_id, container, " +
+          "unnest(generate_series(1, " + hexint("container", "5") +
+          ")) AS frame_idx FROM packed " +
+          "WHERE substring(container, 1, 4) = '4746'), " +
+          "lens AS (SELECT media_id, container, frame_idx, " +
+          hexint("container", "9 + 4*(frame_idx - 1)") + " AS frame_len, " +
+          "9 + 4*" + hexint("container", "5") + " AS data_start " +
+          "FROM idx), " +
+          "offs AS (SELECT media_id, container, frame_idx, frame_len, " +
+          "data_start + (SUM(frame_len) OVER (PARTITION BY media_id " +
+          "ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "CURRENT ROW) - frame_len) * 2 AS frame_off FROM lens) " +
+          "SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, " +
+          "CAST(frame_len AS INT) AS frame_len, " +
+          "CAST((frame_off - 1) // 2 AS BIGINT) AS frame_off_bytes, " +
+          "md5(substring(container, CAST(frame_off AS INT), " +
+          "frame_len*2)) AS frame_md5 " +
+          "FROM offs ORDER BY media_id, frame_idx"
+      }),
+
     "q_text_contamination" -> Q(
       (spark, dir) => {
         // benchmark-contamination check: eval set = doc_id % 20 == 0 AND

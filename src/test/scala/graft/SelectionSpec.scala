@@ -71,6 +71,48 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     ops.Caches.drain()
   }
 
+  test("container decode: naive JVM pack+parse agrees frame-for-frame") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Registry.all("q_multimodal_decode").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getString(4))).toMap
+    // independent reimplementation of the container format over the raw
+    // bytes: pack 3 length-prefixed frames, then parse by offset walk
+    val texts = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    var checked = 0
+    texts.foreach { case (id, text) =>
+      val body = text.getBytes("UTF-8")
+        .map(b => f"${b & 0xff}%02X").mkString
+      val nb = body.length / 2
+      if (nb >= 64) {
+        val lens = (1 to 3).map(i => 8 + (nb + 13 * i) % 24)
+        val dirHex = lens.map(l => f"$l%04X").mkString
+        val frames = (1 to 3).map { i =>
+          val off = (i * 31) % math.max(1, nb - lens(i - 1))
+          body.substring(off * 2, off * 2 + lens(i - 1) * 2)
+        }
+        val container = "4746" + "0003" + dirHex + frames.mkString
+        var cursor = 4 + 4 + 12 // hex chars consumed by header + dir
+        (1 to 3).foreach { i =>
+          val (gl, goff, gmd5) = got((id, i))
+          gl shouldBe lens(i - 1)
+          goff shouldBe cursor / 2
+          gmd5 shouldBe md5Hex(
+            container.substring(cursor, cursor + lens(i - 1) * 2))
+          cursor += lens(i - 1) * 2
+          checked += 1
+        }
+      }
+    }
+    checked should be > 0
+    got.size shouldBe checked
+  }
+
   test("span bloom: per-doc hit counts upper-bound the exact twin") {
     val dir = "/root/testdata/sf0.001"
     val bloom = Registry.all("q_dedup_bloom_spans").fn(spark, dir)
