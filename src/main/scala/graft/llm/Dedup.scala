@@ -202,7 +202,13 @@ object Dedup {
     * Returns (doc_id, cluster) with cluster = min doc_id of the component.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50, maxDriverEdges: Long = 1000000L): DataFrame = {
+      maxIters: Int = 50,
+      // dev knob: SPARK_GRAFT_CC_MAXDRIVER=0 forces the distributed
+      // min-label-propagation branch on fixtures whose edge lists would
+      // otherwise take the driver union-find path (the 64× scale probe —
+      // both branches are pinned label-identical in DomainSpec)
+      maxDriverEdges: Long = sys.env.get("SPARK_GRAFT_CC_MAXDRIVER")
+        .map(_.toLong).getOrElse(1000000L)): DataFrame = {
     // DISK_ONLY: the pair lineage (e.g. the n-gram inverted-index join) is
     // the expensive part — materialize it once for the count + (collect |
     // loop) instead of recomputing it per consumer
