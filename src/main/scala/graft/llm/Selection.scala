@@ -306,6 +306,63 @@ object Selection {
         s"FROM w k WHERE k.doc_id % 10 = $shardMod " +
         "GROUP BY k.doc_id ORDER BY doc_id")),
 
+    "q_sample_quality_threshold" -> Q(
+      (spark, dir) => {
+        // Per-language quantile-calibrated quality filtering — the guard
+        // against a single global threshold silently deleting whole
+        // languages (every serious pipeline calibrates per domain).
+        // Keep the top 60% of each language by an integer-exact quality
+        // score (stopword-hit ppm, the q_text_quality signal on the
+        // exact-integer plane). The 100 TB-safe shape: the quantile is
+        // found on the per-(lang, score) HISTOGRAM — the cumulative
+        // window runs over distinct scores (bounded by the score
+        // codomain), never over documents, so a 90%-one-language corpus
+        // cannot funnel a doc-sized partition; the |langs|-row threshold
+        // table broadcasts back and the keep decision is a narrow map.
+        // Threshold = the ceil(0.6·n)-th doc's score from the top;
+        // keep = score ≥ threshold (ties at the boundary keep — standard
+        // quantile semantics, deterministic).
+        val stop = "array('the','a','of','and','to','value','table','row')"
+        val scored = Tables(spark, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), col("lang"),
+            expr(s"(size(filter(toks, t -> array_contains($stop, t))) " +
+              "* 1000000L) div size(toks)").as("score_ppm"))
+        val hist = scored.groupBy("lang", "score_ppm")
+          .agg(count(lit(1)).as("c"))
+        val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(desc("score_ppm"))
+        val thr = hist
+          .withColumn("cum", sum(col("c")).over(w))
+          .join(broadcast(n), "lang")
+          .withColumn("keep_n", expr("(3 * n + 4) div 5")) // ceil(0.6n)
+          .filter(col("cum") >= col("keep_n") &&
+            col("cum") - col("c") < col("keep_n"))
+          .select(col("lang"), col("score_ppm").as("thr"))
+        scored.join(broadcast(thr), "lang")
+          .select(col("doc_id"), col("lang"), col("score_ppm"),
+            col("thr"), (col("score_ppm") >= col("thr")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("WITH scored AS (SELECT doc_id, lang, " +
+        "(len(list_filter(string_split(text, ' '), t -> " +
+        "list_contains(['the','a','of','and','to','value','table','row']" +
+        ", t))) * 1000000) // len(string_split(text, ' ')) AS score_ppm " +
+        "FROM documents), " +
+        "hist AS (SELECT lang, score_ppm, COUNT(*) AS c FROM scored " +
+        "GROUP BY lang, score_ppm), " +
+        "n AS (SELECT lang, COUNT(*) AS n FROM scored GROUP BY lang), " +
+        "cum AS (SELECT h.lang, h.score_ppm, h.c, " +
+        "SUM(h.c) OVER (PARTITION BY h.lang ORDER BY h.score_ppm DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "n.n FROM hist h JOIN n USING (lang)), " +
+        "thr AS (SELECT lang, score_ppm AS thr FROM cum " +
+        "WHERE cum >= (3 * n + 4) // 5 AND cum - c < (3 * n + 4) // 5) " +
+        "SELECT s.doc_id, s.lang, s.score_ppm, t.thr, " +
+        "s.score_ppm >= t.thr AS keep FROM scored s " +
+        "JOIN thr t USING (lang) ORDER BY doc_id")),
+
     "q_text_importance" -> Q(
       (spark, dir) => {
         // DSIR-style importance weight per document: score(d) =

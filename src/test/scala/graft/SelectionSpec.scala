@@ -166,6 +166,32 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("quality threshold: per-lang quantile keeps ceil(0.6n) plus ties") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Registry.all("q_sample_quality_threshold").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    rows.length should be > 0
+    rows.groupBy(_._2).foreach { case (lang, ls) =>
+      val n = ls.length
+      val keepN = (3 * n + 4) / 5
+      val kept = ls.filter(_._5)
+      withClue(s"$lang: ") {
+        // at least the quantile count is kept…
+        kept.length should be >= keepN
+        // …every kept doc outscores every dropped doc (threshold law)
+        val minKept = kept.map(_._3).min
+        ls.filterNot(_._5).foreach(_._3 should be < minKept)
+        // …and without the boundary ties the count drops below the
+        // quantile — the threshold is the TIGHTEST score satisfying it
+        kept.count(_._3 > minKept) should be < keepN
+        // keep ≡ score ≥ thr, one thr per lang
+        ls.map(_._4).distinct.length shouldBe 1
+        ls.foreach(t => t._5 shouldBe (t._3 >= t._4))
+      }
+    }
+  }
+
   test("gumbel resample: seeded, size-K, drawn from the importance pool") {
     val dir = "/root/testdata/sf0.001"
     val a = Registry.all("q_sample_importance").fn(spark, dir).collect()
