@@ -13,6 +13,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = sysLoad()
     // warm up JVM/codegen/parquet reader once so the first timed query
     // doesn't absorb session startup (best-effort: a bad sfDir must still
     // reach the fault-isolated loop below and emit the JSON line)
@@ -45,9 +46,16 @@ object Bench {
       .sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}"))
-    println(renderLine(results, runs, sfDir))
+    println(renderLine(results, runs, sfDir, loadStart, sysLoad()))
     spark.stop()
   }
+
+  /** 1-minute system load average (exec-host truth for the run window);
+    * -1.0 where the platform can't report one.
+    */
+  def sysLoad(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
   private def f3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -59,7 +67,8 @@ object Bench {
     * remainder rolled into `_rest` so the map still sums to the total.
     */
   def renderLine(results: Map[String, Double], runs: Int,
-      sfDir: String): String = {
+      sfDir: String, loadStart: Double = -1.0,
+      loadEnd: Double = -1.0): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -76,6 +85,6 @@ object Bench {
     }
     if (parts.length < results.size) parts += "\"_rest\":" + f3(total - shownSum)
     val qs = parts.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"n":${results.size},"load":[${f3(loadStart)},${f3(loadEnd)}],"queries":$qs,"sf":"$sfDir"}"""
   }
 }

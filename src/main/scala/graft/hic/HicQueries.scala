@@ -131,6 +131,73 @@ object HicQueries {
       },
       None),
 
+    "q_hic_kr_check" -> Q(
+      (spark, dir) => {
+        // A22 oracle twin for q_hic_kr_biases: the SAME Kr.biases code
+        // path (percentile trim → loner marking → symmetric Sinkhorn →
+        // per-chr mean-1 normalization) at a FIXED 2 iterations, which
+        // DuckDB can replay as unrolled CTEs. Iteration 1's sums are
+        // integer-valued (exact under any order); iteration 2's float
+        // sums drift by ULPs across engines, absorbed by fround(…, 6).
+        // Only the iteration count differs from the production entry.
+        val c = cachedView(spark, dir).filter(col("dist").between(L, U))
+        val contacts = c.select(col("chr").as("chr1"), col("mid1"),
+          col("chr").as("chr2"), col("mid2"), col("contactCount"))
+        Kr.biases(contacts, trimPercentile = 0.05, iterations = 2)
+          .select(col("chr"), col("mid"), Cols.fround(col("bias"), 6)
+            .as("bias"))
+          .orderBy("chr", "mid")
+      },
+      Some(ContactsView.cte +
+        s", kf AS (SELECT chr, mid1, mid2, CAST(contactCount AS DOUBLE) " +
+        s"AS w FROM c WHERE dist BETWEEN $L AND $U), " +
+        // symmetric edge list: both directions per off-diagonal pair,
+        // the diagonal once — mirrors Kr.biases' union
+        "e AS (SELECT chr, mid1 AS i, mid2 AS j, w FROM kf " +
+        "UNION ALL SELECT chr, mid2 AS i, mid1 AS j, w FROM kf " +
+        "WHERE mid1 <> mid2), " +
+        "cov AS (SELECT chr, i, SUM(w) AS cov FROM e GROUP BY chr, i), " +
+        // exact interpolated percentile — same sorted[p·(n−1)] formula
+        // as the in-task kernel and Spark `percentile`
+        "thr AS (SELECT chr, quantile_cont(cov, 0.05) AS thr FROM cov " +
+        "GROUP BY chr), " +
+        "keep AS (SELECT cov.chr, cov.i FROM cov JOIN thr USING (chr) " +
+        "WHERE cov.cov >= thr.thr), " +
+        "trimmed AS (SELECT cov.chr, cov.i AS mid, " +
+        "CAST(-1.0 AS DOUBLE) AS bias FROM cov JOIN thr USING (chr) " +
+        "WHERE cov.cov < thr.thr), " +
+        "ke AS (SELECT e.chr, e.i, e.j, e.w FROM e " +
+        "JOIN keep ka ON e.chr = ka.chr AND e.i = ka.i " +
+        "JOIN keep kb ON e.chr = kb.chr AND e.j = kb.i), " +
+        // iteration 1 (b ≡ 1): rowsum = s; integer-valued, exact
+        "s1 AS (SELECT chr, i, SUM(w) AS s FROM ke GROUP BY chr, i), " +
+        "m1 AS (SELECT chr, SUM(s)/COUNT(*) AS mean_rs FROM s1 " +
+        "GROUP BY chr), " +
+        "b1 AS (SELECT s1.chr, s1.i, SQRT(s1.s/m1.mean_rs) AS b " +
+        "FROM s1 JOIN m1 ON s1.chr = m1.chr), " +
+        // iteration 2: s = Σ w/b_j; rowsum = s/b_i; b *= sqrt(rs/mean)
+        "s2 AS (SELECT ke.chr, ke.i, SUM(ke.w/b1.b) AS s FROM ke " +
+        "JOIN b1 ON ke.chr = b1.chr AND ke.j = b1.i " +
+        "GROUP BY ke.chr, ke.i), " +
+        "r2 AS (SELECT s2.chr, s2.i, b1.b AS b, s2.s/b1.b AS rowsum " +
+        "FROM s2 JOIN b1 ON s2.chr = b1.chr AND s2.i = b1.i), " +
+        "m2 AS (SELECT chr, SUM(rowsum)/COUNT(*) AS mean_rs FROM r2 " +
+        "GROUP BY chr), " +
+        "b2 AS (SELECT r2.chr, r2.i, r2.b*SQRT(r2.rowsum/m2.mean_rs) " +
+        "AS b FROM r2 JOIN m2 ON r2.chr = m2.chr), " +
+        // free scale fixed at per-chromosome mean 1, as the kernel does
+        "mb AS (SELECT chr, SUM(b)/COUNT(*) AS mean_b FROM b2 " +
+        "GROUP BY chr), " +
+        "solved AS (SELECT b2.chr, b2.i AS mid, b2.b/mb.mean_b AS bias " +
+        "FROM b2 JOIN mb ON b2.chr = mb.chr), " +
+        // kept locus with every partner trimmed → no kept edge → bias 1
+        "loners AS (SELECT ka.chr, ka.i AS mid, CAST(1.0 AS DOUBLE) " +
+        "AS bias FROM keep ka WHERE NOT EXISTS (SELECT 1 FROM s1 " +
+        "WHERE s1.chr = ka.chr AND s1.i = ka.i)) " +
+        "SELECT chr, mid, " + Cols.froundSql("bias", 6) + " AS bias " +
+        "FROM (SELECT * FROM solved UNION ALL SELECT * FROM loners " +
+        "UNION ALL SELECT * FROM trimmed) ORDER BY chr, mid")),
+
     "q_hic_fisher_stat" -> Q(
       (spark, dir) => {
         // typed-Aggregator UDAF: Fisher's combined statistic per

@@ -19,10 +19,17 @@ object Scratch {
     // time a full table write + re-read, and /tmp on a shared spinning
     // root has produced a load-noise driver flag every round (BASELINE
     // r9 orc, r10 orc, r11 csv). Output content is identical either way.
+    // Guarded: SPARK_GRAFT_NO_SHM=1 opts out entirely (matching the
+    // other SPARK_GRAFT_* dev knobs), and a mount with <4 GiB usable is
+    // skipped — a scale-probe write onto a nearly-full tmpfs would fail
+    // mid-query instead of just running slower on disk.
     val shm = java.nio.file.Paths.get("/dev/shm")
+    val shmOk = !sys.env.get("SPARK_GRAFT_NO_SHM").exists(_ == "1") &&
+      Files.isDirectory(shm) && Files.isWritable(shm) &&
+      (try shm.toFile.getUsableSpace >= (4L << 30)
+       catch { case _: Throwable => false })
     val p =
-      if (Files.isDirectory(shm) && Files.isWritable(shm))
-        Files.createTempDirectory(shm, "graft_scratch_")
+      if (shmOk) Files.createTempDirectory(shm, "graft_scratch_")
       else Files.createTempDirectory("graft_scratch_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
     p

@@ -184,20 +184,31 @@ object Dedup {
     * Hybrid, same trade as the KR solver (hic/Kr): the near-dup EDGE list
     * is orders of magnitude smaller than the corpus (it's the near-dup
     * pairs, not the documents), so when it fits a driver budget
-    * (`maxDriverEdges`) an exact union-find on the driver replaces the
-    * iterative loop — one job to collect the edges, one broadcast join to
-    * label the corpus-sized vertex set, instead of O(diameter)
-    * join+agg+checkpoint rounds. The 1M default is sized for the BOXED
-    * driver representation (collected Rows + a HashMap of boxed longs ≈
-    * 100-200 B/edge → low hundreds of MB worst-case), not the 16 B/edge
-    * raw size. Above the cap, Pregel-style min-label propagation: every
-    * vertex starts as its own root; each iteration takes the min root
-    * over itself and its neighbors; stop at fixpoint (≤ graph diameter
-    * iterations — near-dup clusters are shallow). Per iteration: ONE
-    * join+agg shuffle over the edge list and an O(1)-row convergence
-    * aggregate; labels are localCheckpoint'ed so the plan stays flat.
-    * Both paths are deterministic (min is order-free) and agree exactly
-    * (spec-pinned).
+    * (`maxDriverEdges`) an exact union-find on the driver replaces any
+    * distributed machinery — one job to collect the edges, one broadcast
+    * join to label the corpus-sized vertex set. The 1M default is sized
+    * for the BOXED driver representation (collected Rows + a HashMap of
+    * boxed longs ≈ 100-200 B/edge → low hundreds of MB worst-case), not
+    * the 16 B/edge raw size.
+    *
+    * Above the cap, partition-local union-find CONTRACTION: each round
+    * replaces every partition's edge slice with its spanning star forest
+    * (one `(v, local-min-root)` edge per non-root vertex — connectivity
+    * preserved, size collapses to ≤ distinct-vertices-per-partition),
+    * then a NARROW 8-way coalesce merges neighboring forests for the
+    * next round. log₈(P) one-stage rounds, zero shuffles. At the default
+    * floor (1 partition) the final round's union-find sees the whole
+    * reduced forest and is globally exact — so the distributed path is
+    * ~3 narrow stages end-to-end instead of O(diameter) shuffle rounds.
+    * A task is bounded by its slice's reduced forest (≤ one entry per
+    * distinct vertex); for corpora where even the global forest exceeds
+    * one task, `SPARK_GRAFT_CC_FLOOR`>1 stops the coalesce early and
+    * finishes with min-label propagation (maxIters-guarded) over the
+    * already-forest-sized remainder — whose diameter the contraction has
+    * collapsed to O(floor) star hops. All paths are deterministic (min
+    * is order-free: per-partition roots differ across partitionings, but
+    * the final label is the component-wide min either way) and agree
+    * exactly (spec-pinned).
     *
     * Returns (doc_id, cluster) with cluster = min doc_id of the component.
     */
@@ -208,7 +219,13 @@ object Dedup {
       // otherwise take the driver union-find path (the 64× scale probe —
       // both branches are pinned label-identical in DomainSpec)
       maxDriverEdges: Long = sys.env.get("SPARK_GRAFT_CC_MAXDRIVER")
-        .map(_.toLong).getOrElse(1000000L)): DataFrame = {
+        .flatMap(_.toLongOption).getOrElse(1000000L),
+      // contraction floor: coalesce stops at this many partitions; >1
+      // switches the final stage from one-task exact union-find to
+      // min-label propagation over the reduced forest (the 100 TB escape
+      // hatch for vertex sets too big for one task)
+      contractFloor: Int = sys.env.get("SPARK_GRAFT_CC_FLOOR")
+        .flatMap(_.toIntOption).getOrElse(1)): DataFrame = {
     // DISK_ONLY: the pair lineage (e.g. the n-gram inverted-index join) is
     // the expensive part — materialize it once for the count + (collect |
     // loop) instead of recomputing it per consumer
@@ -226,9 +243,40 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("__root"), col("doc_id")).as("cluster"))
     }
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    // contraction rounds: per-partition union-find → star forest, then a
+    // narrow 8-way coalesce; edge count collapses geometrically with no
+    // shuffle and no per-round action
+    val floor = math.max(contractFloor, 1)
+    var cur = pairList.select(col("doc_a").cast("long"),
+      col("doc_b").cast("long")).as[(Long, Long)]
+    var parts = cur.rdd.getNumPartitions
+    while (parts > floor) {
+      parts = math.max(parts / 8, floor)
+      cur = cur.mapPartitions(it =>
+          unionFindLabels(it.toArray).iterator.filter(p => p._1 != p._2))
+        .coalesce(parts)
+    }
+    if (floor == 1) {
+      // the single remaining partition holds the whole reduced forest:
+      // its union-find is globally exact. No broadcast hint — the label
+      // table is O(edge-involved vertices) and may dwarf the driver at
+      // corpus scale; AQE picks broadcast when it actually fits.
+      val labelDf = graft.ops.Caches.register(
+        cur.mapPartitions(it => unionFindLabels(it.toArray).iterator)
+          .toDF("doc_id", "__root").persist())
+      return vertices.join(labelDf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__root"), col("doc_id")).as("cluster"))
+    }
+    // floor > 1: finish with min-label propagation over the reduced
+    // forest (≤ one edge per distinct vertex, diameter collapsed to
+    // O(floor) star hops — so the maxIters guard is generous, not tight)
+    val reduced = cur.toDF("doc_a", "doc_b")
     val edges = graft.ops.Caches.register(
-      pairList.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairList.select(col("doc_b").as("src"),
+      reduced.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(reduced.select(col("doc_b").as("src"),
           col("doc_a").as("dst")))
         .persist())
     var labels = vertices.select(col("doc_id"), col("doc_id").as("root"))
@@ -320,8 +368,26 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.0, maxDf: Int = 200,
       maxCandidatesPerDoc: Int = Int.MaxValue): DataFrame = {
-    val shAll = withShingles(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+    // No distinct() after the explode: withShingles array_distinct's per
+    // doc in-row, so (doc_id, sh) is already unique — the old global
+    // distinct was a redundant corpus-sized string shuffle. And shingle
+    // IDENTITY, not value, drives everything downstream (df counts,
+    // posting-list join, set sizes), so hash each shingle to a 64-bit
+    // key in-row: every later shuffle/join moves 8-byte longs instead of
+    // n-word strings. (A 64-bit collision would merge two shingles'
+    // posting lists — ~|shingles|²/2⁶⁴, the standard shingle-hashing
+    // trade every large-scale dedup makes; the oracle gate pins the
+    // actual corpus collision-free.)
+    // DISK_ONLY persist of the HASHED index (16 B/row vs the string
+    // index's full shingle text): it feeds the df aggregate AND the
+    // join input below — without it the explode + concat + hash lineage
+    // runs twice (the old global distinct() paid a corpus-sized string
+    // shuffle for the same materialization; measured 1.4× slower than
+    // this narrow persist at sf0.1).
+    val shAll = graft.ops.Caches.register(withShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("__shs"))
+      .select(col("doc_id"), xxhash64(col("__shs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     // df via groupBy + join, NOT a sh-partitioned window: partial (map-side)
     // aggregation absorbs a hot shingle before the shuffle, whereas a
     // window funnels its entire posting list into one task *before* the

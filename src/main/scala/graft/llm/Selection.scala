@@ -80,20 +80,31 @@ object Selection {
   // tables are B rows by construction — corpus size never touches them).
   private val B = 4096
 
-  /** Deterministic bucket hash both engines compute identically: three
-    * hex chars of md5 via the ascii() device (the same trick
-    * q_dedup_simhash_bands pins), folded mod B. Not murmur — the POINT is
-    * a fixed B-bucket feature hash whose exact function is irrelevant to
-    * the algorithm, only its determinism and spread.
+  /** Deterministic bucket hash both engines compute identically: the
+    * VALUES of the first three (lowercase) hex chars of md5 folded
+    * base-16 — 16^3 = B, so every bucket in [0, 4096) is reachable and
+    * uniformly loaded (folding raw ascii codes instead aliases 'a'-'f'
+    * onto '1'-'6' in the top digit and covers well under B buckets).
+    * Not murmur — the POINT is a fixed B-bucket feature hash whose exact
+    * function is irrelevant to the algorithm, only its determinism and
+    * spread. lowercase hex digit → value: ascii − 48 − 39·[ascii ≥ 97].
     */
+  private def hexdCol(c: Column): Column =
+    ascii(c) - lit(48) -
+      when(ascii(c) >= 97, lit(39)).otherwise(lit(0))
+
   private def bucketCol(c: Column): Column =
-    (ascii(substring(c, 1, 1)) * lit(256) +
-      ascii(substring(c, 2, 1)) * lit(16) +
-      ascii(substring(c, 3, 1))) % lit(B)
+    ((hexdCol(substring(c, 1, 1)) * lit(16) +
+      hexdCol(substring(c, 2, 1))) * lit(16) +
+      hexdCol(substring(c, 3, 1))) % lit(B)
+
+  private def hexdSql(e: String): String =
+    s"(ascii($e) - 48 - CASE WHEN ascii($e) >= 97 THEN 39 ELSE 0 END)"
 
   private def bucketSql(e: String): String =
-    s"(ascii(substr($e, 1, 1)) * 256 + ascii(substr($e, 2, 1)) * 16 + " +
-      s"ascii(substr($e, 3, 1))) % $B"
+    s"((${hexdSql(s"substr($e, 1, 1)")} * 16 + " +
+      s"${hexdSql(s"substr($e, 2, 1)")}) * 16 + " +
+      s"${hexdSql(s"substr($e, 3, 1)")}) % $B"
 
   /** W=8 token-window md5 keys per doc — the SAME window device as
     * SpanDedup (`md5(concat_ws(' ', slice(toks, i+1, W)))`), emitted here
@@ -196,8 +207,10 @@ object Selection {
         // partition-order-free), then the incoming shard is probed by a
         // narrow codegen'd map — the incoming side never shuffles and the
         // corpus is never joined. might_contain can false-positive
-        // (maybe_in_corpus=true for a genuinely new doc, FPP ~0.004 at
-        // this sizing) but NEVER false-negatives: maybe_in_corpus=false
+        // (maybe_in_corpus=true for a genuinely new doc; at this sizing
+        // — 2^20 bits for 2^16 expected keys = 16 bits/key — FPP is
+        // ~5e-4 at Spark's optimal k, and smaller still at the actual
+        // sub-2^16 sf corpus count) but NEVER false-negatives: maybe_in_corpus=false
         // is a proof the content address is new. SelectionSpec pins
         // no-false-negatives against the exact join, byte determinism
         // across partitionings, and the FPP band; the bloom bit array

@@ -32,8 +32,12 @@ object StreamMain {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private val eventsSchemaMicros = StructType(eventsSchema.map(f =>
-    if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+  // non-long footers: take ts's type straight from the batch sniff
+  // (TIMESTAMP(MICROS) arrives as NTZ today, but a regeneration flipping
+  // isAdjustedToUTC would otherwise silently diverge readStream from the
+  // batch Tables path, which infers)
+  private def eventsSchemaWith(ts: DataType) = StructType(eventsSchema.map(
+    f => if (f.name == "ts") f.copy(dataType = ts) else f))
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -73,10 +77,11 @@ object StreamMain {
         // (readStream needs the schema up front, so sniff it via a batch
         // read of the same file — cheap, footer-only).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
-          .schema("ts").dataType == LongType
+        val sniffedTs = spark.read.parquet(s"$dir/events.parquet")
+          .schema("ts").dataType
+        val tsIsLong = sniffedTs == LongType
         val raw = spark.readStream
-          .schema(if (tsIsLong) eventsSchema else eventsSchemaMicros)
+          .schema(if (tsIsLong) eventsSchema else eventsSchemaWith(sniffedTs))
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
         if (tsIsLong)

@@ -377,15 +377,16 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers
 
   test("non-convergence within maxIters fails loudly, never silently") {
     import spark.implicits._
-    // a 12-chain needs ~11 propagation rounds; maxIters=3 must throw
-    // rather than return split clusters that look valid
-    // (maxDriverEdges=0 forces the distributed path — the driver
-    // union-find is exact and never iterates)
+    // maxDriverEdges=0 forces the distributed path and contractFloor=2
+    // stops the contraction before the one-task exact stage, so the
+    // min-label completion loop runs: a chain split across ≥2 partitions
+    // needs ≥2 propagation rounds over the reduced forest — maxIters=1
+    // must throw rather than return split clusters that look valid
     val vertices = (1L to 12L).toDF("doc_id")
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     an[IllegalArgumentException] should be thrownBy
-      llm.Dedup.connectedComponents(vertices, pairs, maxIters = 3,
-        maxDriverEdges = 0L).collect()
+      llm.Dedup.connectedComponents(vertices, pairs, maxIters = 1,
+        maxDriverEdges = 0L, contractFloor = 2).collect()
   }
 
   test("driver union-find and distributed propagation agree exactly") {
@@ -402,6 +403,12 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers
       maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     fast shouldBe dist
+    // and the floor>1 variant (contraction + min-label completion — the
+    // escape hatch for vertex sets too big for one task) agrees too
+    val floored = llm.Dedup.connectedComponents(vertices, pairs,
+      maxDriverEdges = 0L, contractFloor = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe floored
     fast(8L) shouldBe 1L // chain end reached its min label
     fast(25L) shouldBe 20L // star leaves take the hub's min
     fast(30L) shouldBe 30L // isolated
