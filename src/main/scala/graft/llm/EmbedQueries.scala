@@ -340,6 +340,65 @@ object EmbedQueries {
         "FROM cq LEFT JOIN upd ON upd.cluster = cq.cid " +
         "AND upd.dim = cq.i ORDER BY cluster, dim")),
 
+    "q_embed_pq_assign" -> Q(
+      (spark, dir) => {
+        // oracle twin for the PQ ENCODE kernel (see llm.Pq): per-subspace
+        // argmin against the deterministic iteration-0 codebooks (the 8
+        // lowest-vec_id vectors' subvectors — the q_embed_kmeans_assign
+        // init discipline, per 16-dim block). One narrow flatMap, one
+        // (vec_id, sub, code, d2) row per vector×subspace, exact integer
+        // d² → plain SQL. The trained composition stays rows-only
+        // (q_embed_pq; PqSpec pins it).
+        import spark.implicits._
+        val qv = graft.ops.Caches.register(
+          Kmeans.quantized(Tables(spark, dir, "embeddings")).persist())
+        Pq.encode(qv, Pq.initBooks(qv, m = 4, k = 8))
+          .toDF("vec_id", "sub", "code", "d2")
+          .orderBy("vec_id", "sub")
+      },
+      Some("WITH qv AS (SELECT vec_id, CAST(i AS INT) - 1 AS i, " +
+        "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
+        "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "unnest(embedding) AS v FROM embeddings)), " +
+        "init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY vec_id) - 1 AS INT) AS cid FROM " +
+        "(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+        "cq AS (SELECT init.cid, qv.i, qv.q FROM init " +
+        "JOIN qv USING (vec_id)), " +
+        "d AS (SELECT a.vec_id, CAST(a.i // 16 AS INT) AS sub, c.cid, " +
+        "CAST(SUM((a.q - c.q)*(a.q - c.q)) AS BIGINT) AS d2 " +
+        "FROM qv a JOIN cq c ON a.i = c.i " +
+        "GROUP BY a.vec_id, 2, c.cid), " +
+        "r AS (SELECT vec_id, sub, cid, d2, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d) " +
+        "SELECT vec_id, sub, cid AS code, d2 FROM r WHERE rn = 1 " +
+        "ORDER BY vec_id, sub")),
+
+    "q_embed_pq" -> Q(
+      (spark, dir) => {
+        // trained PQ index audit: per-subspace Lloyd codebooks (M=4,
+        // k=8, 3 rounds — llm.Pq.trainedBooks reuses Kmeans.lloyd
+        // verbatim per 16-dim slice), then ONE narrow encode pass.
+        // Output: per-subspace code population and exact reconstruction
+        // inertia — the "how much does the compressed index lose"
+        // summary an ANN deployment reads before swapping PQ in.
+        // Iterative training → not SQL-expressible → rows-only; PqSpec
+        // pins encode against a JVM twin and trained-vs-init inertia,
+        // and q_embed_pq_assign hash-pins the same encode kernel.
+        import spark.implicits._
+        val emb = Tables(spark, dir, "embeddings")
+        val books = Pq.trainedBooks(emb, m = 4, k = 8, iters = 3)
+        val qv = graft.ops.Caches.register(
+          Kmeans.quantized(emb).persist())
+        Pq.encode(qv, books)
+          .toDF("vec_id", "sub", "code", "d2")
+          .groupBy("sub", "code")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("d2").cast("decimal(38,0)")).as("inertia"))
+          .orderBy("sub", "code")
+      },
+      None),
+
     "q_embed_pca" -> Q(
       (spark, dir) => {
         // covariance eigen-spectrum of the embedding corpus (see

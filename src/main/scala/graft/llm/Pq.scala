@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.llm.Kmeans.KVec
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory side of 100 TB
+  * ANN. IVF prunes which vectors a probe touches; PQ shrinks what each
+  * resident vector COSTS: the D-dim embedding is split into M
+  * contiguous subspaces and each subvector replaced by the id of its
+  * nearest per-subspace centroid, so D floats become M small codes
+  * (k ≤ 256 → one byte each) plus one shared M×k×(D/M) codebook.
+  *
+  * Everything runs on the Kmeans ×1e7 integer plane: codebooks come
+  * from the SAME deterministic per-subspace Lloyd (exact BIGINT d²,
+  * re-quantized integer means, lowest-vec_id init and tiebreaks), so
+  * codes and reconstruction errors are bit-identical under any
+  * partitioning or execution order.
+  *
+  * 100 TB shape: a codebook is k×D longs (a few KB) riding the task
+  * closure; encoding is ONE narrow map over the quantized corpus (no
+  * shuffle); training costs M×iters corpus passes, cut by `trainMod`
+  * (production PQ trains codebooks on a small deterministic sample —
+  * here vec_id % trainMod == 0 — exactly like a sampled Lloyd).
+  */
+object Pq {
+  /** Per-subspace codebooks from the k lowest-vec_id vectors — the
+    * deterministic iteration-0 state of [[trainedBooks]], and the
+    * SQL-expressible anchor q_embed_pq_assign hash-pins in DuckDB.
+    * books(m)(c) = centroid c of subspace m, length D/M.
+    */
+  def initBooks(qv: Dataset[KVec], m: Int, k: Int)
+      : Array[Array[Array[Long]]] = {
+    val init = Kmeans.initCentroids(qv, k)
+    require(init.nonEmpty, "empty corpus")
+    val dim = init.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m)(s => init.map(_.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** Per-subspace Lloyd-trained codebooks: subspace s trains on the
+    * sliced corpus `embedding[s·D/M, (s+1)·D/M)` (sampled by
+    * `trainMod`), reusing [[Kmeans.lloyd]] verbatim — same init, same
+    * exact-integer update, same empty-cluster carry-over.
+    */
+  def trainedBooks(embeddings: DataFrame, m: Int, k: Int, iters: Int,
+      trainMod: Long = 1L): Array[Array[Array[Long]]] = {
+    import org.apache.spark.sql.functions._
+    val src =
+      if (trainMod <= 1L) embeddings
+      else embeddings.filter(col("vec_id") % trainMod === 0L)
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val sliced = src.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      Kmeans.lloyd(sliced, k, iters)._1
+    }
+  }
+
+  /** Exact integer argmin over one subspace's codebook, ties to the
+    * lowest code (strict `<` scans in code order — the Kmeans.nearest
+    * discipline).
+    */
+  @inline private def nearestAt(q: Array[Long], off: Int,
+      book: Array[Array[Long]]): (Int, Long) = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val ctr = book(c)
+      var d = 0L
+      var i = 0
+      while (i < ctr.length) {
+        val t = q(off + i) - ctr(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** PQ encode: one narrow pass, one output row per (vector, subspace)
+    * with the chosen code and the exact subspace reconstruction d² (the
+    * full-vector reconstruction error is their sum — subspaces are
+    * orthogonal coordinate blocks).
+    */
+  def encode(qv: Dataset[KVec], books: Array[Array[Array[Long]]])
+      : Dataset[(Long, Int, Int, Long)] = {
+    import qv.sparkSession.implicits._
+    val m = books.length
+    qv.flatMap { v =>
+      val sub = v.q.length / m
+      (0 until m).map { s =>
+        val (c, d) = nearestAt(v.q, s * sub, books(s))
+        (v.id, s, c, d)
+      }
+    }
+  }
+
+  /** JVM-side naive twin of [[encode]] for spec differentials — plain
+    * Scala over one vector, the same ops in the same order.
+    */
+  private[graft] def encodeOne(q: Array[Long],
+      books: Array[Array[Array[Long]]]): Array[(Int, Long)] = {
+    val m = books.length
+    val sub = q.length / m
+    Array.tabulate(m)(s => nearestAt(q, s * sub, books(s)))
+  }
+}

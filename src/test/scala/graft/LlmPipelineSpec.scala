@@ -442,3 +442,42 @@ class LlmPipelineSpec extends AnyFunSuite with Matchers with SparkTest {
     want.nonEmpty shouldBe true // the fixture must actually exercise it
   }
 }
+
+/** Differential gate for product quantization: the distributed encode
+  * must equal a plain-JVM per-vector twin at the deterministic init
+  * codebooks, be partition-count-invariant, and 3 Lloyd rounds of
+  * per-subspace training must not worsen total reconstruction inertia
+  * (training exists to shrink it).
+  */
+class PqSpec extends AnyFunSuite with Matchers with SparkTest {
+  import graft.llm.{Kmeans, Pq}
+  private val dir = "/root/testdata/sf0.001"
+
+  test("encode equals JVM twin at init books; partition-invariant") {
+    val emb = Tables(spark, dir, "embeddings")
+    val qv = Kmeans.quantized(emb)
+    val books = Pq.initBooks(qv, m = 4, k = 8)
+    val got = Pq.encode(qv, books).collect().sorted
+    // JVM reference over the same quantized vectors
+    val want = qv.collect().flatMap { v =>
+      Pq.encodeOne(v.q, books).zipWithIndex
+        .map { case ((c, d), s) => (v.id, s, c, d) }
+    }.sorted
+    got shouldBe want
+    got.nonEmpty shouldBe true
+    val got7 = Pq.encode(Kmeans.quantized(emb.repartition(7)), books)
+      .collect().sorted
+    got7 shouldBe got
+  }
+
+  test("trained codebooks do not worsen reconstruction inertia") {
+    val emb = Tables(spark, dir, "embeddings")
+    val qv = Kmeans.quantized(emb)
+    def inertia(books: Array[Array[Array[Long]]]): BigInt =
+      Pq.encode(qv, books).collect()
+        .map { case (_, _, _, d) => BigInt(d) }.sum
+    val init = inertia(Pq.initBooks(qv, m = 4, k = 8))
+    val trained = inertia(Pq.trainedBooks(emb, m = 4, k = 8, iters = 3))
+    trained should be <= init
+  }
+}
