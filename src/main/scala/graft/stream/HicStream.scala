@@ -118,7 +118,17 @@ object HicStream {
     * ([[Events.dedup]]); counts here are treated as per-pair deltas.
     */
   final class SplineRefitter(nBins: Int, distLo: Long, distHi: Long,
-      refitEvery: Int = 1) {
+      refitEvery: Int = 1,
+      // durable-restart knob: when set, every folded batch snapshots the
+      // cumulative pair table to `<stateDir>/cum_b<batchId>` (parquet,
+      // _SUCCESS-gated, two newest kept) and a FRESH refitter pointed at
+      // the same dir recovers the newest complete snapshot on its first
+      // batch — so a query restarted from its checkpoint resumes the
+      // cumulative fold exactly where the committed stream left off
+      // (replayed foreachBatch ids ≤ the snapshot's are skipped, the
+      // standard idempotent-sink discipline). Off by default: the
+      // snapshot costs one write of the bounded pair table per batch.
+      stateDir: Option[String] = None) {
     require(refitEvery >= 1, "refitEvery must be >= 1")
 
     /** One refit result: the A15/A16 outputs over the cumulative table. */
@@ -128,6 +138,7 @@ object HicStream {
     @volatile private var cum: DataFrame = _
     @volatile private var fitsRev: List[Fit] = Nil
     private var sinceRefit = 0
+    private var lastFolded = -1L
 
     def latest: Option[Fit] = fitsRev.headOption
     def refitCount: Int = fitsRev.length
@@ -135,6 +146,8 @@ object HicStream {
     /** foreachBatch body: fold the micro-batch, refit on cadence. */
     def processBatch(batch: Dataset[ContactEvent], batchId: Long): Unit =
       synchronized {
+        if (cum == null) stateDir.foreach(recover(batch.sparkSession, _))
+        if (batchId <= lastFolded) return // replay of a snapshotted batch
         val delta = batch.toDF()
           .filter(col("chr1") === col("chr2")) // spline models intra only
           .groupBy(col("chr1").as("chr"), col("mid1"), col("mid2"))
@@ -147,8 +160,39 @@ object HicStream {
         val next = merged.localCheckpoint(true)
         if (cum != null) Caches.releaseLocalCheckpoint(cum)
         cum = next
+        lastFolded = batchId
+        stateDir.foreach { d =>
+          cum.write.mode("overwrite").parquet(s"$d/cum_b$batchId")
+          reapSnapshots(d, keepFrom = batchId - 1)
+        }
         sinceRefit += 1
         if (sinceRefit >= refitEvery) { sinceRefit = 0; refit(batchId) }
+      }
+
+    /** Load the newest _SUCCESS-complete snapshot, if any. */
+    private def recover(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Unit =
+      snapshotIds(dir).maxOption.foreach { id =>
+        cum = spark.read.parquet(s"$dir/cum_b$id").localCheckpoint(true)
+        lastFolded = id
+      }
+
+    private def snapshotIds(dir: String): Seq[Long] = {
+      val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      fs.toSeq.collect {
+        case f if f.getName.startsWith("cum_b") &&
+            new java.io.File(f, "_SUCCESS").exists() =>
+          f.getName.stripPrefix("cum_b").toLong
+      }
+    }
+
+    private def reapSnapshots(dir: String, keepFrom: Long): Unit =
+      snapshotIds(dir).filter(_ < keepFrom).foreach { id =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir, s"cum_b$id"))
       }
 
     private def refit(batchId: Long): Unit = {

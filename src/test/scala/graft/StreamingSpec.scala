@@ -256,3 +256,117 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     streamed.count(_.getAs[Long]("user_id") == 1L) shouldBe 2
   }
 }
+
+/** Restart-recovery gate: stop a checkpointed stream mid-input, restart
+  * from the same checkpoint, and prove the resumed operator converges to
+  * the batch answer over the FULL input — the property a production
+  * restart actually needs (state-store recovery for the
+  * flatMapGroupsWithState marginals; snapshot recovery for the
+  * foreachBatch spline refitter, whose cumulative table lives outside
+  * Spark's checkpoint).
+  */
+class StreamRestartSpec extends AnyFunSuite with Matchers with SparkTest {
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L)
+
+  test("incremental marginals resume from checkpoint with batch parity") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val contacts = graft.hic.ContactsView(sp, dir)
+      .select("chr", "mid1", "mid2", "contactCount").collect()
+      .map(r => HicStream.ContactEvent(ts(0), r.getString(0), r.getLong(1),
+        r.getString(0), r.getLong(2), r.getLong(3)))
+    val (firstHalf, secondHalf) = contacts.splitAt(contacts.length / 2)
+    val ckpt = graft.io.Scratch.sub("restart_ckpt")
+    // foreachBatch sink (memory sink refuses checkpoint recovery): keep
+    // each batch's updates keyed by batchId so a replayed id overwrites
+    // its own rows instead of double-counting
+    val buf = scala.collection.concurrent.TrieMap
+      .empty[Long, Array[(String, Long, Long, Long)]]
+    val mem = MemoryStream[HicStream.ContactEvent]
+    def start() = HicStream.incrementalMarginals(mem.toDS()).writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[HicStream.LocusMarginal],
+            id: Long) =>
+          buf(id) = b.collect()
+            .map(m => (m.chr, m.mid, m.hitCount, m.n_pairs))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    val q1 = start()
+    try { mem.addData(firstHalf.toSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the checkpoint: the state store must carry the
+    // first half's per-locus accumulations into the resumed query
+    mem.addData(secondHalf.toSeq)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // final state per locus = the row from its highest-emitting batch
+    val streamed = buf.toSeq.sortBy(_._1).flatMap { case (id, rows) =>
+      rows.map(r => (r._1, r._2) -> ((id, r._3, r._4)))
+    }.groupBy(_._1).map { case (k, vs) =>
+      val (_, h, np) = vs.map(_._2).maxBy(_._1)
+      (k._1, k._2, h, np)
+    }.toSeq.sorted
+    val batch = SparkEntry.queries("q_hic_marginals")(sp, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    streamed shouldBe batch
+    graft.ops.Caches.drain()
+  }
+
+  test("spline refitter resumes from its state snapshot with batch parity") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.hic.ContactsView(sp, dir)
+      .select("chr", "mid1", "mid2", "contactCount").collect()
+      .map(r => HicStream.ContactEvent(ts(0), r.getString(0), r.getLong(1),
+        r.getString(0), r.getLong(2), r.getLong(3)))
+    val (firstHalf, secondHalf) = events.splitAt(events.length / 2)
+    val ckpt = graft.io.Scratch.sub("refit_ckpt")
+    val state = graft.io.Scratch.sub("refit_state")
+    val mem = MemoryStream[HicStream.ContactEvent]
+    def start(r: HicStream.SplineRefitter) = mem.toDS().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[HicStream.ContactEvent],
+            id: Long) => r.processBatch(b, id)
+      }
+      .option("checkpointLocation", ckpt).start()
+    val r1 = new HicStream.SplineRefitter(nBins = 100,
+      distLo = graft.hic.HicQueries.L, distHi = graft.hic.HicQueries.U,
+      stateDir = Some(state))
+    val q1 = start(r1)
+    try { mem.addData(firstHalf.toSeq); q1.processAllAvailable() }
+    finally { q1.stop(); r1.close() }
+    // a FRESH refitter (restarted process) recovers the snapshot and the
+    // restarted query replays only uncommitted batches
+    mem.addData(secondHalf.toSeq)
+    val r2 = new HicStream.SplineRefitter(nBins = 100,
+      distLo = graft.hic.HicQueries.L, distHi = graft.hic.HicQueries.U,
+      stateDir = Some(state))
+    val q2 = start(r2)
+    try q2.processAllAvailable() finally q2.stop()
+    try {
+      // the batch-side fit over the identical full observation set
+      val f = graft.hic.ContactsView(sp, dir)
+        .filter(col("dist")
+          .between(graft.hic.HicQueries.L, graft.hic.HicQueries.U))
+        .persist()
+      val total = f.agg(sum(col("contactCount"))).first().getLong(0)
+      val bins = graft.hic.Binning.collectBins(f, 100,
+        Seq("chr", "mid1", "mid2"))
+      f.unpersist()
+      val (xs, raw, fit) = graft.hic.Spline.fitFromBins(bins, total)
+      val got = r2.latest.get
+      got.total shouldBe total
+      got.avgDist shouldBe xs
+      got.rawProb shouldBe raw
+      got.fittedProb shouldBe fit
+    } finally { r2.close(); graft.ops.Caches.drain() }
+  }
+}
