@@ -365,6 +365,35 @@ object Dedup {
     * drops are exactly the weakest-overlap candidates a dedup pipeline
     * would discard downstream anyway.
     */
+  /** Bounded posting-list aggregate: collects at most `cap` doc_ids per
+    * shingle while counting EXACTLY — a group past the cap finishes as
+    * the empty list (its exact df exceeds maxDf, so it is dropped from
+    * sizes and intersections alike). The buffer is capped at `cap`
+    * entries in every partial, so a stopword shingle seen by millions
+    * of docs costs each map-side partial ≤ cap longs — the skew bomb is
+    * absorbed BEFORE the shuffle, where the old groupBy+join design
+    * only bounded it after the df filter. List order is
+    * partition-dependent, but a kept list (n ≤ cap) is COMPLETE, so
+    * every downstream consumer (pair set, sizes) is order-free.
+    */
+  private final class CappedDocList(cap: Int)
+      extends org.apache.spark.sql.expressions
+        .Aggregator[Long, (Long, List[Long]), Seq[Long]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: (Long, List[Long]) = (0L, Nil)
+    override def reduce(b: (Long, List[Long]), x: Long): (Long, List[Long]) =
+      (b._1 + 1L, if (b._1 < cap) x :: b._2 else b._2)
+    override def merge(a: (Long, List[Long]),
+        b: (Long, List[Long])): (Long, List[Long]) =
+      (a._1 + b._1, (a._2 ++ b._2).take(cap))
+    override def finish(b: (Long, List[Long])): Seq[Long] =
+      if (b._1 > cap) Nil else b._2
+    override def bufferEncoder: Encoder[(Long, List[Long])] =
+      Encoders.product[(Long, List[Long])]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.0, maxDf: Int = 200,
       maxCandidatesPerDoc: Int = Int.MaxValue): DataFrame = {
@@ -372,41 +401,40 @@ object Dedup {
     // doc in-row, so (doc_id, sh) is already unique — the old global
     // distinct was a redundant corpus-sized string shuffle. And shingle
     // IDENTITY, not value, drives everything downstream (df counts,
-    // posting-list join, set sizes), so hash each shingle to a 64-bit
-    // key in-row: every later shuffle/join moves 8-byte longs instead of
-    // n-word strings. (A 64-bit collision would merge two shingles'
-    // posting lists — ~|shingles|²/2⁶⁴, the standard shingle-hashing
-    // trade every large-scale dedup makes; the oracle gate pins the
-    // actual corpus collision-free.)
-    // DISK_ONLY persist of the HASHED index (16 B/row vs the string
-    // index's full shingle text): it feeds the df aggregate AND the
-    // join input below — without it the explode + concat + hash lineage
-    // runs twice (the old global distinct() paid a corpus-sized string
-    // shuffle for the same materialization; measured 1.4× slower than
-    // this narrow persist at sf0.1).
-    val shAll = graft.ops.Caches.register(withShingles(docs, n)
+    // posting lists, set sizes), so hash each shingle to a 64-bit key
+    // in-row: the one corpus-sized shuffle below moves 8-byte longs
+    // instead of n-word strings. (A 64-bit collision would merge two
+    // shingles' posting lists — ~|shingles|²/2⁶⁴, the standard
+    // shingle-hashing trade every large-scale dedup makes; the oracle
+    // gate pins the actual corpus collision-free.)
+    val shAll = withShingles(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("__shs"))
       .select(col("doc_id"), xxhash64(col("__shs")).as("sh"))
+    // ONE sh-keyed shuffle builds df-filtered posting lists directly:
+    // the capped aggregate counts df exactly while bounding every
+    // partial at maxDf doc_ids, so a stopword shingle is absorbed
+    // map-side (the old design's groupBy-count + re-join paid the
+    // exchange + a second pass over the index for the same set). The
+    // posting table is ≤ maxDf longs per distinct shingle — DISK_ONLY:
+    // corpus-sized, must never pin executor memory; it feeds the pair
+    // expansion AND the set sizes.
+    val cappedAgg = udaf(new CappedDocList(maxDf),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val posting = graft.ops.Caches.register(shAll.groupBy("sh")
+      .agg(cappedAgg(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 0)
+      .select("ds")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-    // df via groupBy + join, NOT a sh-partitioned window: partial (map-side)
-    // aggregation absorbs a hot shingle before the shuffle, whereas a
-    // window funnels its entire posting list into one task *before* the
-    // cutoff can drop it — the exact skew bomb the cutoff exists to defuse.
-    // The join and the self-join below share the sh-keyed shuffle layout.
-    val dfKeep = shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .select("sh")
-    // DISK_ONLY persist of the FILTERED index only: it feeds the n² pair
-    // self-join (twice) + sizes, and is corpus-sized so it must never pin
-    // executor memory. The pre-filter explode/distinct stays recompute —
-    // cheaper than materializing the larger unfiltered index twice.
-    val sh = graft.ops.Caches.register(shAll.join(dfKeep, "sh")
-      .select("doc_id", "sh")
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sizes = posting.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // pair expansion straight off the bounded lists (≤ maxDf²/2 rows
+    // per shingle, the same volume the old self-join produced) — no
+    // join, no second corpus shuffle
+    val inter = posting
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     val capped =
       if (maxCandidatesPerDoc == Int.MaxValue) inter
@@ -426,11 +454,15 @@ object Dedup {
             col("__rb") <= maxCandidatesPerDoc)
           .drop("__ra", "__rb")
       }
+    // shuffle-hash, NOT broadcast: Catalyst can't see the explode
+    // fan-out, so it underestimates the pair side and AQE would try to
+    // broadcast IT (driver OOM at 8×, observed); and the sizes side is
+    // per-doc — corpus-sized at scale — so it must not broadcast either
     capped
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
-        "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
-        "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
