@@ -99,47 +99,45 @@ object Pipeline {
     val mFut = scala.concurrent.Future(
       Fragments.possibleIntraInRange(mapped, cfg.distLow, cfg.distUp))
     // (2) bias CONSTRUCTION (a KR solve runs an eager routing job) on a
-    // background thread, overlapping the marginals/possible-M job — then
-    // (3) bias MATERIALIZATION as a further concurrent action, so the
-    // per-chromosome solves run while pass-1 compiles and scans: the
-    // solve's result is only consumed via a broadcast build inside the
-    // pass-1 job, and by the time that build starts the bias cache is
-    // already populated
+    // background thread, overlapping the marginals/possible-M job AND
+    // the ranged-cache build below: the ranged cache is built BIAS-FREE
+    // (equal-occupancy binning reads only dist/count/keys), so pass-1
+    // binning materializes it while the per-chromosome solves run —
+    // the solve is awaited only at pass-1 SCORING, whose per-end bias
+    // lookup is a narrow broadcast overlay that preserves the ranged
+    // layout. (r15: previously the bias join was materialized INTO the
+    // cache, serializing solve → cache-build → binning.)
     val constructFut: scala.concurrent.Future[DataFrame] = mkBiases match {
       case Some(mk) => scala.concurrent.Future(mk())
       case None => scala.concurrent.Future.successful(null)
     }
     var biasMatFut: scala.concurrent.Future[Long] =
       scala.concurrent.Future.successful(0L)
-    val withBias = settleOnFailure(mFut)(scala.concurrent.Await.result(
-        constructFut, scala.concurrent.duration.Duration.Inf)) match {
-      case null => intra.withColumn("bias1", lit(1.0))
-        .withColumn("bias2", lit(1.0))
-      case b =>
-        val bp = graft.ops.Caches.register(b.persist())
-        biasMatFut = scala.concurrent.Future(bp.count())
-        Contacts.withBiases(intra, bp, cfg.biasLow, cfg.biasUp)
-    }
 
     // ONE dist-ranged cache is the only materialization of the pair set:
     // every pass's equal-occupancy binning re-bins a FILTERED view of
-    // this layout, and per-pass scoring reads the same cache (bhQ
-    // re-partitions on p_value regardless, so scoring gains nothing from
-    // a second, unranged copy — which round 7 still paid for)
+    // this layout, and per-pass scoring reads the same cache through the
+    // bias overlay (bhQ re-partitions on p_value regardless, so scoring
+    // gains nothing from a second, unranged copy — which round 7 still
+    // paid for)
     // the range exchange SAMPLES its child before shuffling — persist the
-    // source so the filter/classify/bias-join lineage runs once, not
-    // twice; released as soon as pass 1 has materialized the ranged cache
+    // source so the filter/classify lineage runs once, not twice;
+    // released as soon as pass 1 has materialized the ranged cache
     // (same pattern as GlobalOrder's src persist)
     // Caches-registered so drain() reclaims it if collectBins throws
     // before the eager pass-1 unpersist (double-unpersist is a no-op)
-    val src = graft.ops.Caches.register(withBias.persist())
-    val spark = withBias.sparkSession
+    val src = graft.ops.Caches.register(intra.persist())
+    val spark = intra.sparkSession
     val distOrder = col("dist") +: keys.map(col)
     val rangedPairs = graft.ops.Caches.register(src
       .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
         distOrder: _*)
       .sortWithinPartitions(distOrder: _*)
       .persist())
+    // scoring-side view: per-end bias factors as a broadcast probe on
+    // top of the cached ranged layout (bias table = O(loci), broadcast
+    // class at any corpus scale); identity biases when no solver given
+    var scoringView: DataFrame = null
 
     // N = observedIntraInRangeSum falls out of the pass-1 bin stats
     // (Σ sumCount over bins) — no separate full-table aggregate job
@@ -150,18 +148,28 @@ object Pipeline {
     var result: DataFrame = null
     for (pass <- 1 to cfg.passes) {
       // pass-1 binning is the only action between the concurrent-lineage
-      // launches and their Awaits: if it throws, settle both before
-      // unwinding (constructFut was already awaited above)
-      val bins = settleOnFailure(mFut, biasMatFut)(
+      // launches and their Awaits: if it throws, settle all three
+      // before unwinding
+      val bins = settleOnFailure(mFut, constructFut, biasMatFut)(
         Binning.collectBins(nullSource, cfg.nBins, keys,
           assumeRanged = layoutPreserved))
       if (pass == 1) {
         n = bins.map(_.getAs[Long]("sumCount")).sum
+        // bias solve ran concurrently with the binning jobs above — its
+        // result is only needed now, for the scoring overlay
+        scoringView = settleOnFailure(mFut)(scala.concurrent.Await.result(
+            constructFut, scala.concurrent.duration.Duration.Inf)) match {
+          case null => rangedPairs.withColumn("bias1", lit(1.0))
+            .withColumn("bias2", lit(1.0))
+          case b =>
+            val bp = graft.ops.Caches.register(b.persist())
+            biasMatFut = scala.concurrent.Future(bp.count())
+            Contacts.withBiases(rangedPairs, bp, cfg.biasLow, cfg.biasUp)
+        }
         m = scala.concurrent.Await.result(mFut,
           scala.concurrent.duration.Duration.Inf)
-        // done by now (the pass-1 broadcast build consumed the bias
-        // cache) — awaited so a failure on the eager-materialization
-        // thread can never be silently dropped
+        // awaited so a failure on the eager-materialization thread can
+        // never be silently dropped
         scala.concurrent.Await.result(biasMatFut,
           scala.concurrent.duration.Duration.Inf)
         src.unpersist() // pass-1 binning materialized the ranged cache
@@ -173,7 +181,7 @@ object Pipeline {
           bins(i).getAs[Int]("binIdx"), bins(i).getAs[Long]("pairCount"),
           bins(i).getAs[Long]("sumCount"), xs(i), raw(i), fitted(i))))
       }
-      val scored = scoreFromBins(rangedPairs, bins, n, m, cfg)
+      val scored = scoreFromBins(scoringView, bins, n, m, cfg)
         .withColumn("pass", lit(pass))
       result = if (result == null) scored else result.unionByName(scored)
       if (pass < cfg.passes) {
