@@ -111,4 +111,55 @@ object Pq {
     val sub = q.length / m
     Array.tabulate(m)(s => nearestAt(q, s * sub, books(s)))
   }
+
+  /** PQ asymmetric-distance (ADC) top-3 search — the query side of the
+    * compressed index: each probe precomputes its m×k table of exact
+    * subspace distances to every codebook centroid (the "distance
+    * table" of Jégou et al. §IV), and a corpus vector's approximate
+    * distance is the SUM of m table lookups at its codes — the corpus
+    * embeddings are never touched at query time, only their M codes.
+    *
+    * 100 TB shape: the LUT is nProbes×m×k longs (KBs) broadcast; the
+    * corpus side flows narrow (codes ⋈ broadcast LUT), one map-combined
+    * groupBy reduces m rows → 1 per (probe, vector), and only the
+    * (probe, vector, adc) triples reach the per-probe top-k. Exact
+    * BIGINT arithmetic end to end → fully oracle-checkable (unlike
+    * IVF/LSH pruning, ADC over deterministic codebooks is exhaustive —
+    * approximate in VALUE, not in candidate coverage).
+    */
+  def adcTop3(embeddings: DataFrame, m: Int = 4, k: Int = 8,
+      nProbes: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qv = graft.ops.Caches.register(
+      Kmeans.quantized(embeddings).persist())
+    val books = initBooks(qv, m, k)
+    val codes = Pq.encode(qv, books).toDF("vec_id", "sub", "code", "d2")
+      .select("vec_id", "sub", "code")
+    val lut = qv.filter(_.id < nProbes).collect().sortBy(_.id)
+      .flatMap { p =>
+        val sub = p.q.length / m
+        for (s <- 0 until m; c <- 0 until k) yield {
+          val ctr = books(s)(c)
+          var d = 0L
+          var i = 0
+          while (i < ctr.length) {
+            val t = p.q(s * sub + i) - ctr(i)
+            d += t * t
+            i += 1
+          }
+          (p.id, s, c, d)
+        }
+      }.toSeq.toDF("probe", "sub", "code", "pd2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe").orderBy(asc("adc"), asc("nb"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("probe") =!= col("vec_id"))
+      .groupBy(col("probe"), col("vec_id").as("nb"))
+      .agg(sum(col("pd2")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("probe", "rn", "nb", "adc")
+  }
 }

@@ -470,6 +470,39 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     got7 shouldBe got
   }
 
+  test("adcTop3 equals a JVM twin; partition-invariant") {
+    val emb = Tables(spark, dir, "embeddings")
+    val got = graft.llm.Pq.adcTop3(emb, m = 4, k = 8, nProbes = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).sorted
+    // JVM reference: encode every vector, per-probe LUT, exhaustive sum
+    val qv = Kmeans.quantized(emb).collect().sortBy(_.id)
+    val books = Pq.initBooks(Kmeans.quantized(emb), m = 4, k = 8)
+    val codes = qv.map(v => v.id -> Pq.encodeOne(v.q, books).map(_._1))
+      .toMap
+    val want = qv.filter(_.id < 10).flatMap { p =>
+      val sub = p.q.length / 4
+      val lut = Array.tabulate(4, 8) { (s, c) =>
+        val ctr = books(s)(c)
+        (0 until ctr.length).map { i =>
+          val t = p.q(s * sub + i) - ctr(i); t * t
+        }.sum
+      }
+      qv.filter(_.id != p.id)
+        .map(v => (v.id, codes(v.id).zipWithIndex
+          .map { case (c, s) => lut(s)(c) }.sum))
+        .sortBy { case (nb, adc) => (adc, nb) }
+        .take(3).zipWithIndex
+        .map { case ((nb, adc), i) => (p.id, i + 1, nb, adc) }
+    }.sorted
+    got shouldBe want
+    val got7 = graft.llm.Pq.adcTop3(emb.repartition(7), 4, 8, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).sorted
+    got7 shouldBe got
+    graft.ops.Caches.drain()
+  }
+
   test("trained codebooks do not worsen reconstruction inertia") {
     val emb = Tables(spark, dir, "embeddings")
     val qv = Kmeans.quantized(emb)
