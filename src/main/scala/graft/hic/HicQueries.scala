@@ -406,7 +406,7 @@ object HicQueries {
         val total = f.agg(sum(col("contactCount"))).first().getLong(0)
         val bins = Binning.collectBins(f, 100, keys)
         val (xs, _, fit) = Spline.fitFromBins(bins, total)
-        val prior = Spline.interpUdf(xs, fit)
+        val prior = graft.functions.SplineInterp.curve(xs, fit) _
         f.withColumn("prior", prior(col("dist").cast("double")))
           .withColumn("pval", graft.functions.Binom.sfUdf(
             col("contactCount"), lit(total), col("prior")))

@@ -215,7 +215,10 @@ object Pipeline {
       bins: Array[org.apache.spark.sql.Row], n: Long, m: Long,
       cfg: FitHiCConfig): DataFrame = {
     val (xs, _, fitted) = Spline.fitFromBins(bins, n)
-    val curve = Spline.interpUdf(xs, fitted)
+    // codegen'd curve lookup (graft.functions.SplineInterp): the prior
+    // interpolation + binom_sf stay in ONE whole-stage-codegen span —
+    // no UDF dispatch in the corpus-sized scoring pass
+    val curve = graft.functions.SplineInterp.curve(xs, fitted) _
     graft.functions.BinomSf.register(pairs.sparkSession)
     pairs
       .withColumn("prior",
