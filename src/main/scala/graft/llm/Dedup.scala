@@ -43,27 +43,31 @@ object Dedup {
     * xor is injective, so candidate collisions still imply a shared
     * shingle hash in both families.
     */
-  private def signatureUdf(numTables: Int, seed: Long,
-      mixed: Boolean = true): UserDefinedFunction =
-    udf { hs: Seq[Long] =>
-      val out = new Array[Long](numTables)
-      var t = 0
-      while (t < numTables) {
-        val st =
-          if (mixed) seed + t.toLong * 0x9e3779b97f4a7c15L
-          else seed + t.toLong * 1000003L
-        var m = Long.MaxValue
-        val it = hs.iterator
-        while (it.hasNext) {
-          val x = it.next() ^ st
-          val v = if (mixed) mix64(x) else x
-          if (v < m) m = v
-        }
-        out(t) = m
-        t += 1
+  /** Primitive MinHash kernel — shared by the codegen'd
+    * [[graft.functions.MinhashSig]] expression (the hot path) and spec
+    * differentials. Public object method so generated Java can call it.
+    */
+  def sigKernel(hs: Array[Long], numTables: Int, seed: Long,
+      mixed: Boolean): Array[Long] = {
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      val st =
+        if (mixed) seed + t.toLong * 0x9e3779b97f4a7c15L
+        else seed + t.toLong * 1000003L
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val x = hs(i) ^ st
+        val v = if (mixed) mix64(x) else x
+        if (v < m) m = v
+        i += 1
       }
-      out
+      out(t) = m
+      t += 1
     }
+    out
+  }
 
   /** Exact Jaccard over two hashed-shingle sets (hash-set intersection). */
   private val jaccardHashes: UserDefinedFunction =
@@ -101,7 +105,8 @@ object Dedup {
         expr(s"transform(shingles, s -> $shingleHash)").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val banded = hashed
-      .withColumn("sig", signatureUdf(numTables, seed, mixed)(col("sh")))
+      .withColumn("sig", graft.functions.MinhashSig
+        .sig(numTables, seed, mixed)(col("sh")))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("table", "mh")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.mh") === col("b.mh") &&
