@@ -69,14 +69,29 @@ object Dedup {
     out
   }
 
-  /** Exact Jaccard over two hashed-shingle sets (hash-set intersection). */
-  private val jaccardHashes: UserDefinedFunction =
-    udf { (a: Seq[Long], b: Seq[Long]) =>
-      val sa = a.toSet
-      var inter = 0
-      b.foreach(h => if (sa.contains(h)) inter += 1)
-      inter.toDouble / (sa.size + b.size - inter)
+  /** Exact Jaccard over two hashed-shingle sets — primitive kernel for
+    * the codegen'd [[graft.functions.JaccardHash]] expression (sorted
+    * membership array instead of a boxed Set; identical arithmetic:
+    * |distinct a ∩ b| over |distinct a| + |b| − inter, matching the
+    * original Set-based UDF bit for bit).
+    */
+  def jaccardKernel(a: Array[Long], b: Array[Long]): Double = {
+    val ac = a.clone()
+    java.util.Arrays.sort(ac)
+    var saSize = 0
+    var i = 0
+    while (i < ac.length) {
+      if (i == 0 || ac(i) != ac(i - 1)) saSize += 1
+      i += 1
     }
+    var inter = 0
+    i = 0
+    while (i < b.length) {
+      if (java.util.Arrays.binarySearch(ac, b(i)) >= 0) inter += 1
+      i += 1
+    }
+    inter.toDouble / (saSize + b.length - inter)
+  }
 
   /** MinHash-LSH near-dup candidate pairs (Jaccard distance ≤ maxDist),
     * seeded/deterministic. Shingle set → 64-bit shingle hashes → per-table
@@ -119,7 +134,7 @@ object Dedup {
       .join(hashed.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sh", "sh_b"), "doc_b")
       .withColumn("jaccard_dist",
-        lit(1.0) - jaccardHashes(col("sh_a"), col("sh_b")))
+        lit(1.0) - graft.functions.JaccardHash(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_dist") <= maxDist)
       .select("doc_a", "doc_b", "jaccard_dist")
   }
