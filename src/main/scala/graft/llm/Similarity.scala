@@ -232,7 +232,10 @@ object Similarity {
   /** Nearest centroid by squared euclidean distance (fixed dim order →
     * deterministic; ties break to the lower cluster id).
     */
-  private def nearestCluster(cents: Array[Array[Double]],
+  /** (Public: called from [[graft.functions.NearestCluster]]'s generated
+    * Java in the corpus-sized assignment pass.)
+    */
+  def nearestCluster(cents: Array[Array[Double]],
       q: Array[Long]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -250,6 +253,18 @@ object Similarity {
       c += 1
     }
     best
+  }
+
+  /** Quantized-integer cosine with precomputed squared norms — the
+    * per-candidate re-rank kernel, public for
+    * [[graft.functions.CosineQuant]]'s generated Java.
+    */
+  def cosKernel(a: Array[Long], b: Array[Long], na: Long,
+      nb: Long): Double = {
+    var dot = 0L
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
   }
 
   /** The `m` nearest centroids, ascending by distance (ties → lower id). */
@@ -277,23 +292,19 @@ object Similarity {
     // build, the cluster assignment, and the probe/re-rank below
     val typed = quantized(embeddings)
     val cents = centroidsFromQuantized(typed, k, iters)
-    val assignU = udf((q: Seq[Long]) => nearestCluster(cents, q.toArray))
+    // codegen'd kernels (graft.functions.IvfExprs): the corpus-sized
+    // assignment and the per-candidate cosine run on primitive arrays
+    // inside whole-stage codegen; only the nProbes-row probe-cell
+    // expansion stays a UDF
+    val assignC = graft.functions.NearestCluster(cents) _
     val probeCellsU = udf((q: Seq[Long]) =>
       nearestClusters(cents, q.toArray, probeClusters))
-    // norms come precomputed from the quantized cache — the per-pair
-    // kernel is the dot product plus one division
-    val cosU = udf((a: Seq[Long], b: Seq[Long], na: Long, nb: Long) => {
-      var dot = 0L
-      var i = 0
-      while (i < a.length) { dot += a(i) * b(i); i += 1 }
-      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
-    })
     // zero-norm vectors have undefined cosine (0/0 = NaN) — excluded from
     // both legs, same contract as blockPairs
     val typedDf = typed.toDF("vec_id", "label", "q", "n2")
       .filter(col("n2") > 0)
     val assigned = typedDf
-      .withColumn("c", assignU(col("q")))
+      .withColumn("c", assignC(col("q")))
       .select(col("vec_id").as("nb"), col("label").as("nb_label"),
         col("q"), col("n2"), col("c"))
     val probes = broadcast(typedDf.filter(col("vec_id") < nProbes)
@@ -304,7 +315,8 @@ object Similarity {
       .orderBy(desc("cos"), asc("nb"))
     probes.join(assigned,
         col("pc") === col("c") && col("probe") =!= col("nb"))
-      .withColumn("cos", cosU(col("pq"), col("q"), col("pn2"), col("n2")))
+      .withColumn("cos", graft.functions.CosineQuant(
+        col("pq"), col("q"), col("pn2"), col("n2")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("probe"), col("rn"), col("nb"), col("nb_label"),
