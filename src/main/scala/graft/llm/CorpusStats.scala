@@ -116,18 +116,19 @@ object CorpusStats {
         // only past ~10^12 corpus chars per shard of the count table.
         val docs = Tables(spark, dir, "documents")
           .filter(length(col("text")) >= 2)
-        val bigrams = docs.select(col("doc_id"),
-          explode(expr("transform(sequence(1, char_length(text)-1), " +
-            "i -> substring(text, i, 2))")).as("bg"))
-        // aggregate multiplicities per (doc, bigram) FIRST: the raw
-        // explode (2× corpus bytes) is consumed exactly once, and both
-        // downstream reads — the corpus count table and the scoring join
-        // — run over the ≤ |docs|·|charset|² reduced table. Σ over
-        // occurrences ≡ Σ mult·cnt exactly (integers), so the oracle's
-        // per-occurrence formulation is unchanged. Halved the 8× probe
-        // time vs the join-back-onto-the-explode form.
-        val bgDoc = graft.ops.Caches.register(bigrams
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("mult"))
+        // per-ROW bigram multiset (graft.functions.CharNgramMultiset,
+        // codegen'd): the (doc, bigram) reduction happens inside the scan
+        // stage, so the old explode → groupBy(doc_id, bg) hash aggregate
+        // — a corpus-text-sized row stream and, at scale, its shuffle —
+        // is gone entirely. Contents are exactly the old groupBy output
+        // (exact integer counts); the oracle keeps the per-occurrence
+        // formulation.
+        val bgDoc = graft.ops.Caches.register(docs
+          .select(col("doc_id"),
+            explode(graft.functions.TextKernels.charNgrams(2)(col("text")))
+              .as("e"))
+          .select(col("doc_id"), col("e.gram").as("bg"),
+            col("e.mult").as("mult"))
           .persist())
         val counts = bgDoc.groupBy("bg").agg(sum(col("mult")).as("cnt"))
         val total = counts.agg(sum(col("cnt")).as("t"))
@@ -182,11 +183,14 @@ object CorpusStats {
         // count table broadcasts back.
         val docs = Tables(spark, dir, "documents")
           .filter(length(col("text")) >= 2)
+        // same per-row multiset kernel as q_text_bigram_lm: the
+        // (doc, bigram) reduction is map-side-complete in the scan stage
         val bgDoc = graft.ops.Caches.register(docs
           .select(col("doc_id"),
-            explode(expr("transform(sequence(1, char_length(text)-1), " +
-              "i -> substring(text, i, 2))")).as("bg"))
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("mult"))
+            explode(graft.functions.TextKernels.charNgrams(2)(col("text")))
+              .as("e"))
+          .select(col("doc_id"), col("e.gram").as("bg"),
+            col("e.mult").as("mult"))
           .persist())
         val counts = bgDoc.groupBy("bg").agg(sum(col("mult")).as("cnt"))
         val total = counts.agg(sum(col("cnt")).as("t"))
@@ -339,17 +343,20 @@ object CorpusStats {
         // boundary across all 11 989 (doc, ch) rows is 3.3e-5 ≈ 1.7e4
         // ulps at the ~1e7 operand magnitude — a last-ulp (≤ 2 ulp)
         // libm divergence cannot flip a quantized row.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id")
+        // per-row char multiset (CharNgramMultiset n=1): the explode →
+        // repartition → groupBy(doc_id, ch) reduction AND the
+        // partition-window N are both computed in the scan stage — the
+        // doc's total char count is char_length(text) (≡ Σ mult, every
+        // position contributes one char), so the only exchange left in
+        // the whole query is the final tiny per-doc groupBy.
         val chDoc = Tables(spark, dir, "documents")
           .filter(length(col("text")) >= 1)
           .select(col("doc_id"),
-            explode(expr("transform(sequence(1, char_length(text)), " +
-              "i -> substring(text, i, 1))")).as("ch"))
-          .repartition(col("doc_id"))
-          .groupBy("doc_id", "ch").agg(count(lit(1)).as("mult"))
+            length(col("text")).cast("long").as("n"),
+            explode(graft.functions.TextKernels.charNgrams(1)(col("text")))
+              .as("e"))
+          .select(col("doc_id"), col("n"), col("e.mult").as("mult"))
         chDoc
-          .withColumn("n", sum(col("mult")).over(w))
           .select(col("doc_id"), col("n"),
             (col("mult") * expr("CAST(ROUND(ln(CAST(mult AS DOUBLE) / " +
               "CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)")).as("t"))

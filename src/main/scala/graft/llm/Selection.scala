@@ -137,14 +137,19 @@ object Selection {
     val docs = Tables(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
+    // per-ROW feature multiset (graft.functions.WordBigramBuckets,
+    // codegen'd): tokenize → md5 → 12-bit bucket fold → per-bucket count,
+    // all inside the scan stage — the old explode → md5 → groupBy(doc,
+    // lang, hb) hash aggregate (one row per word of the corpus, plus its
+    // shuffle at scale) collapses to one bounded array per document.
+    // Bucket arithmetic is bit-identical to bucketCol (first 12 digest
+    // bits mod B), so the oracle CTEs are unchanged.
     val feat = graft.ops.Caches.register(docs
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(0, size(toks) - 2), " +
-          "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bg"))
+        explode(graft.functions.TextKernels.wordBigramBucketCol(B)(
+          col("text"))).as("e"))
       .select(col("doc_id"), col("lang"),
-        bucketCol(md5(col("bg"))).as("hb"))
-      .groupBy("doc_id", "lang", "hb")
-      .agg(count(lit(1)).as("mult"))
+        col("e.hb").as("hb"), col("e.mult").as("mult"))
       .persist())
     val srcCnt = feat.groupBy("hb").agg(sum(col("mult")).as("cs"))
     val tgtCnt = feat.filter(col("lang") === "en")

@@ -52,4 +52,71 @@ class ExpressionSpec extends AnyFunSuite with Matchers with SparkTest {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     noException should be thrownBy ext(e)
   }
+
+  test("char_ngram_multiset ≡ explode(substring) + groupBy on edge inputs") {
+    import spark.implicits._
+    // multibyte codepoints, repeats, double spaces, 1-char, empty
+    val texts = Seq("abcabcab", "aéé€€€b", "a  b c ", "x", "", "ab",
+      "ααββ αβ", "  ", "the cat the cat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "t")
+    for (n <- Seq(1, 2, 3)) {
+      val kernel = df.select(col("id"),
+        explode(graft.functions.TextKernels.charNgrams(n)(col("t")))
+          .as("e"))
+        .select(col("id"), col("e.gram").as("g"), col("e.mult").as("m"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val ref = df.filter(expr(s"char_length(t) >= $n"))
+        .select(col("id"),
+          explode(expr(s"transform(sequence(1, char_length(t)-${n - 1}), " +
+            s"i -> substring(t, i, $n))")).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("m"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      kernel shouldBe ref
+    }
+  }
+
+  test("word_bigram_buckets ≡ split+md5+bucketfold reference on edge inputs") {
+    import spark.implicits._
+    val texts = Seq("the cat sat", "a  b", " lead", "trail ", "one",
+      "", "é multi byte œuf", "x y x y x y").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "t")
+    val B = 4096
+    val kernel = df.select(col("id"),
+      explode(graft.functions.TextKernels.wordBigramBucketCol(B)(col("t")))
+        .as("e"))
+      .select(col("id"), col("e.hb").as("hb"), col("e.mult").as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the pre-kernel formulation: explode word bigrams, md5, fold the
+    // first 3 hex digit VALUES base 16, group
+    val hexd = (e: String) => s"(ascii($e) - 48 - " +
+      s"CASE WHEN ascii($e) >= 97 THEN 39 ELSE 0 END)"
+    val bucket = s"(((${hexd("substring(h, 1, 1)")} * 16 + " +
+      s"${hexd("substring(h, 2, 1)")}) * 16 + " +
+      s"${hexd("substring(h, 3, 1)")}) % $B)"
+    val ref = df.withColumn("toks", split(col("t"), " "))
+      .filter(expr("size(toks) >= 2"))
+      .select(col("id"),
+        explode(expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bg"))
+      .select(col("id"), expr(s"md5(bg)").as("h"))
+      .select(col("id"), expr(bucket).cast("int").as("hb"))
+      .groupBy("id", "hb").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    kernel shouldBe ref
+  }
+
+  test("text kernels run inside WholeStageCodegen") {
+    val df = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(
+        graft.functions.TextKernels.charNgrams(2)(col("text"))).as("e"))
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("char_ngram_multiset")
+    plan.split("\n").find(_.contains("char_ngram_multiset"))
+      .exists(l => l.contains("*(") || plan.contains("Generate")) shouldBe true
+    df.count() should be > 0L
+  }
 }
