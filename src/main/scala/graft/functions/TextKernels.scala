@@ -138,6 +138,97 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct word-n-gram shingle hashes of `t`, appearance order — the
+    * fused form of `split → transform(slice, concat_ws) → array_distinct →
+    * transform(hash)`. Because split keeps every empty token, joining n
+    * consecutive tokens with single spaces reconstructs EXACTLY the
+    * original byte window, so each shingle is hashed straight off the
+    * text bytes — no per-shingle string allocation at all. Distinctness
+    * is by the shingle's xxhash64 (the same 64-bit identity trade
+    * `Dedup.ngramJaccardPairs` documents; the oracle gate pins the corpus
+    * collision-free). Fewer than n tokens → ONE whole-text shingle (the
+    * short-doc fallback of `Dedup.withShingles`).
+    *
+    * `family`: "xxh" emits the xxhash64 itself (seed 42, bit-identical to
+    * the `xxhash64(s)` expression); "md5fold" emits the md5-ascii fold
+    * Σ ascii(hex_i)·256^(8−i) over the first 8 hex chars — the
+    * DuckDB-expressible family of the q_dedup_near_check twin.
+    */
+  def shingleHashes(t: UTF8String, n: Int, family: String): ArrayData = {
+    val bytes = t.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var tok = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) {
+        ends(tok) = i
+        tok += 1
+        starts(tok) = i + 1
+      }
+      i += 1
+    }
+    ends(tok) = bytes.length
+    val md5fold = family == "md5fold"
+    val md = if (md5fold) mdLocal.get() else null
+    def hashWindow(from: Int, until: Int): (Long, Long) = {
+      val key = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(
+          UTF8String.fromBytes(bytes, from, until - from), 42L)
+      if (!md5fold) (key, key)
+      else {
+        md.reset()
+        md.update(bytes, from, until - from)
+        val d = md.digest()
+        // ascii codes of the first 8 lowercase hex chars (nibbles of
+        // d0..d3), folded base 256: ascii = nib < 10 ? 48+nib : 87+nib
+        var v = 0L
+        var k = 0
+        while (k < 4) {
+          val hi = (d(k) >> 4) & 0xf
+          val lo = d(k) & 0xf
+          v = (v << 8) | (if (hi < 10) 48 + hi else 87 + hi).toLong
+          v = (v << 8) | (if (lo < 10) 48 + lo else 87 + lo).toLong
+          k += 1
+        }
+        (key, v)
+      }
+    }
+    if (nTok < n) {
+      // whole-text fallback shingle
+      return new GenericArrayData(
+        Array[Any](hashWindow(0, bytes.length)._2))
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var w = 0
+    val lastW = nTok - n
+    while (w <= lastW) {
+      val (key, v) = hashWindow(starts(w), ends(w + n - 1))
+      if (seen.add(key)) out.add(v)
+      w += 1
+    }
+    val arr = new Array[Any](out.size())
+    i = 0
+    while (i < arr.length) { arr(i) = out.get(i).longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Column DSL: array<long> of distinct shingle hashes (see
+    * [[shingleHashes]]).
+    */
+  def shingleHashCol(n: Int, family: String)(text: Column): Column =
+    GraftColumnBridge.column(
+      ShingleHashes(GraftColumnBridge.expression(text), n, family))
+
   /** Column DSL: array<struct<gram string, mult long>> of `text`'s
     * character n-grams.
     */
@@ -151,6 +242,32 @@ object TextKernels {
   def wordBigramBucketCol(b: Int)(text: Column): Column =
     GraftColumnBridge.column(
       WordBigramBuckets(GraftColumnBridge.expression(text), b))
+}
+
+case class ShingleHashes(child: Expression, n: Int, family: String)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  require(family == "xxh" || family == "md5fold",
+    s"unknown shingle hash family: $family")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "shingle_hashes(text STRING)")
+    }
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.shingleHashes(t.asInstanceOf[UTF8String], n, family)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"""graft.functions.TextKernels$$.MODULE$$.shingleHashes($t, $n, "$family")""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes = copy(child = newChild)
 }
 
 case class CharNgramMultiset(child: Expression, n: Int)

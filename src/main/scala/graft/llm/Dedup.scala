@@ -108,16 +108,21 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, maxDist: Double = 0.8,
       numTables: Int = 5, seed: Long = 42L,
-      shingleHash: String = "xxhash64(s)",
+      shingleFamily: String = "xxh",
       mixed: Boolean = true): DataFrame = {
     // DISK_ONLY: the table is corpus-sized (must never pin executor
     // memory or be broadcast), but three lineages read it — banding plus
     // both verify joins — so spilling it to local disk beats recomputing
-    // the shingle+hash pass per lineage
-    val hashed = graft.ops.Caches.register(withShingles(docs)
-      .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
+    // the shingle+hash pass per lineage. The shingle set is built by the
+    // fused per-row kernel (graft.functions.ShingleHashes, codegen'd):
+    // tokenize/slice/distinct/hash straight off the text bytes — no
+    // per-shingle string allocation in the pass that touches every
+    // document of the corpus.
+    val hashed = graft.ops.Caches.register(docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        expr(s"transform(shingles, s -> $shingleHash)").as("sh"))
+        graft.functions.TextKernels.shingleHashCol(3, shingleFamily)(
+          col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val banded = hashed
       .withColumn("sig", graft.functions.MinhashSig
@@ -417,19 +422,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.0, maxDf: Int = 200,
       maxCandidatesPerDoc: Int = Int.MaxValue): DataFrame = {
-    // No distinct() after the explode: withShingles array_distinct's per
-    // doc in-row, so (doc_id, sh) is already unique — the old global
-    // distinct was a redundant corpus-sized string shuffle. And shingle
-    // IDENTITY, not value, drives everything downstream (df counts,
-    // posting lists, set sizes), so hash each shingle to a 64-bit key
-    // in-row: the one corpus-sized shuffle below moves 8-byte longs
+    // (doc_id, sh) arrives unique straight from the fused per-row kernel
+    // (ShingleHashes: tokenize/slice/distinct/xxhash64 off the text
+    // bytes, no per-shingle string allocation). Shingle IDENTITY, not
+    // value, drives everything downstream (df counts, posting lists, set
+    // sizes), so the one corpus-sized shuffle below moves 8-byte longs
     // instead of n-word strings. (A 64-bit collision would merge two
     // shingles' posting lists — ~|shingles|²/2⁶⁴, the standard
     // shingle-hashing trade every large-scale dedup makes; the oracle
     // gate pins the actual corpus collision-free.)
-    val shAll = withShingles(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("__shs"))
-      .select(col("doc_id"), xxhash64(col("__shs")).as("sh"))
+    val shAll = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.shingleHashCol(n, "xxh")(
+          col("text"))).as("sh"))
     // ONE sh-keyed shuffle builds df-filtered posting lists directly:
     // the capped aggregate counts df exactly while bounding every
     // partial at maxDf doc_ids, so a stopword shingle is absorbed

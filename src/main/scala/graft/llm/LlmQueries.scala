@@ -373,13 +373,10 @@ object LlmQueries {
         // hash-pinned, and only the xxhash64/splitmix64 family of
         // q_dedup_near itself stays rows-only. Docs under 3 tokens are
         // excluded on both sides (the oracle's shingle CTE drops them).
-        val h = (1 to 8).map(i =>
-          s"CAST(ascii(substring(md5(s), $i, 1)) AS BIGINT) * " +
-            (1L << ((8 - i) * 8))).mkString(" + ")
         Dedup.minhashPairs(Tables(spark, dir, "documents")
             .filter(size(split(col("text"), " ")) >= 3),
             maxDist = 0.9, numTables = 5, seed = 7L,
-            shingleHash = h, mixed = false)
+            shingleFamily = "md5fold", mixed = false)
           .select(col("doc_a"), col("doc_b"),
             Cols.fround(col("jaccard_dist"), 6).as("jaccard_dist"))
           .orderBy("doc_a", "doc_b")
@@ -865,8 +862,14 @@ object LlmQueries {
         // DISK_ONLY: three lineages read the shingle table (eval distinct,
         // train sizes, train∩eval counts) — same trade as Dedup's
         // inverted-index persists
-        val sh = graft.ops.Caches.register(Dedup.withShingles(docs3)
-          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        // shingle IDENTITY (64-bit xxhash, the ngramJaccardPairs trade —
+        // oracle gate pins the corpus collision-free) via the fused
+        // per-row kernel: the semi-join probes 8-byte longs, not n-word
+        // strings, and no shingle string is ever allocated
+        val sh = graft.ops.Caches.register(docs3
+          .select(col("doc_id"),
+            explode(graft.functions.TextKernels.shingleHashCol(3, "xxh")(
+              col("text"))).as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
         val isEval = col("doc_id") % 20 === 0 && col("doc_id") < 20000
         val evalSh = sh.filter(isEval).select("sh").distinct()

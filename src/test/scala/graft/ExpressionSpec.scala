@@ -109,6 +109,36 @@ class ExpressionSpec extends AnyFunSuite with Matchers with SparkTest {
     kernel shouldBe ref
   }
 
+  test("shingle_hashes ≡ withShingles + hash-transform on edge inputs") {
+    import spark.implicits._
+    val texts = Seq("the cat sat on the mat", "a  b  c d", "one two",
+      "x", "", "dup dup dup dup", " lead tok here", "trail tok here ",
+      "α β γ δ é").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "t")
+    // xxh family ≡ array_distinct(shingle strings) → xxhash64 per shingle
+    val kernelX = df.select(col("doc_id"),
+      explode(graft.functions.TextKernels.shingleHashCol(3, "xxh")(
+        col("t"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refBase = graft.llm.Dedup.withShingles(
+      df.withColumnRenamed("t", "text"), 3)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val refX = refBase.select(col("doc_id"), expr("xxhash64(s)").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    kernelX shouldBe refX
+    // md5fold family ≡ the ascii-fold expression of the near_check twin
+    val h = (1 to 8).map(i =>
+      s"CAST(ascii(substring(md5(s), $i, 1)) AS BIGINT) * " +
+        (1L << ((8 - i) * 8))).mkString(" + ")
+    val kernelM = df.select(col("doc_id"),
+      explode(graft.functions.TextKernels.shingleHashCol(3, "md5fold")(
+        col("t"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refM = refBase.select(col("doc_id"), expr(h).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    kernelM shouldBe refM
+  }
+
   test("text kernels run inside WholeStageCodegen") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(explode(
