@@ -222,6 +222,67 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  private val HEX = "0123456789abcdef".getBytes
+
+  /** md5 hex key per W-token window position (the span-dedup window
+    * device): element i = md5 of tokens i..i+W−1 joined by single
+    * spaces — which IS the original byte window, so the digest runs
+    * straight off the text bytes and the hex string is the ONLY
+    * allocation. Fewer than W tokens → empty (callers' `size(toks) >= W`
+    * filter becomes implicit). Bit-identical to
+    * `md5(concat_ws(' ', slice(toks, i + 1, W)))`.
+    */
+  def spanWindowKeys(t: UTF8String, w: Int): ArrayData = {
+    val bytes = t.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    if (nTok < w) return new GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var tok = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) {
+        ends(tok) = i
+        tok += 1
+        starts(tok) = i + 1
+      }
+      i += 1
+    }
+    ends(tok) = bytes.length
+    val md = mdLocal.get()
+    val out = new Array[Any](nTok - w + 1)
+    var p = 0
+    while (p <= nTok - w) {
+      md.reset()
+      md.update(bytes, starts(p), ends(p + w - 1) - starts(p))
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = HEX((d(k) >> 4) & 0xf)
+        hex(2 * k + 1) = HEX(d(k) & 0xf)
+        k += 1
+      }
+      out(p) = UTF8String.fromBytes(hex)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column DSL: array<string> of per-position W-token window md5 keys
+    * (see [[spanWindowKeys]]).
+    */
+  def spanWindowCol(w: Int)(text: Column): Column =
+    GraftColumnBridge.column(
+      SpanWindowKeys(GraftColumnBridge.expression(text), w))
+
   /** Column DSL: array<long> of distinct shingle hashes (see
     * [[shingleHashes]]).
     */
@@ -242,6 +303,31 @@ object TextKernels {
   def wordBigramBucketCol(b: Int)(text: Column): Column =
     GraftColumnBridge.column(
       WordBigramBuckets(GraftColumnBridge.expression(text), b))
+}
+
+case class SpanWindowKeys(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"window length must be >= 1, got $w")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "span_window_keys(text STRING)")
+    }
+  override def prettyName: String = "span_window_keys"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.spanWindowKeys(t.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels$$.MODULE$$.spanWindowKeys($t, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SpanWindowKeys = copy(child = newChild)
 }
 
 case class ShingleHashes(child: Expression, n: Int, family: String)

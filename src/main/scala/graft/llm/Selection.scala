@@ -113,12 +113,11 @@ object Selection {
   private val W = 8
 
   private def spanKeys(spark: SparkSession, dir: String): DataFrame =
+    // fused byte-window kernel (SpanWindowKeys): md5 straight off the
+    // text bytes, short docs implicit-empty — same device as SpanDedup
     Tables(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= W)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, size(toks) - $W), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $W))))"))
+        explode(graft.functions.TextKernels.spanWindowCol(W)(col("text")))
           .as("win_md5"))
 
   private val spanKeysSql: String =

@@ -42,10 +42,11 @@ object SpanDedup {
     */
   private val W = 8
 
-  private val winsSpark =
-    // positions i = 0 .. size-W (1-based slice), windows intact only
-    s"transform(sequence(0, size(toks) - $W), " +
-      s"i -> md5(concat_ws(' ', slice(toks, i + 1, $W))))"
+  // per-position window keys come from the fused byte-window kernel
+  // (graft.functions.SpanWindowKeys, codegen'd): a W-token window joined
+  // by single spaces IS the original byte window, so the md5 runs
+  // straight off the text bytes — no per-window string build, no HOF
+  // array churn, and the short-doc filter is implicit (empty array)
 
   /** Shared CTE: one md5 window key per (doc, 1-based start position).
     * DuckDB slices are inclusive-inclusive: toks[i : i+W−1] has W
@@ -61,10 +62,9 @@ object SpanDedup {
   private def windows(spark: org.apache.spark.sql.SparkSession,
       dir: String) =
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= W)
       .select(col("doc_id"),
-        posexplode(expr(winsSpark)).as(Seq("pos", "win_md5")))
+        posexplode(graft.functions.TextKernels.spanWindowCol(W)(
+          col("text"))).as(Seq("pos", "win_md5")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
         col("win_md5"))
 

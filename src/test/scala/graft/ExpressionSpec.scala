@@ -139,6 +139,30 @@ class ExpressionSpec extends AnyFunSuite with Matchers with SparkTest {
     kernelM shouldBe refM
   }
 
+  test("span_window_keys ≡ posexplode(md5 window transform) on edge inputs") {
+    import spark.implicits._
+    val texts = Seq("a b c d e f g h i j", "one two three", "x", "",
+      "t1 t2 t3 t4 t5 t6 t7 t8", "d  d  d  d  d  d  d  d  d",
+      "é β multi byte tok a b c d é").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "t")
+    val W = 8
+    val kernel = df.select(col("doc_id"),
+      posexplode(graft.functions.TextKernels.spanWindowCol(W)(col("t")))
+        .as(Seq("pos", "k")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val ref = df.select(col("doc_id"), split(col("t"), " ").as("toks"))
+      .filter(expr(s"size(toks) >= $W"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(toks) - $W), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $W))))"))
+          .as(Seq("pos", "k")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    kernel shouldBe ref
+  }
+
   test("text kernels run inside WholeStageCodegen") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(explode(
