@@ -657,6 +657,21 @@ object LlmQueries {
         "FROM nn JOIN embeddings e ON e.vec_id = nn.nb " +
         "WHERE nn.rn <= 3 ORDER BY nn.probe, nn.rn")),
 
+    "q_sim_ann_recall" -> Q(
+      (spark, dir) =>
+        // the ANN quality metric a deployment monitors: recall@3 of the
+        // IVF search vs the exact answer, per probe — ONE index build,
+        // one shared quantized cache, identical cosine kernel and
+        // tie-breaks on both legs, so the metric isolates cell-pruning
+        // loss. Rows-only (the approximate leg's probed cells are the
+        // non-SQL leg, same contract as q_sim_ann_ivf); structurally
+        // pinned in LlmPipelineSpec: probing ALL cells drives recall to
+        // exactly 1.0 for every probe, and recall is monotone in
+        // probeClusters on the test corpus.
+        Similarity.annIvfRecall(Tables(spark, dir, "embeddings"),
+          nProbes = 10),
+      None),
+
     "q_multimodal_binary" -> Q(
       (spark, dir) =>
         // binary-column lift + byte-level metadata (oracle-checkable part

@@ -323,6 +323,53 @@ object Similarity {
         graft.ops.Cols.fround(col("cos"), 6).as("cos"))
   }
 
+  /** Recall@`topK` of the IVF search against the exact answer — the
+    * metric an ANN deployment actually monitors. ONE index build and ONE
+    * quantized corpus cache feed both legs: the approximate leg is the
+    * [[annIvfTop3]] machinery verbatim (probe-cell pruning + re-rank);
+    * the exact leg is a broadcast probes×corpus scan with the same
+    * quantized-cosine kernel and tie-breaks, so recall measures ONLY the
+    * cell-pruning loss — not quantization or tie-ordering differences.
+    * Output: (probe, n_hit, recall), recall = |approx ∩ exact| / topK.
+    *
+    * Scale shape: the exact leg is nProbes·|corpus| broadcast-joined
+    * rows — the eval set is bounded by construction (a recall AUDIT runs
+    * on a probe sample, not the corpus), so the "brute force" side never
+    * becomes a pair explosion.
+    */
+  def annIvfRecall(embeddings: DataFrame, nProbes: Int, k: Int = 16,
+      iters: Int = 5, probeClusters: Int = 3, topK: Int = 3): DataFrame = {
+    val approx = annIvfTop3(embeddings, nProbes, k, iters, probeClusters)
+      .filter(col("rn") <= topK)
+      .select(col("probe"), col("nb"))
+    // exact leg over the SAME cached quantized corpus (Caches get-or-
+    // compute makes the second quantized() call hit the registered cache)
+    val typedDf = quantized(embeddings).toDF("vec_id", "label", "q", "n2")
+      .filter(col("n2") > 0)
+    val probes = broadcast(typedDf.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe"), col("q").as("pq"),
+        col("n2").as("pn2")))
+    val w = Window.partitionBy("probe").orderBy(desc("cos"), asc("nb"))
+    val exact = probes.join(typedDf, col("probe") =!= col("vec_id"))
+      .withColumn("cos", graft.functions.CosineQuant(
+        col("pq"), col("q"), col("pn2"), col("n2")))
+      .select(col("probe"), col("vec_id").as("nb"), col("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("probe"), col("nb"))
+    // full rename on the approx side: both legs share the cached corpus
+    // lineage, so joining by name avoids ambiguous-attribute resolution
+    val ap = approx.select(col("probe").as("aprobe"), col("nb").as("anb"))
+    exact.join(ap, col("probe") === col("aprobe") &&
+        col("nb") === col("anb"), "left")
+      .groupBy("probe")
+      .agg(count(col("anb")).as("n_hit"))
+      .select(col("probe"), col("n_hit"),
+        graft.ops.Cols.fround(
+          col("n_hit").cast("double") / topK, 6).as("recall"))
+      .orderBy("probe")
+  }
+
   /** array<float> → ml dense Vector (needed by spark.ml LSH). */
   val toVec = udf((a: Seq[Float]) =>
     Vectors.dense(a.map(_.toDouble).toArray))

@@ -513,4 +513,22 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     val trained = inertia(Pq.trainedBooks(emb, m = 4, k = 8, iters = 3))
     trained should be <= init
   }
+
+  test("ann recall: all-cells probing gives recall 1.0; monotone in cells") {
+    val emb = Tables(spark, dir, "embeddings")
+    def recalls(cells: Int): Map[Long, Double] =
+      graft.llm.Similarity.annIvfRecall(emb, nProbes = 10,
+          probeClusters = cells)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // probing every cell makes the candidate set the corpus → exact
+    val all = recalls(16)
+    all.size shouldBe 10
+    all.values.foreach(_ shouldBe 1.0)
+    // pruning can only remove candidates: mean recall monotone in cells
+    val r1 = recalls(1)
+    val r3 = recalls(3)
+    r1.values.foreach(v => (v >= 0.0 && v <= 1.0) shouldBe true)
+    (r3.values.sum / r3.size) should be >= (r1.values.sum / r1.size)
+    graft.ops.Caches.drain()
+  }
 }
