@@ -118,6 +118,122 @@ object Warehouse {
         "AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name")),
 
+    "q_tpch_q10" -> Q(
+      (spark, dir) => {
+        // returned-item reporting: top-20 customers by revenue lost to
+        // returns in one quarter. orders carries its date predicate to
+        // the scan, lineitem its returnflag; customer/nation broadcast.
+        // The aggregate keys on c_custkey (customer grain) — the one
+        // real shuffle, sized by AQE.
+        val lo = Cols.ts("1996-01-01")
+        val hi = Cols.ts("1996-04-01")
+        val cust = Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_nationkey"))
+        val nation = Tables(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val ord = Tables(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables(spark, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(revenueCp.as("rev_cp"))
+          .select(col("c_custkey"), col("c_name"),
+            asMoney(col("rev_cp")).as("revenue"), col("c_acctbal"),
+            col("n_name"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      Some("SELECT c_custkey, c_name, " +
+        Cols.froundSql(s"CAST($revenueCpSql AS DOUBLE)/10000.0", 4) +
+        " AS revenue, c_acctbal, n_name " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "AND l_returnflag = 'R' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20")),
+
+    "q_tpch_q17" -> Q(
+      (spark, dir) => {
+        // small-quantity-order revenue: lineitems under 20% of their
+        // part's average quantity, for one brand/type slice. The
+        // correlated scalar subquery becomes a per-part aggregate JOINED
+        // back — and because the predicate is per-part, the aggregate
+        // runs over the lineitems ALREADY semi-joined to the (tiny,
+        // broadcast) filtered part dim, so nothing fact-sized shuffles:
+        // scan → broadcast-join → small groupBy → broadcast back.
+        // avg comparison is exact integer math (qty·5·cnt < sum), never
+        // a float divide — no ULP boundary rows between engines.
+        val parts = Tables(spark, dir, "part")
+          .filter(col("p_brand") === "Brand#13" && col("p_type") === "SMALL")
+          .select("p_partkey")
+        val lip = Tables(spark, dir, "lineitem")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_extendedprice"))
+        val pq = lip.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
+        lip.join(broadcast(pq), col("l_partkey") === col("pk"))
+          .filter(col("qty") * lit(5L) * col("cq") < col("sq"))
+          .agg(Cols.fround(
+            sum(Cols.cents(col("l_extendedprice"))).cast("double") /
+              lit(100.0) / lit(7.0), 4).as("avg_yearly"))
+      },
+      Some("WITH pq AS (SELECT l_partkey AS pk, " +
+        "SUM(CAST(l_quantity AS BIGINT)) AS sq, COUNT(*) AS cq " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#13' AND p_type = 'SMALL' " +
+        "GROUP BY l_partkey) " +
+        "SELECT " +
+        Cols.froundSql("CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS " +
+          "BIGINT)) AS DOUBLE)/100.0/7.0", 4) +
+        " AS avg_yearly " +
+        "FROM lineitem JOIN pq ON pk = l_partkey " +
+        "WHERE CAST(l_quantity AS BIGINT) * 5 * cq < sq")),
+
+    "q_tpch_q18" -> Q(
+      (spark, dir) => {
+        // large-volume customers: orders whose total quantity exceeds
+        // 300. One orderkey-grained aggregate over the fact (the only
+        // corpus-sized shuffle), whose HAVING output is selectivity-
+        // bounded small (~0.1% of orders at any SF) → broadcast into
+        // orders; customer joins the surviving handful.
+        val big = Tables(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 300L)
+        val ord = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val cust = Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        ord.join(broadcast(big), col("o_orderkey") === col("ok"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+      },
+      Some("WITH big AS (SELECT l_orderkey AS ok, " +
+        "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty FROM lineitem " +
+        "GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) " +
+        "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, " +
+        "sum_qty " +
+        "FROM big JOIN orders ON o_orderkey = ok " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
+
     "q_scd2_props" -> Q(
       (spark, dir) => {
         // SCD2 dimension build (change-data-capture): each user's props.k
