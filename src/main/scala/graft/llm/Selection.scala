@@ -467,6 +467,96 @@ object Selection {
           "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY gkey DESC, " +
           "doc_id) AS INT) AS rk, " + Cols.froundSql("gkey", 6) +
           " AS gumbel_key FROM rk ORDER BY rk"
+      }),
+
+    "q_text_cms_freq" -> Q(
+      (spark, dir) => {
+        // Count-min-sketch token-frequency estimation — the third sketch
+        // next to bloom (membership) and HLL (cardinality): "how often
+        // does each of the incoming shard's tokens appear in the 100 TB
+        // corpus?" without a corpus-wide groupBy or join. The sketch is
+        // a d×w counter table built by ONE map-combined aggregation
+        // (output ≤ d·w rows BY CONSTRUCTION — corpus size never touches
+        // it), broadcast to the shard's bounded vocabulary, est =
+        // min over d counters (Cormode-Muthukrishnan 2005). Counters are
+        // sums → partition-order-free; the hash is the house md5-fold
+        // device, so the WHOLE estimate — unusually for a sketch — is
+        // SQL-expressible and full-oracle. est ≥ true always (one-sided
+        // error, pinned against exact counts in SelectionSpec).
+        val toks = Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val corpus = toks.filter(col("doc_id") % 10 =!= shardMod)
+        val hashes = (0 until cmsD).map(i =>
+          cmsBucketCol(col("token"), i).as(s"h$i"))
+        val counters = corpus.select(hashes: _*)
+          .select(expr(s"stack($cmsD, " +
+            (0 until cmsD).map(i => s"$i, h$i").mkString(", ") +
+            ") AS (i, b)"))
+          .groupBy("i", "b").agg(count(lit(1)).as("c"))
+        toks.filter(col("doc_id") % 10 === shardMod)
+          .groupBy("token").agg(count(lit(1)).as("shard_cnt"))
+          .select((col("token") +: col("shard_cnt") +: hashes): _*)
+          .select(col("token"), col("shard_cnt"),
+            expr(s"stack($cmsD, " +
+              (0 until cmsD).map(i => s"$i, h$i").mkString(", ") +
+              ") AS (i, b)"))
+          .join(broadcast(counters), Seq("i", "b"), "left")
+          .groupBy("token", "shard_cnt")
+          .agg(min(coalesce(col("c"), lit(0L))).as("corpus_est"))
+          .orderBy("token")
+      },
+      Some {
+        val bucket = (i: Int) => cmsBucketSql("token", i)
+        "WITH toks AS (SELECT doc_id, tok AS token FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+          "FROM documents) WHERE tok <> ''), " +
+          "hashed AS (SELECT doc_id, token, i, CASE " +
+          (0 until cmsD).map(i =>
+            s"WHEN i = $i THEN ${bucket(i)} ").mkString +
+          "END AS b FROM toks CROSS JOIN " +
+          s"(SELECT unnest(generate_series(0, ${cmsD - 1})) AS i)), " +
+          s"counters AS (SELECT i, b, COUNT(*) AS c FROM hashed " +
+          s"WHERE doc_id % 10 <> $shardMod GROUP BY i, b), " +
+          "shard AS (SELECT token, COUNT(*) AS shard_cnt FROM toks " +
+          s"WHERE doc_id % 10 = $shardMod GROUP BY token), " +
+          "probes AS (SELECT s.token, s.shard_cnt, h.i, CASE " +
+          (0 until cmsD).map(i =>
+            s"WHEN h.i = $i THEN ${cmsBucketSql("s.token", i)} ")
+            .mkString +
+          "END AS b FROM shard s CROSS JOIN " +
+          s"(SELECT unnest(generate_series(0, ${cmsD - 1})) AS i) h) " +
+          "SELECT p.token, p.shard_cnt, " +
+          "MIN(COALESCE(c.c, 0)) AS corpus_est " +
+          "FROM probes p LEFT JOIN counters c ON p.i = c.i AND p.b = c.b " +
+          "GROUP BY p.token, p.shard_cnt ORDER BY token"
       })
   )
+
+  /** CMS geometry: d=4 independent md5-fold hash rows of width w=16^4 —
+    * the counter table is d·w = 262 144 longs REGARDLESS of corpus size.
+    * At 100 TB, w scales with corpus token count (est error ≤ N/w per
+    * row); the build stays one aggregation and the table stays broadcast.
+    */
+  private val cmsD = 4
+
+  /** Row-i bucket: the first 4 hex-digit VALUES of md5(token ⧺ "#i"),
+    * horner-folded base-16 — uniform over [0, 65536), same device (and
+    * same engine-agnosticism argument) as the DSIR bucket hash.
+    */
+  private def cmsBucketCol(c: Column, i: Int): Column = {
+    val h = md5(concat(c, lit(s"#$i")).cast("binary"))
+    (((hexdCol(substring(h, 1, 1)) * lit(16) +
+      hexdCol(substring(h, 2, 1))) * lit(16) +
+      hexdCol(substring(h, 3, 1))) * lit(16) +
+      hexdCol(substring(h, 4, 1))).cast("long")
+  }
+
+  private def cmsBucketSql(e: String, i: Int): String = {
+    val h = s"md5($e || '#$i')"
+    val hx = (j: Int) => hexdSql(s"substr($h, $j, 1)")
+    s"CAST(((${hx(1)} * 16 + ${hx(2)}) * 16 + ${hx(3)}) * 16 + ${hx(4)} " +
+      "AS BIGINT)"
+  }
 }

@@ -239,4 +239,31 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     }
     ops.Caches.drain()
   }
+
+  test("cms estimates upper-bound exact corpus counts, exact sans collision") {
+    val dir = "/root/testdata/sf0.001"
+    val est = Registry.all("q_text_cms_freq").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    est.length should be > 0
+    // exact corpus-side counts for the same shard vocabulary
+    val exact = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "" && col("doc_id") % 10 =!= 7)
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS law (Cormode-Muthukrishnan): est ≥ true, always — a violated
+    // lower bound means the hash rows disagree between build and probe
+    est.foreach { case (tok, _, e) =>
+      val t = exact.getOrElse(tok, 0L)
+      assert(e >= t, s"cms underestimate on '$tok': est $e < true $t")
+    }
+    // at this vocab (~dozens of tokens over 4×65536 counters) collisions
+    // are essentially impossible — the estimates should be EXACT; allow
+    // a stray collision but not a systematic offset
+    val off = est.count { case (tok, _, e) =>
+      e != exact.getOrElse(tok, 0L) }
+    assert(off <= est.length / 10, s"$off of ${est.length} inexact")
+    ops.Caches.drain()
+  }
 }
