@@ -60,9 +60,12 @@ object BinomSf {
   * function at session build time (the SparkSessionExtensions route).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("binom_sf"),
       new ExpressionInfo(classOf[BinomSf].getName, "binom_sf"),
       (children: Seq[Expression]) =>
         BinomSf(children(0), children(1), children(2))))
+    // whole-operator route: the as-of join planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -178,6 +178,32 @@ object Joins {
         "AND s.ts <= e.ts) AS last_signup_us " +
         "FROM events e ORDER BY event_id")),
 
+    "q_join_asof_native" -> Q(
+      (spark, dir) => {
+        // the SAME as-of question answered by the custom whole-operator
+        // plan (graft.plans.AsOfJoin: logical node → strategy → sorted-
+        // merge exec): each side shuffles once on user_id, sorts
+        // (key, time), and a streaming merge emits every event with its
+        // most recent at-or-before signup — no union doubling, no window
+        // state. Oracle identical to q_join_asof; plan gated in PlanSpec.
+        val e = Tables(spark, dir, "events")
+        val probes = e.select(col("event_id"), col("user_id"),
+          Cols.epochUs(col("ts")).as("ts_us"))
+        val markers = e.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"),
+            Cols.epochUs(col("ts")).as("s_ts_us"))
+        graft.plans.AsOfJoin.join(probes, markers,
+            "user_id", "s_user", "ts_us", "s_ts_us")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("s_ts_us").as("last_signup_us"))
+          .orderBy("event_id")
+      },
+      Some("SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, " +
+        "(SELECT epoch_us(MAX(s.ts)) FROM events s " +
+        "WHERE s.user_id = e.user_id AND s.event_type = 'signup' " +
+        "AND s.ts <= e.ts) AS last_signup_us " +
+        "FROM events e ORDER BY event_id")),
+
     "q_join_selfpairs" -> Q(
       (spark, dir) => {
         // A12 analog: self-pair enumeration with a < predicate

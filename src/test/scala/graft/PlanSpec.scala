@@ -223,6 +223,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("native asof join plans the custom exec: two key shuffles, no union") {
+    val p = plan("q_join_asof_native")
+    p should include("AsOfJoin")
+    // one hash exchange per side (plus the final presentation sort) and
+    // NO union/window machinery — the point of the operator vs the
+    // composed twin
+    p should not include "Union"
+    p should not include "RunningWindowFunction"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+  }
+
   test("orc round-trip keeps predicate pushdown on the read-back scan") {
     val p = plan("q_sink_orc")
     p should include regex """PushedFilters: \[[^\]]*l_shipdate"""
