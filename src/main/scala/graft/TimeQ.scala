@@ -29,9 +29,15 @@ object TimeQ {
         }
       })
     try SparkEntry.queries("q_scan_project")(spark, dir).count() catch { case _: Throwable => }
+    // SPARK_GRAFT_TIMEQ_FULL=1: force the FULL executed plan via toRdd
+    // (count() lets the optimizer prune unused expensive columns — e.g.
+    // an unreferenced window collapses entirely, which skews an A/B
+    // against any operator the pruner can't see into)
+    val full = sys.env.get("SPARK_GRAFT_TIMEQ_FULL").contains("1")
     for (name <- args.drop(1)) {
       val t0 = System.nanoTime()
-      val n = Registry.all(name).fn(spark, dir).count()
+      val df = Registry.all(name).fn(spark, dir)
+      val n = if (full) df.queryExecution.toRdd.count() else df.count()
       println(f"TIME $name ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
       graft.ops.Caches.drain()
     }

@@ -79,10 +79,21 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     require(leftKey.dataType == LongType && rightKey.dataType == LongType &&
       leftTime.dataType == LongType && rightTime.dataType == LongType,
       "asof join: key and time must be LongType (lift timestamps first)")
-    val lk = BindReferences.bindReference(leftKey, left.output)
-    val lt = BindReferences.bindReference(leftTime, left.output)
-    val rk = BindReferences.bindReference(rightKey, right.output)
-    val rt = BindReferences.bindReference(rightTime, right.output)
+    // primitive ordinal access on the hot path: after binding, a plain
+    // column reference IS a BoundReference — read the long directly with
+    // no Expression.eval boxing per row (the merge visits every row of
+    // both sides exactly once)
+    def ordinalOf(e: Expression, schema: Seq[Attribute]): Int =
+      BindReferences.bindReference(e, schema) match {
+        case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+          b.ordinal
+        case other => sys.error(
+          s"asof join: key/time must be plain columns, got $other")
+      }
+    val lkOrd = ordinalOf(leftKey, left.output)
+    val ltOrd = ordinalOf(leftTime, left.output)
+    val rkOrd = ordinalOf(rightKey, right.output)
+    val rtOrd = ordinalOf(rightTime, right.output)
     val nRight = right.output.size
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -97,19 +108,18 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val kA = lk.eval(l); val tA = lt.eval(l)
-          if (kA == null || tA == null) return proj(joined(l, nullRight))
-          val k = kA.asInstanceOf[Long]; val t = tA.asInstanceOf[Long]
+          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd))
+            return proj(joined(l, nullRight))
+          val k = l.getLong(lkOrd); val t = l.getLong(ltOrd)
           if (!inKey || k != curKey) { curKey = k; inKey = true
             lastMatch = null }
           var advancing = true
           while (advancing && rBuf.hasNext) {
-            val rkA = rk.eval(rBuf.head); val rtA = rt.eval(rBuf.head)
-            if (rkA == null || rtA == null) rBuf.next()
+            val h = rBuf.head
+            if (h.isNullAt(rkOrd) || h.isNullAt(rtOrd)) rBuf.next()
             else {
-              val rkv = rkA.asInstanceOf[Long]
-              val rtv = rtA.asInstanceOf[Long]
-              if (rkv < k || (rkv == k && rtv <= t)) {
+              val rkv = h.getLong(rkOrd)
+              if (rkv < k || (rkv == k && h.getLong(rtOrd) <= t)) {
                 val r = rBuf.next()
                 // iterator rows are reused buffers — retain a copy
                 if (rkv == k) lastMatch = r.copy()
