@@ -464,6 +464,29 @@ object LlmQueries {
         " SELECT doc_a, doc_b, inter, " + Cols.froundSql("jaccard", 6) +
         " AS jaccard FROM j WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b")),
 
+    "q_graph_triangles" -> Q(
+      (spark, dir) => {
+        // triangle enumeration over the near-dup pair graph (same pairs
+        // as q_dedup_ngram_jaccard): the cluster-density primitive —
+        // a pair that closes into triangles is a clique forming, a pair
+        // that doesn't is a chain artifact. Ordered (a<b<c) two-join
+        // enumeration via ops.Graph.triangles, never all-pairs.
+        val pairs = Dedup.ngramJaccardPairs(
+          Tables(spark, dir, "documents")
+            .filter(size(split(col("text"), " ")) >= 3), 3, 0.2)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        graft.ops.Graph.triangles(pairs)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"),
+            col("c").as("doc_c"))
+          .orderBy("doc_a", "doc_b", "doc_c")
+      },
+      Some("WITH " + ngramCtes +
+        ", e AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.2) " +
+        "SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c " +
+        "FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a " +
+        "JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b " +
+        "ORDER BY doc_a, doc_b, doc_c")),
+
     "q_dedup_cluster" -> Q(
       (spark, dir) => {
         // duplicate-cluster extraction ("keep one per cluster"): connected

@@ -15,7 +15,42 @@ import graft.{Q, Tables}
 object Aggregates {
   import Cols.cents
 
+  /** Columns profiled by q_profile_columns (lineitem numerics). */
+  private val profCols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
   def queries: Map[String, Q] = Map(
+    "q_profile_columns" -> Q(
+      (spark, dir) => {
+        // one-scan table profiling (the ANALYZE/statistics-collection
+        // shape): rows, nulls, exact distincts and min/max for every
+        // profiled column computed in a SINGLE aggregate over one pass
+        // of the fact, then unpivoted to a row per column. The
+        // multi-column exact distinct plans as one shuffle round through
+        // an Expand (×|cols| map-side); at 100 TB the swap is
+        // approx_count_distinct/HLL (the q_agg_hll_sketch path) and the
+        // Expand disappears — min/max/null counts stay map-combined
+        // either way.
+        val li = Tables(spark, dir, "lineitem")
+        val aggs = count(lit(1)).as("n_rows") +: profCols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c")))
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${profCols.size}, " + profCols.map(c =>
+            s"'$c', n_rows, nulls_$c, nd_$c, min_$c, max_$c")
+            .mkString(", ") +
+            ") AS (col_name, n_rows, n_null, n_distinct, min_v, max_v)"))
+          .orderBy("col_name")
+      },
+      Some(profCols.map(c =>
+        s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, " +
+        s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS n_null, COUNT(DISTINCT $c) AS n_distinct, " +
+        s"MIN($c) AS min_v, MAX($c) AS max_v FROM lineitem")
+        .mkString(" UNION ALL ") + " ORDER BY col_name")),
+
     "q_agg_q1" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "lineitem")

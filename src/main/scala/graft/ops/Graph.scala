@@ -85,6 +85,26 @@ object Graph {
       "edges AS (SELECT src, dst, COUNT(*) AS w FROM lagged " +
       "WHERE src IS NOT NULL GROUP BY src, dst)"
 
+  /** Ordered triangle enumeration over a canonical undirected edge list
+    * (src < dst, unique): rows (a, b, c) with a < b < c and all three
+    * edges present. Two equi-joins — the wedge build on the shared
+    * middle vertex, then the closing-edge check — so each triangle is
+    * counted exactly once and nothing is a cross product. Wedge fan-out
+    * is bounded by per-vertex degree; on dedup pair graphs degree is
+    * cluster-size-bounded by construction. (Degree-ORDERED orientation
+    * would tighten the wedge bound on power-law graphs — id-ordering is
+    * kept here because it needs no degree pass and is deterministic.)
+    */
+  def triangles(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Caches.register(edges.select(col("src"), col("dst")).persist())
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+    wedges.join(e.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_graph_transitions" -> Q(
       (spark, dir) => {

@@ -443,4 +443,22 @@ class AnalyticsSpec extends AnyFunSuite with Matchers with SparkTest {
       math.abs(s - dist(k)) should be < 1e-9
     }
   }
+
+  test("triangles: planted K5 yields C(5,3), chains yield none, " +
+      "partition-invariant") {
+    import spark.implicits._
+    // K5 on vertices 0–4 (canonical src<dst) + a 6-vertex chain 10–15
+    val k5 = for (a <- 0 to 4; b <- a + 1 to 4) yield (a.toLong, b.toLong)
+    val chain = (10 to 14).map(i => (i.toLong, i + 1L))
+    val edges = (k5 ++ chain).toDF("src", "dst")
+    val tri = ops.Graph.triangles(edges.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    tri.length shouldBe 10 // C(5,3); the chain closes nothing
+    tri.foreach { case (a, b, c) =>
+      a should be < b; b should be < c; c should be <= 4L }
+    tri.distinct.length shouldBe 10 // each triangle exactly once
+    val tri2 = ops.Graph.triangles(edges.repartition(2)).collect()
+    tri2.length shouldBe 10
+    ops.Caches.drain()
+  }
 }
