@@ -52,6 +52,23 @@ object Events {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: events joined to a STATIC dimension (the
+    * reference-data pattern — Spark re-broadcasts the dim per micro-batch,
+    * no join state, no watermark needed for the join leg), then windowed
+    * per dimension attribute. At 100 TB of stream the dim stays a
+    * broadcast; a dim too big to broadcast becomes the stream-stream
+    * shape ([[intervalJoin]]) instead.
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+      watermark: String = defaultWatermark): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("c_mktsegment"),
+        col("n"))
+
   /** Stream-stream interval join: each purchase paired with every view by
     * the same user in the preceding 30 minutes. The canonical Structured
     * Streaming two-stream join — watermarks on BOTH sides plus an

@@ -90,6 +90,24 @@ object StreamQueries {
         "(SELECT * FROM events UNION ALL SELECT * FROM events) " +
         "ORDER BY event_id")),
 
+    "q_stream_enrich" -> Q(
+      (spark, dir) => {
+        // batch-equivalent of Events.enrich (stream-static dimension
+        // join): hourly event counts per customer market segment. Same
+        // join + window logic as the streaming job; MemoryStream parity
+        // in StreamingSpec.
+        val e = Tables(spark, dir, "events")
+        val c = Tables(spark, dir, "customer")
+        Events.enrich(e, c)
+          .select(Cols.epochUs(col("win_start")).as("win_start_us"),
+            col("c_mktsegment"), col("n"))
+          .orderBy("win_start_us", "c_mktsegment")
+      },
+      Some("SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, " +
+        "c_mktsegment, COUNT(*) AS n " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY win_start_us, c_mktsegment")),
+
     "q_stream_hic_marginals" -> Q(
       (spark, dir) => {
         // batch-equivalent of the §2.10 incremental Hi-C job: the SAME

@@ -46,6 +46,22 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     streamed.map(_.toString).sorted shouldBe batch.map(_.toString).sorted
   }
 
+  test("stream-static enrich: stream (complete) equals batch; dim joined " +
+      "per micro-batch") {
+    val sp = spark
+    import sp.implicits._
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val data = Seq(ev(1, 0, user = 1), ev(2, 10, user = 2),
+      ev(3, 61, user = 1), ev(4, 65, user = 9)) // user 9: no dim row
+    val streamed = runStream(Seq(data.take(2), data.drop(2)),
+      Events.enrich(_, dim), "complete")
+    val batch = Events.enrich(data.toDF(), dim).collect()
+    streamed.map(_.toString).sorted shouldBe batch.map(_.toString).sorted
+    // inner join: the dim-less user contributes no row
+    streamed.map(_.getAs[Long]("n")).sum shouldBe 3L
+  }
+
   test("late row within watermark updates its window") {
     val batches = Seq(
       Seq(ev(1, 0), ev(2, 70)),   // advances watermark to 70m − 2h < 0
