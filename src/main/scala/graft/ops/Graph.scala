@@ -98,6 +98,12 @@ object Graph {
   def triangles(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val e = Caches.register(edges.select(col("src"), col("dst")).persist())
+    // materialize the cache BEFORE the three self-references: the edge
+    // derivation (e.g. the shingle pipeline feeding the near-dup graph)
+    // must run once — otherwise the per-reference broadcast futures race
+    // an unfilled cache and each recomputes the full lineage (measured
+    // 3× the derivation cost at sf0.1)
+    e.count()
     val wedges = e.select(col("src").as("a"), col("dst").as("b"))
       .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
     wedges.join(e.select(col("src").as("a"), col("dst").as("c")),
