@@ -88,6 +88,46 @@ object LlmQueries {
     * afterwards) was bounded only by Catalyst happening to push the probe
     * predicate through the union; this one is bounded structurally.
     */
+  /** Per-probe exact top-3 cosine over a PREFIX slice of the embedding
+    * (dims elements), exact-integer kernel, probe×corpus block shape.
+    */
+  def mrlTop3(e: org.apache.spark.sql.DataFrame, dims: Int,
+      nProbes: Int): org.apache.spark.sql.DataFrame = {
+    val q = s"transform(slice(embedding, 1, $dims), x -> " +
+      "cast(round(cast(x as double)*10000000, 0) as bigint))"
+    val n = s"aggregate($q, 0L, (acc, v) -> acc + v*v)"
+    val probes = broadcast(e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe"), expr(q).as("qa"),
+        expr(n).as("na2"))
+      .filter(col("na2") > 0))
+    val cands = e.select(col("vec_id").as("nb"), expr(q).as("qb"),
+      expr(n).as("nb2")).filter(col("nb2") > 0)
+    val w = Window.partitionBy("probe").orderBy(desc("cos"), asc("nb"))
+    probes.join(cands, col("probe") =!= col("nb"))
+      .withColumn("dot", expr("aggregate(zip_with(qa, qb, " +
+        "(x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe"), col("nb"))
+  }
+
+  /** hits@3 + recall of the prefix-dim top-3 against the full-dim top-3
+    * (q_embed_matryoshka; laws pinned in LlmPipelineSpec).
+    */
+  def mrlRecall3(e: org.apache.spark.sql.DataFrame,
+      prefixDims: Int, fullDims: Int = 64, nProbes: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val pre = mrlTop3(e, prefixDims, nProbes).withColumn("__hit", lit(1L))
+    mrlTop3(e, fullDims, nProbes).join(pre, Seq("probe", "nb"), "left")
+      .groupBy("probe")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("probe"), col("n_hit"),
+        Cols.fround(col("n_hit").cast("double") / 3.0, 6).as("recall3"))
+      .orderBy("probe")
+  }
+
   private def probeSims(spark: org.apache.spark.sql.SparkSession,
       dir: String, nProbes: Int) = {
     val e = Tables(spark, dir, "embeddings")
@@ -694,6 +734,49 @@ object LlmQueries {
         Similarity.annIvfRecall(Tables(spark, dir, "embeddings"),
           nProbes = 10),
       None),
+
+    "q_embed_matryoshka" -> Q(
+      (spark, dir) => {
+        // Matryoshka-representation evaluation (Kusupati et al. 2022,
+        // the MRL deployment question): does the FIRST-16-of-64 prefix
+        // slice preserve each probe's exact top-3 cosine neighborhood?
+        // Both legs run the house exact-integer kernel over the
+        // probe×corpus block (O(|probes|·n), never all-pairs); output is
+        // per-probe hits@3 of the prefix search against the full-dim
+        // answer. At scale the prefix leg is the cheap first pass (4×
+        // fewer multiplies, 4× smaller resident vectors) and the
+        // full-dim leg reranks its shortlist — this query measures
+        // exactly what that trade costs. (On THIS fixture's i.i.d.
+        // random embeddings the honest answer is chance-level ≈ 0 —
+        // untrained vectors are not matryoshka-nested; the planted-
+        // structure laws live in LlmPipelineSpec.)
+        mrlRecall3(Tables(spark, dir, "embeddings"), prefixDims = 16)
+      },
+      Some {
+        def legSql(tag: String, d: Int) =
+          s"nrm_$tag AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2 " +
+            s"FROM qv WHERE i <= $d GROUP BY vec_id), " +
+            s"top_$tag AS (SELECT probe, nb, ROW_NUMBER() OVER " +
+            "(PARTITION BY probe ORDER BY CAST(dot AS DOUBLE)/" +
+            "SQRT(CAST(na.n2 AS DOUBLE)*CAST(nbn.n2 AS DOUBLE)) DESC, nb)" +
+            " AS rk FROM (SELECT a.vec_id AS probe, b.vec_id AS nb, " +
+            "CAST(SUM(a.q*b.q) AS BIGINT) AS dot FROM qv a " +
+            "JOIN qv b ON a.i = b.i AND b.vec_id <> a.vec_id " +
+            s"AND a.i <= $d WHERE a.vec_id < 10 GROUP BY 1, 2) d " +
+            s"JOIN nrm_$tag na ON na.vec_id = probe " +
+            s"JOIN nrm_$tag nbn ON nbn.vec_id = nb " +
+            "WHERE na.n2 > 0 AND nbn.n2 > 0)"
+        "WITH qv AS (SELECT vec_id, i, " +
+          "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
+          "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+          "unnest(embedding) AS v FROM embeddings)), " +
+          legSql("f", 64) + ", " + legSql("p", 16) + " " +
+          "SELECT f.probe, CAST(COUNT(p.nb) AS BIGINT) AS n_hit, " +
+          Cols.froundSql("CAST(COUNT(p.nb) AS DOUBLE)/3.0", 6) +
+          " AS recall3 FROM top_f f LEFT JOIN top_p p " +
+          "ON p.probe = f.probe AND p.nb = f.nb AND p.rk <= 3 " +
+          "WHERE f.rk <= 3 GROUP BY f.probe ORDER BY f.probe"
+      }),
 
     "q_multimodal_binary" -> Q(
       (spark, dir) =>

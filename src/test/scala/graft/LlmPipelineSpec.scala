@@ -531,4 +531,33 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     (r3.values.sum / r3.size) should be >= (r1.values.sum / r1.size)
     graft.ops.Caches.drain()
   }
+
+  test("matryoshka recall: prefix ≡ full when tail is zero; full-vs-full " +
+      "is exactly 1; fixture recall well-defined") {
+    import spark.implicits._
+    // 40 vectors whose ENTIRE signal lives in the first 16 dims (tail 48
+    // dims zero): the 16-dim prefix search must reproduce the full-dim
+    // neighborhood exactly — recall 1.0 for every probe
+    val planted = (0 until 40).map { i =>
+      val head = Array.tabulate(16)(j =>
+        (math.sin(i * 16 + j) * 0.5 + (if (i % 4 == j % 4) 1.0 else 0.0))
+          .toFloat)
+      (i.toLong, head ++ Array.fill(48)(0.0f))
+    }.toDF("vec_id", "embedding")
+    val zeroTail = graft.llm.LlmQueries
+      .mrlRecall3(planted, prefixDims = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    zeroTail.size shouldBe 10
+    zeroTail.values.foreach(_ shouldBe 1.0)
+    // prefix = full dims is the identity comparison: recall exactly 1
+    // on the REAL fixture too (the declared query's 16-dim leg reads
+    // chance-level ≈ 0 there — i.i.d. embeddings are not MRL-nested)
+    val full = graft.llm.LlmQueries.mrlRecall3(
+      graft.Tables(spark, "/root/testdata/sf0.001", "embeddings"),
+      prefixDims = 64)
+      .collect().map(_.getDouble(2))
+    full.length shouldBe 10
+    full.foreach(_ shouldBe 1.0)
+    graft.ops.Caches.drain()
+  }
 }
