@@ -74,7 +74,165 @@ object Matrix {
     "CAST(SUM(contactCount) AS BIGINT) AS ins_sum, COUNT(*) AS n_pairs " +
     "FROM x GROUP BY chr, b)"
 
+  /** Symmetric cell map (chr, lo ≤ hi, cnt) — the probe target shared by
+    * the loop donut, APA, and any neighborhood lookup. Persisted: probed
+    * by several broadcast legs per query.
+    */
+  private def symCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Caches.register(ContactsView(spark, dir)
+      .select(col("chr"), least(col("mid1"), col("mid2")).as("lo"),
+        greatest(col("mid1"), col("mid2")).as("hi"),
+        col("contactCount"))
+      .groupBy("chr", "lo", "hi")
+      .agg(sum(col("contactCount")).as("cnt"))
+      .persist())
+
+  /** Top-100 donut-filtered loop calls (q_hic_loops' scoring, shared
+    * with APA): returns (chr, lo, hi, cnt, donut_present, donut_sum,
+    * enr_milli), already limited under the total order.
+    */
+  private def loopCalls(spark: org.apache.spark.sql.SparkSession,
+      sym: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val chrStats = sym.groupBy("chr")
+      .agg(count(lit(1)).as("nc"), sum(col("cnt")).as("tot"))
+    val cand = sym.join(broadcast(chrStats), "chr")
+      .filter(col("cnt") * col("nc") > lit(2L) * col("tot") &&
+        col("hi") - col("lo") > 10 * Bin)
+      .select("chr", "lo", "hi", "cnt")
+    val offs = (for {
+      dx <- -5 to 5; dy <- -5 to 5
+      if math.max(dx.abs, dy.abs) >= 2
+    } yield (dx, dy)).toDF("dx", "dy")
+    val probes = cand
+      .crossJoin(broadcast(offs))
+      .select(col("chr"), col("lo"), col("hi"), col("cnt"),
+        (col("lo") + col("dx") * Bin).as("nlo"),
+        (col("hi") + col("dy") * Bin).as("nhi"))
+    probes
+      .join(sym.select(col("chr"), col("lo").as("nlo"),
+        col("hi").as("nhi"), col("cnt").as("ncnt")),
+        Seq("chr", "nlo", "nhi"), "left")
+      .groupBy("chr", "lo", "hi", "cnt")
+      .agg(count(col("ncnt")).as("donut_present"),
+        coalesce(sum(col("ncnt")), lit(0L)).as("donut_sum"))
+      .withColumn("enr_milli",
+        expr("(cnt * 112000L) div greatest(donut_sum, 1L)"))
+      .orderBy(desc("enr_milli"), asc("chr"), asc("lo"), asc("hi"))
+      .limit(100)
+  }
+
+  /** DuckDB twin of [[loopCalls]]: the q_hic_loops CTE chain extended
+    * with a `loops` CTE holding the ordered top-100.
+    */
+  private val loopsSqlCtes: String = ContactsView.cte + ", s AS (" +
+    "SELECT chr, LEAST(mid1, mid2) AS lo, GREATEST(mid1, mid2) AS hi, " +
+    "CAST(SUM(contactCount) AS BIGINT) AS cnt FROM c GROUP BY 1, 2, 3), " +
+    "st AS (SELECT chr, COUNT(*) AS nc, " +
+    "CAST(SUM(cnt) AS BIGINT) AS tot FROM s GROUP BY chr), " +
+    "cand AS (SELECT s.chr, s.lo, s.hi, s.cnt FROM s " +
+    "JOIN st ON s.chr = st.chr WHERE s.cnt*st.nc > 2*st.tot " +
+    s"AND s.hi - s.lo > ${10 * Bin}), " +
+    "offs AS (SELECT dx.x AS dx, dy.y AS dy FROM " +
+    "(SELECT unnest(generate_series(-5, 5)) AS x) dx, " +
+    "(SELECT unnest(generate_series(-5, 5)) AS y) dy " +
+    "WHERE GREATEST(ABS(dx.x), ABS(dy.y)) >= 2), " +
+    "probes AS (SELECT cand.chr, cand.lo, cand.hi, cand.cnt, " +
+    s"cand.lo + offs.dx*$Bin AS nlo, cand.hi + offs.dy*$Bin AS nhi " +
+    "FROM cand CROSS JOIN offs), " +
+    "donut AS (SELECT p.chr, p.lo, p.hi, p.cnt, " +
+    "COUNT(s2.cnt) AS donut_present, " +
+    "CAST(COALESCE(SUM(s2.cnt), 0) AS BIGINT) AS donut_sum " +
+    "FROM probes p LEFT JOIN s s2 ON s2.chr = p.chr " +
+    "AND s2.lo = p.nlo AND s2.hi = p.nhi GROUP BY 1, 2, 3, 4), " +
+    "loops AS (SELECT chr, lo, hi, cnt, donut_present, donut_sum, " +
+    "(cnt * 112000) // GREATEST(donut_sum, 1) AS enr_milli FROM donut " +
+    "ORDER BY enr_milli DESC, chr, lo, hi LIMIT 100)"
+
   def queries: Map[String, Q] = Map(
+    "q_hic_apa" -> Q(
+      (spark, dir) => {
+        // aggregate peak analysis (Rao et al. 2014): superimpose the
+        // ±2-bin neighborhood of every called loop and emit the summed
+        // 5×5 pileup — the standard "are these loops real?" diagnostic
+        // (a true loop set shows center enrichment over the matrix
+        // background). Probe volume = 100 loops × 25 offsets — a
+        // broadcast-sized probe list against the symmetric cell map, the
+        // same bounded-neighborhood shape as the donut filter; exact
+        // integer sums end to end.
+        import spark.implicits._
+        val sym = symCells(spark, dir)
+        val offs = (for { dx <- -2L to 2L; dy <- -2L to 2L }
+          yield (dx, dy)).toDF("dx", "dy")
+        loopCalls(spark, sym)
+          .select(col("chr"), col("lo"), col("hi"))
+          .crossJoin(broadcast(offs))
+          .select(col("chr"), col("dx"), col("dy"),
+            (col("lo") + col("dx") * Bin).as("nlo"),
+            (col("hi") + col("dy") * Bin).as("nhi"))
+          .join(sym.select(col("chr"), col("lo").as("nlo"),
+            col("hi").as("nhi"), col("cnt").as("ncnt")),
+            Seq("chr", "nlo", "nhi"), "left")
+          .groupBy("dx", "dy")
+          .agg(count(col("ncnt")).as("n_present"),
+            coalesce(sum(col("ncnt")), lit(0L)).as("apa_sum"))
+          .orderBy("dx", "dy")
+      },
+      Some(loopsSqlCtes +
+        ", offs2 AS (SELECT dx.x AS dx, dy.y AS dy FROM " +
+        "(SELECT unnest(generate_series(-2, 2)) AS x) dx, " +
+        "(SELECT unnest(generate_series(-2, 2)) AS y) dy), " +
+        "probes2 AS (SELECT l.chr, o.dx, o.dy, " +
+        s"l.lo + o.dx*$Bin AS nlo, l.hi + o.dy*$Bin AS nhi " +
+        "FROM loops l CROSS JOIN offs2 o) " +
+        "SELECT p.dx, p.dy, COUNT(s2.cnt) AS n_present, " +
+        "CAST(COALESCE(SUM(s2.cnt), 0) AS BIGINT) AS apa_sum " +
+        "FROM probes2 p LEFT JOIN s s2 ON s2.chr = p.chr " +
+        "AND s2.lo = p.nlo AND s2.hi = p.nhi " +
+        "GROUP BY 1, 2 ORDER BY dx, dy")),
+
+    "q_hic_scaling" -> Q(
+      (spark, dir) => {
+        // contact-probability scaling P(s): contacts per octave of
+        // genomic distance (the distance-decay curve every Hi-C paper
+        // plots, and the empirical shape A15's spline fits). Log-binning
+        // is a range join against a ~20-row broadcast powers-of-two
+        // table — exact integers (shiftleft, never float log2, whose
+        // boundary ULPs could bin a power-of-two differently per
+        // engine); mean_milli is an exact integer ratio.
+        import spark.implicits._
+        val c = ContactsView(spark, dir)
+          .select((greatest(col("mid1"), col("mid2")) -
+            least(col("mid1"), col("mid2"))).as("d"),
+            col("contactCount"))
+          .filter(col("d") >= Bin)
+        val octaves = (0 to 25).map(_.toLong).toDF("k")
+        val lo = expr(s"$Bin * shiftleft(1L, cast(k as int))")
+        val hi = expr(s"$Bin * shiftleft(1L, cast(k as int) + 1)")
+        c.join(broadcast(octaves), col("d") >= lo && col("d") < hi)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("contactCount")).as("sum_count"))
+          .select(col("k"),
+            expr(s"$Bin * shiftleft(1L, cast(k as int))").as("d_lo"),
+            col("n_pairs"), col("sum_count"),
+            expr("(sum_count * 1000L) div n_pairs").as("mean_milli"))
+          .orderBy("k")
+      },
+      Some(ContactsView.cte + ", p AS (SELECT GREATEST(mid1, mid2) - " +
+        "LEAST(mid1, mid2) AS d, contactCount FROM c " +
+        s"WHERE GREATEST(mid1, mid2) - LEAST(mid1, mid2) >= $Bin), " +
+        "oct AS (SELECT unnest(generate_series(0, 25)) AS k) " +
+        s"SELECT k, $Bin * (1::BIGINT << k) AS d_lo, " +
+        "COUNT(*) AS n_pairs, " +
+        "CAST(SUM(contactCount) AS BIGINT) AS sum_count, " +
+        "(CAST(SUM(contactCount) AS BIGINT) * 1000) // COUNT(*) " +
+        "AS mean_milli FROM p JOIN oct ON " +
+        s"d >= $Bin * (1::BIGINT << k) AND d < $Bin * (1::BIGINT << (k+1)) " +
+        "GROUP BY k ORDER BY k")),
+
     "q_hic_obs_exp" -> Q(
       (spark, dir) => {
         // observed/expected: expected(chr, d) = mean contact count over
@@ -174,42 +332,12 @@ object Matrix {
         // reflection double-counting). enr_milli = obs·112·1000 div
         // donut_sum is integer-exact; (enr desc, chr, mid1, mid2) is a
         // total order so the top-100 is deterministic and hash-stable.
-        import spark.implicits._
-        val sym = graft.ops.Caches.register(ContactsView(spark, dir)
-          .select(col("chr"), least(col("mid1"), col("mid2")).as("lo"),
-            greatest(col("mid1"), col("mid2")).as("hi"),
-            col("contactCount"))
-          .groupBy("chr", "lo", "hi")
-          .agg(sum(col("contactCount")).as("cnt"))
-          .persist())
-        val chrStats = sym.groupBy("chr")
-          .agg(count(lit(1)).as("nc"), sum(col("cnt")).as("tot"))
-        val cand = sym.join(broadcast(chrStats), "chr")
-          .filter(col("cnt") * col("nc") > lit(2L) * col("tot") &&
-            col("hi") - col("lo") > 10 * Bin)
-          .select("chr", "lo", "hi", "cnt")
-        val offs = (for {
-          dx <- -5 to 5; dy <- -5 to 5
-          if math.max(dx.abs, dy.abs) >= 2
-        } yield (dx, dy)).toDF("dx", "dy")
-        val probes = cand
-          .crossJoin(broadcast(offs))
-          .select(col("chr"), col("lo"), col("hi"), col("cnt"),
-            (col("lo") + col("dx") * Bin).as("nlo"),
-            (col("hi") + col("dy") * Bin).as("nhi"))
-        probes
-          .join(sym.select(col("chr"), col("lo").as("nlo"),
-            col("hi").as("nhi"), col("cnt").as("ncnt")),
-            Seq("chr", "nlo", "nhi"), "left")
-          .groupBy("chr", "lo", "hi", "cnt")
-          .agg(count(col("ncnt")).as("donut_present"),
-            coalesce(sum(col("ncnt")), lit(0L)).as("donut_sum"))
+        val sym = symCells(spark, dir)
+        loopCalls(spark, sym)
           .select(col("chr"), col("lo").as("mid1"), col("hi").as("mid2"),
             col("cnt").as("obs"), col("donut_present"), col("donut_sum"),
-            expr("(cnt * 112000L) div greatest(donut_sum, 1L)")
-              .as("enr_milli"))
+            col("enr_milli"))
           .orderBy(desc("enr_milli"), asc("chr"), asc("mid1"), asc("mid2"))
-          .limit(100)
       },
       Some(ContactsView.cte + ", s AS (SELECT chr, " +
         "LEAST(mid1, mid2) AS lo, GREATEST(mid1, mid2) AS hi, " +
