@@ -164,6 +164,10 @@ object Matrix {
         // integer sums end to end.
         import spark.implicits._
         val sym = symCells(spark, dir)
+        // loopCalls + the pileup probe consume sym from several broadcast
+        // legs — fill the cache once up front or the racing futures each
+        // recompute the cell aggregation (the Graph.triangles lesson)
+        sym.count()
         val offs = (for { dx <- -2L to 2L; dy <- -2L to 2L }
           yield (dx, dy)).toDF("dx", "dy")
         loopCalls(spark, sym)

@@ -90,6 +90,10 @@ object LlmQueries {
     */
   /** Per-probe exact top-3 cosine over a PREFIX slice of the embedding
     * (dims elements), exact-integer kernel, probe×corpus block shape.
+    * Quantization runs once per row (N ops); the probe×corpus pair loop
+    * — the hot path — is the codegen'd [[graft.functions.CosineQuant]]
+    * primitive kernel, never an interpreted higher-order lambda
+    * (measured 50×-class at 8×, the same lesson as q_sim_cosine_topk).
     */
   def mrlTop3(e: org.apache.spark.sql.DataFrame, dims: Int,
       nProbes: Int): org.apache.spark.sql.DataFrame = {
@@ -104,10 +108,8 @@ object LlmQueries {
       expr(n).as("nb2")).filter(col("nb2") > 0)
     val w = Window.partitionBy("probe").orderBy(desc("cos"), asc("nb"))
     probes.join(cands, col("probe") =!= col("nb"))
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, " +
-        "(x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-      .withColumn("cos", col("dot").cast("double") /
-        sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+      .withColumn("cos", graft.functions.CosineQuant(
+        col("qa"), col("qb"), col("na2"), col("nb2")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("probe"), col("nb"))
