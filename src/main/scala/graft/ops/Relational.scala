@@ -118,6 +118,41 @@ object Relational {
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' " +
         "GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    "q_join_dpp" -> Q(
+      (spark, dir) => {
+        // dynamic partition pruning: the fact is a Hive-partitioned sink
+        // (by event_type), the dim arrives with a non-partition filter —
+        // Catalyst plants a runtime subquery filter on the fact SCAN
+        // (`dynamicpruning` in the plan, gated in PlanSpec), so only the
+        // dim's surviving partitions are ever listed or read. At 100 TB
+        // this is THE mechanism that turns a fact×dim join into a read
+        // of 2 directories; static pushdown (q_sink_partitioned) can't
+        // do it because the partition set is only known at runtime.
+        import spark.implicits._
+        val out = graft.io.Scratch.sub("dpp_fact")
+        Tables(spark, dir, "events")
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        // the dim must be a SOURCE with a runtime Filter above it — a
+        // local Seq would constant-fold the predicate away and DPP's
+        // selective-predicate test never fires
+        val dimOut = graft.io.Scratch.sub("dpp_dim")
+        Seq(("click", 1L), ("purchase", 2L), ("view", 3L),
+          ("signup", 4L), ("logout", 5L)).toDF("etype", "pri")
+          .write.mode("overwrite").parquet(dimOut)
+        spark.read.parquet(out)
+          .join(broadcast(spark.read.parquet(dimOut)
+            .filter(col("pri") <= 2)),
+            col("event_type") === col("etype"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, COUNT(*) AS n, " +
+        "COUNT(DISTINCT user_id) AS n_users FROM events " +
+        "JOIN (VALUES ('click', 1), ('purchase', 2)) AS d(etype, pri) " +
+        "ON event_type = etype GROUP BY event_type ORDER BY event_type")),
+
     "q_sink_jsonl" -> Q(
       (spark, dir) => {
         // gzip JSON-lines round-trip — the interchange format every LLM

@@ -234,6 +234,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
   }
 
+  test("dpp join plants a runtime partition-pruning subquery on the scan") {
+    val p = plan("q_join_dpp")
+    p.toLowerCase should include("dynamicpruning")
+  }
+
   test("orc round-trip keeps predicate pushdown on the read-back scan") {
     val p = plan("q_sink_orc")
     p should include regex """PushedFilters: \[[^\]]*l_shipdate"""
