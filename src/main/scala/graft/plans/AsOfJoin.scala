@@ -26,7 +26,12 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
   * keys per partition, nothing driver-side, and AQE coalesces the two
   * exchanges together because they feed one stage. Contract: key and time
   * are LongType (callers lift timestamps via Cols.epochUs); null keys or
-  * times never match (left row still emitted, null-extended).
+  * times never match (left row still emitted, null-extended); among
+  * EQUAL (key, time) right rows the retained match is the last in
+  * partition sort order, which the (key, time) sort leaves unspecified —
+  * callers needing a deterministic payload must make time unique per key
+  * or keep the payload order-insensitive (q_join_asof_native's payload
+  * IS the time, so ties are value-identical).
   *
   * The full preference-(c) route from SURVEY §4: logical node → planner
   * Strategy → physical exec, registered per-session through
