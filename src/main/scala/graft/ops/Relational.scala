@@ -118,6 +118,35 @@ object Relational {
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' " +
         "GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    "q_sink_compaction" -> Q(
+      (spark, dir) => {
+        // small-file compaction — the lakehouse maintenance op: a
+        // fragmented 64-way write rewritten to 4 right-sized files
+        // (repartition, one shuffle), then consumed. At 100 TB this is
+        // the nightly job that keeps scan task counts sane after
+        // streaming/incremental ingests; correctness = the rewrite is
+        // INVISIBLE, so the oracle runs the same aggregate on the
+        // ORIGINAL table. File-count law (≥32 in, exactly 4 out) is
+        // gated in PlanSpec.
+        val frag = graft.io.Scratch.stable("compact_frag")
+        val compact = graft.io.Scratch.stable("compact_out")
+        Tables(spark, dir, "events")
+          .repartition(64).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).repartition(4)
+          .write.mode("overwrite").parquet(compact)
+        spark.read.parquet(compact)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, COUNT(*) AS n, " +
+        "COUNT(DISTINCT user_id) AS n_users, " +
+        "MIN(event_id) AS min_id, MAX(event_id) AS max_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     "q_join_dpp" -> Q(
       (spark, dir) => {
         // dynamic partition pruning: the fact is a Hive-partitioned sink

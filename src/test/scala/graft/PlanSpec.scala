@@ -234,6 +234,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
   }
 
+  test("compaction: fragmented input ≥32 files, compacted output exactly 4") {
+    Registry.all("q_sink_compaction").fn(spark, sf).count()
+    def parts(tag: String) = new java.io.File(io.Scratch.stable(tag))
+      .listFiles().count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    parts("compact_frag") should be >= 32
+    parts("compact_out") shouldBe 4
+  }
+
   test("dpp join plants a runtime partition-pruning subquery on the scan") {
     val p = plan("q_join_dpp")
     p.toLowerCase should include("dynamicpruning")
