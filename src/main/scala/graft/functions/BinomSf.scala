@@ -67,5 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BinomSf(children(0), children(1), children(2))))
     // whole-operator route: the as-of join planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer-rule route: marker-hinted band-join bin rewrite
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinRule)
   }
 }

@@ -149,6 +149,43 @@ object Joins {
         "AND l_shipdate < o_orderdate + INTERVAL 30 DAY " +
         "GROUP BY o_orderkey ORDER BY o_orderkey")),
 
+    "q_join_range_auto" -> Q(
+      (spark, dir) => {
+        // PURE band join (no equi key): lineitem shipments falling inside
+        // sampled 7-day promo windows. Spark's native plan for this shape
+        // is BroadcastNestedLoopJoin — O(|L|·|W|) comparisons, lethal when
+        // the window side outgrows a broadcast. The RangeBinMarker
+        // conjunct opts the join into graft.plans.RangeJoinBinRule
+        // (injected optimizer rule): floor(pt/2^40) keys the point side,
+        // each window explodes to its ≤2 overlapping bins, and the join
+        // planner sees a plain shuffled equi-join on the bin with the
+        // band conjuncts as residual condition — identical rows
+        // (oracle-checked), exchange-partitioned plan (PlanSpec-gated).
+        graft.plans.RangeJoin.install(spark)
+        val win = Tables(spark, dir, "orders")
+          .filter(col("o_orderkey") % 1500 === 1)
+          .select(col("o_orderkey").as("win_id"),
+            Cols.epochUs(col("o_orderdate")).as("lo"))
+          .withColumn("hi", col("lo") + lit(7L * 86400L * 1000000L))
+        val l = Tables(spark, dir, "lineitem")
+          .select(Cols.epochUs(col("l_shipdate")).as("pt"),
+            col("l_quantity"))
+        val w = 1L << 40 // ≈12.7 days in µs ≥ the 7-day span → ≤2 bins
+        l.join(win, col("pt") >= col("lo") && col("pt") < col("hi") &&
+            graft.plans.RangeJoin.marker(w, col("pt"), col("lo"),
+              col("hi")))
+          .groupBy("win_id")
+          .agg(count(lit(1)).as("n_ship"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("win_id")
+      },
+      Some("SELECT o_orderkey AS win_id, COUNT(*) AS n_ship, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN orders ON o_orderkey % 1500 = 1 " +
+        "AND l_shipdate >= o_orderdate " +
+        "AND l_shipdate < o_orderdate + INTERVAL 7 DAY " +
+        "GROUP BY 1 ORDER BY 1")),
+
     "q_join_asof" -> Q(
       (spark, dir) => {
         // as-of backward join: most recent signup at-or-before each event,

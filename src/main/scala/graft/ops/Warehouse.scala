@@ -234,6 +234,48 @@ object Warehouse {
         "JOIN customer ON c_custkey = o_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
 
+    "q_tpch_q22" -> Q(
+      (spark, dir) => {
+        // global-sales-opportunity (Q22, adapted: the nation key stands
+        // in for the phone country code this schema doesn't carry, and
+        // "no orders" becomes "no orders since 2000" — every customer in
+        // this corpus has SOME order): customers of 7 eligible nations
+        // with above-average positive balance and no recent activity.
+        // The average threshold is compared in exact integers
+        // (bal_cp·n_pos > sum_cp — the Q17 device), so no double average
+        // can drift between engines; the one-row threshold broadcasts;
+        // the NOT EXISTS is a left-anti join against the date-pruned
+        // orders scan — the only fact-sized shuffle in the plan.
+        val cust = Tables(spark, dir, "customer")
+          .filter(col("c_nationkey").isin(1, 5, 9, 13, 17, 21, 23))
+          .select(col("c_custkey"), col("c_nationkey"),
+            Cols.cents(col("c_acctbal")).as("bal_cp"))
+        val thr = cust.filter(col("bal_cp") > 0L)
+          .agg(count(lit(1)).as("n_pos"), sum(col("bal_cp")).as("sum_cp"))
+        cust.join(Tables(spark, dir, "orders")
+            .filter(col("o_orderdate") >= Cols.ts("2000-01-01"))
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .crossJoin(broadcast(thr))
+          .filter(col("bal_cp") * col("n_pos") > col("sum_cp"))
+          .groupBy(col("c_nationkey").as("cntry"))
+          .agg(count(lit(1)).as("numcust"),
+            Cols.fround(sum(col("bal_cp")).cast("double") / 100.0, 2)
+              .as("totacctbal"))
+          .orderBy("cntry")
+      },
+      Some("WITH sel AS (SELECT c_custkey, c_nationkey, " +
+        "CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_cp FROM customer " +
+        "WHERE c_nationkey IN (1,5,9,13,17,21,23)), " +
+        "thr AS (SELECT COUNT(*) AS n_pos, SUM(bal_cp) AS sum_cp " +
+        "FROM sel WHERE bal_cp > 0) " +
+        "SELECT c_nationkey AS cntry, COUNT(*) AS numcust, " +
+        Cols.froundSql("CAST(SUM(bal_cp) AS DOUBLE)/100.0", 2) +
+        " AS totacctbal FROM sel, thr WHERE bal_cp * n_pos > sum_cp " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY c_nationkey ORDER BY cntry")),
+
     "q_scd2_props" -> Q(
       (spark, dir) => {
         // SCD2 dimension build (change-data-capture): each user's props.k

@@ -48,6 +48,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     plan("q_join_theta_band") should include("BroadcastNestedLoopJoin")
   }
 
+  test("marker-hinted band join rewrites to a binned equi-join") {
+    // the injected optimizer rule must turn the keyless band join into a
+    // Generate (interval→bins explode) + equi-join on the bin — never the
+    // O(|L|·|R|) nested loop the un-hinted shape plans
+    val p = plan("q_join_range_auto")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("Generate")
+    p should include("__graft_bin")
+  }
+
   test("top-k compiles to TakeOrderedAndProject (no global sort)") {
     plan("q_topk") should include("TakeOrderedAndProject")
   }
