@@ -53,4 +53,47 @@ object Cols {
     * and hash-stable.
     */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** 16-bit min/max rescale of an integer key:
+    * floor((k − mn)·65535 / max(mx − mn, 1)). The intermediate doubles
+    * are exact (≤ ~1.3e10 ≪ 2^53), so Spark and DuckDB floor to the same
+    * integer bit-for-bit.
+    */
+  def norm16(k: Column, mn: Column, mx: Column): Column =
+    floor((k - mn).cast("double") * 65535.0 /
+      greatest(mx - mn, lit(1)).cast("double")).cast("long")
+
+  /** DuckDB twin of [[norm16]]; CAST of an exact-integer double. */
+  def norm16Sql(k: String, mn: String, mx: String): String =
+    s"CAST(FLOOR(CAST($k - $mn AS DOUBLE) * 65535.0 / " +
+      s"CAST(GREATEST($mx - $mn, 1) AS DOUBLE)) AS BIGINT)"
+
+  private val spreadSteps =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+      (1, 0x55555555L))
+
+  /** Spread the low 16 bits of `c` to the even bit positions (classic
+    * shift-or-mask ladder). */
+  def spread16(c: Column): Column =
+    spreadSteps.foldLeft(c.bitwiseAND(lit(0xFFFFL))) {
+      case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** Morton (Z-order) interleave of two 16-bit values: `a` takes the
+    * even bits, `b` the odd — the locality-preserving multi-dimension
+    * sort key for clustered layouts. */
+  def morton2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** DuckDB twin of the spread ladder as a CTE chain `s1..s4` over
+    * columns `za`/`zb` of `src`, carrying every other column through
+    * (`SELECT * REPLACE`). The final select reads
+    * `za | (zb << 1)` from `s4`.
+    */
+  def mortonSpreadCtes(src: String): String =
+    spreadSteps.zipWithIndex.map { case ((s, m), i) =>
+      val prev = if (i == 0) src else "s" + i
+      s"s${i + 1} AS (SELECT * REPLACE (((za | (za << $s)) & $m) AS za, " +
+        s"((zb | (zb << $s)) & $m) AS zb) FROM $prev)"
+    }.mkString(", ")
 }

@@ -147,6 +147,62 @@ object Relational {
         "MIN(event_id) AS min_id, MAX(event_id) AS max_id " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    "q_sink_zorder" -> Q(
+      (spark, dir) => {
+        // Z-ORDER clustering sink — the multi-dimensional layout
+        // maintenance op: interleave the bits of the two predicate
+        // dimensions (l_partkey, l_suppkey; each rescaled to 16 bits off
+        // its own min/max), range-partition + sort by the Morton code,
+        // write. Each output file then covers a small HYPERCUBE of the
+        // key space instead of a thin slab of one dimension, so min/max
+        // row-group stats prune scans filtered on EITHER key — at 100 TB
+        // this is the nightly OPTIMIZE that makes two unrelated predicate
+        // columns both skippable from one layout. The z-code is exact
+        // integer bit math, identical in DuckDB (oracle pins it via
+        // sum_z); the clustering law (per-file ranges shrink on BOTH
+        // dims) is gated in PlanSpec; the read-back aggregate makes the
+        // roundtrip itself invisible.
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        val b = li.agg(
+          min("l_partkey").as("mnp"), max("l_partkey").as("mxp"),
+          min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"))
+        val out = graft.io.Scratch.stable(
+          "zorder_" + java.lang.Integer.toHexString(dir.hashCode))
+        li.crossJoin(broadcast(b))
+          .withColumn("z", Cols.morton2(
+            Cols.norm16(col("l_partkey"), col("mnp"), col("mxp")),
+            Cols.norm16(col("l_suppkey"), col("mns"), col("mxs"))))
+          .drop("mnp", "mxp", "mns", "mxs")
+          .repartitionByRange(8, col("z"), col("l_orderkey"),
+            col("l_linenumber"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(out)
+        // selective single-dimension read-back: first quarter of the
+        // partkey range — the probe a z-ordered layout prunes to ~1/4 of
+        // the files where a suppkey-sorted layout would read all of them
+        spark.read.parquet(out).crossJoin(broadcast(b))
+          .filter((col("l_partkey") - col("mnp")) * 4 <=
+            col("mxp") - col("mnp"))
+          .groupBy((col("l_suppkey") % 8).as("sgrp"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(col("z")).as("sum_z"))
+          .orderBy("sgrp")
+      },
+      Some("WITH b AS (SELECT MIN(l_partkey) mnp, MAX(l_partkey) mxp, " +
+        "MIN(l_suppkey) mns, MAX(l_suppkey) mxs FROM lineitem), " +
+        "n0 AS (SELECT l_suppkey, l_quantity, " +
+        Cols.norm16Sql("l_partkey", "mnp", "mxp") + " AS za, " +
+        Cols.norm16Sql("l_suppkey", "mns", "mxs") + " AS zb " +
+        "FROM lineitem, b WHERE (l_partkey - mnp) * 4 <= mxp - mnp), " +
+        Cols.mortonSpreadCtes("n0") + " " +
+        "SELECT l_suppkey % 8 AS sgrp, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(SUM(za | (zb << 1)) AS BIGINT) AS sum_z FROM s4 " +
+        "GROUP BY 1 ORDER BY 1")),
+
     "q_join_dpp" -> Q(
       (spark, dir) => {
         // dynamic partition pruning: the fact is a Hive-partitioned sink

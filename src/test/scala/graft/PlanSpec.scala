@@ -48,6 +48,31 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     plan("q_join_theta_band") should include("BroadcastNestedLoopJoin")
   }
 
+  test("z-order sink clusters both dimensions: per-file ranges shrink") {
+    import org.apache.spark.sql.functions.{max, min}
+    // drive the write, then audit the layout: every output file must
+    // cover a small hypercube of (partkey, suppkey) — an unclustered or
+    // single-dim-sorted layout leaves at least one dim's mean per-file
+    // range at ~1.0 of the global span
+    Registry.all("q_sink_zorder").fn(spark, sf).count()
+    val out = graft.io.Scratch.stable(
+      "zorder_" + java.lang.Integer.toHexString(sf.hashCode))
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    files.length should be >= 4
+    def meanRange(c: String): Double = {
+      val g = spark.read.parquet(out).agg(min(c), max(c)).head
+      val span = (g.getLong(1) - g.getLong(0)).toDouble.max(1.0)
+      val per = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(c), max(c)).head
+        (r.getLong(1) - r.getLong(0)).toDouble / span
+      }
+      per.sum / per.length
+    }
+    meanRange("l_partkey") should be < 0.75
+    meanRange("l_suppkey") should be < 0.75
+  }
+
   test("marker-hinted band join rewrites to a binned equi-join") {
     // the injected optimizer rule must turn the keyless band join into a
     // Generate (interval→bins explode) + equi-join on the bin — never the
