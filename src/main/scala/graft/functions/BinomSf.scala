@@ -69,5 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer-rule route: marker-hinted band-join bin rewrite
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinRule)
+    // custom window-aggregate function (the registry path is load-bearing
+    // for window functions: see EmaWindow.emaCents)
+    ext.injectFunction((FunctionIdentifier("ema_cents"),
+      new ExpressionInfo(classOf[EmaCents].getName, "ema_cents"),
+      (children: Seq[Expression]) => EmaCents(children.head)))
   }
 }

@@ -134,6 +134,37 @@ object Windows {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY o_orderkey")),
 
+    "q_win_ema" -> Q(
+      (spark, dir) => {
+        // custom declarative window function (graft.functions.EmaCents):
+        // per-user integer-cents EMA s' = ⌊(x+s)/2⌋ over the event
+        // stream — the per-entity smoothing a feature pipeline computes
+        // at ingest. Runs inside the standard running-frame window exec
+        // (one shuffle on user_id, no UDAF, one long of state); the
+        // floor-integer recurrence is exact, so DuckDB replays it as a
+        // recursive CTE and the oracle hash-matches.
+        // frame pinned to ROWS unbounded→current: AggregateWindowFunction
+        // fixes that frame and the spec must agree
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(spark, dir, "events")
+          .withColumn("v_c", Cols.cents(col("value")))
+          .select(col("event_id"), col("user_id"),
+            graft.functions.EmaWindow.emaCents(spark, col("v_c")).over(w)
+              .as("ema_c"))
+          .orderBy("event_id")
+      },
+      Some("WITH RECURSIVE e AS (SELECT event_id, user_id, " +
+        "CAST(ROUND(value*100,0) AS BIGINT) AS v_c, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS rn FROM events), " +
+        "r AS (SELECT event_id, user_id, rn, v_c AS ema_c FROM e " +
+        "WHERE rn = 1 UNION ALL " +
+        "SELECT e.event_id, e.user_id, e.rn, (e.v_c + r.ema_c) // 2 " +
+        "AS ema_c FROM e JOIN r ON e.user_id = r.user_id " +
+        "AND e.rn = r.rn + 1) " +
+        "SELECT event_id, user_id, ema_c FROM r ORDER BY event_id")),
+
     "q_win_pctrank" -> Q(
       (spark, dir) => {
         // relative-rank family: percent_rank = (rank−1)/(n−1) and

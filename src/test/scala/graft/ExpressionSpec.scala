@@ -163,6 +163,33 @@ class ExpressionSpec extends AnyFunSuite with Matchers with SparkTest {
     kernel shouldBe ref
   }
 
+  test("ema_cents window function ≡ JVM recurrence on a seeded stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // seeded per-key streams incl. odd sums (floor path) and single-row
+    // keys (init path)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (i.toLong % 13, i.toLong, rnd.nextInt(100000).toLong)
+    } :+ (99L, 0L, 77L) // a key with exactly one row
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = rows.toDF("k", "t", "x")
+      .select(col("k"), col("t"),
+        graft.functions.EmaWindow.emaCents(spark, col("x")).over(w)
+          .as("ema"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var s = Option.empty[Long]
+      rs.sortBy(_._2).map { case (_, t, x) =>
+        s = Some(s.fold(x)(p => java.lang.Math.floorDiv(x + p, 2)))
+        (k, t) -> s.get
+      }
+    }
+    got shouldBe expected
+  }
+
   test("text kernels run inside WholeStageCodegen") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(explode(
