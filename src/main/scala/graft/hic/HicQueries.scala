@@ -80,6 +80,36 @@ object HicQueries {
       },
       None),
 
+    "q_source_hic_tsv" -> Q(
+      (spark, dir) => {
+        // The DSv2 connector (graft.sources.HicTsv) on the same gz-TSV
+        // surface as q_csv_roundtrip, but as a first-class SOURCE:
+        // format("hic-tsv") with filter pushdown (chr1 =, mid1 <=) and
+        // column pruning (chr2/mid2 never parsed or allocated) enforced
+        // inside the per-file readers — plan-gated in PlanSpec; the
+        // oracle recomputes from the ORIGINAL tables, so a hash match
+        // proves the whole connector leg (write → scan → pushdown →
+        // prune) is lossless.
+        val out = graft.io.Scratch.sub("hic_tsv_src")
+        val c = cachedView(spark, dir)
+        graft.io.Tsv.write(c.select(col("chr").as("chr1"), col("mid1"),
+          col("chr").as("chr2"), col("mid2"), col("contactCount")),
+          out, graft.io.Tsv.contactSchema.fieldNames)
+        spark.read.format("hic-tsv").option("kind", "contacts").load(out)
+          .filter(col("chr1") === "O" && col("mid1") <= 5002500L)
+          .select("chr1", "mid1", "contactCount")
+          .groupBy("chr1")
+          .agg(count(lit(1)).as("n"),
+            sum(col("contactCount")).as("sum_cc"),
+            min(col("mid1")).as("min_mid"),
+            max(col("mid1")).as("max_mid"))
+          .orderBy("chr1")
+      },
+      Some(ContactsView.cte + " SELECT chr AS chr1, COUNT(*) AS n, " +
+        "CAST(SUM(contactCount) AS BIGINT) AS sum_cc, " +
+        "MIN(mid1) AS min_mid, MAX(mid1) AS max_mid FROM c " +
+        "WHERE chr = 'O' AND mid1 <= 5002500 GROUP BY 1 ORDER BY 1")),
+
     "q_csv_roundtrip" -> Q(
       (spark, dir) => {
         // A1/A4: gzip-TSV egress + ingest round-trip through the domain

@@ -1,0 +1,285 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 implementation of the reference's gz-TSV file surface
+  * (SURVEY §1.1 A1–A3) — the custom-SOURCE axis done as a first-class
+  * connector instead of a csv() alias:
+  *
+  *   - `TableProvider` → `Table` → `ScanBuilder` → `Batch` →
+  *     `PartitionReader`, selected with
+  *     `spark.read.format("hic-tsv").option("kind", "contacts")`.
+  *   - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): only the
+  *     requested fields are parsed/materialized per line — a projection
+  *     of 2 of 5 columns never allocates the other 3.
+  *   - FILTER PUSHDOWN (`SupportsPushDownFilters`): =, <, <=, >, >=, IN,
+  *     IS [NOT] NULL on any column are evaluated inside the reader
+  *     against the typed parse, BEFORE row materialization; they are
+  *     removed from the post-scan Filter (v2 contract: pushed ⇒ exactly
+  *     enforced) and reported in `.explain` via `Scan.description`.
+  *   - One InputPartition per file: gzip streams are unsplittable, so
+  *     the file is the parallelism grain — at 100 TB the layout answer
+  *     is many files (exactly what the pass-numbered A4 sink produces),
+  *     not splitting one stream.
+  *
+  * Kinds map to the fixed headerless schemas in [[graft.io.Tsv]]:
+  * contacts (default), fragments, biases. Empty fields parse as null
+  * (nullable columns only — matching the csv() reader's behavior).
+  */
+class HicTsv extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "hic-tsv"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HicTsv.schemaFor(options.getOrDefault("kind", "contacts"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new HicTsvTable(schema, properties.asScala.toMap)
+}
+
+object HicTsv {
+  def schemaFor(kind: String): StructType = kind match {
+    case "contacts" => graft.io.Tsv.contactSchema
+    case "fragments" => graft.io.Tsv.fragmentSchema
+    case "biases" => graft.io.Tsv.biasSchema
+    case other => sys.error(s"hic-tsv: unknown kind '$other'")
+  }
+}
+
+class HicTsvTable(tableSchema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    "hic-tsv:" + props.getOrElse("path", "<no path>")
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new HicTsvScanBuilder(tableSchema,
+      Option(options.get("path")).getOrElse(
+        props.getOrElse("path", sys.error("hic-tsv: path required"))))
+}
+
+class HicTsvScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve file field order; Spark projects to its requested order
+    required = StructType(
+      fullSchema.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) =
+      filters.partition(HicTsvFilters.supported(fullSchema, _))
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new HicTsvScan(fullSchema, required, pushed, path)
+}
+
+class HicTsvScan(fullSchema: StructType, required: StructType,
+    pushed: Array[Filter], path: String) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"hic-tsv PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && s.getLen > 0 &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")).map(_.getPath.toString)
+      else Array(path)
+    files.sorted.map(f => HicTsvPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    new HicTsvReaderFactory(fullSchema, required, pushed, conf)
+  }
+}
+
+case class HicTsvPartition(file: String) extends InputPartition
+
+class HicTsvReaderFactory(fullSchema: StructType, required: StructType,
+    pushed: Array[Filter], conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new HicTsvReader(fullSchema, required, pushed, conf,
+      partition.asInstanceOf[HicTsvPartition].file)
+}
+
+/** Streams one (possibly gzipped) file: per line, parse ONLY the fields
+  * the filters and projection need, evaluate pushed filters on the typed
+  * values, then materialize the pruned row.
+  */
+class HicTsvReader(fullSchema: StructType, required: StructType,
+    pushed: Array[Filter], conf: SerializableConfiguration, file: String)
+    extends PartitionReader[InternalRow] {
+
+  private val fieldIdx = fullSchema.fieldNames.zipWithIndex.toMap
+  private val predicates = pushed.map(HicTsvFilters.compile(fullSchema, _))
+  // fields to parse = projected ∪ filter-referenced
+  private val neededIdx: Array[Int] =
+    (required.fieldNames.map(fieldIdx) ++
+      pushed.flatMap(_.references).map(fieldIdx)).distinct.sorted
+  private val outIdx: Array[Int] = required.fieldNames.map(fieldIdx)
+
+  private val in = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val codec = new CompressionCodecFactory(conf.value).getCodec(p)
+    val raw = fs.open(p)
+    new BufferedReader(new InputStreamReader(
+      if (codec != null) codec.createInputStream(raw) else raw,
+      StandardCharsets.UTF_8))
+  }
+
+  private val parsed = new Array[Any](fullSchema.length)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val cols = line.split('\t')
+        var i = 0
+        while (i < neededIdx.length) {
+          val f = neededIdx(i)
+          val s = if (f < cols.length) cols(f) else ""
+          parsed(f) =
+            if (s.isEmpty) null
+            else fullSchema(f).dataType match {
+              case LongType => java.lang.Long.valueOf(s)
+              case IntegerType => java.lang.Integer.valueOf(s)
+              case DoubleType => java.lang.Double.valueOf(s)
+              case _ => s
+            }
+          i += 1
+        }
+        if (predicates.forall(_(parsed))) {
+          val out = new GenericInternalRow(outIdx.length)
+          var j = 0
+          while (j < outIdx.length) {
+            out(j) = parsed(outIdx(j)) match {
+              case s: String => UTF8String.fromString(s)
+              case v => v
+            }
+            j += 1
+          }
+          row = out
+          return true
+        }
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+/** Pushed-filter support + compilation to closures over the typed parse
+  * array. The v2 contract makes pushed filters load-bearing (Spark drops
+  * them from the post-scan Filter), so only exactly-evaluable shapes are
+  * accepted; everything else stays residual.
+  */
+object HicTsvFilters {
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => comparable(schema, a, v)
+    case GreaterThan(a, v) => comparable(schema, a, v)
+    case GreaterThanOrEqual(a, v) => comparable(schema, a, v)
+    case LessThan(a, v) => comparable(schema, a, v)
+    case LessThanOrEqual(a, v) => comparable(schema, a, v)
+    case In(a, vs) => vs.forall(comparable(schema, a, _))
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  private def comparable(schema: StructType, attr: String,
+      value: Any): Boolean =
+    schema.fieldNames.contains(attr) && (value match {
+      case null => false
+      case _: java.lang.Long | _: java.lang.Integer |
+          _: java.lang.Double | _: String => true
+      case _ => false
+    })
+
+  def compile(schema: StructType, f: Filter): Array[Any] => Boolean = {
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    def cmp(attr: String, value: Any): Array[Any] => Option[Int] = {
+      val i = idx(attr)
+      schema(i).dataType match {
+        case LongType | IntegerType =>
+          val v = value match {
+            case l: java.lang.Long => l.longValue
+            case n: java.lang.Integer => n.longValue
+            case other => sys.error(s"hic-tsv: bad literal $other")
+          }
+          row => Option(row(i)).map(x =>
+            java.lang.Long.compare(x match {
+              case l: java.lang.Long => l.longValue
+              case n: java.lang.Integer => n.longValue
+            }, v))
+        case DoubleType =>
+          val v = value.asInstanceOf[Number].doubleValue
+          row => Option(row(i)).map(x =>
+            java.lang.Double.compare(
+              x.asInstanceOf[Number].doubleValue, v))
+        case StringType =>
+          val v = value.toString
+          row => Option(row(i)).map(_.asInstanceOf[String].compareTo(v))
+        case other => sys.error(s"hic-tsv: unfilterable type $other")
+      }
+    }
+    f match {
+      case EqualTo(a, v) => val c = cmp(a, v); r => c(r).contains(0)
+      case GreaterThan(a, v) => val c = cmp(a, v); r => c(r).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) =>
+        val c = cmp(a, v); r => c(r).exists(_ >= 0)
+      case LessThan(a, v) => val c = cmp(a, v); r => c(r).exists(_ < 0)
+      case LessThanOrEqual(a, v) =>
+        val c = cmp(a, v); r => c(r).exists(_ <= 0)
+      case In(a, vs) =>
+        val cs = vs.map(cmp(a, _)); r => cs.exists(_(r).contains(0))
+      case IsNotNull(a) => val i = idx(a); r => r(i) != null
+      case IsNull(a) => val i = idx(a); r => r(i) == null
+      case other => sys.error(s"hic-tsv: unpushable filter $other")
+    }
+  }
+}

@@ -48,6 +48,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     plan("q_join_theta_band") should include("BroadcastNestedLoopJoin")
   }
 
+  test("DSv2 hic-tsv scan carries pushed filters and a pruned schema") {
+    val p = plan("q_source_hic_tsv")
+    p should include("BatchScan hic-tsv:")
+    p should include("PushedFilters: [EqualTo(chr1,O)")
+    p should include("LessThanOrEqual(mid1,5002500)")
+    p should include("ReadSchema: chr1,mid1,contactCount")
+  }
+
   test("z-order sink clusters both dimensions: per-file ranges shrink") {
     import org.apache.spark.sql.functions.{max, min}
     // drive the write, then audit the layout: every output file must
