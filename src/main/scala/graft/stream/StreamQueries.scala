@@ -18,6 +18,42 @@ object StreamQueries {
   private val valUnitsSql = "CAST(ROUND(value*1000000,0) AS BIGINT)"
 
   def queries: Map[String, Q] = Map(
+    "q_stream_ema" -> Q(
+      (spark, dir) => {
+        // batch twin of the transformWithState job (TwsEma): each user's
+        // FINAL floor-integer EMA state after the whole stream — the
+        // value the per-user ValueState converges to. Same recurrence as
+        // q_win_ema; TwsSpec pins the streaming processor (RocksDB
+        // store, multi-batch) to exactly this output.
+        import org.apache.spark.sql.expressions.Window
+        val wRun = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wLast = Window.partitionBy("user_id")
+          .orderBy(desc("ts"), desc("event_id"))
+        Tables(spark, dir, "events")
+          .withColumn("v_c", Cols.cents(col("value")))
+          .select(col("user_id"),
+            graft.functions.EmaWindow.emaCents(spark, col("v_c"))
+              .over(wRun).as("ema_c"),
+            row_number().over(wLast).as("__rn"))
+          .filter(col("__rn") === 1)
+          .select("user_id", "ema_c")
+          .orderBy("user_id")
+      },
+      Some("WITH RECURSIVE e AS (SELECT event_id, user_id, " +
+        "CAST(ROUND(value*100,0) AS BIGINT) AS v_c, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS rn FROM events), " +
+        "r AS (SELECT event_id, user_id, rn, v_c AS ema_c FROM e " +
+        "WHERE rn = 1 UNION ALL " +
+        "SELECT e.event_id, e.user_id, e.rn, (e.v_c + r.ema_c) // 2 " +
+        "AS ema_c FROM e JOIN r ON e.user_id = r.user_id " +
+        "AND e.rn = r.rn + 1), " +
+        "mx AS (SELECT user_id, MAX(rn) AS rn FROM e GROUP BY user_id) " +
+        "SELECT r.user_id, r.ema_c FROM r JOIN mx " +
+        "ON r.user_id = mx.user_id AND r.rn = mx.rn ORDER BY r.user_id")),
+
     "q_stream_tumbling" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "events")

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.stream.Events.Event
+import graft.stream.TwsEma
+
+/** transformWithState (Spark 4 arbitrary-state API, RocksDB store):
+  * multi-batch stream-vs-batch EXACT parity of the per-user EMA state
+  * with the declared batch twin q_stream_ema, plus the within-batch
+  * reorder contract (rows folded in (ts, event_id) order regardless of
+  * arrival order inside a batch).
+  */
+class TwsSpec extends AnyFunSuite with Matchers with SparkTest {
+  private def ts(m: Long): Timestamp =
+    new Timestamp(1704067200000L + m * 60000L)
+
+  private def ev(id: Long, m: Long, user: Long, v: Double): Event =
+    Event(id, ts(m), user, "click", v, "{}")
+
+  private val rocksdb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def runTws(batches: Seq[Seq[Event]]): Map[Long, Long] = {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, rocksdb)
+    try {
+      val mem = MemoryStream[Event]
+      val name = s"tws_${System.nanoTime()}"
+      val q = TwsEma.emaStream(mem.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("update").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        // update mode appends one state row per (user, batch); the LAST
+        // row per user is the final state
+        sp.table(name).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    } finally {
+      prev.fold(sp.conf.unset(key))(sp.conf.set(key, _))
+    }
+  }
+
+  test("multi-batch TWS state equals the batch q_stream_ema twin") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val all = (0 until 120).map { i =>
+      ev(i.toLong, i.toLong, i % 7L, rnd.nextInt(50000) / 100.0)
+    }
+    // time-ordered batches (the cross-batch order contract)
+    val batches = all.grouped(40).toSeq
+    val streamed = runTws(batches)
+
+    val dir = graft.io.Scratch.sub("tws_batch")
+    all.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = Registry.all("q_stream_ema").fn(sp, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    streamed shouldBe batch
+    streamed.keySet should have size 7
+  }
+
+  test("within-batch arrival order does not matter (sorted fold)") {
+    val ordered = Seq(ev(1, 0, 5, 100.0), ev(2, 1, 5, 300.0),
+      ev(3, 2, 5, 500.0))
+    val shuffled = Seq(ordered(2), ordered(0), ordered(1))
+    runTws(Seq(shuffled)) shouldBe runTws(Seq(ordered))
+    // and the value is the exact recurrence: (((100)+300)/2+500)/2 cents
+    runTws(Seq(ordered))(5L) shouldBe
+      java.lang.Math.floorDiv(java.lang.Math.floorDiv(
+        10000L + 30000L, 2) + 50000L, 2)
+  }
+}
