@@ -53,9 +53,15 @@ object FitHiCMain {
       qThreshold = opts.get("-q").map(_.toDouble)
         .getOrElse(dflt.qThreshold))
 
-    val frags = graft.io.Tsv.readFragments(spark, fragsPath)
-    val contacts = graft.io.Tsv.readContacts(spark, contactsPath)
-    val biases = opts.get("-t").map(graft.io.Tsv.readBiases(spark, _))
+    // ingest through the DSv2 connector (graft.sources.HicTsv): same
+    // schemas as the csv()-based Tsv readers (spec-differentialed), but
+    // with in-reader filter pushdown/column pruning — the production
+    // scan path; Tsv.read* remains the independent baseline
+    def src(kind: String, path: String) =
+      spark.read.format("hic-tsv").option("kind", kind).load(path)
+    val frags = src("fragments", fragsPath)
+    val contacts = src("contacts", contactsPath)
+    val biases = opts.get("-t").map(src("biases", _))
 
     val sigCols = Seq("chr1", "mid1", "chr2", "mid2", "contactCount",
       "p_value", "q_value")
