@@ -204,6 +204,28 @@ object Aggregates {
         "COUNT(DISTINCT (l_suppkey, l_partkey)) AS nd_sp, COUNT(*) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    "q_agg_approx_quantile" -> Q(
+      (spark, dir) =>
+        // mergeable quantile sketch (percentile_approx, Greenwald-Khanna
+        // class) — the fourth sketch family beside bloom (membership),
+        // HLL (cardinality) and CMS (frequency): each partition reduces
+        // to a bounded summary, summaries merge, nothing re-sorts — the
+        // 100 TB percentile path where q_agg_percentile's exact buffer
+        // cannot hold a group. Sketch internals are engine-specific →
+        // rows-only by contract; AggSpec pins the rank-error law
+        // (|rank(est) − p·n| ≤ n/accuracy) against the exact order
+        // statistics, and the exact twin q_agg_percentile is
+        // oracle-green.
+        Tables(spark, dir, "orders")
+          .withColumn("tp_c", Cols.cents(col("o_totalprice")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            percentile_approx(col("tp_c"),
+              array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
+              .as("approx_cp"))
+          .orderBy("o_orderpriority"),
+      None),
+
     "q_agg_approx_distinct" -> Q(
       (spark, dir) =>
         // HLL sketch ≠ DuckDB's approx sketch → no oracle (rows-only);

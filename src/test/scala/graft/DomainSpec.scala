@@ -251,6 +251,31 @@ class ApproxDistinctSpec extends AnyFunSuite with Matchers with SparkTest {
     // the merged row counts every event exactly once
     rows.find(_.getString(0) == "__all").get.getLong(2) shouldBe e.count()
   }
+
+  test("approx quantile sketch: rank error within the accuracy bound") {
+    val dir = "/root/testdata/sf0.01"
+    val ps = Seq(0.5, 0.9, 0.99)
+    val exact = Tables(spark, dir, "orders")
+      .withColumn("tp_c", graft.ops.Cols.cents(col("o_totalprice")))
+      .select("o_orderpriority", "tp_c").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val rows = Registry.all("q_agg_approx_quantile").fn(spark, dir)
+      .collect()
+    rows.length shouldBe exact.size
+    rows.foreach { r =>
+      val sorted = exact(r.getString(0))
+      val n = sorted.length.toDouble
+      r.getLong(1) shouldBe sorted.length.toLong
+      val ests = r.getSeq[Long](2)
+      ests.length shouldBe ps.length
+      ps.zip(ests).foreach { case (p, est) =>
+        // GK guarantee: the estimate's RANK is within n/accuracy of p·n
+        val rank = sorted.count(_ <= est).toDouble
+        math.abs(rank - p * n) should be <= (n / 1000.0 + 1.0)
+      }
+    }
+  }
 }
 
 class KrSpec extends AnyFunSuite with Matchers with SparkTest {
