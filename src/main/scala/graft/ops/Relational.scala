@@ -9,6 +9,35 @@ import graft.{Q, Tables}
   * GraftSpec by inspecting the formatted plan, not just the rows.
   */
 object Relational {
+  /** Writes (overwrite, idempotent) the Z-ordered lineitem layout for
+    * `dir` to a per-(JVM, sfDir) stable scratch path and returns it —
+    * shared by q_sink_zorder (the OPTIMIZE op) and q_scan_skipping (the
+    * manifest-pruned consumer). Morton code over
+    * (l_partkey, l_suppkey), each min/max-rescaled to 16 bits; 8 range
+    * partitions sorted by the code.
+    */
+  private def zorderLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val b = li.agg(
+      min("l_partkey").as("mnp"), max("l_partkey").as("mxp"),
+      min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"))
+    val out = graft.io.Scratch.stable(
+      "zorder_" + java.lang.Integer.toHexString(dir.hashCode))
+    li.crossJoin(broadcast(b))
+      .withColumn("z", Cols.morton2(
+        Cols.norm16(col("l_partkey"), col("mnp"), col("mxp")),
+        Cols.norm16(col("l_suppkey"), col("mns"), col("mxs"))))
+      .drop("mnp", "mxp", "mns", "mxs")
+      .repartitionByRange(8, col("z"), col("l_orderkey"),
+        col("l_linenumber"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   def queries: Map[String, Q] = Map(
     "q_scan_project" -> Q(
       (spark, dir) =>
@@ -147,6 +176,47 @@ object Relational {
         "MIN(event_id) AS min_id, MAX(event_id) AS max_id " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    "q_scan_skipping" -> Q(
+      (spark, dir) => {
+        // FILE SKIPPING from a min/max MANIFEST — the lakehouse metadata
+        // mechanism (Iceberg manifests / Delta file stats) made
+        // explicit over the z-ordered layout: ONE scan builds the
+        // per-file stats table (input_file_name groupBy — the manifest
+        // a writer would persist), the predicate prunes the FILE LIST
+        // before any data scan (the collect is metadata-sized: one row
+        // per file — thousands of rows against petabytes at 100 TB),
+        // and only surviving files are opened. The row predicate is
+        // re-applied after the read, so pruning is semantics-invisible
+        // (the oracle recomputes from the ORIGINAL table) and
+        // layout-independent; the skipping LAW (files read < files
+        // present) is gated in PlanSpec.
+        val out = zorderLayout(spark, dir)
+        val bounds = Tables(spark, dir, "lineitem")
+          .agg(min("l_partkey"), max("l_partkey")).head()
+        val (mnp, mxp) = (bounds.getLong(0), bounds.getLong(1))
+        val hi = mnp + (mxp - mnp) / 4 // first quarter of the range
+        val files = spark.read.parquet(out)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("l_partkey").as("mn"))
+          .filter(col("mn") <= hi)
+          .select("f").collect().map(_.getString(0))
+        spark.read.parquet(files.toIndexedSeq: _*)
+          .filter(col("l_partkey") <= hi)
+          .groupBy((col("l_suppkey") % 8).as("sgrp"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            min(col("l_partkey")).as("min_pk"),
+            max(col("l_partkey")).as("max_pk"))
+          .orderBy("sgrp")
+      },
+      Some("WITH b AS (SELECT MIN(l_partkey) mnp, MAX(l_partkey) mxp " +
+        "FROM lineitem) " +
+        "SELECT l_suppkey % 8 AS sgrp, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk " +
+        "FROM lineitem, b WHERE l_partkey <= mnp + (mxp - mnp) // 4 " +
+        "GROUP BY 1 ORDER BY 1")),
+
     "q_sink_zorder" -> Q(
       (spark, dir) => {
         // Z-ORDER clustering sink — the multi-dimensional layout
@@ -162,23 +232,10 @@ object Relational {
         // sum_z); the clustering law (per-file ranges shrink on BOTH
         // dims) is gated in PlanSpec; the read-back aggregate makes the
         // roundtrip itself invisible.
-        val li = Tables(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-        val b = li.agg(
+        val out = zorderLayout(spark, dir)
+        val b = Tables(spark, dir, "lineitem").agg(
           min("l_partkey").as("mnp"), max("l_partkey").as("mxp"),
           min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"))
-        val out = graft.io.Scratch.stable(
-          "zorder_" + java.lang.Integer.toHexString(dir.hashCode))
-        li.crossJoin(broadcast(b))
-          .withColumn("z", Cols.morton2(
-            Cols.norm16(col("l_partkey"), col("mnp"), col("mxp")),
-            Cols.norm16(col("l_suppkey"), col("mns"), col("mxs"))))
-          .drop("mnp", "mxp", "mns", "mxs")
-          .repartitionByRange(8, col("z"), col("l_orderkey"),
-            col("l_linenumber"))
-          .sortWithinPartitions("z")
-          .write.mode("overwrite").parquet(out)
         // selective single-dimension read-back: first quarter of the
         // partkey range — the probe a z-ordered layout prunes to ~1/4 of
         // the files where a suppkey-sorted layout would read all of them

@@ -81,6 +81,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     meanRange("l_suppkey") should be < 0.75
   }
 
+  test("manifest scan skips files on the clustered dimension") {
+    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    // drive the query (writes the layout), then replay the manifest
+    // pruning: the predicate must eliminate at least one file while
+    // keeping at least one — skipping that reads everything proves
+    // nothing, skipping that reads nothing is a broken manifest
+    Registry.all("q_scan_skipping").fn(spark, sf).count()
+    val out = graft.io.Scratch.stable(
+      "zorder_" + java.lang.Integer.toHexString(sf.hashCode))
+    val all = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val b = Tables(spark, sf, "lineitem")
+      .agg(min("l_partkey"), max("l_partkey")).head
+    val hi = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+    val kept = spark.read.parquet(out).groupBy(input_file_name())
+      .agg(min("l_partkey").as("mn"))
+      .filter(org.apache.spark.sql.functions.col("mn") <= hi).count()
+    kept should be >= 1L
+    kept.toInt should be < all
+  }
+
   test("marker-hinted band join rewrites to a binned equi-join") {
     // the injected optimizer rule must turn the keyless band join into a
     // Generate (interval→bins explode) + equi-join on the bin — never the
