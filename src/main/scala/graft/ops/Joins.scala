@@ -28,6 +28,52 @@ object Joins {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey")),
 
+    "q_join_bloom_runtime" -> Q(
+      (spark, dir) => {
+        // RUNTIME bloom-filter join (InjectRuntimeFilter): when the dim
+        // side is too big to broadcast, Catalyst builds a bloom filter
+        // from the dim's join keys at runtime and plants
+        // `might_contain(...)` on the FACT SCAN — fact rows that cannot
+        // match never enter the shuffle. At 100 TB this is the shuffle-
+        // byte reducer for selective fact⋈dim joins that DPP can't serve
+        // (non-partition join keys). Thresholds are lowered (and
+        // broadcast disabled) only for THIS query's planning: the plan
+        // is forced while the confs are set, then they're restored —
+        // the frozen QueryExecution keeps the bloom rewrite. Correctness
+        // is unchanged by construction (bloom false-positives only admit
+        // extra rows into the join, which drops them) — the oracle is
+        // the plain join; the `might_contain` plant is gated in PlanSpec.
+        val keys = Map(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter." +
+            "applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.optimizer.runtime.bloomFilter." +
+            "creationSideThreshold" -> "100MB",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = keys.keys.map(k => k -> spark.conf.getOption(k)).toMap
+        keys.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val l = Tables(spark, dir, "lineitem")
+            .select("l_partkey", "l_quantity")
+          val p = Tables(spark, dir, "part")
+            .filter(col("p_brand") === "Brand#4")
+            .select("p_partkey", "p_type")
+          val df = l.join(p, col("l_partkey") === col("p_partkey"))
+            .groupBy("p_type")
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("long")).as("sum_qty"))
+            .orderBy("p_type")
+          df.queryExecution.executedPlan // freeze the plan under the confs
+          df
+        } finally prev.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        }
+      },
+      Some("SELECT p_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand = 'Brand#4' GROUP BY p_type ORDER BY p_type")),
+
     "q_join_bucketed" -> Q(
       (spark, dir) => {
         // bucketed co-located fact-fact join: both sides written bucketed

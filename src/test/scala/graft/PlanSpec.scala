@@ -81,6 +81,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     meanRange("l_suppkey") should be < 0.75
   }
 
+  test("runtime bloom filter is planted on the fact scan") {
+    val p = plan("q_join_bloom_runtime")
+    p should include("might_contain")
+    p should include("ObjectHashAggregate")
+    p should not include "BroadcastHashJoin"
+  }
+
   test("manifest scan skips files on the clustered dimension") {
     import org.apache.spark.sql.functions.{input_file_name, max, min}
     // drive the query (writes the layout), then replay the manifest
