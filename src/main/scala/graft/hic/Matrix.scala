@@ -151,6 +151,44 @@ object Matrix {
     "(cnt * 112000) // GREATEST(donut_sum, 1) AS enr_milli FROM donut " +
     "ORDER BY enr_milli DESC, chr, lo, hi LIMIT 100)"
 
+  /** Saddle aggregation (Imakaev/Mirny convention): rank each locus into
+    * one of `q` per-chromosome quantiles by `loci.score` (ties broken by
+    * mid), then aggregate the O/E of every in-range pair into the
+    * symmetric q×q (qi ≤ qj) matrix. Per-pair O/E is quantized to EXACT
+    * integer micro-units — `obs·npairs·1e6 div sumc`, all BIGINT — so
+    * cell sums are order-free and (for SQL-expressible scores)
+    * oracle-hashable; mean O/E per cell = sum_oeq / n / 1e6.
+    *
+    * Scale shape: the expected table is (chr, dist)-bounded and
+    * broadcast; the rank table is loci-sized and joined by (chr, mid) —
+    * two key-partitioned joins and one q²-cell aggregation, nothing
+    * all-pairs beyond the contact set itself.
+    */
+  def saddle(contacts: org.apache.spark.sql.DataFrame,
+      loci: org.apache.spark.sql.DataFrame,
+      q: Int): org.apache.spark.sql.DataFrame = {
+    val exp = contacts.groupBy("chr", "dist")
+      .agg(sum(col("contactCount")).as("sumc"),
+        count(lit(1)).as("npairs"))
+    val oeq = contacts.join(broadcast(exp), Seq("chr", "dist"))
+      .withColumn("oe_q",
+        expr("contactCount * npairs * 1000000 DIV sumc"))
+    val ranks = loci.select(col("chr"), col("mid"),
+      ntile(q).over(Window.partitionBy("chr")
+        .orderBy("score", "mid")).as("qt"))
+    oeq
+      .join(ranks.select(col("chr"), col("mid").as("mid1"),
+        col("qt").as("q1")), Seq("chr", "mid1"))
+      .join(ranks.select(col("chr"), col("mid").as("mid2"),
+        col("qt").as("q2")), Seq("chr", "mid2"))
+      .groupBy(least(col("q1"), col("q2")).as("qi"),
+        greatest(col("q1"), col("q2")).as("qj"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("contactCount")).as("sum_obs"),
+        sum(col("oe_q")).as("sum_oeq"))
+      .orderBy("qi", "qj")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_hic_apa" -> Q(
       (spark, dir) => {
@@ -245,6 +283,61 @@ object Matrix {
         "AS mean_milli FROM p JOIN oct ON " +
         s"d >= $Bin * (1::BIGINT << k) AND d < $Bin * (1::BIGINT << (k+1)) " +
         "GROUP BY k ORDER BY k")),
+
+    "q_hic_saddle" -> Q(
+      (spark, dir) => {
+        // compartment saddle (the Rao/Mirny A-B strength read): loci
+        // ranked by the compartment EIGENVECTOR into per-chr quartiles,
+        // O/E aggregated into the symmetric 4×4 matrix. Rows-only: the
+        // eigenvector is power-iteration output (pinned by the
+        // compartments specs + q_hic_compartments_matvec's oracle); the
+        // saddle KERNEL itself is oracle-green via q_hic_saddle_check,
+        // and MatrixSpec plants a two-block matrix where the diagonal
+        // corners must dominate.
+        val r = ContactsView(spark, dir)
+          .filter(col("dist").between(HicQueries.L, HicQueries.U))
+        val loci = Compartments.scores(r)
+          .select(col("chr"), col("bin").as("mid"), col("score"))
+        saddle(r, loci, 4)
+      },
+      None),
+
+    "q_hic_saddle_check" -> Q(
+      (spark, dir) => {
+        // oracle twin: the SAME saddle kernel ranked by a
+        // SQL-expressible locus score (the coverage marginal) — pins
+        // quantile binning, the exact integer O/E quantization, and the
+        // symmetric cell aggregation end-to-end in DuckDB.
+        val r = ContactsView(spark, dir)
+          .filter(col("dist").between(HicQueries.L, HicQueries.U))
+        val marg = r.select(col("chr"), col("mid1").as("mid"),
+            col("contactCount"))
+          .unionByName(r.select(col("chr"), col("mid2").as("mid"),
+            col("contactCount")))
+          .groupBy("chr", "mid")
+          .agg(sum(col("contactCount")).as("score"))
+        saddle(r, marg, 4)
+      },
+      Some(ContactsView.cte + ", r AS (SELECT * FROM c WHERE dist " +
+        s"BETWEEN ${HicQueries.L} AND ${HicQueries.U}), " +
+        "marg AS (SELECT chr, mid, CAST(SUM(contactCount) AS BIGINT) " +
+        "AS score FROM (SELECT chr, mid1 AS mid, contactCount FROM r " +
+        "UNION ALL SELECT chr, mid2 AS mid, contactCount FROM r) " +
+        "GROUP BY chr, mid), " +
+        "rk AS (SELECT chr, mid, NTILE(4) OVER (PARTITION BY chr " +
+        "ORDER BY score, mid) AS qt FROM marg), " +
+        "e AS (SELECT chr, dist, CAST(SUM(contactCount) AS BIGINT) AS " +
+        "sumc, COUNT(*) AS npairs FROM r GROUP BY chr, dist), " +
+        "p AS (SELECT r.chr, r.mid1, r.mid2, r.contactCount, " +
+        "(r.contactCount * e.npairs * 1000000) // e.sumc AS oe_q " +
+        "FROM r JOIN e ON r.chr = e.chr AND r.dist = e.dist), " +
+        "j AS (SELECT p.contactCount, p.oe_q, a.qt AS q1, b.qt AS q2 " +
+        "FROM p JOIN rk a ON p.chr = a.chr AND p.mid1 = a.mid " +
+        "JOIN rk b ON p.chr = b.chr AND p.mid2 = b.mid) " +
+        "SELECT LEAST(q1, q2) AS qi, GREATEST(q1, q2) AS qj, " +
+        "COUNT(*) AS n, CAST(SUM(contactCount) AS BIGINT) AS sum_obs, " +
+        "CAST(SUM(oe_q) AS BIGINT) AS sum_oeq FROM j " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
 
     "q_hic_obs_exp" -> Q(
       (spark, dir) => {

@@ -444,6 +444,35 @@ class AnalyticsSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("saddle: planted two-block matrix puts strength in the corners") {
+    import spark.implicits._
+    // 20 loci in two APERIODIC compartments (contiguous blocks would
+    // confound the checkerboard with the distance decay — the dominant
+    // eigenvector then captures the boundary effect, measured):
+    // same-compartment contacts 20× the cross ones. The eigenvector
+    // must split the compartments, and the Q=2 saddle's diagonal cells
+    // must carry higher mean O/E than the off-diagonal cell.
+    val comp = Set(0, 3, 5, 6, 9, 10, 12, 15, 17, 18)
+    val rows = for (i <- 0 until 20; j <- i until 20) yield {
+      val same = comp(i) == comp(j)
+      ("t", i * 5000L + 2500L, j * 5000L + 2500L, (j - i) * 5000L,
+        if (same) 100L else 5L)
+    }
+    val contacts = rows
+      .toDF("chr", "mid1", "mid2", "dist", "contactCount")
+    val loci = hic.Compartments.scores(contacts, iterations = 30,
+        maxEdgesPerTask = Long.MaxValue)
+      .select(col("chr"), col("bin").as("mid"), col("score"))
+    val cells = hic.Matrix.saddle(contacts, loci, 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getLong(4).toDouble / r.getLong(2))
+      .toMap
+    cells.keySet shouldBe Set((1, 1), (1, 2), (2, 2))
+    cells((1, 1)) should be > cells((1, 2)) * 2
+    cells((2, 2)) should be > cells((1, 2)) * 2
+    ops.Caches.drain()
+  }
+
   test("triangles: planted K5 yields C(5,3), chains yield none, " +
       "partition-invariant") {
     import spark.implicits._
