@@ -69,6 +69,46 @@ class TwsSpec extends AnyFunSuite with Matchers with SparkTest {
     streamed.keySet should have size 7
   }
 
+  test("event-time timers close sessions as the watermark passes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, rocksdb)
+    try {
+      val mem = MemoryStream[Event]
+      val name = s"twstimer_${System.nanoTime()}"
+      val gapMs = 5 * 60000L
+      val q = graft.stream.TwsSessions
+        .sessionStream(mem.toDF(), gapMs).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        // batch 1: u1 spans minutes 0-4 (one session), u2 a singleton
+        mem.addData(Seq(ev(1, 0, 1, 1.0), ev(2, 2, 1, 1.0), ev(3, 4, 1, 1.0),
+          ev(4, 1, 2, 1.0)))
+        q.processAllAvailable()
+        // batch 2: u1 reappears past the gap → batch-internal close of
+        // the first session; watermark jumps to minute 20 → u2's timer
+        // (armed at minute 6) fires in the no-data batch
+        mem.addData(Seq(ev(5, 20, 1, 1.0)))
+        q.processAllAvailable()
+        // batch 3: an unrelated user pushes the watermark to minute 60
+        // → u1's second session (timer at minute 25) closes via timer
+        mem.addData(Seq(ev(6, 60, 3, 1.0)))
+        q.processAllAvailable()
+        val got = sp.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        def ms(m: Long): Long = ts(m).getTime
+        got shouldBe Set(
+          (1L, ms(0), ms(4), 3L), // closed by the in-batch gap
+          (2L, ms(1), ms(1), 1L), // closed by its expired timer
+          (1L, ms(20), ms(20), 1L)) // closed once the watermark passed
+      } finally q.stop()
+    } finally prev.fold(sp.conf.unset(key))(sp.conf.set(key, _))
+  }
+
   test("within-batch arrival order does not matter (sorted fold)") {
     val ordered = Seq(ev(1, 0, 5, 100.0), ev(2, 1, 5, 300.0),
       ev(3, 2, 5, 500.0))
