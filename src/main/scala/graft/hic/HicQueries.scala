@@ -83,18 +83,19 @@ object HicQueries {
     "q_source_hic_tsv" -> Q(
       (spark, dir) => {
         // The DSv2 connector (graft.sources.HicTsv) on the same gz-TSV
-        // surface as q_csv_roundtrip, but as a first-class SOURCE:
-        // format("hic-tsv") with filter pushdown (chr1 =, mid1 <=) and
-        // column pruning (chr2/mid2 never parsed or allocated) enforced
-        // inside the per-file readers — plan-gated in PlanSpec; the
+        // surface as q_csv_roundtrip, but as a first-class SOURCE *and*
+        // SINK: the write goes through the connector's staged-commit
+        // BatchWrite, the read back through its ScanBuilder with filter
+        // pushdown (chr1 =, mid1 <=) and column pruning (chr2/mid2
+        // never parsed or allocated) — plan-gated in PlanSpec; the
         // oracle recomputes from the ORIGINAL tables, so a hash match
-        // proves the whole connector leg (write → scan → pushdown →
-        // prune) is lossless.
+        // proves BOTH connector halves end-to-end.
         val out = graft.io.Scratch.sub("hic_tsv_src")
         val c = cachedView(spark, dir)
-        graft.io.Tsv.write(c.select(col("chr").as("chr1"), col("mid1"),
-          col("chr").as("chr2"), col("mid2"), col("contactCount")),
-          out, graft.io.Tsv.contactSchema.fieldNames)
+        c.select(col("chr").as("chr1"), col("mid1"),
+            col("chr").as("chr2"), col("mid2"), col("contactCount"))
+          .write.format("hic-tsv").option("kind", "contacts")
+          .mode("overwrite").save(out)
         spark.read.format("hic-tsv").option("kind", "contacts").load(out)
           .filter(col("chr1") === "O" && col("mid1") <= 5002500L)
           .select("chr1", "mid1", "contactCount")

@@ -66,17 +66,30 @@ object HicTsv {
 }
 
 class HicTsvTable(tableSchema: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     "hic-tsv:" + props.getOrElse("path", "<no path>")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new HicTsvScanBuilder(tableSchema,
       Option(options.get("path")).getOrElse(
         props.getOrElse("path", sys.error("hic-tsv: path required"))))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val path = Option(info.options.get("path")).getOrElse(
+      props.getOrElse("path", sys.error("hic-tsv: path required")))
+    require(info.schema().fieldNames.sameElements(tableSchema.fieldNames),
+      s"hic-tsv write: columns must be exactly " +
+        s"${tableSchema.fieldNames.mkString(",")} in order " +
+        s"(got ${info.schema().fieldNames.mkString(",")})")
+    new HicTsvWriteBuilder(info.schema(), path)
+  }
 }
 
 class HicTsvScanBuilder(fullSchema: StructType, path: String)
@@ -282,4 +295,124 @@ object HicTsvFilters {
       case other => sys.error(s"hic-tsv: unpushable filter $other")
     }
   }
+}
+
+/** BATCH WRITE half of the connector — the canonical DSv2 staged-commit
+  * protocol: every task writes one gzipped part file into a hidden
+  * staging directory named by the job UUID, its commit MESSAGE carries
+  * the staged file name, and the driver's `BatchWrite.commit` moves
+  * exactly the messaged files into place (after clearing prior data
+  * files under truncate/overwrite); `abort` deletes the staging
+  * directory, so a failed job leaves the target untouched. Speculative
+  * duplicate task attempts stage under distinct attempt-suffixed names
+  * and only the committed attempt's file is moved.
+  */
+class HicTsvWriteBuilder(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new HicTsvBatchWrite(schema, path, doTruncate,
+          new SerializableConfiguration(SparkSession.active
+            .sparkContext.hadoopConfiguration))
+    }
+}
+
+class HicTsvBatchWrite(schema: StructType, path: String,
+    truncate: Boolean, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val jobId = java.util.UUID.randomUUID().toString
+  private def stagingDir = new Path(path, s"_staging_$jobId")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new HicTsvWriterFactory(schema, stagingDir.toString, conf)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (truncate && fs.exists(p))
+      fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_"))
+        .foreach(s => fs.delete(s.getPath, false))
+    fs.mkdirs(p)
+    messages.foreach { case m: HicTsvCommit =>
+      fs.rename(new Path(m.staged), new Path(p, m.fileName))
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(conf.value)
+    fs.delete(stagingDir, true)
+  }
+}
+
+case class HicTsvCommit(staged: String, fileName: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class HicTsvWriterFactory(schema: StructType, staging: String,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new HicTsvWriter(schema, staging, partitionId, taskId, conf)
+}
+
+class HicTsvWriter(schema: StructType, staging: String,
+    partitionId: Int, taskId: Long, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val fileName = f"part-$partitionId%05d.tsv.gz"
+  private val stagedPath =
+    new Path(staging, s"$fileName.attempt-$taskId")
+  private val out = {
+    val fs = stagedPath.getFileSystem(conf.value)
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.util.zip.GZIPOutputStream(fs.create(stagedPath, true)),
+      StandardCharsets.UTF_8))
+  }
+  private val types = schema.fields.map(_.dataType)
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append('\t')
+      if (!row.isNullAt(i)) types(i) match {
+        case LongType => sb.append(row.getLong(i))
+        case IntegerType => sb.append(row.getInt(i))
+        case DoubleType => sb.append(row.getDouble(i))
+        case _ => sb.append(row.getUTF8String(i).toString)
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    HicTsvCommit(stagedPath.toString, fileName)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    val fs = stagedPath.getFileSystem(conf.value)
+    fs.delete(stagedPath, false)
+  }
+
+  override def close(): Unit = ()
 }

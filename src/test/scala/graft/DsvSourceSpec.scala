@@ -57,6 +57,38 @@ class DsvSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "ReadSchema: chr,extraField"
   }
 
+  test("connector write → csv() read parity, incl. nulls and overwrite") {
+    val out = graft.io.Scratch.sub("dsv_write")
+    fragments.write.format("hic-tsv").option("kind", "fragments")
+      .mode("overwrite").save(out)
+    rows(graft.io.Tsv.readFragments(spark, out)) shouldBe rows(fragments)
+    // overwrite must TRUNCATE: a second write with fewer rows leaves
+    // exactly those rows, no stale part files
+    val half = fragments.filter(col("chr") === "chr1")
+    half.write.format("hic-tsv").option("kind", "fragments")
+      .mode("overwrite").save(out)
+    rows(graft.io.Tsv.readFragments(spark, out)) shouldBe rows(half)
+    // no staging residue
+    new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("_staging")) shouldBe 0
+  }
+
+  test("connector write resolves columns BY NAME (Spark reorders)") {
+    // DSv2 writes match the table schema by name before the writer sees
+    // rows — a reordered select must land in canonical file order
+    val out = graft.io.Scratch.sub("dsv_reorder")
+    fragments.select("mid", "chr", "extraField", "hitCount", "mappable")
+      .write.format("hic-tsv").option("kind", "fragments")
+      .mode("overwrite").save(out)
+    rows(graft.io.Tsv.readFragments(spark, out)) shouldBe rows(fragments)
+    // wrong column NAMES are an analysis error
+    intercept[Exception] {
+      fragments.withColumnRenamed("mid", "midpoint")
+        .write.format("hic-tsv").option("kind", "fragments")
+        .mode("overwrite").save(graft.io.Scratch.sub("dsv_badname"))
+    }
+  }
+
   test("string-inequality pushdown is ORDER-correct (chr10 < chr2)") {
     // lexicographic, not numeric: chr10 < chr2 — a naive numeric parse
     // in the reader would diverge from Spark's semantics
