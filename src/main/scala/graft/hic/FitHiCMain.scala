@@ -74,11 +74,12 @@ object FitHiCMain {
       val intra = Pipeline.intraSignificances(frags, contacts, biases, cfg,
         diagSink = Some(diags ++= _))
       for (pass <- 1 to cfg.passes)
-        graft.io.Tsv.write(
-          intra.filter(col("pass") === pass)
-            .orderBy("chr1", "mid1", "mid2"),
-          s"$outDir/$lib.spline_pass$pass.res$res.significances.txt.gz",
-          sigCols)
+        intra.filter(col("pass") === pass)
+          .orderBy("chr1", "mid1", "mid2")
+          .select(sigCols.head, sigCols.tail: _*)
+          .write.format("hic-tsv").option("kind", "significances")
+          .mode("overwrite")
+          .save(s"$outDir/$lib.spline_pass$pass.res$res.significances.txt.gz")
       import spark.implicits._
       for (pass <- 1 to cfg.passes)
         graft.io.Tsv.write(
@@ -90,8 +91,11 @@ object FitHiCMain {
     }
     if (mode == "interOnly" || mode == "All") {
       val inter = Pipeline.interSignificances(frags, contacts, biases, cfg)
-      graft.io.Tsv.write(inter.orderBy("chr1", "mid1", "chr2", "mid2"),
-        s"$outDir/$lib.interOnly.res$res.significances.txt.gz", sigCols)
+      inter.orderBy("chr1", "mid1", "chr2", "mid2")
+        .select(sigCols.head, sigCols.tail: _*)
+        .write.format("hic-tsv").option("kind", "significances")
+        .mode("overwrite")
+        .save(s"$outDir/$lib.interOnly.res$res.significances.txt.gz")
     }
   }
 }

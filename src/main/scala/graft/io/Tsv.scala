@@ -25,6 +25,16 @@ object Tsv {
     StructField("mid2", LongType, nullable = false),
     StructField("contactCount", LongType, nullable = false)))
 
+  /** A4 significances: the pass-numbered output table. */
+  val significanceSchema: StructType = StructType(Seq(
+    StructField("chr1", StringType, nullable = false),
+    StructField("mid1", LongType, nullable = false),
+    StructField("chr2", StringType, nullable = false),
+    StructField("mid2", LongType, nullable = false),
+    StructField("contactCount", LongType, nullable = false),
+    StructField("p_value", DoubleType, nullable = false),
+    StructField("q_value", DoubleType, nullable = false)))
+
   /** T3 biases: chr, mid, bias (−1 = excluded). */
   val biasSchema: StructType = StructType(Seq(
     StructField("chr", StringType, nullable = false),

@@ -41,8 +41,9 @@ import org.apache.spark.util.SerializableConfiguration
   *     not splitting one stream.
   *
   * Kinds map to the fixed headerless schemas in [[graft.io.Tsv]]:
-  * contacts (default), fragments, biases. Empty fields parse as null
-  * (nullable columns only — matching the csv() reader's behavior).
+  * contacts (default), fragments, biases, significances. Empty fields
+  * parse as null (nullable columns only — matching the csv() reader's
+  * behavior).
   */
 class HicTsv extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -61,6 +62,7 @@ object HicTsv {
     case "contacts" => graft.io.Tsv.contactSchema
     case "fragments" => graft.io.Tsv.fragmentSchema
     case "biases" => graft.io.Tsv.biasSchema
+    case "significances" => graft.io.Tsv.significanceSchema
     case other => sys.error(s"hic-tsv: unknown kind '$other'")
   }
 }
