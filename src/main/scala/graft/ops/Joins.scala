@@ -39,7 +39,10 @@ object Joins {
         // (non-partition join keys). Thresholds are lowered (and
         // broadcast disabled) only for THIS query's planning: the plan
         // is forced while the confs are set, then they're restored —
-        // the frozen QueryExecution keeps the bloom rewrite. Correctness
+        // the frozen QueryExecution keeps the bloom rewrite for the
+        // DataFrame's own actions (collect/toRdd; wrappers like count()
+        // or a write re-plan under the restored confs — correct either
+        // way, just without the bloom). Correctness
         // is unchanged by construction (bloom false-positives only admit
         // extra rows into the join, which drops them) — the oracle is
         // the plain join; the `might_contain` plant is gated in PlanSpec.

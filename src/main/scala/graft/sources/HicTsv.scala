@@ -349,7 +349,12 @@ class HicTsvBatchWrite(schema: StructType, path: String,
         .foreach(s => fs.delete(s.getPath, false))
     fs.mkdirs(p)
     messages.foreach { case m: HicTsvCommit =>
-      fs.rename(new Path(m.staged), new Path(p, m.fileName))
+      val dst = new Path(p, m.fileName)
+      // rename returns FALSE (no throw) when dst exists — e.g. append
+      // onto a prior job's part files; surface it, never lose data
+      if (!fs.rename(new Path(m.staged), dst))
+        sys.error(s"hic-tsv commit: cannot move ${m.staged} to $dst " +
+          "(destination exists? use mode=overwrite)")
     }
     fs.delete(stagingDir, true)
   }
