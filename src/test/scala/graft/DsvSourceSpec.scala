@@ -89,6 +89,26 @@ class DsvSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("aborted connector write leaves the target untouched") {
+    val out = graft.io.Scratch.sub("dsv_abort")
+    fragments.write.format("hic-tsv").option("kind", "fragments")
+      .mode("overwrite").save(out)
+    val before = rows(graft.io.Tsv.readFragments(spark, out))
+    // a write whose task fails mid-stream must abort the whole job:
+    // prior data intact, no staging residue
+    val failing = fragments.withColumn("mid",
+      when(col("chr") === "chr2",
+        expr("raise_error('planted task failure')").cast("long"))
+        .otherwise(col("mid")))
+    intercept[Exception] {
+      failing.write.format("hic-tsv").option("kind", "fragments")
+        .mode("overwrite").save(out)
+    }
+    rows(graft.io.Tsv.readFragments(spark, out)) shouldBe before
+    new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("_staging")) shouldBe 0
+  }
+
   test("string-inequality pushdown is ORDER-correct (chr10 < chr2)") {
     // lexicographic, not numeric: chr10 < chr2 — a naive numeric parse
     // in the reader would diverge from Spark's semantics
