@@ -77,10 +77,16 @@ class HicTsvTable(tableSchema: StructType, props: Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val mode = options.getOrDefault("mode",
+      props.getOrElse("mode", "failfast"))
+    require(mode == "failfast" || mode == "permissive",
+      s"hic-tsv: mode must be failfast|permissive, got '$mode'")
     new HicTsvScanBuilder(tableSchema,
       Option(options.get("path")).getOrElse(
-        props.getOrElse("path", sys.error("hic-tsv: path required"))))
+        props.getOrElse("path", sys.error("hic-tsv: path required"))),
+      mode == "permissive")
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -94,7 +100,8 @@ class HicTsvTable(tableSchema: StructType, props: Map[String, String])
   }
 }
 
-class HicTsvScanBuilder(fullSchema: StructType, path: String)
+class HicTsvScanBuilder(fullSchema: StructType, path: String,
+    permissive: Boolean)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
@@ -114,11 +121,12 @@ class HicTsvScanBuilder(fullSchema: StructType, path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new HicTsvScan(fullSchema, required, pushed, path)
+    new HicTsvScan(fullSchema, required, pushed, path, permissive)
 }
 
 class HicTsvScan(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], path: String) extends Scan with Batch {
+    pushed: Array[Filter], path: String, permissive: Boolean)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -142,19 +150,21 @@ class HicTsvScan(fullSchema: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    new HicTsvReaderFactory(fullSchema, required, pushed, conf)
+    new HicTsvReaderFactory(fullSchema, required, pushed, conf,
+      permissive)
   }
 }
 
 case class HicTsvPartition(file: String) extends InputPartition
 
 class HicTsvReaderFactory(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], conf: SerializableConfiguration)
+    pushed: Array[Filter], conf: SerializableConfiguration,
+    permissive: Boolean)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new HicTsvReader(fullSchema, required, pushed, conf,
-      partition.asInstanceOf[HicTsvPartition].file)
+      partition.asInstanceOf[HicTsvPartition].file, permissive)
 }
 
 /** Streams one (possibly gzipped) file: per line, parse ONLY the fields
@@ -162,7 +172,8 @@ class HicTsvReaderFactory(fullSchema: StructType, required: StructType,
   * values, then materialize the pruned row.
   */
 class HicTsvReader(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], conf: SerializableConfiguration, file: String)
+    pushed: Array[Filter], conf: SerializableConfiguration, file: String,
+    permissive: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val fieldIdx = fullSchema.fieldNames.zipWithIndex.toMap
@@ -186,25 +197,40 @@ class HicTsvReader(fullSchema: StructType, required: StructType,
   private val parsed = new Array[Any](fullSchema.length)
   private var row: InternalRow = _
 
+  /** Typed parse of one line into `parsed`; false on a malformed
+    * numeric field under permissive mode (the line is skipped),
+    * descriptive failure under failfast.
+    */
+  private def parseLine(line: String): Boolean = {
+    val cols = line.split('\t')
+    var i = 0
+    while (i < neededIdx.length) {
+      val f = neededIdx(i)
+      val s = if (f < cols.length) cols(f) else ""
+      parsed(f) =
+        if (s.isEmpty) null
+        else
+          try fullSchema(f).dataType match {
+            case LongType => java.lang.Long.valueOf(s)
+            case IntegerType => java.lang.Integer.valueOf(s)
+            case DoubleType => java.lang.Double.valueOf(s)
+            case _ => s
+          } catch {
+            case e: NumberFormatException =>
+              if (permissive) return false
+              throw new RuntimeException(
+                s"hic-tsv: malformed ${fullSchema(f).name} in $file: " +
+                  s"'$line'", e)
+          }
+      i += 1
+    }
+    true
+  }
+
   override def next(): Boolean = {
     var line = in.readLine()
     while (line != null) {
-      if (line.nonEmpty) {
-        val cols = line.split('\t')
-        var i = 0
-        while (i < neededIdx.length) {
-          val f = neededIdx(i)
-          val s = if (f < cols.length) cols(f) else ""
-          parsed(f) =
-            if (s.isEmpty) null
-            else fullSchema(f).dataType match {
-              case LongType => java.lang.Long.valueOf(s)
-              case IntegerType => java.lang.Integer.valueOf(s)
-              case DoubleType => java.lang.Double.valueOf(s)
-              case _ => s
-            }
-          i += 1
-        }
+      if (line.nonEmpty && parseLine(line)) {
         if (predicates.forall(_(parsed))) {
           val out = new GenericInternalRow(outIdx.length)
           var j = 0

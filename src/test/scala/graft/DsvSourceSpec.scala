@@ -89,6 +89,36 @@ class DsvSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("malformed lines: failfast names file+line; permissive skips") {
+    val out = graft.io.Scratch.sub("dsv_malformed")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-0.tsv"),
+      ("chr1\t1\t5000\t10\t1\n" +
+        "chr1\tnot_a_number\t6000\t2\t1\n" + // corrupt extraField
+        "chr2\t3\t7000\t4\t0\n").getBytes("UTF-8"))
+    // count() prunes every column, so the corrupt field is never even
+    // parsed (pruning doing its job); failfast needs the column READ
+    spark.read.format("hic-tsv").option("kind", "fragments")
+      .load(out).count() shouldBe 3
+    val ff = intercept[Exception] {
+      spark.read.format("hic-tsv").option("kind", "fragments")
+        .load(out).select("extraField").collect()
+    }
+    ff.getMessage + Option(ff.getCause).mkString should
+      include("malformed")
+    // permissive skipping is COLUMN-LOCAL (like pruning): the corrupt
+    // line drops only when the corrupt field is among the read columns
+    val kept = spark.read.format("hic-tsv").option("kind", "fragments")
+      .option("mode", "permissive").load(out)
+      .select("chr", "extraField").collect()
+      .map(_.getString(0)).sorted
+    kept shouldBe Array("chr1", "chr2") // the corrupt line is skipped
+    spark.read.format("hic-tsv").option("kind", "fragments")
+      .option("mode", "permissive").load(out)
+      .select("chr").count() shouldBe 3 // untouched when not read
+  }
+
   test("aborted connector write leaves the target untouched") {
     val out = graft.io.Scratch.sub("dsv_abort")
     fragments.write.format("hic-tsv").option("kind", "fragments")
