@@ -75,7 +75,8 @@ class HicTsvTable(tableSchema: StructType, props: Map[String, String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val mode = options.getOrDefault("mode",
@@ -350,6 +351,11 @@ class HicTsvWriteBuilder(schema: StructType, path: String)
         new HicTsvBatchWrite(schema, path, doTruncate,
           new SerializableConfiguration(SparkSession.active
             .sparkContext.hadoopConfiguration))
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite =
+        new HicTsvStreamingWrite(schema, path,
+          new SerializableConfiguration(SparkSession.active
+            .sparkContext.hadoopConfiguration))
     }
 }
 
@@ -405,9 +411,11 @@ class HicTsvWriterFactory(schema: StructType, staging: String,
 }
 
 class HicTsvWriter(schema: StructType, staging: String,
-    partitionId: Int, taskId: Long, conf: SerializableConfiguration)
+    partitionId: Int, taskId: Long, conf: SerializableConfiguration,
+    fileName0: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val fileName = f"part-$partitionId%05d.tsv.gz"
+  private val fileName =
+    fileName0.getOrElse(f"part-$partitionId%05d.tsv.gz")
   private val stagedPath =
     new Path(staging, s"$fileName.attempt-$taskId")
   private val out = {
@@ -448,4 +456,58 @@ class HicTsvWriter(schema: StructType, staging: String,
   }
 
   override def close(): Unit = ()
+}
+
+/** STREAMING write: one gz part file per (epoch, partition), staged and
+  * moved on epoch commit. A replayed epoch (restart between the sink
+  * commit and the checkpoint commit — the at-least-once window) finds
+  * its destination files already present and SKIPS them, deleting the
+  * re-staged copies: per-epoch file naming makes the sink idempotent,
+  * which is exactly how file-based exactly-once sinks work.
+  */
+class HicTsvStreamingWrite(schema: StructType, path: String,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new HicTsvStreamingWriterFactory(schema, path, conf)
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    fs.mkdirs(p)
+    messages.foreach { case m: HicTsvCommit =>
+      val dst = new Path(p, m.fileName)
+      if (fs.exists(dst)) fs.delete(new Path(m.staged), false)
+      else if (!fs.rename(new Path(m.staged), dst))
+        sys.error(s"hic-tsv streaming commit: cannot move ${m.staged}")
+    }
+    val staging = new Path(path, s"_streaming_epoch$epochId")
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val staging = new Path(path, s"_streaming_epoch$epochId")
+    val fs = staging.getFileSystem(conf.value)
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+}
+
+class HicTsvStreamingWriterFactory(schema: StructType, path: String,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new HicTsvWriter(schema, s"$path/_streaming_epoch$epochId",
+      partitionId, taskId, conf,
+      Some(f"part-$epochId%05d-$partitionId%05d.tsv.gz"))
 }

@@ -139,6 +139,36 @@ class DsvSourceSpec extends AnyFunSuite with Matchers with SparkTest {
       .count(_.getName.startsWith("_staging")) shouldBe 0
   }
 
+  test("streaming write: epoch-committed gz parts, idempotent on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val out = graft.io.Scratch.sub("dsv_stream")
+    val ckpt = graft.io.Scratch.sub("dsv_stream_ckpt")
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = mem.toDF().toDF("chr", "mid", "bias_i")
+      .select(col("chr"), col("mid"),
+        (col("bias_i").cast("double") / 100.0).as("bias"))
+      .writeStream.format("hic-tsv").option("kind", "biases")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(("chr1", 5000L, 110L), ("chr2", 9000L, 95L)))
+      q.processAllAvailable()
+      mem.addData(Seq(("chr1", 15000L, 101L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.io.Tsv.readBiases(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe Set(("chr1", 5000L, 1.1), ("chr2", 9000L, 0.95),
+      ("chr1", 15000L, 1.01))
+    // per-epoch file names; no staging residue
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    files.count(_.endsWith(".tsv.gz")) should be >= 2
+    files.count(_.startsWith("_streaming")) shouldBe 0
+  }
+
   test("string-inequality pushdown is ORDER-correct (chr10 < chr2)") {
     // lexicographic, not numeric: chr10 < chr2 — a naive numeric parse
     // in the reader would diverge from Spark's semantics
