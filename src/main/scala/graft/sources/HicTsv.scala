@@ -76,7 +76,7 @@ class HicTsvTable(tableSchema: StructType, props: Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val mode = options.getOrDefault("mode",
@@ -153,6 +153,85 @@ class HicTsvScan(fullSchema: StructType, required: StructType,
       SparkSession.active.sparkContext.hadoopConfiguration)
     new HicTsvReaderFactory(fullSchema, required, pushed, conf,
       permissive)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new HicTsvMicroBatchStream(fullSchema, required, pushed, path,
+      permissive, new SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+/** STREAMING read: the file-arrival micro-batch source. The OFFSET is
+  * the sorted list of data files seen so far (serialized in the
+  * checkpoint, so a restart resumes exactly); each micro-batch reads
+  * the files in `end − start`, one partition per file, through the SAME
+  * pruning/pushdown reader as the batch scan. Files must be complete
+  * when they appear (write-then-move — exactly what the connector's own
+  * sinks produce); at 100 TB the offset is file-count-sized, the
+  * standard file-source trade.
+  */
+class HicTsvMicroBatchStream(fullSchema: StructType,
+    required: StructType, pushed: Array[Filter], path: String,
+    permissive: Boolean, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming
+      .MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listFiles(): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Nil
+    else if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).toSeq.sorted
+    else Seq(path)
+  }
+
+  override def latestOffset(): Offset = HicTsvOffset(listFiles())
+  override def initialOffset(): Offset = HicTsvOffset(Nil)
+  override def deserializeOffset(json: String): Offset =
+    HicTsvOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[HicTsvOffset].files.toSet
+    end.asInstanceOf[HicTsvOffset].files.filterNot(seen)
+      .map(f => HicTsvPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HicTsvReaderFactory(fullSchema, required, pushed, conf,
+      permissive)
+}
+
+case class HicTsvOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = files.map(f =>
+    "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    .mkString("[", ",", "]")
+}
+
+object HicTsvOffset {
+  /** Minimal JSON string-array parse (the offsets this source writes). */
+  def fromJson(json: String): HicTsvOffset = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var esc = false
+    json.foreach { c =>
+      if (esc) { sb.append(c); esc = false }
+      else if (inStr && c == '\\') esc = true
+      else if (inStr && c == '"') {
+        out += sb.toString; sb.clear(); inStr = false
+      } else if (inStr) sb.append(c)
+      else if (c == '"') inStr = true
+    }
+    HicTsvOffset(out.toSeq)
   }
 }
 

@@ -169,6 +169,36 @@ class DsvSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     files.count(_.startsWith("_streaming")) shouldBe 0
   }
 
+  test("streaming read: file arrivals become micro-batches; offsets resume") {
+    val dir = graft.io.Scratch.sub("dsv_streamread")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def writeFile(name: String, lines: String): Unit = {
+      val tmp = java.nio.file.Paths.get(dir, s"_tmp_$name")
+      java.nio.file.Files.write(tmp, lines.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name))
+    }
+    writeFile("a.tsv", "chr1\t5000\t1.1\nchr2\t9000\t0.95\n")
+    val name = s"dsvread_${System.nanoTime()}"
+    val q = spark.readStream.format("hic-tsv").option("kind", "biases")
+      .load(dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table(name).count() shouldBe 2
+      writeFile("b.tsv", "chr1\t15000\t1.01\n")
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      got shouldBe Set(("chr1", 5000L, 1.1), ("chr2", 9000L, 0.95),
+        ("chr1", 15000L, 1.01)) // file b arrived as its own batch
+    } finally q.stop()
+    // offset round-trip: escaping-safe serialize/parse
+    val off = graft.sources.HicTsvOffset(
+      Seq(s"$dir/a.tsv", "/odd/pa\"th/b.tsv"))
+    graft.sources.HicTsvOffset.fromJson(off.json()) shouldBe off
+  }
+
   test("string-inequality pushdown is ORDER-correct (chr10 < chr2)") {
     // lexicographic, not numeric: chr10 < chr2 — a naive numeric parse
     // in the reader would diverge from Spark's semantics
