@@ -97,16 +97,29 @@ object StreamMain {
             lit("{}").as("props"))
     }
 
-    // synthetic contact stream for the incremental-marginals state logic
-    def contacts = spark.readStream.format("rate")
-      .option("rowsPerSecond", 500).load()
-      .select(col("timestamp").as("ts"),
-        concat(lit("c"), col("value") % 4).as("chr1"),
-        (col("value") % 100 * 5000 + 2500).as("mid1"),
-        concat(lit("c"), col("value") % 4).as("chr2"),
-        (col("value") * 7 % 100 * 5000 + 2500).as("mid2"),
-        lit(1L).as("contactCount"))
-      .as[HicStream.ContactEvent]
+    // contact stream for the incremental-marginals state logic:
+    // `--contacts-dir <dir>` streams REAL gz-TSV contact files through
+    // the connector's micro-batch source (one batch per arriving file,
+    // ingest-time stamped) — the production ingest shape; without it a
+    // rate source synthesizes contacts
+    def contacts = opts.get("--contacts-dir") match {
+      case Some(d) =>
+        spark.readStream.format("hic-tsv").option("kind", "contacts")
+          .load(d)
+          .select(current_timestamp().as("ts"), col("chr1"),
+            col("mid1"), col("chr2"), col("mid2"), col("contactCount"))
+          .as[HicStream.ContactEvent]
+      case None =>
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", 500).load()
+          .select(col("timestamp").as("ts"),
+            concat(lit("c"), col("value") % 4).as("chr1"),
+            (col("value") % 100 * 5000 + 2500).as("mid1"),
+            concat(lit("c"), col("value") % 4).as("chr2"),
+            (col("value") * 7 % 100 * 5000 + 2500).as("mid2"),
+            lit(1L).as("contactCount"))
+          .as[HicStream.ContactEvent]
+    }
 
     val (frame, mode) = logic match {
       case "tumbling" => (Events.tumbling(events, watermark), "update")
