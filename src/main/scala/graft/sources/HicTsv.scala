@@ -83,10 +83,14 @@ class HicTsvTable(tableSchema: StructType, props: Map[String, String])
       props.getOrElse("mode", "failfast"))
     require(mode == "failfast" || mode == "permissive",
       s"hic-tsv: mode must be failfast|permissive, got '$mode'")
+    val maxFiles = Option(options.get("maxFilesPerTrigger"))
+      .orElse(props.get("maxFilesPerTrigger")).map(_.toInt)
+    require(maxFiles.forall(_ > 0),
+      "hic-tsv: maxFilesPerTrigger must be positive")
     new HicTsvScanBuilder(tableSchema,
       Option(options.get("path")).getOrElse(
         props.getOrElse("path", sys.error("hic-tsv: path required"))),
-      mode == "permissive")
+      mode == "permissive", maxFiles)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -102,7 +106,7 @@ class HicTsvTable(tableSchema: StructType, props: Map[String, String])
 }
 
 class HicTsvScanBuilder(fullSchema: StructType, path: String,
-    permissive: Boolean)
+    permissive: Boolean, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
@@ -122,11 +126,13 @@ class HicTsvScanBuilder(fullSchema: StructType, path: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new HicTsvScan(fullSchema, required, pushed, path, permissive)
+    new HicTsvScan(fullSchema, required, pushed, path, permissive,
+      maxFilesPerTrigger)
 }
 
 class HicTsvScan(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], path: String, permissive: Boolean)
+    pushed: Array[Filter], path: String, permissive: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -159,7 +165,8 @@ class HicTsvScan(fullSchema: StructType, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new HicTsvMicroBatchStream(fullSchema, required, pushed, path,
       permissive, new SerializableConfiguration(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      maxFilesPerTrigger)
 }
 
 /** STREAMING read: the file-arrival micro-batch source. The OFFSET is
@@ -173,9 +180,12 @@ class HicTsvScan(fullSchema: StructType, required: StructType,
   */
 class HicTsvMicroBatchStream(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String,
-    permissive: Boolean, conf: SerializableConfiguration)
+    permissive: Boolean, conf: SerializableConfiguration,
+    maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming
-      .MicroBatchStream {
+      .MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def listFiles(): Seq[String] = {
@@ -190,7 +200,26 @@ class HicTsvMicroBatchStream(fullSchema: StructType,
     else Seq(path)
   }
 
-  override def latestOffset(): Offset = HicTsvOffset(listFiles())
+  // admission control: cap each micro-batch at maxFilesPerTrigger new
+  // files — the backlog drains across consecutive triggers instead of
+  // one giant batch (the standard file-source throttle). The offset
+  // stays a PREFIX of the sorted file list, so committed offsets from
+  // throttled and unthrottled runs compose.
+  override def latestOffset(): Offset = sys.error(
+    "latestOffset(start, limit) is the entry point") // not reached:
+  // Spark calls the SupportsAdmissionControl form below when implemented
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val seen = start.asInstanceOf[HicTsvOffset].files.toSet
+    val all = listFiles()
+    maxFilesPerTrigger match {
+      case Some(n) =>
+        val fresh = all.filterNot(seen)
+        HicTsvOffset(all.filter(f => seen(f) || fresh.take(n).contains(f)))
+      case None => HicTsvOffset(all)
+    }
+  }
   override def initialOffset(): Offset = HicTsvOffset(Nil)
   override def deserializeOffset(json: String): Offset =
     HicTsvOffset.fromJson(json)

@@ -199,6 +199,29 @@ class DsvSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.sources.HicTsvOffset.fromJson(off.json()) shouldBe off
   }
 
+  test("maxFilesPerTrigger throttles a backlog into per-file batches") {
+    val dir = graft.io.Scratch.sub("dsv_throttle")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def put(name: String, body: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name), body.getBytes("UTF-8"))
+    put("a.tsv", "chr1\t5000\t1.1\nchr2\t9000\t0.95\n")
+    put("b.tsv", "chr1\t15000\t1.01\n")
+    put("c.tsv", "chr3\t25000\t0.99\n")
+    val name = s"dsvthrottle_${System.nanoTime()}"
+    val q = spark.readStream.format("hic-tsv").option("kind", "biases")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table(name).count() shouldBe 4
+      // the 3-file backlog drained as one-file batches: 2, 1, 1 rows
+      q.recentProgress.map(_.numInputRows).filter(_ > 0)
+        .sorted.toSeq shouldBe Seq(1L, 1L, 2L)
+    } finally q.stop()
+  }
+
   test("string-inequality pushdown is ORDER-correct (chr10 < chr2)") {
     // lexicographic, not numeric: chr10 < chr2 — a naive numeric parse
     // in the reader would diverge from Spark's semantics
