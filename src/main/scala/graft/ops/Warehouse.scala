@@ -276,6 +276,131 @@ object Warehouse {
         "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
         "GROUP BY c_nationkey ORDER BY cntry")),
 
+    "q_warehouse_incr_rollup" -> Q(
+      (spark, dir) => {
+        // INCREMENTAL rollup maintenance — the nightly materialized-view
+        // merge: the pre-existing per-customer rollup (materialized to
+        // parquet, standing in for yesterday's table) is combined with
+        // the DELTA batch's aggregate by re-aggregating counts and sums
+        // — mergeable statistics, so the base FACTS are never re-read.
+        // At 100 TB this is the difference between scanning one day and
+        // scanning seven years. The oracle recomputes from scratch, so
+        // a hash match proves merge ≡ full recompute.
+        val cutoff = Cols.ts("2000-01-01")
+        val o = Tables(spark, dir, "orders")
+        val basePath = graft.io.Scratch.stable(
+          "rollup_" + java.lang.Integer.toHexString(dir.hashCode))
+        o.filter(col("o_orderdate") < cutoff)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(Cols.cents(col("o_totalprice"))).as("spend_c"))
+          .write.mode("overwrite").parquet(basePath)
+        val delta = o.filter(col("o_orderdate") >= cutoff)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(Cols.cents(col("o_totalprice"))).as("spend_c"))
+        spark.read.parquet(basePath).unionByName(delta)
+          .groupBy("o_custkey")
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("spend_c")).as("__sc"))
+          .select(col("o_custkey"), col("n_orders"),
+            (col("__sc").cast("double") / 100.0).as("total_spend"))
+          .orderBy("o_custkey")
+      },
+      Some("SELECT o_custkey, COUNT(*) AS n_orders, " +
+        "CAST(CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) " +
+        "AS BIGINT) AS DOUBLE)/100.0 AS total_spend " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
+
+    "q_diff_snapshots" -> Q(
+      (spark, dir) => {
+        // snapshot DIFF — the migration-verification op: version B of
+        // the part table is a deterministic mutation of version A
+        // (every 97th key deleted, every 100th repriced); a full-outer
+        // join on the key classifies rows as deleted / changed /
+        // unchanged. Exact cents comparison (a double equality would be
+        // engine-hostile); at scale this is one co-partitioned join —
+        // the standard before/after reconciliation.
+        val a = Tables(spark, dir, "part")
+          .select(col("p_partkey"), Cols.cents(col("p_retailprice"))
+            .as("price_a"))
+        val b = Tables(spark, dir, "part")
+          .filter(col("p_partkey") % 97 =!= 0)
+          .select(col("p_partkey").as("bk"),
+            when(col("p_partkey") % 100 === 0,
+              Cols.cents(col("p_retailprice") * 1.1))
+              .otherwise(Cols.cents(col("p_retailprice")))
+              .as("price_b"))
+        a.join(b, col("p_partkey") === col("bk"), "full_outer")
+          .select(when(col("bk").isNull, "deleted")
+            .when(col("price_a") =!= col("price_b"), "changed")
+            .otherwise("unchanged").as("status"),
+            coalesce(col("price_b"), lit(0L)).as("pb"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum(col("pb")).as("sum_price_b_c"))
+          .orderBy("status")
+      },
+      Some("WITH a AS (SELECT p_partkey, " +
+        "CAST(ROUND(p_retailprice*100,0) AS BIGINT) AS price_a " +
+        "FROM part), " +
+        "b AS (SELECT p_partkey AS bk, CASE WHEN p_partkey % 100 = 0 " +
+        "THEN CAST(ROUND(p_retailprice*1.1*100,0) AS BIGINT) " +
+        "ELSE CAST(ROUND(p_retailprice*100,0) AS BIGINT) END AS price_b " +
+        "FROM part WHERE p_partkey % 97 <> 0) " +
+        "SELECT CASE WHEN bk IS NULL THEN 'deleted' " +
+        "WHEN price_a <> price_b THEN 'changed' " +
+        "ELSE 'unchanged' END AS status, COUNT(*) AS n, " +
+        "CAST(SUM(COALESCE(price_b, 0)) AS BIGINT) AS sum_price_b_c " +
+        "FROM a FULL OUTER JOIN b ON p_partkey = bk " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    "q_quality_constraints" -> Q(
+      (spark, dir) => {
+        // data-quality CONSTRAINT AUDIT (the Deequ shape): one row per
+        // declared constraint with its violation count — uniqueness of
+        // the lineitem line key (the generated data genuinely violates
+        // it), referential integrity orders→customer, value-range on
+        // the discount, and non-emptiness of the part name. Each
+        // constraint is one aggregate/anti-join — the audit a 100 TB
+        // ingest runs before promoting a batch.
+        val l = Tables(spark, dir, "lineitem")
+        val dupes = l.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("violations"))
+          .select(lit("unique_line_key").as("check_name"),
+            col("violations"))
+        val fk = Tables(spark, dir, "orders")
+          .join(Tables(spark, dir, "customer"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("orders_customer_fk").as("check_name"),
+            col("violations"))
+        val range = l.filter(col("l_discount") < 0.0 ||
+            col("l_discount") > 1.0)
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("discount_in_range").as("check_name"),
+            col("violations"))
+        val nonEmpty = Tables(spark, dir, "part")
+          .filter(col("p_name").isNull || col("p_name") === "")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("part_name_nonempty").as("check_name"),
+            col("violations"))
+        dupes.unionByName(fk).unionByName(range).unionByName(nonEmpty)
+          .orderBy("check_name")
+      },
+      Some("SELECT * FROM (" +
+        "SELECT 'unique_line_key' AS check_name, " +
+        "CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS violations FROM " +
+        "(SELECT COUNT(*) AS c FROM lineitem " +
+        "GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) " +
+        "UNION ALL SELECT 'orders_customer_fk', COUNT(*) FROM orders " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer " +
+        "WHERE c_custkey = o_custkey) " +
+        "UNION ALL SELECT 'discount_in_range', COUNT(*) FROM lineitem " +
+        "WHERE l_discount < 0.0 OR l_discount > 1.0 " +
+        "UNION ALL SELECT 'part_name_nonempty', COUNT(*) FROM part " +
+        "WHERE p_name IS NULL OR p_name = '') ORDER BY check_name")),
+
     "q_scd2_props" -> Q(
       (spark, dir) => {
         // SCD2 dimension build (change-data-capture): each user's props.k
