@@ -19,9 +19,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * engine-portable (a float EMA recurrence can never hash-match across
   * engines; this one does, which is what lets q_win_ema carry a full
   * DuckDB oracle as a recursive CTE). Null inputs propagate the running
-  * state unchanged (Add returns null → If keeps … see update: a null x
-  * with non-null s yields null sum → ShiftRight null → null; callers
-  * feed non-null cents).
+  * state unchanged (outer IsNull guard — a null x neither resets nor
+  * poisons the state).
   */
 case class EmaCents(child: Expression) extends AggregateWindowFunction {
   override def children: Seq[Expression] = Seq(child)
@@ -34,7 +33,9 @@ case class EmaCents(child: Expression) extends AggregateWindowFunction {
   override val initialValues: Seq[Expression] =
     Literal.create(null, LongType) :: Nil
   override lazy val updateExpressions: Seq[Expression] =
-    If(IsNull(ema), child, ShiftRight(Add(child, ema), Literal(1))) :: Nil
+    If(IsNull(child), ema,
+      If(IsNull(ema), child,
+        ShiftRight(Add(child, ema), Literal(1)))) :: Nil
   override lazy val evaluateExpression: Expression = ema
 
   override protected def withNewChildrenInternal(

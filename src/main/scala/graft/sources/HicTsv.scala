@@ -58,6 +58,24 @@ class HicTsv extends TableProvider
 }
 
 object HicTsv {
+  /** Sorted data files under `path` (or `path` itself when it's a
+    * file): non-empty, not hidden/staging (`_`/`.` prefixes) — the ONE
+    * definition of what batch and streaming reads of a directory see.
+    */
+  def listDataFiles(path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      allowMissing: Boolean = false): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (allowMissing && !fs.exists(p)) Nil
+    else if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).toSeq.sorted
+    else Seq(path)
+  }
+
   def schemaFor(kind: String): StructType = kind match {
     case "contacts" => graft.io.Tsv.contactSchema
     case "fragments" => graft.io.Tsv.fragmentSchema
@@ -141,17 +159,9 @@ class HicTsvScan(fullSchema: StructType, required: StructType,
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && s.getLen > 0 &&
-          !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".")).map(_.getPath.toString)
-      else Array(path)
-    files.sorted.map(f => HicTsvPartition(f): InputPartition)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    HicTsv.listDataFiles(path, conf)
+      .map(f => HicTsvPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -188,17 +198,8 @@ class HicTsvMicroBatchStream(fullSchema: StructType,
       .SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def listFiles(): Seq[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf.value)
-    if (!fs.exists(p)) Nil
-    else if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).filter(s => s.isFile && s.getLen > 0 &&
-        !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-        .map(_.getPath.toString).toSeq.sorted
-    else Seq(path)
-  }
+  private def listFiles(): Seq[String] =
+    HicTsv.listDataFiles(path, conf.value, allowMissing = true)
 
   // admission control: cap each micro-batch at maxFilesPerTrigger new
   // files — the backlog drains across consecutive triggers instead of
@@ -210,16 +211,9 @@ class HicTsvMicroBatchStream(fullSchema: StructType,
   // Spark calls the SupportsAdmissionControl form below when implemented
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = {
-    val seen = start.asInstanceOf[HicTsvOffset].files.toSet
-    val all = listFiles()
-    maxFilesPerTrigger match {
-      case Some(n) =>
-        val fresh = all.filterNot(seen)
-        HicTsvOffset(all.filter(f => seen(f) || fresh.take(n).contains(f)))
-      case None => HicTsvOffset(all)
-    }
-  }
+      : Offset =
+    HicTsvOffset.advance(start.asInstanceOf[HicTsvOffset], listFiles(),
+      maxFilesPerTrigger)
   override def initialOffset(): Offset = HicTsvOffset(Nil)
   override def deserializeOffset(json: String): Offset =
     HicTsvOffset.fromJson(json)
@@ -246,6 +240,20 @@ case class HicTsvOffset(files: Seq[String])
 }
 
 object HicTsvOffset {
+  /** Next offset from a directory listing: seen files are NEVER dropped
+    * (a transient listing gap or a deleted-then-restored file must not
+    * re-ingest committed rows), at most `max` fresh files admitted per
+    * trigger, and the result stays sorted so offsets compose across
+    * throttled and unthrottled runs. O(listing) via set membership.
+    */
+  def advance(start: HicTsvOffset, listed: Seq[String],
+      max: Option[Int]): HicTsvOffset = {
+    val seen = start.files.toSet
+    val fresh = listed.filterNot(seen)
+    val admit = max.fold(fresh)(fresh.take)
+    HicTsvOffset((start.files ++ admit).sorted)
+  }
+
   /** Minimal JSON string-array parse (the offsets this source writes). */
   def fromJson(json: String): HicTsvOffset = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -317,8 +325,19 @@ class HicTsvReader(fullSchema: StructType, required: StructType,
       val f = neededIdx(i)
       val s = if (f < cols.length) cols(f) else ""
       parsed(f) =
-        if (s.isEmpty) null
-        else
+        if (s.isEmpty) {
+          // a null in a non-nullable column would silently unbox to 0
+          // downstream (codegen trusts the schema) — enforce the
+          // contract here, with the same failfast/permissive split as
+          // malformed numerics
+          if (!fullSchema(f).nullable) {
+            if (permissive) return false
+            throw new RuntimeException(
+              s"hic-tsv: empty value for non-nullable " +
+                s"${fullSchema(f).name} in $file: '$line'")
+          }
+          null
+        } else
           try fullSchema(f).dataType match {
             case LongType => java.lang.Long.valueOf(s)
             case IntegerType => java.lang.Integer.valueOf(s)
@@ -476,7 +495,8 @@ class HicTsvBatchWrite(schema: StructType, path: String,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new HicTsvWriterFactory(schema, stagingDir.toString, conf)
+    new HicTsvWriterFactory(schema, stagingDir.toString, conf,
+      jobId.take(8))
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write
@@ -488,13 +508,18 @@ class HicTsvBatchWrite(schema: StructType, path: String,
         !s.getPath.getName.startsWith("_"))
         .foreach(s => fs.delete(s.getPath, false))
     fs.mkdirs(p)
-    messages.foreach { case m: HicTsvCommit =>
-      val dst = new Path(p, m.fileName)
-      // rename returns FALSE (no throw) when dst exists — e.g. append
-      // onto a prior job's part files; surface it, never lose data
-      if (!fs.rename(new Path(m.staged), dst))
-        sys.error(s"hic-tsv commit: cannot move ${m.staged} to $dst " +
-          "(destination exists? use mode=overwrite)")
+    // two-phase: validate EVERY destination before moving ANY file, so
+    // a collision cannot leave a half-applied commit (file names carry
+    // the job id, so collisions indicate a real conflict, not append)
+    val moves = messages.map { case m: HicTsvCommit =>
+      new Path(m.staged) -> new Path(p, m.fileName)
+    }
+    moves.find { case (_, dst) => fs.exists(dst) }.foreach { case (_, d) =>
+      sys.error(s"hic-tsv commit: destination $d already exists")
+    }
+    moves.foreach { case (src, dst) =>
+      if (!fs.rename(src, dst))
+        sys.error(s"hic-tsv commit: cannot move $src to $dst")
     }
     fs.delete(stagingDir, true)
   }
@@ -511,11 +536,14 @@ case class HicTsvCommit(staged: String, fileName: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class HicTsvWriterFactory(schema: StructType, staging: String,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, jobTag: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new HicTsvWriter(schema, staging, partitionId, taskId, conf)
+    // job-unique file names: append never collides with a prior job's
+    // parts, so the commit loop cannot half-apply and then fail
+    new HicTsvWriter(schema, staging, partitionId, taskId, conf,
+      Some(f"part-$partitionId%05d-$jobTag.tsv.gz"))
 }
 
 class HicTsvWriter(schema: StructType, staging: String,

@@ -10,7 +10,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * the arbitrary-state surface next to [[TwsEma]]'s per-batch state
   * updates: a session-close notifier. Each user's open session lives in
   * one ValueState (start, last, count); every batch extends or rolls it
-  * (gaps closing WITHIN a batch emit immediately), deletes the stale
+  * (gaps closing WITHIN a batch emit immediately; the split uses the
+  * SAME half-open boundary as the timer — a gap of exactly `gapMs`
+  * closes on both paths, so output cannot depend on batch boundaries), deletes the stale
   * timer and arms a fresh one at `last + gap`; when the WATERMARK passes
   * that instant, `handleExpiredTimer` emits the closed session and
   * clears the state — the pattern session_window cannot express (it
@@ -41,7 +43,7 @@ object TwsSessions {
       var cur = if (st.exists()) Option(st.get()) else None
       times.foreach { t =>
         cur match {
-          case Some((s, last, n)) if t - last > gapMs =>
+          case Some((s, last, n)) if t - last >= gapMs =>
             out += Sess(key, s, last, n) // gap closed inside the batch
             cur = Some((t, t, 1L))
           case Some((s, last, n)) =>

@@ -119,6 +119,49 @@ class DsvSourceSpec extends AnyFunSuite with Matchers with SparkTest {
       .select("chr").count() shouldBe 3 // untouched when not read
   }
 
+  test("empty value in a non-nullable column: failfast errors, permissive skips") {
+    val out = graft.io.Scratch.sub("dsv_nonnull")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-0.tsv"),
+      ("chrX\t1000\tchrX\t5000\t3\n" +
+        "chrY\t\tchrY\t6000\t2\n").getBytes("UTF-8")) // empty mid1
+    val ff = intercept[Exception] {
+      spark.read.format("hic-tsv").option("kind", "contacts")
+        .load(out).select("mid1").collect()
+    }
+    (ff.getMessage + Option(ff.getCause).mkString) should
+      include("non-nullable")
+    spark.read.format("hic-tsv").option("kind", "contacts")
+      .option("mode", "permissive").load(out)
+      .select("chr1", "mid1").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("chrX")
+  }
+
+  test("append mode accumulates jobs (job-unique part names)") {
+    val out = graft.io.Scratch.sub("dsv_append")
+    val first = fragments.filter(col("chr") === "chr1")
+    val second = fragments.filter(col("chr") =!= "chr1")
+    first.write.format("hic-tsv").option("kind", "fragments")
+      .mode("append").save(out)
+    second.write.format("hic-tsv").option("kind", "fragments")
+      .mode("append").save(out)
+    rows(graft.io.Tsv.readFragments(spark, out)) shouldBe rows(fragments)
+  }
+
+  test("offset advance never drops seen files (no re-ingest)") {
+    import graft.sources.HicTsvOffset
+    val seen = HicTsvOffset(Seq("/d/a.tsv", "/d/b.tsv"))
+    // b.tsv vanished from the listing, c/d arrived, throttle 1
+    val next = HicTsvOffset.advance(seen,
+      Seq("/d/a.tsv", "/d/c.tsv", "/d/dd.tsv"), Some(1))
+    next.files shouldBe Seq("/d/a.tsv", "/d/b.tsv", "/d/c.tsv")
+    // unthrottled: admits the rest, still keeps the missing file
+    HicTsvOffset.advance(next, Seq("/d/a.tsv", "/d/c.tsv", "/d/dd.tsv"),
+      None).files shouldBe
+      Seq("/d/a.tsv", "/d/b.tsv", "/d/c.tsv", "/d/dd.tsv")
+  }
+
   test("aborted connector write leaves the target untouched") {
     val out = graft.io.Scratch.sub("dsv_abort")
     fragments.write.format("hic-tsv").option("kind", "fragments")

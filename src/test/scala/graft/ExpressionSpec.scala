@@ -190,6 +190,23 @@ class ExpressionSpec extends AnyFunSuite with Matchers with SparkTest {
     got shouldBe expected
   }
 
+  test("ema_cents skips null inputs (state neither resets nor poisons)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = Seq((1L, 1L, Some(10L)), (1L, 2L, None: Option[Long]),
+      (1L, 3L, Some(6L)), (1L, 4L, None: Option[Long]))
+    val got = rows.toDF("k", "t", "x")
+      .select(col("t"),
+        graft.functions.EmaWindow.emaCents(spark, col("x")).over(w)
+          .as("ema"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    got shouldBe Map(1L -> Some(10L), 2L -> Some(10L), // null: unchanged
+      3L -> Some(8L), 4L -> Some(8L)) // (10+6)/2, then unchanged again
+  }
+
   test("text kernels run inside WholeStageCodegen") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(explode(

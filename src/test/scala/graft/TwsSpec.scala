@@ -109,6 +109,35 @@ class TwsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally prev.fold(sp.conf.unset(key))(sp.conf.set(key, _))
   }
 
+  test("a gap of exactly gapMs closes on BOTH paths (batch ≡ timer)") {
+    // two events exactly gap apart in ONE batch must split, because the
+    // timer armed at last+gap would split them across batches — output
+    // must not depend on batch boundaries
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, rocksdb)
+    try {
+      val mem = MemoryStream[Event]
+      val name = s"twsgap_${System.nanoTime()}"
+      val q = graft.stream.TwsSessions
+        .sessionStream(mem.toDF(), 5 * 60000L).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        mem.addData(Seq(ev(1, 0, 9, 1.0), ev(2, 5, 9, 1.0)))
+        q.processAllAvailable()
+        mem.addData(Seq(ev(3, 60, 3, 1.0))) // watermark push
+        q.processAllAvailable()
+        val sessions = sp.table(name).collect()
+          .filter(_.getLong(0) == 9L).map(r => (r.getLong(1), r.getLong(3)))
+        sessions.toSet shouldBe Set((ts(0).getTime, 1L),
+          (ts(5).getTime, 1L)) // two singleton sessions, not one pair
+      } finally q.stop()
+    } finally prev.fold(sp.conf.unset(key))(sp.conf.set(key, _))
+  }
+
   test("within-batch arrival order does not matter (sorted fold)") {
     val ordered = Seq(ev(1, 0, 5, 100.0), ev(2, 1, 5, 300.0),
       ev(3, 2, 5, 500.0))
