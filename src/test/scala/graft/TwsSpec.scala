@@ -138,6 +138,55 @@ class TwsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally prev.fold(sp.conf.unset(key))(sp.conf.set(key, _))
   }
 
+  test("bulk seeded differential: TWS closed sessions ≡ JVM gap fold") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, rocksdb)
+    val gapMs = 7 * 60000L
+    val rnd = new scala.util.Random(23)
+    // 9 users, increasing times with random 1–15 min inter-event gaps
+    var m = 0L
+    val evs = (0 until 200).map { i =>
+      m += 1 + rnd.nextInt(15)
+      ev(i.toLong, m, i % 9L, 1.0)
+    }
+    val sentinel = ev(999, m + 10000, 99L, 1.0) // watermark push
+    try {
+      val mem = MemoryStream[Event]
+      val name = s"twsbulk_${System.nanoTime()}"
+      val q = graft.stream.TwsSessions
+        .sessionStream(mem.toDF(), gapMs).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        (evs.grouped(50).toSeq :+ Seq(sentinel)).foreach { b =>
+          mem.addData(b); q.processAllAvailable()
+        }
+        val got = sp.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        // JVM reference: per-user fold with the same half-open gap;
+        // every non-sentinel session closes (sentinel is 10000 min out)
+        val expected = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+          val ts = es.map(_.ts.getTime).sorted
+          val sessions =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var start = ts.head; var last = ts.head; var n = 1L
+          ts.tail.foreach { t =>
+            if (t - last >= gapMs) {
+              sessions += ((start, last, n)); start = t; last = t; n = 1
+            } else { last = t; n += 1 }
+          }
+          sessions += ((start, last, n))
+          sessions.map { case (s, l, k) => (u, s, l, k) }
+        }.toSet
+        got shouldBe expected
+      } finally q.stop()
+    } finally prev.fold(sp.conf.unset(key))(sp.conf.set(key, _))
+  }
+
   test("within-batch arrival order does not matter (sorted fold)") {
     val ordered = Seq(ev(1, 0, 5, 100.0), ev(2, 1, 5, 300.0),
       ev(3, 2, 5, 500.0))
