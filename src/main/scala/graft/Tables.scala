@@ -22,14 +22,22 @@ object Tables {
   // driver-side footer reads. An analyzed DataFrame is an immutable
   // logical plan, so reusing it per (session, dir, table) changes no
   // query result — it only keeps the file index + schema, exactly what a
-  // metastore-backed catalog provides. Keyed weakly on the session so
-  // test-suite sessions don't pin entries after they stop.
+  // metastore-backed catalog provides. NOTE: weak keys alone cannot
+  // evict here — the cached DataFrames strongly reference their session,
+  // so the value pins the key; stopped sessions are instead PURGED
+  // eagerly on every access (the map holds a handful of sessions, the
+  // scan is trivial).
   private val memo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val perSession = memo.synchronized {
+      val it = memo.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k != null && k.sparkContext.isStopped) it.remove()
+      }
       var m = memo.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()

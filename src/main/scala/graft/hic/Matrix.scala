@@ -79,14 +79,22 @@ object Matrix {
     * by several broadcast legs per query.
     */
   private def symCells(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    graft.ops.Caches.register(ContactsView(spark, dir)
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sym = graft.ops.Caches.register(ContactsView(spark, dir)
       .select(col("chr"), least(col("mid1"), col("mid2")).as("lo"),
         greatest(col("mid1"), col("mid2")).as("hi"),
         col("contactCount"))
       .groupBy("chr", "lo", "hi")
       .agg(sum(col("contactCount")).as("cnt"))
       .persist())
+    // every consumer (loops, APA) reads sym from several broadcast legs
+    // at once — fill the cache HERE so racing futures never each
+    // recompute the cell aggregation (the Graph.triangles lesson,
+    // measured ~3x); at the helper, not per call site, so new consumers
+    // can't reintroduce the race
+    sym.count()
+    sym
+  }
 
   /** Top-100 donut-filtered loop calls (q_hic_loops' scoring, shared
     * with APA): returns (chr, lo, hi, cnt, donut_present, donut_sum,
@@ -202,10 +210,6 @@ object Matrix {
         // integer sums end to end.
         import spark.implicits._
         val sym = symCells(spark, dir)
-        // loopCalls + the pileup probe consume sym from several broadcast
-        // legs — fill the cache once up front or the racing futures each
-        // recompute the cell aggregation (the Graph.triangles lesson)
-        sym.count()
         val offs = (for { dx <- -2L to 2L; dy <- -2L to 2L }
           yield (dx, dy)).toDF("dx", "dy")
         loopCalls(spark, sym)

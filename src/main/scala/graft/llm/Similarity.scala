@@ -339,6 +339,12 @@ object Similarity {
     */
   def annIvfRecall(embeddings: DataFrame, nProbes: Int, k: Int = 16,
       iters: Int = 5, probeClusters: Int = 3, topK: Int = 3): DataFrame = {
+    // the approximate leg (annIvfTop3) hard-caps at rank 3; a larger
+    // topK would silently understate recall (approx can never
+    // contribute more than 3 hits) — refuse instead of mis-measuring
+    require(topK >= 1 && topK <= 3,
+      s"annIvfRecall: topK must be in [1, 3] (the annIvfTop3 leg caps " +
+        s"at rank 3); got $topK")
     val approx = annIvfTop3(embeddings, nProbes, k, iters, probeClusters)
       .filter(col("rn") <= topK)
       .select(col("probe"), col("nb"))

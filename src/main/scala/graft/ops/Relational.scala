@@ -17,33 +17,37 @@ object Relational {
     * partitions sorted by the code.
     */
   private val zorderWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def zorderLayout(spark: org.apache.spark.sql.SparkSession,
       dir: String, force: Boolean = true): String = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-    val b = li.agg(
-      min("l_partkey").as("mnp"), max("l_partkey").as("mxp"),
-      min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"))
     val out = graft.io.Scratch.stable(
       "zorder_" + java.lang.Integer.toHexString(dir.hashCode))
+    def write(): String = {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val b = li.agg(
+        min("l_partkey").as("mnp"), max("l_partkey").as("mxp"),
+        min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"))
+      li.crossJoin(broadcast(b))
+        .withColumn("z", Cols.morton2(
+          Cols.norm16(col("l_partkey"), col("mnp"), col("mxp")),
+          Cols.norm16(col("l_suppkey"), col("mns"), col("mxs"))))
+        .drop("mnp", "mxp", "mns", "mxs")
+        .repartitionByRange(8, col("z"), col("l_orderkey"),
+          col("l_linenumber"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+      out
+    }
     // the OPTIMIZE op (q_sink_zorder) re-writes by design; consumers
-    // (q_scan_skipping) reuse this JVM's layout instead of re-shuffling
-    // byte-identical output
-    if (!force && !zorderWritten.add(out)) return out
-    zorderWritten.add(out)
-    li.crossJoin(broadcast(b))
-      .withColumn("z", Cols.morton2(
-        Cols.norm16(col("l_partkey"), col("mnp"), col("mxp")),
-        Cols.norm16(col("l_suppkey"), col("mns"), col("mxs"))))
-      .drop("mnp", "mxp", "mns", "mxs")
-      .repartitionByRange(8, col("z"), col("l_orderkey"),
-        col("l_linenumber"))
-      .sortWithinPartitions("z")
-      .write.mode("overwrite").parquet(out)
-    out
+    // (q_scan_skipping) reuse this JVM's layout. computeIfAbsent runs
+    // the first write INSIDE the mapping function, so a concurrent
+    // consumer blocks until the layout exists instead of racing a
+    // half-written directory.
+    if (force) { write(); zorderWritten.put(out, out); out }
+    else zorderWritten.computeIfAbsent(out, _ => write())
   }
 
   def queries: Map[String, Q] = Map(

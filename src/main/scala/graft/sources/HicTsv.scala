@@ -503,20 +503,26 @@ class HicTsvBatchWrite(schema: StructType, path: String,
         .WriterCommitMessage]): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
-    if (truncate && fs.exists(p))
-      fs.listStatus(p).filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_"))
-        .foreach(s => fs.delete(s.getPath, false))
-    fs.mkdirs(p)
-    // two-phase: validate EVERY destination before moving ANY file, so
-    // a collision cannot leave a half-applied commit (file names carry
-    // the job id, so collisions indicate a real conflict, not append)
     val moves = messages.map { case m: HicTsvCommit =>
       new Path(m.staged) -> new Path(p, m.fileName)
+    }
+    // validate EVERYTHING before destroying or moving ANYTHING: every
+    // staged source must exist and every destination must be free —
+    // only then truncate and move. A rename failing after that point is
+    // a genuine mid-commit fault (generic filesystems give no atomic
+    // multi-file swap), but the common failure modes (lost staged file,
+    // destination conflict) can no longer cost the previous table.
+    fs.mkdirs(p)
+    moves.find { case (src, _) => !fs.exists(src) }.foreach { case (s0, _) =>
+      sys.error(s"hic-tsv commit: staged file $s0 is missing")
     }
     moves.find { case (_, dst) => fs.exists(dst) }.foreach { case (_, d) =>
       sys.error(s"hic-tsv commit: destination $d already exists")
     }
+    if (truncate)
+      fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_"))
+        .foreach(s => fs.delete(s.getPath, false))
     moves.foreach { case (src, dst) =>
       if (!fs.rename(src, dst))
         sys.error(s"hic-tsv commit: cannot move $src to $dst")

@@ -177,23 +177,34 @@ object HicStream {
         lastFolded = id
       }
 
+    // Hadoop FS (not java.io.File): the snapshots are WRITTEN through
+    // Spark/Hadoop paths, so listing/reaping must resolve the same way —
+    // a stateDir with a URI scheme (file:/, hdfs:/, s3a:/) would
+    // otherwise silently recover nothing and never reap
+    private def hfs(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p, p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
+    }
+
     private def snapshotIds(dir: String): Seq[Long] = {
-      val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
-      fs.toSeq.collect {
-        case f if f.getName.startsWith("cum_b") &&
-            new java.io.File(f, "_SUCCESS").exists() =>
-          f.getName.stripPrefix("cum_b").toLong
+      val (p, fs) = hfs(dir)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.collect {
+        case st if st.isDirectory &&
+            st.getPath.getName.startsWith("cum_b") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath,
+              "_SUCCESS")) =>
+          st.getPath.getName.stripPrefix("cum_b").toLong
       }
     }
 
-    private def reapSnapshots(dir: String, keepFrom: Long): Unit =
+    private def reapSnapshots(dir: String, keepFrom: Long): Unit = {
+      val (p, fs) = hfs(dir)
       snapshotIds(dir).filter(_ < keepFrom).foreach { id =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array()).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(dir, s"cum_b$id"))
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"cum_b$id"), true)
       }
+    }
 
     private def refit(batchId: Long): Unit = {
       val f = cum
