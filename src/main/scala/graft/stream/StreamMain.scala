@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   *
   * Usage (all flags optional):
   *   runMain graft.stream.StreamMain
-  *     [--logic tumbling|sliding|session|dedup|join|marginals|spline]
+  *     [--logic tumbling|sliding|session|dedup|join|marginals|ema|spline]
   *     [--source rate|files] [--dir /root/testdata/sf0.001]
   *     [--sink console|parquet] [--out outDir]
   *     [--watermark "10 seconds"] [--timeout-sec 30]
@@ -139,6 +139,14 @@ object StreamMain {
       case "marginals" =>
         (HicStream.incrementalMarginals(contacts, watermark).toDF(),
           "update")
+      case "ema" =>
+        // transformWithState per-user EMA state (TwsEma) — needs the
+        // RocksDB state store provider, set here so the CLI runs out of
+        // the box
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state" +
+            ".RocksDBStateStoreProvider")
+        (TwsEma.emaStream(events).toDF(), "update")
       case "spline" =>
         // §2.10 incremental null-model: foreachBatch spline refit over
         // the synthetic contact stream; prints the knot count + first/last
