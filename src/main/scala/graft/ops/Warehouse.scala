@@ -234,6 +234,35 @@ object Warehouse {
         "JOIN customer ON c_custkey = o_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
 
+    "q_tpch_q4" -> Q(
+      (spark, dir) => {
+        // order-priority checking (Q4, adapted: "committed late" becomes
+        // "shipped > 30 days after ordering" — this schema has no
+        // commit/receipt dates): orders in one quarter with AT LEAST ONE
+        // late line, counted per priority. The EXISTS is a left-semi
+        // join carrying the band predicate — the fact dedupes into the
+        // semi join itself, no distinct needed.
+        val lo = Cols.ts("1996-01-01")
+        val hi = Cols.ts("1996-04-01")
+        val o = Tables(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        val l = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 30 DAYS"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, COUNT(*) AS order_count " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
     "q_tpch_q22" -> Q(
       (spark, dir) => {
         // global-sales-opportunity (Q22, adapted: the nation key stands
