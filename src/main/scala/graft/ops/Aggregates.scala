@@ -215,7 +215,9 @@ object Aggregates {
         // rows-only by contract; AggSpec pins the rank-error law
         // (|rank(est) − p·n| ≤ n/accuracy) against the exact order
         // statistics, and the exact twin q_agg_percentile is
-        // oracle-green.
+        // oracle-green. Output is flattened to scalar columns (not an
+        // array<bigint>) so the driver's pandas checker can sort/hash
+        // the artifact — an array column crashes its factorize path.
         Tables(spark, dir, "orders")
           .withColumn("tp_c", Cols.cents(col("o_totalprice")))
           .groupBy("o_orderpriority")
@@ -223,6 +225,10 @@ object Aggregates {
             percentile_approx(col("tp_c"),
               array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
               .as("approx_cp"))
+          .select(col("o_orderpriority"), col("n"),
+            element_at(col("approx_cp"), 1).as("p50_c"),
+            element_at(col("approx_cp"), 2).as("p90_c"),
+            element_at(col("approx_cp"), 3).as("p99_c"))
           .orderBy("o_orderpriority"),
       None),
 

@@ -18,12 +18,24 @@ object Relational {
     */
   private val zorderWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val zorderEpoch =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Current physical path of the Z-ordered layout for `dir`, if one has
+    * been written in this JVM (spec hook: PlanSpec inspects the files). */
+  private[graft] def zorderPath(dir: String): Option[String] =
+    Option(zorderWritten.get(
+      "zorder_" + java.lang.Integer.toHexString(dir.hashCode)))
 
   private def zorderLayout(spark: org.apache.spark.sql.SparkSession,
       dir: String, force: Boolean = true): String = {
-    val out = graft.io.Scratch.stable(
-      "zorder_" + java.lang.Integer.toHexString(dir.hashCode))
+    val key = "zorder_" + java.lang.Integer.toHexString(dir.hashCode)
     def write(): String = {
+      // fresh versioned directory per rewrite: a concurrent reader of
+      // the PREVIOUS layout keeps reading intact files; the map entry
+      // swaps to the new path only after the write completes
+      val out = graft.io.Scratch.stable(
+        key + "_v" + zorderEpoch.incrementAndGet())
       val li = Tables(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"), col("l_quantity"))
@@ -44,10 +56,11 @@ object Relational {
     // the OPTIMIZE op (q_sink_zorder) re-writes by design; consumers
     // (q_scan_skipping) reuse this JVM's layout. computeIfAbsent runs
     // the first write INSIDE the mapping function, so a concurrent
-    // consumer blocks until the layout exists instead of racing a
-    // half-written directory.
-    if (force) { write(); zorderWritten.put(out, out); out }
-    else zorderWritten.computeIfAbsent(out, _ => write())
+    // consumer blocks until a layout exists; a forced rewrite builds a
+    // fresh versioned directory and swaps the entry atomically, so it
+    // never mutates a directory a concurrent consumer may be reading.
+    if (force) { val out = write(); zorderWritten.put(key, out); out }
+    else zorderWritten.computeIfAbsent(key, _ => write())
   }
 
   def queries: Map[String, Q] = Map(

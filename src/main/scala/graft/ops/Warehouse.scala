@@ -228,8 +228,12 @@ object Warehouse {
       Some("WITH big AS (SELECT l_orderkey AS ok, " +
         "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty FROM lineitem " +
         "GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) " +
+        // CAST: DuckDB's SUM(BIGINT) yields HUGEINT, which the driver's
+        // pandas compare path surfaces as float64/object and hash-breaks
+        // (same class as q_events_sessionize r14) — pin the final
+        // projection back to BIGINT to match Spark's LongType.
         "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, " +
-        "sum_qty " +
+        "CAST(sum_qty AS BIGINT) AS sum_qty " +
         "FROM big JOIN orders ON o_orderkey = ok " +
         "JOIN customer ON c_custkey = o_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),

@@ -119,7 +119,7 @@ class HicTsvTable(tableSchema: StructType, props: Map[String, String])
       s"hic-tsv write: columns must be exactly " +
         s"${tableSchema.fieldNames.mkString(",")} in order " +
         s"(got ${info.schema().fieldNames.mkString(",")})")
-    new HicTsvWriteBuilder(info.schema(), path)
+    new HicTsvWriteBuilder(info.schema(), path, info.queryId())
   }
 }
 
@@ -431,8 +431,16 @@ object HicTsvFilters {
             java.lang.Double.compare(
               x.asInstanceOf[Number].doubleValue, v))
         case StringType =>
-          val v = value.toString
-          row => Option(row(i)).map(_.asInstanceOf[String].compareTo(v))
+          // Spark orders strings by UTF-8 BINARY order; java.lang.String
+          // compareTo is UTF-16 code-unit order, and the two disagree on
+          // supplementary-plane characters. Pushed filters are exactly
+          // trusted (removed from the post-scan Filter), so range
+          // predicates must compare in Spark's own collation.
+          val v = org.apache.spark.unsafe.types.UTF8String
+            .fromString(value.toString)
+          row => Option(row(i)).map(x =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(x.asInstanceOf[String]).compareTo(v))
         case other => sys.error(s"hic-tsv: unfilterable type $other")
       }
     }
@@ -463,7 +471,8 @@ object HicTsvFilters {
   * duplicate task attempts stage under distinct attempt-suffixed names
   * and only the committed attempt's file is moved.
   */
-class HicTsvWriteBuilder(schema: StructType, path: String)
+class HicTsvWriteBuilder(schema: StructType, path: String,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -482,7 +491,7 @@ class HicTsvWriteBuilder(schema: StructType, path: String)
           .streaming.StreamingWrite =
         new HicTsvStreamingWrite(schema, path,
           new SerializableConfiguration(SparkSession.active
-            .sparkContext.hadoopConfiguration))
+            .sparkContext.hadoopConfiguration), queryId)
     }
 }
 
@@ -606,16 +615,29 @@ class HicTsvWriter(schema: StructType, staging: String,
   * its destination files already present and SKIPS them, deleting the
   * re-staged copies: per-epoch file naming makes the sink idempotent,
   * which is exactly how file-based exactly-once sinks work.
+  *
+  * File names carry the streaming QUERY id (stable across restarts from
+  * the same checkpoint, fresh for a new checkpoint): a new query writing
+  * into a directory that already holds an old run's files must not
+  * mistake the old `part-00000-...` for its own committed epoch 0 and
+  * silently drop its staged data — epoch ids restart at 0 per
+  * checkpoint, so epoch alone is not a dedup key across runs.
   */
 class HicTsvStreamingWrite(schema: StructType, path: String,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val runTag =
+    queryId.replaceAll("[^0-9a-zA-Z]", "").takeRight(12) match {
+      case "" => "q0"
+      case t => t
+    }
 
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory =
-    new HicTsvStreamingWriterFactory(schema, path, conf)
+    new HicTsvStreamingWriterFactory(schema, path, conf, runTag)
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write
@@ -643,7 +665,7 @@ class HicTsvStreamingWrite(schema: StructType, path: String,
 }
 
 class HicTsvStreamingWriterFactory(schema: StructType, path: String,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, runTag: String)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -651,5 +673,5 @@ class HicTsvStreamingWriterFactory(schema: StructType, path: String,
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new HicTsvWriter(schema, s"$path/_streaming_epoch$epochId",
       partitionId, taskId, conf,
-      Some(f"part-$epochId%05d-$partitionId%05d.tsv.gz"))
+      Some(f"part-$runTag-$epochId%05d-$partitionId%05d.tsv.gz"))
 }

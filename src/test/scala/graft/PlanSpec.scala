@@ -63,8 +63,7 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     // single-dim-sorted layout leaves at least one dim's mean per-file
     // range at ~1.0 of the global span
     Registry.all("q_sink_zorder").fn(spark, sf).count()
-    val out = graft.io.Scratch.stable(
-      "zorder_" + java.lang.Integer.toHexString(sf.hashCode))
+    val out = graft.ops.Relational.zorderPath(sf).get
     val files = new java.io.File(out).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath)
     files.length should be >= 4
@@ -95,8 +94,7 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     // keeping at least one — skipping that reads everything proves
     // nothing, skipping that reads nothing is a broken manifest
     Registry.all("q_scan_skipping").fn(spark, sf).count()
-    val out = graft.io.Scratch.stable(
-      "zorder_" + java.lang.Integer.toHexString(sf.hashCode))
+    val out = graft.ops.Relational.zorderPath(sf).get
     val all = new java.io.File(out).listFiles()
       .count(_.getName.endsWith(".parquet"))
     val b = Tables(spark, sf, "lineitem")
