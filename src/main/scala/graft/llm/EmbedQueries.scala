@@ -22,6 +22,40 @@ object EmbedQueries {
     */
   private val qArr = LlmQueries.quantArr
 
+  /** Shared full oracle for the two PQ-ADC search paths (in-query build
+    * vs persisted index): DuckDB re-derives the iteration-0 codebooks,
+    * codes, probe LUTs, and the exact-BIGINT ADC ranking from the raw
+    * embeddings — a hash match on BOTH queries proves the persisted
+    * round-trip is lossless.
+    */
+  private val adcOracleSql =
+    "WITH qv AS (SELECT vec_id, CAST(i AS INT) - 1 AS i, " +
+      "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
+      "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+      "unnest(embedding) AS v FROM embeddings)), " +
+      "init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER " +
+      "(ORDER BY vec_id) - 1 AS INT) AS cid FROM " +
+      "(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+      "cq AS (SELECT init.cid, qv.i, qv.q FROM init " +
+      "JOIN qv USING (vec_id)), " +
+      "d AS (SELECT a.vec_id, CAST(a.i // 16 AS INT) AS sub, c.cid, " +
+      "CAST(SUM((a.q - c.q)*(a.q - c.q)) AS BIGINT) AS d2 " +
+      "FROM qv a JOIN cq c ON a.i = c.i " +
+      "GROUP BY a.vec_id, 2, c.cid), " +
+      "r AS (SELECT vec_id, sub, cid, d2, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d), " +
+      "codes AS (SELECT vec_id, sub, cid AS code FROM r WHERE rn = 1), " +
+      "lut AS (SELECT vec_id AS probe, sub, cid AS code, d2 AS pd2 " +
+      "FROM d WHERE vec_id < 10), " +
+      "adc AS (SELECT lut.probe, codes.vec_id AS nb, " +
+      "CAST(SUM(lut.pd2) AS BIGINT) AS adc FROM codes " +
+      "JOIN lut ON lut.sub = codes.sub AND lut.code = codes.code " +
+      "WHERE codes.vec_id <> lut.probe GROUP BY 1, 2), " +
+      "nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe " +
+      "ORDER BY adc, nb) AS rn FROM adc) " +
+      "SELECT probe, CAST(rn AS INT) AS rn, nb, adc FROM nn " +
+      "WHERE rn <= 3 ORDER BY probe, rn"
+
   def queries: Map[String, Q] = Map(
     "q_embed_norms" -> Q(
       (spark, dir) =>
@@ -410,32 +444,25 @@ object EmbedQueries {
         Pq.adcTop3(Tables(spark, dir, "embeddings"), m = 4, k = 8,
           nProbes = 10)
           .orderBy("probe", "rn"),
-      Some("WITH qv AS (SELECT vec_id, CAST(i AS INT) - 1 AS i, " +
-        "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
-        "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
-        "unnest(embedding) AS v FROM embeddings)), " +
-        "init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER " +
-        "(ORDER BY vec_id) - 1 AS INT) AS cid FROM " +
-        "(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), " +
-        "cq AS (SELECT init.cid, qv.i, qv.q FROM init " +
-        "JOIN qv USING (vec_id)), " +
-        "d AS (SELECT a.vec_id, CAST(a.i // 16 AS INT) AS sub, c.cid, " +
-        "CAST(SUM((a.q - c.q)*(a.q - c.q)) AS BIGINT) AS d2 " +
-        "FROM qv a JOIN cq c ON a.i = c.i " +
-        "GROUP BY a.vec_id, 2, c.cid), " +
-        "r AS (SELECT vec_id, sub, cid, d2, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d), " +
-        "codes AS (SELECT vec_id, sub, cid AS code FROM r WHERE rn = 1), " +
-        "lut AS (SELECT vec_id AS probe, sub, cid AS code, d2 AS pd2 " +
-        "FROM d WHERE vec_id < 10), " +
-        "adc AS (SELECT lut.probe, codes.vec_id AS nb, " +
-        "CAST(SUM(lut.pd2) AS BIGINT) AS adc FROM codes " +
-        "JOIN lut ON lut.sub = codes.sub AND lut.code = codes.code " +
-        "WHERE codes.vec_id <> lut.probe GROUP BY 1, 2), " +
-        "nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe " +
-        "ORDER BY adc, nb) AS rn FROM adc) " +
-        "SELECT probe, CAST(rn AS INT) AS rn, nb, adc FROM nn " +
-        "WHERE rn <= 3 ORDER BY probe, rn")),
+      Some(adcOracleSql)),
+
+    "q_sim_ann_pq_persisted" -> Q(
+      (spark, dir) => {
+        // search FROM THE PERSISTED PQ index — the operational shape of
+        // a production vector store: Pq.persistedIndex trains and
+        // WRITES the index (codes + codebooks parquet) as a separate
+        // job, and this query's plan contains only index-table scans, a
+        // probe-pruned embeddings scan, and the broadcast-LUT ADC join
+        // — no training, no encode stage (gated in PlanSpec). Results
+        // are byte-identical to q_sim_ann_pq_adc (exact-integer devices
+        // + lossless long round-trip through parquet), so the SAME full
+        // hash oracle pins the whole persisted path.
+        val idx = Pq.persistedIndex(spark, dir, m = 4, k = 8)
+        Pq.adcTop3FromIndex(spark, idx,
+          Tables(spark, dir, "embeddings"), m = 4, k = 8, nProbes = 10)
+          .orderBy("probe", "rn")
+      },
+      Some(adcOracleSql)),
 
     "q_embed_pca" -> Q(
       (spark, dir) => {

@@ -162,4 +162,83 @@ object Pq {
       .filter(col("rn") <= 3)
       .select("probe", "rn", "nb", "adc")
   }
+
+  private val indexWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Builds (once per JVM × corpus) and PERSISTS the PQ index for `dir`
+    * as two parquet tables under one root — `codes` (vec_id, sub, code:
+    * the compressed corpus) and `books` (sub, code, i, q: the flattened
+    * codebooks) — and returns the root. This is the operational shape of
+    * every production vector store: the index is TRAINED AND WRITTEN by
+    * one job and SEARCHED by many later ones that never see the raw
+    * embeddings. computeIfAbsent makes concurrent callers block on the
+    * first build instead of racing a half-written index.
+    */
+  def persistedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, m: Int = 4, k: Int = 8): String =
+    indexWritten.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val out = graft.io.Scratch.stable(
+        "pqindex_" + java.lang.Integer.toHexString(dir.hashCode))
+      val qv = Kmeans.quantized(graft.Tables(spark, dir, "embeddings"))
+      val books = initBooks(qv, m, k)
+      encode(qv, books).toDF("vec_id", "sub", "code", "d2")
+        .select("vec_id", "sub", "code")
+        .write.mode("overwrite").parquet(s"$out/codes")
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.flatMap { case (ctr, c) =>
+          ctr.zipWithIndex.map { case (q, i) => (s, c, i, q) }
+        }
+      }.toSeq.toDF("sub", "code", "i", "q")
+        .write.mode("overwrite").parquet(s"$out/books")
+      out
+    })
+
+  /** ADC top-3 search FROM the persisted index: codebooks load from the
+    * `books` table (m×k×(D/M) rows — KBs, one driver collect), probe
+    * vectors are the only embeddings read (scan-pruned by vec_id), and
+    * the corpus flows exclusively as its persisted codes. The search
+    * plan contains NO training or encode stage — byte-identical results
+    * to [[adcTop3]] because the init/codebook/encode devices are all
+    * exact-integer and the index write round-trips longs losslessly.
+    */
+  def adcTop3FromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, embeddings: DataFrame, m: Int = 4, k: Int = 8,
+      nProbes: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sub = embeddings.select(size(col("embedding"))).head().getInt(0) / m
+    val books = Array.fill(m, k)(Array.ofDim[Long](sub))
+    spark.read.parquet(s"$indexRoot/books").collect().foreach { r =>
+      books(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(
+        r.getAs[Int]("i")) = r.getAs[Long]("q")
+    }
+    val probes = Kmeans.quantized(
+        embeddings.filter(col("vec_id") < nProbes))
+      .collect().sortBy(_.id)
+    val lut = probes.flatMap { p =>
+      for (s <- 0 until m; c <- 0 until k) yield {
+        val ctr = books(s)(c)
+        var d = 0L
+        var i = 0
+        while (i < ctr.length) {
+          val t = p.q(s * sub + i) - ctr(i)
+          d += t * t
+          i += 1
+        }
+        (p.id, s, c, d)
+      }
+    }.toSeq.toDF("probe", "sub", "code", "pd2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe").orderBy(asc("adc"), asc("nb"))
+    spark.read.parquet(s"$indexRoot/codes")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("probe") =!= col("vec_id"))
+      .groupBy(col("probe"), col("vec_id").as("nb"))
+      .agg(sum(col("pd2")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("probe", "rn", "nb", "adc")
+  }
 }

@@ -434,6 +434,85 @@ object Warehouse {
         "UNION ALL SELECT 'part_name_nonempty', COUNT(*) FROM part " +
         "WHERE p_name IS NULL OR p_name = '') ORDER BY check_name")),
 
+    "q_warehouse_merge_cdc" -> Q(
+      (spark, dir) => {
+        // CDC MERGE (keyed upsert-apply) — the daily lakehouse op the
+        // trio above (rollup-merge / snapshot-diff / audit) was missing:
+        // a changeset of keyed INSERT/UPDATE/DELETE ops (here derived
+        // deterministically from the event stream: user_id keys, every
+        // 11th key a DELETE, every 7th-residue-3 key shifted out of the
+        // base domain so it lands as an INSERT, props."k" the new
+        // balance) applied to the base customer table with
+        // exactly-once semantics.
+        //
+        // Exactly-once: the changeset first collapses to ONE winning op
+        // per key (row_number over ts DESC, event_id DESC — last writer
+        // wins), so replaying the feed N times applies identically.
+        //
+        // 100 TB shape: the base table NEVER shuffles — survivors are a
+        // broadcast LEFT ANTI against the (small) changed-key set,
+        // updates a broadcast inner join, and inserts are changeset-only
+        // rows anti-joined against the matched-key list (changeset-sized
+        // both sides). The single real exchange is the changeset's own
+        // per-key window — exactly "one key exchange", on the small side.
+        val w = Window.partitionBy("key")
+          .orderBy(desc("tus"), desc("event_id"))
+        // persisted: the collapsed changeset feeds three branches
+        // (survivor anti, update join, insert anti) — cache it so the
+        // per-key window exchange is paid ONCE, not once per branch
+        val latest = Caches.register(Tables(spark, dir, "events")
+          .select(
+            when(col("user_id") % 7 === 3, col("user_id") + 2000000L)
+              .otherwise(col("user_id")).as("key"),
+            Cols.epochUs(col("ts")).as("tus"), col("event_id"),
+            when(col("user_id") % 11 === 0, "D").otherwise("U").as("op"),
+            coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long"), lit(0L)).as("new_bal_c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("key", "op", "new_bal_c")
+          .persist())
+        val base = Tables(spark, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_name").as("name"),
+            Cols.cents(col("c_acctbal")).as("bal_c"))
+        val survivors = base
+          .join(broadcast(latest.select("key")), Seq("key"), "left_anti")
+          .select(col("key"), col("name"), col("bal_c"),
+            lit("kept").as("action"))
+        val ups = latest.filter(col("op") === "U")
+        val updated = base.join(broadcast(ups), Seq("key"))
+          .select(col("key"), col("name"),
+            col("new_bal_c").as("bal_c"), lit("updated").as("action"))
+        val inserted = ups
+          .join(broadcast(updated.select("key")), Seq("key"), "left_anti")
+          .select(col("key"), lit("(new)").as("name"),
+            col("new_bal_c").as("bal_c"), lit("inserted").as("action"))
+        survivors.unionByName(updated).unionByName(inserted)
+          .orderBy("key", "action")
+      },
+      Some("WITH ch AS (SELECT CASE WHEN user_id % 7 = 3 " +
+        "THEN user_id + 2000000 ELSE user_id END AS key, " +
+        "epoch_us(ts) AS tus, event_id, " +
+        "CASE WHEN user_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "COALESCE(TRY_CAST(NULLIF(regexp_extract(props, " +
+        "'\"k\": (\\d+)', 1), '') AS BIGINT), 0) AS new_bal_c " +
+        "FROM events), " +
+        "latest AS (SELECT key, op, new_bal_c FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY key " +
+        "ORDER BY tus DESC, event_id DESC) AS rn FROM ch) WHERE rn = 1), " +
+        "base AS (SELECT c_custkey AS key, c_name AS name, " +
+        "CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_c FROM customer) " +
+        "SELECT key, name, bal_c, 'kept' AS action FROM base " +
+        "WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.key = " +
+        "base.key) " +
+        "UNION ALL SELECT b.key, b.name, l.new_bal_c AS bal_c, " +
+        "'updated' FROM base b JOIN latest l ON b.key = l.key " +
+        "WHERE l.op = 'U' " +
+        "UNION ALL SELECT l.key, '(new)', l.new_bal_c, 'inserted' " +
+        "FROM latest l WHERE l.op = 'U' AND NOT EXISTS " +
+        "(SELECT 1 FROM base WHERE base.key = l.key) " +
+        "ORDER BY key, action")),
+
     "q_scd2_props" -> Q(
       (spark, dir) => {
         // SCD2 dimension build (change-data-capture): each user's props.k

@@ -293,6 +293,34 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("cdc merge: base never shuffles — broadcast anti/inner, one key exchange") {
+    val p = plan("q_warehouse_merge_cdc")
+    // survivors + updates ride broadcast joins off the base scan
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // the changeset's per-key window is the ONE key exchange, paid once
+    // inside the persisted changeset; the three consuming branches read
+    // the cache — no base-table key shuffle anywhere. The cached build
+    // plan is PRINTED once per InMemoryTableScan site, so count
+    // distinct plan ids, not text occurrences.
+    val exchangeIds = "Exchange hashpartitioning.*?plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    exchangeIds.size should be <= 1
+    p should include("InMemoryTableScan")
+  }
+
+  test("persisted pq search: no training/encode stage, no corpus embedding scan") {
+    // build the index first (separate job), then inspect the SEARCH plan
+    Registry.all("q_sim_ann_pq_persisted").fn(spark, sf).count()
+    val p = plan("q_sim_ann_pq_persisted")
+    // the in-query twin (q_sim_ann_pq_adc) encodes via a typed flatMap —
+    // SerializeFromObject marks that stage; the persisted search must not
+    // have one, and must never touch the raw corpus embeddings
+    p should not include "SerializeFromObject"
+    p should not include "embeddings.parquet"
+    p should include("pqindex_")
+  }
+
   test("native asof join plans the custom exec: two key shuffles, no union") {
     val p = plan("q_join_asof_native")
     p should include("AsOfJoin")
