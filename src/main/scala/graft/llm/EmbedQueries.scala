@@ -28,7 +28,7 @@ object EmbedQueries {
     * embeddings — a hash match on BOTH queries proves the persisted
     * round-trip is lossless.
     */
-  private val adcOracleSql =
+  private val adcCtes =
     "WITH qv AS (SELECT vec_id, CAST(i AS INT) - 1 AS i, " +
       "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
       "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
@@ -46,15 +46,45 @@ object EmbedQueries {
       "(PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d), " +
       "codes AS (SELECT vec_id, sub, cid AS code FROM r WHERE rn = 1), " +
       "lut AS (SELECT vec_id AS probe, sub, cid AS code, d2 AS pd2 " +
-      "FROM d WHERE vec_id < 10), " +
-      "adc AS (SELECT lut.probe, codes.vec_id AS nb, " +
-      "CAST(SUM(lut.pd2) AS BIGINT) AS adc FROM codes " +
-      "JOIN lut ON lut.sub = codes.sub AND lut.code = codes.code " +
-      "WHERE codes.vec_id <> lut.probe GROUP BY 1, 2), " +
-      "nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe " +
-      "ORDER BY adc, nb) AS rn FROM adc) " +
-      "SELECT probe, CAST(rn AS INT) AS rn, nb, adc FROM nn " +
-      "WHERE rn <= 3 ORDER BY probe, rn"
+      "FROM d WHERE vec_id < 10)"
+
+  private val adcOracleSql = adcCtes +
+    ", adc AS (SELECT lut.probe, codes.vec_id AS nb, " +
+    "CAST(SUM(lut.pd2) AS BIGINT) AS adc FROM codes " +
+    "JOIN lut ON lut.sub = codes.sub AND lut.code = codes.code " +
+    "WHERE codes.vec_id <> lut.probe GROUP BY 1, 2), " +
+    "nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe " +
+    "ORDER BY adc, nb) AS rn FROM adc) " +
+    "SELECT probe, CAST(rn AS INT) AS rn, nb, adc FROM nn " +
+    "WHERE rn <= 3 ORDER BY probe, rn"
+
+  /** Full oracle for the persisted IVF+PQ search: extends the shared ADC
+    * CTEs with the full-dimension coarse assignment (same 8 iteration-0
+    * centroids), each probe's 3 nearest cells, the cell-pruned candidate
+    * set, and the ADC ranking restricted to it.
+    */
+  private val ivfPqOracleSql = adcCtes +
+    ", dfull AS (SELECT a.vec_id, c.cid, " +
+    "CAST(SUM((a.q - c.q)*(a.q - c.q)) AS BIGINT) AS d2 " +
+    "FROM qv a JOIN cq c ON a.i = c.i GROUP BY 1, 2), " +
+    "cells AS (SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER " +
+    "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dfull) " +
+    "WHERE rn = 1), " +
+    "pcells AS (SELECT vec_id AS probe, cid AS pc FROM " +
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id " +
+    "ORDER BY d2, cid) AS rn FROM dfull WHERE vec_id < 10) " +
+    "WHERE rn <= 3), " +
+    "cand AS (SELECT p.probe, s.vec_id AS nb FROM pcells p " +
+    "JOIN cells s ON s.cid = p.pc WHERE s.vec_id <> p.probe), " +
+    "adc2 AS (SELECT cand.probe, cand.nb, " +
+    "CAST(SUM(lut.pd2) AS BIGINT) AS adc FROM cand " +
+    "JOIN codes ON codes.vec_id = cand.nb " +
+    "JOIN lut ON lut.probe = cand.probe AND lut.sub = codes.sub " +
+    "AND lut.code = codes.code GROUP BY 1, 2), " +
+    "nn2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe " +
+    "ORDER BY adc, nb) AS rn FROM adc2) " +
+    "SELECT probe, CAST(rn AS INT) AS rn, nb, adc FROM nn2 " +
+    "WHERE rn <= 3 ORDER BY probe, rn"
 
   def queries: Map[String, Q] = Map(
     "q_embed_norms" -> Q(
@@ -463,6 +493,26 @@ object EmbedQueries {
           .orderBy("probe", "rn")
       },
       Some(adcOracleSql)),
+
+    "q_sim_ann_ivfpq_persisted" -> Q(
+      (spark, dir) => {
+        // the FULL production ANN pipeline from a persisted combined
+        // index: IVF cells prune each probe to its 3 nearest inverted
+        // lists (coarse centroids = one KB driver collect; candidate
+        // volume nProbes·3·n/k, never the corpus), then PQ-ADC ranks
+        // the survivors from their persisted codes — embeddings are
+        // read only for the 10 probe vectors. Both quantizers are the
+        // deterministic iteration-0 devices, so unlike the trained-IVF
+        // family this combined search is exact-integer SQL end to end
+        // → FULL oracle (pruning QUALITY of the trained path is
+        // audited by q_sim_ann_recall; this pins the pipeline SHAPE).
+        val idx = Pq.persistedIvfPq(spark, dir, k = 8, m = 4, kb = 8)
+        Pq.ivfPqTop3FromIndex(spark, idx,
+          Tables(spark, dir, "embeddings"), m = 4, kb = 8,
+          nProbes = 10, probeCells = 3)
+          .orderBy("probe", "rn")
+      },
+      Some(ivfPqOracleSql)),
 
     "q_embed_pca" -> Q(
       (spark, dir) => {

@@ -195,6 +195,113 @@ object Pq {
       out
     })
 
+  /** Persists the COMBINED IVF+PQ index for `dir` — four tables under
+    * one root: `cells` (vec_id, c: which inverted list each corpus
+    * vector lives in), `cents` (c, i, q: the flattened coarse
+    * centroids, needed at query time to pick probe cells), `codes` and
+    * `books` (the PQ compression, as in [[persistedIndex]]). Both
+    * quantizers use the deterministic iteration-0 devices (k lowest
+    * vec_ids), so the ENTIRE search path — coarse assignment, probe
+    * cell choice, ADC ranking — is exact-integer and SQL-expressible:
+    * the combined query gets a FULL oracle, unlike the trained-IVF
+    * path (whose pruning quality q_sim_ann_recall audits separately).
+    */
+  def persistedIvfPq(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 8, m: Int = 4, kb: Int = 8): String =
+    indexWritten.computeIfAbsent(dir + "#ivfpq", { _ =>
+      import spark.implicits._
+      val out = graft.io.Scratch.stable(
+        "ivfpq_" + java.lang.Integer.toHexString(dir.hashCode))
+      val qv = Kmeans.quantized(graft.Tables(spark, dir, "embeddings"))
+      val cents = Kmeans.initCentroids(qv, k)
+      qv.map(v => (v.id, nearestAt(v.q, 0, cents)._1))
+        .toDF("vec_id", "c")
+        .write.mode("overwrite").parquet(s"$out/cells")
+      cents.zipWithIndex.flatMap { case (ctr, c) =>
+        ctr.zipWithIndex.map { case (q, i) => (c, i, q) }
+      }.toSeq.toDF("c", "i", "q")
+        .write.mode("overwrite").parquet(s"$out/cents")
+      val books = initBooks(qv, m, kb)
+      encode(qv, books).toDF("vec_id", "sub", "code", "d2")
+        .select("vec_id", "sub", "code")
+        .write.mode("overwrite").parquet(s"$out/codes")
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.flatMap { case (ctr, c) =>
+          ctr.zipWithIndex.map { case (q, i) => (s, c, i, q) }
+        }
+      }.toSeq.toDF("sub", "code", "i", "q")
+        .write.mode("overwrite").parquet(s"$out/books")
+      out
+    })
+
+  /** IVF+PQ top-3 search FROM the persisted combined index — the full
+    * production ANN query shape: the coarse centroids (k×D longs) and
+    * codebooks load from their tables in two KB-sized driver collects,
+    * each probe picks its `probeCells` nearest inverted lists
+    * DRIVER-SIDE (k exact integer distances per probe), the `cells`
+    * table prunes the corpus to those lists via a broadcast join, and
+    * ADC ranks the surviving candidates from their persisted codes —
+    * corpus embeddings are never read, candidate volume is
+    * nProbes·probeCells·n/k, and the plan has no training stage.
+    */
+  def ivfPqTop3FromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, embeddings: DataFrame, m: Int = 4, kb: Int = 8,
+      nProbes: Int = 10, probeCells: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val sub = dim / m
+    val centRows = spark.read.parquet(s"$indexRoot/cents").collect()
+    val k = centRows.map(_.getAs[Int]("c")).max + 1
+    val cents = Array.fill(k)(Array.ofDim[Long](dim))
+    centRows.foreach(r =>
+      cents(r.getAs[Int]("c"))(r.getAs[Int]("i")) = r.getAs[Long]("q"))
+    val books = Array.fill(m, kb)(Array.ofDim[Long](sub))
+    spark.read.parquet(s"$indexRoot/books").collect().foreach { r =>
+      books(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(
+        r.getAs[Int]("i")) = r.getAs[Long]("q")
+    }
+    val probes = Kmeans.quantized(
+        embeddings.filter(col("vec_id") < nProbes))
+      .collect().sortBy(_.id)
+    val pcells = probes.flatMap { p =>
+      cents.indices.map { c =>
+        val ctr = cents(c)
+        var d = 0L
+        var i = 0
+        while (i < dim) { val t = p.q(i) - ctr(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted.take(probeCells).map { case (_, c) => (p.id, c) }
+    }.toSeq.toDF("probe", "pc")
+    val lut = probes.flatMap { p =>
+      for (s <- 0 until m; c <- 0 until kb) yield {
+        val ctr = books(s)(c)
+        var d = 0L
+        var i = 0
+        while (i < ctr.length) {
+          val t = p.q(s * sub + i) - ctr(i)
+          d += t * t
+          i += 1
+        }
+        (p.id, s, c, d)
+      }
+    }.toSeq.toDF("probe", "sub", "code", "pd2")
+    val cand = spark.read.parquet(s"$indexRoot/cells")
+      .join(broadcast(pcells),
+        col("c") === col("pc") && col("probe") =!= col("vec_id"))
+      .select(col("probe"), col("vec_id").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe").orderBy(asc("adc"), asc("nb"))
+    cand.join(spark.read.parquet(s"$indexRoot/codes")
+        .withColumnRenamed("vec_id", "nb"), Seq("nb"))
+      .join(broadcast(lut), Seq("probe", "sub", "code"))
+      .groupBy("probe", "nb")
+      .agg(sum(col("pd2")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("probe", "rn", "nb", "adc")
+  }
+
   /** ADC top-3 search FROM the persisted index: codebooks load from the
     * `books` table (m×k×(D/M) rows — KBs, one driver collect), probe
     * vectors are the only embeddings read (scan-pruned by vec_id), and

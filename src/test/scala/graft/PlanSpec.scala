@@ -321,6 +321,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("pqindex_")
   }
 
+  test("persisted ivf+pq search: cell-pruned candidates, index-only scans") {
+    Registry.all("q_sim_ann_ivfpq_persisted").fn(spark, sf).count()
+    val p = plan("q_sim_ann_ivfpq_persisted")
+    p should not include "SerializeFromObject"
+    p should not include "embeddings.parquet"
+    p should include("ivfpq_")
+    // the cells table prunes via a broadcast join of the probe-cell
+    // list — the corpus side must never shuffle before the candidate cut
+    p should include("BroadcastHashJoin")
+  }
+
   test("native asof join plans the custom exec: two key shuffles, no union") {
     val p = plan("q_join_asof_native")
     p should include("AsOfJoin")
