@@ -48,6 +48,12 @@ object Scratch {
   def stable(tag: String): String =
     Files.createDirectories(base.resolve(tag)).toString
 
+  /** Eagerly reap one scratch path (e.g. a superseded layout version)
+    * instead of waiting for the JVM-exit hook — tmpfs space is finite.
+    */
+  def reap(path: String): Unit =
+    deleteTree(java.nio.file.Paths.get(path))
+
   private def deleteTree(p: Path): Unit =
     try {
       if (Files.exists(p))

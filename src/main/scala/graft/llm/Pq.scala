@@ -137,21 +137,8 @@ object Pq {
     val books = initBooks(qv, m, k)
     val codes = Pq.encode(qv, books).toDF("vec_id", "sub", "code", "d2")
       .select("vec_id", "sub", "code")
-    val lut = qv.filter(_.id < nProbes).collect().sortBy(_.id)
-      .flatMap { p =>
-        val sub = p.q.length / m
-        for (s <- 0 until m; c <- 0 until k) yield {
-          val ctr = books(s)(c)
-          var d = 0L
-          var i = 0
-          while (i < ctr.length) {
-            val t = p.q(s * sub + i) - ctr(i)
-            d += t * t
-            i += 1
-          }
-          (p.id, s, c, d)
-        }
-      }.toSeq.toDF("probe", "sub", "code", "pd2")
+    val lut = probeLut(qv.filter(_.id < nProbes).collect().sortBy(_.id),
+      books).toDF("probe", "sub", "code", "pd2")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe").orderBy(asc("adc"), asc("nb"))
     codes.join(broadcast(lut), Seq("sub", "code"))
@@ -166,32 +153,80 @@ object Pq {
   private val indexWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Builds (once per JVM × corpus) and PERSISTS the PQ index for `dir`
-    * as two parquet tables under one root — `codes` (vec_id, sub, code:
-    * the compressed corpus) and `books` (sub, code, i, q: the flattened
-    * codebooks) — and returns the root. This is the operational shape of
-    * every production vector store: the index is TRAINED AND WRITTEN by
-    * one job and SEARCHED by many later ones that never see the raw
-    * embeddings. computeIfAbsent makes concurrent callers block on the
-    * first build instead of racing a half-written index.
+  /** Writes the PQ half of a persisted index (`codes` + flattened
+    * `books` tables) under `out` — shared by [[persistedIndex]] and
+    * [[persistedIvfPq]] so the encode/flatten discipline exists once.
+    */
+  private def writePqTables(spark: org.apache.spark.sql.SparkSession,
+      out: String, qv: Dataset[KVec], m: Int, k: Int): Unit = {
+    import spark.implicits._
+    val books = initBooks(qv, m, k)
+    encode(qv, books).toDF("vec_id", "sub", "code", "d2")
+      .select("vec_id", "sub", "code")
+      .write.mode("overwrite").parquet(s"$out/codes")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.flatMap { case (ctr, c) =>
+        ctr.zipWithIndex.map { case (q, i) => (s, c, i, q) }
+      }
+    }.toSeq.toDF("sub", "code", "i", "q")
+      .write.mode("overwrite").parquet(s"$out/books")
+  }
+
+  /** Loads the flattened `books` table back into the m×k×(D/M) array. */
+  private def loadBooks(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, m: Int, k: Int, sub: Int)
+      : Array[Array[Array[Long]]] = {
+    val books = Array.fill(m, k)(Array.ofDim[Long](sub))
+    spark.read.parquet(s"$indexRoot/books").collect().foreach { r =>
+      books(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(
+        r.getAs[Int]("i")) = r.getAs[Long]("q")
+    }
+    books
+  }
+
+  /** Per-probe m×k exact subspace distance table (Jégou §IV) — ONE
+    * implementation shared by every ADC leg (in-query, persisted PQ,
+    * persisted IVF+PQ), so tie-breaks and the ×1e7 integer plane cannot
+    * silently diverge between the paths the shared oracle equates.
+    */
+  private def probeLut(probes: Array[KVec],
+      books: Array[Array[Array[Long]]]): Seq[(Long, Int, Int, Long)] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    probes.toSeq.flatMap { p =>
+      for (s <- 0 until m; c <- books(s).indices) yield {
+        val ctr = books(s)(c)
+        var d = 0L
+        var i = 0
+        while (i < ctr.length) {
+          val t = p.q(s * sub + i) - ctr(i)
+          d += t * t
+          i += 1
+        }
+        (p.id, s, c, d)
+      }
+    }
+  }
+
+  /** Builds (once per JVM × corpus × params) and PERSISTS the PQ index
+    * for `dir` as two parquet tables under one root — `codes` (vec_id,
+    * sub, code: the compressed corpus) and `books` (sub, code, i, q:
+    * the flattened codebooks) — and returns the root. This is the
+    * operational shape of every production vector store: the index is
+    * TRAINED AND WRITTEN by one job and SEARCHED by many later ones
+    * that never see the raw embeddings. computeIfAbsent makes
+    * concurrent callers block on the first build instead of racing a
+    * half-written index; the memo (and the scratch tag) key on the
+    * quantization params too, so a differently-shaped request can never
+    * be served someone else's index.
     */
   def persistedIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, m: Int = 4, k: Int = 8): String =
-    indexWritten.computeIfAbsent(dir, { _ =>
-      import spark.implicits._
-      val out = graft.io.Scratch.stable(
-        "pqindex_" + java.lang.Integer.toHexString(dir.hashCode))
-      val qv = Kmeans.quantized(graft.Tables(spark, dir, "embeddings"))
-      val books = initBooks(qv, m, k)
-      encode(qv, books).toDF("vec_id", "sub", "code", "d2")
-        .select("vec_id", "sub", "code")
-        .write.mode("overwrite").parquet(s"$out/codes")
-      books.zipWithIndex.flatMap { case (book, s) =>
-        book.zipWithIndex.flatMap { case (ctr, c) =>
-          ctr.zipWithIndex.map { case (q, i) => (s, c, i, q) }
-        }
-      }.toSeq.toDF("sub", "code", "i", "q")
-        .write.mode("overwrite").parquet(s"$out/books")
+    indexWritten.computeIfAbsent(s"$dir#pq:$m:$k", { _ =>
+      val out = graft.io.Scratch.stable("pqindex_" +
+        java.lang.Integer.toHexString(dir.hashCode) + s"_${m}_$k")
+      writePqTables(spark, out,
+        Kmeans.quantized(graft.Tables(spark, dir, "embeddings")), m, k)
       out
     })
 
@@ -208,10 +243,10 @@ object Pq {
     */
   def persistedIvfPq(spark: org.apache.spark.sql.SparkSession,
       dir: String, k: Int = 8, m: Int = 4, kb: Int = 8): String =
-    indexWritten.computeIfAbsent(dir + "#ivfpq", { _ =>
+    indexWritten.computeIfAbsent(s"$dir#ivfpq:$k:$m:$kb", { _ =>
       import spark.implicits._
-      val out = graft.io.Scratch.stable(
-        "ivfpq_" + java.lang.Integer.toHexString(dir.hashCode))
+      val out = graft.io.Scratch.stable("ivfpq_" +
+        java.lang.Integer.toHexString(dir.hashCode) + s"_${k}_${m}_$kb")
       val qv = Kmeans.quantized(graft.Tables(spark, dir, "embeddings"))
       val cents = Kmeans.initCentroids(qv, k)
       qv.map(v => (v.id, nearestAt(v.q, 0, cents)._1))
@@ -221,16 +256,7 @@ object Pq {
         ctr.zipWithIndex.map { case (q, i) => (c, i, q) }
       }.toSeq.toDF("c", "i", "q")
         .write.mode("overwrite").parquet(s"$out/cents")
-      val books = initBooks(qv, m, kb)
-      encode(qv, books).toDF("vec_id", "sub", "code", "d2")
-        .select("vec_id", "sub", "code")
-        .write.mode("overwrite").parquet(s"$out/codes")
-      books.zipWithIndex.flatMap { case (book, s) =>
-        book.zipWithIndex.flatMap { case (ctr, c) =>
-          ctr.zipWithIndex.map { case (q, i) => (s, c, i, q) }
-        }
-      }.toSeq.toDF("sub", "code", "i", "q")
-        .write.mode("overwrite").parquet(s"$out/books")
+      writePqTables(spark, out, qv, m, kb)
       out
     })
 
@@ -256,15 +282,11 @@ object Pq {
     val cents = Array.fill(k)(Array.ofDim[Long](dim))
     centRows.foreach(r =>
       cents(r.getAs[Int]("c"))(r.getAs[Int]("i")) = r.getAs[Long]("q"))
-    val books = Array.fill(m, kb)(Array.ofDim[Long](sub))
-    spark.read.parquet(s"$indexRoot/books").collect().foreach { r =>
-      books(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(
-        r.getAs[Int]("i")) = r.getAs[Long]("q")
-    }
+    val books = loadBooks(spark, indexRoot, m, kb, sub)
     val probes = Kmeans.quantized(
         embeddings.filter(col("vec_id") < nProbes))
       .collect().sortBy(_.id)
-    val pcells = probes.flatMap { p =>
+    val pcells = probes.toSeq.flatMap { p =>
       cents.indices.map { c =>
         val ctr = cents(c)
         var d = 0L
@@ -272,20 +294,8 @@ object Pq {
         while (i < dim) { val t = p.q(i) - ctr(i); d += t * t; i += 1 }
         (d, c)
       }.sorted.take(probeCells).map { case (_, c) => (p.id, c) }
-    }.toSeq.toDF("probe", "pc")
-    val lut = probes.flatMap { p =>
-      for (s <- 0 until m; c <- 0 until kb) yield {
-        val ctr = books(s)(c)
-        var d = 0L
-        var i = 0
-        while (i < ctr.length) {
-          val t = p.q(s * sub + i) - ctr(i)
-          d += t * t
-          i += 1
-        }
-        (p.id, s, c, d)
-      }
-    }.toSeq.toDF("probe", "sub", "code", "pd2")
+    }.toDF("probe", "pc")
+    val lut = probeLut(probes, books).toDF("probe", "sub", "code", "pd2")
     val cand = spark.read.parquet(s"$indexRoot/cells")
       .join(broadcast(pcells),
         col("c") === col("pc") && col("probe") =!= col("vec_id"))
@@ -316,27 +326,11 @@ object Pq {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val sub = embeddings.select(size(col("embedding"))).head().getInt(0) / m
-    val books = Array.fill(m, k)(Array.ofDim[Long](sub))
-    spark.read.parquet(s"$indexRoot/books").collect().foreach { r =>
-      books(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(
-        r.getAs[Int]("i")) = r.getAs[Long]("q")
-    }
+    val books = loadBooks(spark, indexRoot, m, k, sub)
     val probes = Kmeans.quantized(
         embeddings.filter(col("vec_id") < nProbes))
       .collect().sortBy(_.id)
-    val lut = probes.flatMap { p =>
-      for (s <- 0 until m; c <- 0 until k) yield {
-        val ctr = books(s)(c)
-        var d = 0L
-        var i = 0
-        while (i < ctr.length) {
-          val t = p.q(s * sub + i) - ctr(i)
-          d += t * t
-          i += 1
-        }
-        (p.id, s, c, d)
-      }
-    }.toSeq.toDF("probe", "sub", "code", "pd2")
+    val lut = probeLut(probes, books).toDF("probe", "sub", "code", "pd2")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe").orderBy(asc("adc"), asc("nb"))
     spark.read.parquet(s"$indexRoot/codes")

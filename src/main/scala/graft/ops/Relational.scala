@@ -59,8 +59,22 @@ object Relational {
     // consumer blocks until a layout exists; a forced rewrite builds a
     // fresh versioned directory and swaps the entry atomically, so it
     // never mutates a directory a concurrent consumer may be reading.
-    if (force) { val out = write(); zorderWritten.put(key, out); out }
-    else zorderWritten.computeIfAbsent(key, _ => write())
+    // Superseded versions are reclaimed with a ONE-version grace (v(N-1)
+    // survives for in-flight readers; older ones are deleted) so a
+    // bench/test JVM forcing many rewrites cannot stack full layout
+    // copies in tmpfs for its whole lifetime.
+    if (force) {
+      val out = write()
+      zorderWritten.put(key, out)
+      val cur = zorderEpoch.get()
+      Option(new java.io.File(out).getParentFile.listFiles()).toSeq
+        .flatten
+        .filter(f => f.getName.startsWith(key + "_v") &&
+          f.getName.stripPrefix(key + "_v").toLongOption
+            .exists(_ < cur - 1))
+        .foreach(f => graft.io.Scratch.reap(f.getPath))
+      out
+    } else zorderWritten.computeIfAbsent(key, _ => write())
   }
 
   def queries: Map[String, Q] = Map(

@@ -480,9 +480,12 @@ object Warehouse {
           .select(col("key"), col("name"), col("bal_c"),
             lit("kept").as("action"))
         val ups = latest.filter(col("op") === "U")
-        val updated = base.join(broadcast(ups), Seq("key"))
+        // persisted too: the inserted branch's broadcast build would
+        // otherwise RE-EXECUTE this base join — a third full base scan
+        val updated = Caches.register(base.join(broadcast(ups), Seq("key"))
           .select(col("key"), col("name"),
             col("new_bal_c").as("bal_c"), lit("updated").as("action"))
+          .persist())
         val inserted = ups
           .join(broadcast(updated.select("key")), Seq("key"), "left_anti")
           .select(col("key"), lit("(new)").as("name"),

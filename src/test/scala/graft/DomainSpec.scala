@@ -267,6 +267,9 @@ class ApproxDistinctSpec extends AnyFunSuite with Matchers with SparkTest {
       val sorted = exact(r.getString(0))
       val n = sorted.length.toDouble
       r.getLong(1) shouldBe sorted.length.toLong
+      // one scalar column per declared percentile — a drifting ps list
+      // must fail here, not zip-truncate the rank-law loop silently
+      r.length shouldBe 2 + ps.length
       val ests = Seq(r.getLong(2), r.getLong(3), r.getLong(4))
       ps.zip(ests).foreach { case (p, est) =>
         // GK guarantee: the estimate's RANK is within n/accuracy of p·n

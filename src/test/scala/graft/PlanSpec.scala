@@ -305,7 +305,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     // distinct plan ids, not text occurrences.
     val exchangeIds = "Exchange hashpartitioning.*?plan_id=(\\d+)".r
       .findAllMatchIn(p).map(_.group(1)).toSet
-    exchangeIds.size should be <= 1
+    // guard against a vacuous pass: the changeset window's exchange must
+    // actually be visible to the regex (a plan-rendering change that
+    // drops plan_id markers would otherwise let any number of exchanges
+    // through as size 0)
+    exchangeIds.size shouldBe 1
     p should include("InMemoryTableScan")
   }
 

@@ -65,8 +65,10 @@ def main():
             da, db = str(a.dtype), str(b.dtype)
             ints = {"int8", "int16", "int32", "int64",
                     "uint8", "uint16", "uint32", "uint64"}
+            floats = {"float32", "float64"}  # duckdb .df() is always f64
             benign = (da == db
                       or (da in ints and db in ints)
+                      or (da in floats and db in floats)
                       or (da.startswith("datetime64") and db == "object")
                       or (da == "object" and db.startswith("datetime64")))
             if not benign:
