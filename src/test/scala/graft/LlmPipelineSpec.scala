@@ -560,4 +560,18 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     full.foreach(_ shouldBe 1.0)
     graft.ops.Caches.drain()
   }
+
+  test("persisted index memo keys on quantization params, not just the corpus") {
+    // a differently-shaped request must get its own index root — the
+    // memo serving the m=4 build to an m=8 caller would load
+    // wrong-shaped codebooks (or silently wrong neighbors)
+    val a = Pq.persistedIndex(spark, dir, m = 4, k = 8)
+    val b = Pq.persistedIndex(spark, dir, m = 8, k = 8)
+    val c = Pq.persistedIndex(spark, dir, m = 4, k = 8)
+    a should not be b
+    c shouldBe a
+    // the differently-shaped index is real and loadable: 8 subspaces
+    spark.read.parquet(s"$b/books")
+      .select("sub").distinct().count() shouldBe 8L
+  }
 }
