@@ -31,6 +31,80 @@ object Warehouse {
   private def asMoney(c: org.apache.spark.sql.Column) =
     Cols.fround(c.cast("double") / lit(10000.0), 4)
 
+  /** Applies a keyed CDC changeset to a base table. `base`: (key, name,
+    * bal_c); `changes`: raw op rows (key, tus, event_id, op ∈ {U, D},
+    * new_bal_c). Collapses the changeset to one winning op per key
+    * (last writer by (tus, event_id) — so replaying the feed applies
+    * identically), then: survivors = base BROADCAST-ANTI all changed
+    * keys; updates = base BROADCAST-INNER the U-rows (changed columns
+    * from the changeset, others from base); inserts = U-rows whose key
+    * is absent from base. The base never shuffles; the changeset's
+    * per-key window is the one exchange. Returns
+    * (key, name, bal_c, action).
+    *
+    * Semantics note (CdcLawSpec pins both): on the WRITTEN columns the
+    * op stream is associative — applying day-1 then day-2 changesets
+    * equals applying their union — and replay is idempotent. The
+    * unwritten columns (name) follow partial-update semantics: an
+    * update to a live key keeps the base's name, so a delete-then-
+    * update sequence applied in separate batches re-inserts with the
+    * default name while the collapsed form retains the original — the
+    * standard upsert-vs-partial-update distinction, documented not
+    * hidden.
+    */
+  private[graft] def applyCdc(base: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("key")
+      .orderBy(desc("tus"), desc("event_id"))
+    // persisted: the collapsed changeset feeds three branches (survivor
+    // anti, update join, insert anti) — cache it so the per-key window
+    // exchange is paid ONCE, not once per branch
+    val latest = Caches.register(changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("key", "op", "new_bal_c")
+      .persist())
+    val survivors = base
+      .join(broadcast(latest.select("key")), Seq("key"), "left_anti")
+      .select(col("key"), col("name"), col("bal_c"),
+        lit("kept").as("action"))
+    val ups = latest.filter(col("op") === "U")
+    // persisted too: the inserted branch's broadcast build would
+    // otherwise RE-EXECUTE this base join — a third full base scan
+    val updated = Caches.register(base.join(broadcast(ups), Seq("key"))
+      .select(col("key"), col("name"),
+        col("new_bal_c").as("bal_c"), lit("updated").as("action"))
+      .persist())
+    val inserted = ups
+      .join(broadcast(updated.select("key")), Seq("key"), "left_anti")
+      .select(col("key"), lit("(new)").as("name"),
+        col("new_bal_c").as("bal_c"), lit("inserted").as("action"))
+    survivors.unionByName(updated).unionByName(inserted)
+  }
+
+  /** The events-derived changeset feeding q_warehouse_merge_cdc (and
+    * CdcLawSpec's split fixtures): user_id keys, every 11th key a
+    * DELETE, every 7th-residue-3 key shifted out of the base domain so
+    * it lands as an INSERT, props."k" the new balance.
+    */
+  private[graft] def cdcChanges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        when(col("user_id") % 7 === 3, col("user_id") + 2000000L)
+          .otherwise(col("user_id")).as("key"),
+        Cols.epochUs(col("ts")).as("tus"), col("event_id"),
+        when(col("user_id") % 11 === 0, "D").otherwise("U").as("op"),
+        coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast("long"), lit(0L)).as("new_bal_c"))
+
+  private[graft] def cdcBase(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        Cols.cents(col("c_acctbal")).as("bal_c"))
+
   def queries: Map[String, Q] = Map(
     "q_tpch_q3" -> Q(
       (spark, dir) => {
@@ -454,43 +528,10 @@ object Warehouse {
         // updates a broadcast inner join, and inserts are changeset-only
         // rows anti-joined against the matched-key list (changeset-sized
         // both sides). The single real exchange is the changeset's own
-        // per-key window — exactly "one key exchange", on the small side.
-        val w = Window.partitionBy("key")
-          .orderBy(desc("tus"), desc("event_id"))
-        // persisted: the collapsed changeset feeds three branches
-        // (survivor anti, update join, insert anti) — cache it so the
-        // per-key window exchange is paid ONCE, not once per branch
-        val latest = Caches.register(Tables(spark, dir, "events")
-          .select(
-            when(col("user_id") % 7 === 3, col("user_id") + 2000000L)
-              .otherwise(col("user_id")).as("key"),
-            Cols.epochUs(col("ts")).as("tus"), col("event_id"),
-            when(col("user_id") % 11 === 0, "D").otherwise("U").as("op"),
-            coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
-              .cast("long"), lit(0L)).as("new_bal_c"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("key", "op", "new_bal_c")
-          .persist())
-        val base = Tables(spark, dir, "customer")
-          .select(col("c_custkey").as("key"), col("c_name").as("name"),
-            Cols.cents(col("c_acctbal")).as("bal_c"))
-        val survivors = base
-          .join(broadcast(latest.select("key")), Seq("key"), "left_anti")
-          .select(col("key"), col("name"), col("bal_c"),
-            lit("kept").as("action"))
-        val ups = latest.filter(col("op") === "U")
-        // persisted too: the inserted branch's broadcast build would
-        // otherwise RE-EXECUTE this base join — a third full base scan
-        val updated = Caches.register(base.join(broadcast(ups), Seq("key"))
-          .select(col("key"), col("name"),
-            col("new_bal_c").as("bal_c"), lit("updated").as("action"))
-          .persist())
-        val inserted = ups
-          .join(broadcast(updated.select("key")), Seq("key"), "left_anti")
-          .select(col("key"), lit("(new)").as("name"),
-            col("new_bal_c").as("bal_c"), lit("inserted").as("action"))
-        survivors.unionByName(updated).unionByName(inserted)
+        // per-key window — exactly "one key exchange", on the small side
+        // (see applyCdc above; CdcLawSpec pins sequencing associativity
+        // and replay idempotence on the written columns).
+        applyCdc(cdcBase(spark, dir), cdcChanges(spark, dir))
           .orderBy("key", "action")
       },
       Some("WITH ch AS (SELECT CASE WHEN user_id % 7 = 3 " +

@@ -700,3 +700,50 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
       feats.map(f => (f.width, f.height, f.checksum))
   }
 }
+
+class CdcLawSpec extends AnyFunSuite with Matchers with SparkTest {
+  import graft.ops.Warehouse
+  private val dir = "/root/testdata/sf0.001"
+
+  // the result as a comparable state on the WRITTEN columns: one
+  // (key, bal_c) per surviving row (the unwritten `name` column follows
+  // partial-update semantics — see applyCdc's scaladoc — so it is
+  // excluded from the sequencing law by design, not by accident)
+  private def state(df: org.apache.spark.sql.DataFrame) =
+    df.select("key", "bal_c").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  // a merge RESULT re-shaped as a base for the next day's changeset
+  private def asBase(df: org.apache.spark.sql.DataFrame) =
+    df.select("key", "name", "bal_c")
+
+  test("sequencing law: day-by-day application equals the collapsed union") {
+    val base = Warehouse.cdcBase(spark, dir)
+    val changes = Warehouse.cdcChanges(spark, dir)
+    val cut = changes.agg(
+      org.apache.spark.sql.functions.expr("percentile_approx(tus, 0.5)"))
+      .head().getLong(0)
+    val day1 = changes.filter(col("tus") <= cut)
+    val day2 = changes.filter(col("tus") > cut)
+    // both days non-trivial, or the law test is vacuous
+    day1.count() should be > 0L
+    day2.count() should be > 0L
+    val sequential =
+      Warehouse.applyCdc(asBase(Warehouse.applyCdc(base, day1)), day2)
+    val collapsed = Warehouse.applyCdc(base, changes)
+    state(sequential) shouldBe state(collapsed)
+    graft.ops.Caches.drain()
+  }
+
+  test("replay idempotence: applying the same changeset twice changes nothing") {
+    val base = Warehouse.cdcBase(spark, dir)
+    val changes = Warehouse.cdcChanges(spark, dir)
+    val once = Warehouse.applyCdc(base, changes)
+    val twice = Warehouse.applyCdc(asBase(once), changes)
+    state(twice) shouldBe state(once)
+    // and a replayed key can never double-apply into duplicates
+    twice.groupBy("key").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+    graft.ops.Caches.drain()
+  }
+}
