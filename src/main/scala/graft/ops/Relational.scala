@@ -66,13 +66,17 @@ object Relational {
     if (force) {
       val out = write()
       zorderWritten.put(key, out)
-      val cur = zorderEpoch.get()
-      Option(new java.io.File(out).getParentFile.listFiles()).toSeq
-        .flatten
-        .filter(f => f.getName.startsWith(key + "_v") &&
-          f.getName.stripPrefix(key + "_v").toLongOption
-            .exists(_ < cur - 1))
-        .foreach(f => graft.io.Scratch.reap(f.getPath))
+      // grace = the two highest versions OF THIS KEY (the epoch counter
+      // is global across sfDirs, so "current - 1" would be wrong when
+      // two corpora interleave rewrites)
+      val versions = Option(new java.io.File(out).getParentFile
+          .listFiles()).toSeq.flatten
+        .flatMap(f => f.getName.stripPrefix(key + "_v").toLongOption
+          .filter(_ => f.getName.startsWith(key + "_v"))
+          .map(_ -> f))
+        .sortBy(-_._1)
+      versions.drop(2)
+        .foreach { case (_, f) => graft.io.Scratch.reap(f.getPath) }
       out
     } else zorderWritten.computeIfAbsent(key, _ => write())
   }

@@ -90,14 +90,20 @@ object Warehouse {
     */
   private[graft] def cdcChanges(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    Tables(spark, dir, "events")
-      .select(
-        when(col("user_id") % 7 === 3, col("user_id") + 2000000L)
-          .otherwise(col("user_id")).as("key"),
-        Cols.epochUs(col("ts")).as("tus"), col("event_id"),
-        when(col("user_id") % 11 === 0, "D").otherwise("U").as("op"),
-        coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
-          .cast("long"), lit(0L)).as("new_bal_c"))
+    cdcChangesFrom(Tables(spark, dir, "events"))
+
+  /** Same derivation over ANY events-shaped frame — the streaming CLI's
+    * `--logic cdc` feeds micro-batches through it.
+    */
+  private[graft] def cdcChangesFrom(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.select(
+      when(col("user_id") % 7 === 3, col("user_id") + 2000000L)
+        .otherwise(col("user_id")).as("key"),
+      Cols.epochUs(col("ts")).as("tus"), col("event_id"),
+      when(col("user_id") % 11 === 0, "D").otherwise("U").as("op"),
+      coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+        .cast("long"), lit(0L)).as("new_bal_c"))
 
   private[graft] def cdcBase(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =

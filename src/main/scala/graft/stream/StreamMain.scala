@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   *
   * Usage (all flags optional):
   *   runMain graft.stream.StreamMain
-  *     [--logic tumbling|sliding|session|dedup|join|marginals|ema|spline]
+  *     [--logic tumbling|sliding|session|dedup|join|marginals|ema|spline|cdc]
   *     [--source rate|files] [--dir /root/testdata/sf0.001]
   *     [--sink console|parquet] [--out outDir]
   *     [--watermark "10 seconds"] [--timeout-sec 30]
@@ -147,6 +147,45 @@ object StreamMain {
           "org.apache.spark.sql.execution.streaming.state" +
             ".RocksDBStateStoreProvider")
         (TwsEma.emaStream(events).toDF(), "update")
+      case "cdc" =>
+        // incremental CDC apply: each micro-batch's keyed ops merge into
+        // the running dimension state via ops.Warehouse.applyCdc — the
+        // sequencing law (CdcLawSpec) makes this fold equal a one-shot
+        // apply of the full feed. State lives as a VERSIONED parquet
+        // table (write the next version, then swap the pointer — a
+        // reader of version N is never raced by the batch producing
+        // N+1), seeded from the batch base table.
+        val stateBase =
+          if (out.nonEmpty) out else graft.io.Scratch.sub("cdc_state")
+        var stateV = 0
+        var statePath = s"$stateBase/v$stateV"
+        graft.ops.Warehouse.cdcBase(spark, dir)
+          .withColumn("action", lit("kept"))
+          .write.mode("overwrite").parquet(statePath)
+        val q = events.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val next = graft.ops.Warehouse.applyCdc(
+              spark.read.parquet(statePath)
+                .select("key", "name", "bal_c"),
+              graft.ops.Warehouse.cdcChangesFrom(batch))
+            stateV += 1
+            val nextPath = s"$stateBase/v$stateV"
+            next.write.mode("overwrite").parquet(nextPath)
+            statePath = nextPath
+            val acts = spark.read.parquet(nextPath)
+              .groupBy("action").count().collect()
+              .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+            println(s"[cdc] batch $id -> $nextPath: ${acts.mkString(" ")}")
+            graft.ops.Caches.drain()
+          }
+          .option("checkpointLocation", graft.io.Scratch.sub("cdc_ckpt"))
+          .start()
+        if (timeoutSec > 0) {
+          q.awaitTermination(timeoutSec * 1000L); q.stop()
+        } else q.awaitTermination()
+        spark.stop()
+        return
+
       case "spline" =>
         // §2.10 incremental null-model: foreachBatch spline refit over
         // the synthetic contact stream; prints the knot count + first/last
