@@ -318,6 +318,154 @@ object Warehouse {
         "JOIN customer ON c_custkey = o_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
 
+    "q_tpch_q6" -> Q(
+      (spark, dir) => {
+        // forecast-revenue change (Q6): the canonical pure scan-agg —
+        // every predicate (year band, discount band, quantity cap)
+        // reaches the parquet scan as a pushed filter, and the plan is
+        // one WholeStageCodegen span into a single-row partial+final
+        // agg. Revenue here is price×discount (the discount REVENUE,
+        // not the post-discount total), lifted to exact cent·basis-
+        // point integers so partial-agg order can't drift it.
+        val li = Tables(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= Cols.ts("1997-01-01") &&
+            col("l_shipdate") < Cols.ts("1998-01-01") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24.0)
+        li.agg(sum(Cols.cents(col("l_extendedprice")) *
+            round(col("l_discount") * 100, 0).cast("long")).as("rev_cp"))
+          .select(asMoney(col("rev_cp")).as("revenue"))
+      },
+      Some("SELECT " +
+        Cols.froundSql("CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS " +
+          "BIGINT) * CAST(ROUND(l_discount*100,0) AS BIGINT)) AS " +
+          "DOUBLE)/10000.0", 4) +
+        " AS revenue FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")),
+
+    "q_tpch_q7" -> Q(
+      (spark, dir) => {
+        // volume shipping (Q7): revenue flowing between a nation PAIR in
+        // either direction, per shipment year. The fact joins orders
+        // (for the customer leg) then three broadcast dims; the
+        // disjunctive pair predicate applies AFTER both nation names are
+        // in scope — one pipeline of BroadcastHashJoins into a
+        // years×2-row aggregate, no fact shuffle except the final
+        // grouping.
+        val n1 = Tables(spark, dir, "nation")
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = Tables(spark, dir, "nation")
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        val supp = Tables(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val cust = Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val ord = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("ck"))
+          .filter((col("supp_nation") === "NATION_3" &&
+              col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" &&
+              col("cust_nation") === "NATION_3"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(revenueCp.as("rev_cp"))
+          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+            asMoney(col("rev_cp")).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        Cols.froundSql(s"CAST($revenueCpSql AS DOUBLE)/10000.0", 4) +
+        " AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') " +
+        "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3') " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+
+    "q_tpch_q14" -> Q(
+      (spark, dir) => {
+        // promotion effect (Q14): promo revenue share of one shipment
+        // month. The part dim broadcasts; both the promo-slice and the
+        // total are ONE conditional aggregation over the same joined
+        // rows (a CASE inside SUM — no second scan); the share is a
+        // single float division of two exact cent·percent integers.
+        val li = Tables(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= Cols.ts("1997-09-01") &&
+            col("l_shipdate") < Cols.ts("1997-10-01"))
+          .select(col("l_partkey"), col("l_extendedprice"),
+            col("l_discount"))
+        val part = Tables(spark, dir, "part")
+          .select(col("p_partkey"), col("p_type"))
+        val rev = Cols.cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+              .as("promo_cp"),
+            sum(rev).as("total_cp"))
+          .select(Cols.fround(col("promo_cp").cast("double") * 100.0 /
+            col("total_cp").cast("double"), 4).as("promo_share"))
+      },
+      Some("SELECT " +
+        Cols.froundSql("CAST(SUM(CASE WHEN p_type = 'PROMO' THEN " +
+          "CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * " +
+          "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT)) " +
+          "ELSE 0 END) AS DOUBLE) * 100.0 / CAST(" + revenueCpSql +
+          " AS DOUBLE)", 4) +
+        " AS promo_share " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-09-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-10-01'")),
+
+    "q_tpch_q19" -> Q(
+      (spark, dir) => {
+        // discounted revenue (Q19): the classic OR-of-ANDs join — three
+        // (brand, size band, quantity band) branches that must stay ONE
+        // join with a disjunctive residual, not three unioned scans.
+        // The part dim broadcasts; each branch's part-only conjuncts
+        // (brand, size) prune the broadcast side while the mixed
+        // l_quantity conjunct rides as the join residual.
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+        val part = Tables(spark, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val branch1 = col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+        val branch2 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+        val branch3 = col("p_brand") === "Brand#34" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey") &&
+            (branch1 || branch2 || branch3))
+          .agg(revenueCp.as("rev_cp"))
+          .select(asMoney(col("rev_cp")).as("revenue"))
+      },
+      Some("SELECT " +
+        Cols.froundSql(s"CAST($revenueCpSql AS DOUBLE)/10000.0", 4) +
+        " AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 " +
+        "AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 " +
+        "AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity BETWEEN 20 AND 30)")),
+
     "q_tpch_q4" -> Q(
       (spark, dir) => {
         // order-priority checking (Q4, adapted: "committed late" becomes

@@ -293,6 +293,26 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "CartesianProduct"
   }
 
+  test("tpch q6 is one pushed-down scan into a single-row aggregate") {
+    val p = plan("q_tpch_q6")
+    p should include regex """PushedFilters: \[[^\]]*l_shipdate"""
+    p should include regex """PushedFilters: \[[^\]]*l_quantity"""
+    p should not include "Join"
+  }
+
+  test("tpch q19 keeps the OR-of-ANDs as ONE broadcast join, not unioned scans") {
+    val p = plan("q_tpch_q19")
+    "BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size shouldBe 1
+    p should not include "Union"
+    p should not include "SortMergeJoin"
+  }
+
+  test("tpch q7: every dimension broadcasts; the orders leg is the one fact join") {
+    val p = plan("q_tpch_q7")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 4
+    p should not include "CartesianProduct"
+  }
+
   test("cdc merge: base never shuffles — broadcast anti/inner, one key exchange") {
     val p = plan("q_warehouse_merge_cdc")
     // survivors + updates ride broadcast joins off the base scan
