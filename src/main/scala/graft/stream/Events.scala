@@ -95,6 +95,34 @@ object Events {
         col("v_ts"))
   }
 
+  /** LEFT OUTER variant of [[intervalJoin]]: a purchase with NO prior
+    * view in its 30-minute window still emits, null view columns. In
+    * streaming the null row appears only once BOTH sides' watermarks
+    * pass the window end (the state store can then prove no match will
+    * arrive and evicts the left row); in batch the identical plan is a
+    * plain left join. The event-time band in the join condition is
+    * what makes the outer join watermark-bounded — Spark rejects a
+    * stream-stream outer join without one.
+    */
+  def intervalJoinOuter(purchases: DataFrame, views: DataFrame,
+      watermark: String = defaultWatermark): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = views
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+          col("v_ts") < col("p_ts"),
+        "left_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("v_id"),
+        col("v_ts"))
+  }
+
   // The incremental Hi-C analog (SURVEY §2.10: flatMapGroupsWithState
   // marginals + foreachBatch spline refit) lives in [[HicStream]].
 }

@@ -199,5 +199,33 @@ object StreamQueries {
         "AND p.event_type = 'purchase' AND v.event_type = 'view' " +
         "AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000 " +
         "AND epoch_us(v.ts) < epoch_us(p.ts) " +
+        "ORDER BY p_id, v_id")),
+
+    "q_stream_interval_join_outer" -> Q(
+      (spark, dir) => {
+        // batch frame of Events.intervalJoinOuter: a purchase with no
+        // prior view still emits — the watermark-driven null-emission
+        // semantics StreamingSpec pins on the streaming leg. Null view
+        // columns leave as a -1 sentinel so the hash compare is
+        // null-ordering- and dtype-stable.
+        val ev = Tables(spark, dir, "events")
+        Events.intervalJoinOuter(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"))
+          .select(col("p_id"), col("user_id"),
+            Cols.epochUs(col("p_ts")).as("p_tus"),
+            coalesce(col("v_id"), lit(-1L)).as("v_id"),
+            coalesce(Cols.epochUs(col("v_ts")), lit(-1L)).as("v_tus"))
+          .orderBy("p_id", "v_id")
+      },
+      Some("SELECT p.event_id AS p_id, p.user_id, " +
+        "epoch_us(p.ts) AS p_tus, " +
+        "COALESCE(v.event_id, -1) AS v_id, " +
+        "COALESCE(epoch_us(v.ts), -1) AS v_tus " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id " +
+        "AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000 " +
+        "AND epoch_us(v.ts) < epoch_us(p.ts) " +
         "ORDER BY p_id, v_id")))
 }

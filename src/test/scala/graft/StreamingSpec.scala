@@ -261,6 +261,40 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
       .sorted shouldBe Array((3L, 1L), (3L, 2L), (5L, 4L))
   }
 
+  test("outer interval join: unmatched purchases emit null rows after the watermark passes") {
+    val sp = spark
+    import sp.implicits._
+    val data = Seq(
+      ev(1, 0, typ = "view"), ev(2, 10, typ = "view"),
+      ev(3, 25, typ = "purchase"),  // pairs with views at 0 and 10
+      ev(4, 100, typ = "view"),
+      ev(5, 120, typ = "purchase"), // pairs with the view at 100 only
+      ev(6, 300, typ = "purchase"), // no view in its lookback → NULL row
+      ev(7, 10, user = 2, typ = "purchase")) // other user → NULL row
+    // far-future flush on BOTH sides: the null row for an unmatched
+    // purchase is emitted only once the GLOBAL watermark (min of the two
+    // sides) proves no view can still arrive — without late events on
+    // each side the stream would end with the outer rows still in state.
+    // The flush purchase's own row can't be finalized (nothing advances
+    // the watermark past IT), so both legs exclude it from the compare.
+    val flush = Seq(ev(98, 10000, user = 98, typ = "purchase"),
+      ev(99, 10000, user = 99, typ = "view"))
+    val logic = (df: org.apache.spark.sql.DataFrame) =>
+      Events.intervalJoinOuter(
+        df.filter(col("event_type") === "purchase"),
+        df.filter(col("event_type") === "view"))
+    val streamed = runStream(Seq(data.take(4), data.drop(4), flush),
+        logic, "append")
+      .filter(_.getAs[Long]("p_id") != 98L)
+    val batch = logic((data ++ flush).toDF()).collect()
+      .filter(_.getAs[Long]("p_id") != 98L)
+    streamed.map(_.toString).sorted shouldBe batch.map(_.toString).sorted
+    // the outer semantics themselves: both no-match purchases surface
+    // exactly once, with null view columns
+    val outer = streamed.filter(_.isNullAt(3)).map(_.getAs[Long]("p_id"))
+    outer.sorted shouldBe Array(6L, 7L)
+  }
+
   test("sessions: stream equals batch gaps-and-islands on in-order data") {
     val sp = spark
     import sp.implicits._
