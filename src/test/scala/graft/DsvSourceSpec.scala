@@ -265,6 +265,34 @@ class DsvSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("string-range pushdown uses UTF-8 binary order on supplementary-plane chars") {
+    // U+10348 (𐍈, 4-byte UTF-8, surrogate pair in UTF-16) vs U+FFFD:
+    // UTF-16 code-unit order puts the surrogate pair (D800 DF48) BELOW
+    // FFFD while UTF-8 binary order puts F0 90 8D 88 ABOVE EF BF BD —
+    // the exact case where a java String.compareTo in the reader would
+    // silently disagree with Spark's collation on a TRUSTED pushed
+    // filter (no post-scan re-check exists to save it)
+    val supp = "chr" + new String(Character.toChars(0x10348))
+    val bmp = "chr�"
+    val d = graft.io.Scratch.stable("dsv_spec_unicode")
+    graft.io.Tsv.write(Seq(
+        (supp, Some(1L), 5000L, 1L, Some(1)),
+        (bmp, Some(2L), 15000L, 2L, Some(1)))
+      .toDF("chr", "extraField", "mid", "hitCount", "mappable"),
+      d, graft.io.Tsv.fragmentSchema.fieldNames)
+    def via = spark.read.format("hic-tsv")
+      .option("kind", "fragments").load(d)
+    def ref = graft.io.Tsv.readFragments(spark, d)
+    for (cond <- Seq(col("chr") > bmp, col("chr") < supp,
+        col("chr") >= supp, col("chr") <= bmp)) {
+      rows(via.filter(cond)) shouldBe rows(ref.filter(cond))
+    }
+    // the discriminating direction: chr > U+FFFD must return the
+    // supplementary row (UTF-8 order), not drop it (UTF-16 order)
+    via.filter(col("chr") > bmp).collect()
+      .map(_.getString(0)).toSeq shouldBe Seq(supp)
+  }
+
   test("string-inequality pushdown is ORDER-correct (chr10 < chr2)") {
     // lexicographic, not numeric: chr10 < chr2 — a naive numeric parse
     // in the reader would diverge from Spark's semantics
