@@ -489,7 +489,7 @@ object EmbedQueries {
         // hash oracle pins the whole persisted path.
         val idx = Pq.persistedIndex(spark, dir, m = 4, k = 8)
         Pq.adcTop3FromIndex(spark, idx,
-          Tables(spark, dir, "embeddings"), m = 4, k = 8, nProbes = 10)
+          Tables(spark, dir, "embeddings"), nProbes = 10)
           .orderBy("probe", "rn")
       },
       Some(adcOracleSql)),
@@ -508,7 +508,7 @@ object EmbedQueries {
         // audited by q_sim_ann_recall; this pins the pipeline SHAPE).
         val idx = Pq.persistedIvfPq(spark, dir, k = 8, m = 4, kb = 8)
         Pq.ivfPqTop3FromIndex(spark, idx,
-          Tables(spark, dir, "embeddings"), m = 4, kb = 8,
+          Tables(spark, dir, "embeddings"),
           nProbes = 10, probeCells = 3)
           .orderBy("probe", "rn")
       },

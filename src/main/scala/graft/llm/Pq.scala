@@ -139,15 +139,9 @@ object Pq {
       .select("vec_id", "sub", "code")
     val lut = probeLut(qv.filter(_.id < nProbes).collect().sortBy(_.id),
       books).toDF("probe", "sub", "code", "pd2")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe").orderBy(asc("adc"), asc("nb"))
-    codes.join(broadcast(lut), Seq("sub", "code"))
+    top3ByAdc(codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("probe") =!= col("vec_id"))
-      .groupBy(col("probe"), col("vec_id").as("nb"))
-      .agg(sum(col("pd2")).as("adc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("probe", "rn", "nb", "adc")
+      .withColumnRenamed("vec_id", "nb"))
   }
 
   private val indexWritten =
@@ -172,16 +166,48 @@ object Pq {
       .write.mode("overwrite").parquet(s"$out/books")
   }
 
-  /** Loads the flattened `books` table back into the m×k×(D/M) array. */
+  /** Loads the flattened `books` table back into the m×k×(D/M) array.
+    * All three dimensions are inferred from the rows themselves, so the
+    * search never has to touch the corpus (or trust a caller) for
+    * shape information the index already carries.
+    */
   private def loadBooks(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, m: Int, k: Int, sub: Int)
-      : Array[Array[Array[Long]]] = {
+      indexRoot: String): Array[Array[Array[Long]]] = {
+    val rows = spark.read.parquet(s"$indexRoot/books").collect()
+    val m = rows.map(_.getAs[Int]("sub")).max + 1
+    val k = rows.map(_.getAs[Int]("code")).max + 1
+    val sub = rows.map(_.getAs[Int]("i")).max + 1
     val books = Array.fill(m, k)(Array.ofDim[Long](sub))
-    spark.read.parquet(s"$indexRoot/books").collect().foreach { r =>
+    rows.foreach { r =>
       books(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(
         r.getAs[Int]("i")) = r.getAs[Long]("q")
     }
     books
+  }
+
+  /** The first `nProbes` quantized probe vectors, id-ascending — the
+    * only embeddings read any persisted search performs.
+    */
+  private def collectProbes(embeddings: DataFrame, nProbes: Int)
+      : Array[KVec] = {
+    import org.apache.spark.sql.functions.col
+    Kmeans.quantized(embeddings.filter(col("vec_id") < nProbes))
+      .collect().sortBy(_.id)
+  }
+
+  /** Shared ranking tail of every ADC leg: per-probe top-3 by exact
+    * integer ADC, ties to the lower neighbor id.
+    */
+  private def top3ByAdc(perCodeHits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe").orderBy(asc("adc"), asc("nb"))
+    perCodeHits
+      .groupBy("probe", "nb")
+      .agg(sum(col("pd2")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("probe", "rn", "nb", "adc")
   }
 
   /** Per-probe m×k exact subspace distance table (Jégou §IV) — ONE
@@ -271,21 +297,18 @@ object Pq {
     * nProbes·probeCells·n/k, and the plan has no training stage.
     */
   def ivfPqTop3FromIndex(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, embeddings: DataFrame, m: Int = 4, kb: Int = 8,
+      indexRoot: String, embeddings: DataFrame,
       nProbes: Int = 10, probeCells: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    val sub = dim / m
     val centRows = spark.read.parquet(s"$indexRoot/cents").collect()
     val k = centRows.map(_.getAs[Int]("c")).max + 1
+    val dim = centRows.map(_.getAs[Int]("i")).max + 1
     val cents = Array.fill(k)(Array.ofDim[Long](dim))
     centRows.foreach(r =>
       cents(r.getAs[Int]("c"))(r.getAs[Int]("i")) = r.getAs[Long]("q"))
-    val books = loadBooks(spark, indexRoot, m, kb, sub)
-    val probes = Kmeans.quantized(
-        embeddings.filter(col("vec_id") < nProbes))
-      .collect().sortBy(_.id)
+    val books = loadBooks(spark, indexRoot)
+    val probes = collectProbes(embeddings, nProbes)
     val pcells = probes.toSeq.flatMap { p =>
       cents.indices.map { c =>
         val ctr = cents(c)
@@ -300,16 +323,10 @@ object Pq {
       .join(broadcast(pcells),
         col("c") === col("pc") && col("probe") =!= col("vec_id"))
       .select(col("probe"), col("vec_id").as("nb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe").orderBy(asc("adc"), asc("nb"))
-    cand.join(spark.read.parquet(s"$indexRoot/codes")
+    top3ByAdc(cand
+      .join(spark.read.parquet(s"$indexRoot/codes")
         .withColumnRenamed("vec_id", "nb"), Seq("nb"))
-      .join(broadcast(lut), Seq("probe", "sub", "code"))
-      .groupBy("probe", "nb")
-      .agg(sum(col("pd2")).as("adc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("probe", "rn", "nb", "adc")
+      .join(broadcast(lut), Seq("probe", "sub", "code")))
   }
 
   /** ADC top-3 search FROM the persisted index: codebooks load from the
@@ -321,25 +338,16 @@ object Pq {
     * exact-integer and the index write round-trips longs losslessly.
     */
   def adcTop3FromIndex(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, embeddings: DataFrame, m: Int = 4, k: Int = 8,
+      indexRoot: String, embeddings: DataFrame,
       nProbes: Int = 10): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val sub = embeddings.select(size(col("embedding"))).head().getInt(0) / m
-    val books = loadBooks(spark, indexRoot, m, k, sub)
-    val probes = Kmeans.quantized(
-        embeddings.filter(col("vec_id") < nProbes))
-      .collect().sortBy(_.id)
+    val books = loadBooks(spark, indexRoot)
+    val probes = collectProbes(embeddings, nProbes)
     val lut = probeLut(probes, books).toDF("probe", "sub", "code", "pd2")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe").orderBy(asc("adc"), asc("nb"))
-    spark.read.parquet(s"$indexRoot/codes")
+    top3ByAdc(spark.read.parquet(s"$indexRoot/codes")
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("probe") =!= col("vec_id"))
-      .groupBy(col("probe"), col("vec_id").as("nb"))
-      .agg(sum(col("pd2")).as("adc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("probe", "rn", "nb", "adc")
+      .withColumnRenamed("vec_id", "nb"))
   }
 }

@@ -71,9 +71,9 @@ object Relational {
       // two corpora interleave rewrites)
       val versions = Option(new java.io.File(out).getParentFile
           .listFiles()).toSeq.flatten
-        .flatMap(f => f.getName.stripPrefix(key + "_v").toLongOption
-          .filter(_ => f.getName.startsWith(key + "_v"))
-          .map(_ -> f))
+        .filter(_.getName.startsWith(key + "_v"))
+        .flatMap(f =>
+          f.getName.stripPrefix(key + "_v").toLongOption.map(_ -> f))
         .sortBy(-_._1)
       versions.drop(2)
         .foreach { case (_, f) => graft.io.Scratch.reap(f.getPath) }

@@ -78,22 +78,8 @@ object Events {
     * (q_stream_interval_join) and the MemoryStream parity test share it.
     */
   def intervalJoin(purchases: DataFrame, views: DataFrame,
-      watermark: String = defaultWatermark): DataFrame = {
-    val p = purchases
-      .select(col("event_id").as("p_id"), col("user_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", watermark)
-    val v = views
-      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", watermark)
-    p.join(v,
-        col("user_id") === col("v_user") &&
-          col("v_ts") >= col("p_ts") - expr("interval 30 minutes") &&
-          col("v_ts") < col("p_ts"))
-      .select(col("p_id"), col("user_id"), col("p_ts"), col("v_id"),
-        col("v_ts"))
-  }
+      watermark: String = defaultWatermark): DataFrame =
+    intervalJoinImpl(purchases, views, watermark, "inner")
 
   /** LEFT OUTER variant of [[intervalJoin]]: a purchase with NO prior
     * view in its 30-minute window still emits, null view columns. In
@@ -105,7 +91,11 @@ object Events {
     * stream-stream outer join without one.
     */
   def intervalJoinOuter(purchases: DataFrame, views: DataFrame,
-      watermark: String = defaultWatermark): DataFrame = {
+      watermark: String = defaultWatermark): DataFrame =
+    intervalJoinImpl(purchases, views, watermark, "left_outer")
+
+  private def intervalJoinImpl(purchases: DataFrame, views: DataFrame,
+      watermark: String, joinType: String): DataFrame = {
     val p = purchases
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -118,7 +108,7 @@ object Events {
         col("user_id") === col("v_user") &&
           col("v_ts") >= col("p_ts") - expr("interval 30 minutes") &&
           col("v_ts") < col("p_ts"),
-        "left_outer")
+        joinType)
       .select(col("p_id"), col("user_id"), col("p_ts"), col("v_id"),
         col("v_ts"))
   }
