@@ -142,6 +142,57 @@ object Functions {
         "CAST(list_position(embedding, list_max(embedding)) AS BIGINT) " +
         "AS argmax FROM embeddings ORDER BY vec_id")),
 
+    "q_fn_hof" -> Q(
+      (spark, dir) =>
+        // lambda higher-order functions — the Catalyst machinery
+        // (LambdaFunction + HigherOrderFunction, codegen-free but
+        // whole-stage-adjacent) behind every in-row array computation
+        // over an embedding column: transform to the exact ×1e7 integer
+        // plane, aggregate for the fold (L2², and a dot product against
+        // the reversed vector via zip_with — the brief's
+        // aggregate/zip_with dot-product shape), filter+size for a
+        // count, exists/forall for the quantifiers. All outputs scalar
+        // and exact (integer sums; double-compared booleans), so the
+        // whole family hash-oracles.
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("aggregate(transform(embedding, x -> " +
+              "CAST(ROUND(CAST(x AS DOUBLE)*10000000, 0) AS BIGINT)), " +
+              "0L, (acc, x) -> acc + x*x)").as("l2sq_q"),
+            expr("aggregate(zip_with(" +
+              "transform(embedding, x -> " +
+              "CAST(ROUND(CAST(x AS DOUBLE)*10000000, 0) AS BIGINT)), " +
+              "reverse(transform(embedding, x -> " +
+              "CAST(ROUND(CAST(x AS DOUBLE)*10000000, 0) AS BIGINT))), " +
+              "(a, b) -> a*b), 0L, (acc, x) -> acc + x)")
+              .as("dot_rev_q"),
+            // count on the SAME quantized plane the oracle uses — a raw
+            // value in (0, 5e-8) rounds to 0 and must not count
+            expr("CAST(size(filter(transform(embedding, x -> " +
+              "CAST(ROUND(CAST(x AS DOUBLE)*10000000, 0) AS BIGINT)), " +
+              "x -> x > 0L)) AS BIGINT)").as("n_pos"),
+            expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.45)")
+              .as("has_hi"),
+            expr("forall(embedding, x -> CAST(x AS DOUBLE) > -1.0)")
+              .as("all_gt"))
+          .orderBy("vec_id"),
+      Some("WITH x AS (SELECT vec_id, CAST(i AS INT) AS i, v, " +
+        "CAST(ROUND(CAST(v AS DOUBLE)*10000000, 0) AS BIGINT) AS q " +
+        "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "unnest(embedding) AS v FROM embeddings)), " +
+        "n AS (SELECT vec_id, MAX(i) AS n FROM x GROUP BY 1), " +
+        "rev AS (SELECT a.vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS " +
+        "dot_rev_q FROM x a JOIN n USING (vec_id) " +
+        "JOIN x b ON b.vec_id = a.vec_id AND b.i = n.n + 1 - a.i " +
+        "GROUP BY 1), " +
+        "agg AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS l2sq_q, " +
+        "CAST(COUNT(*) FILTER (WHERE q > 0) AS BIGINT) AS n_pos, " +
+        "BOOL_OR(CAST(v AS DOUBLE) > 0.45) AS has_hi, " +
+        "BOOL_AND(CAST(v AS DOUBLE) > -1.0) AS all_gt " +
+        "FROM x GROUP BY 1) " +
+        "SELECT agg.vec_id, l2sq_q, dot_rev_q, n_pos, has_hi, all_gt " +
+        "FROM agg JOIN rev USING (vec_id) ORDER BY vec_id")),
+
     "q_fn_map" -> Q(
       (spark, dir) => {
         // token counts built into a MapType per doc (map_from_entries over
