@@ -494,6 +494,24 @@ object EmbedQueries {
       },
       Some(adcOracleSql)),
 
+    "q_sim_ann_pq_incremental" -> Q(
+      (spark, dir) => {
+        // INCREMENTAL index maintenance: the index is built on the
+        // id-prefix half of the corpus, extended with only the new
+        // vectors (broadcast-anti against the persisted codes — the
+        // nightly delta job), extended AGAIN as a replay no-op, and
+        // searched. Iteration-0 codebooks are prefix-stable (k lowest
+        // vec_ids), so the result is byte-identical to the full build —
+        // the SAME full ADC oracle pins the whole maintenance cycle:
+        // a codes row lost, doubled, or re-coded anywhere breaks the
+        // hash.
+        val idx = Pq.persistedIndexIncremental(spark, dir, m = 4, k = 8)
+        Pq.adcTop3FromIndex(spark, idx,
+          Tables(spark, dir, "embeddings"), nProbes = 10)
+          .orderBy("probe", "rn")
+      },
+      Some(adcOracleSql)),
+
     "q_sim_ann_ivfpq_persisted" -> Q(
       (spark, dir) => {
         // the FULL production ANN pipeline from a persisted combined
