@@ -345,14 +345,20 @@ object Pq {
     import spark.implicits._
     val known = spark.read.parquet(s"$indexRoot/codes")
       .select("vec_id").distinct()
+    // persisted: the emptiness probe and the append would otherwise
+    // each recompute the anti join (and the probe would re-encode)
     val newQv = Kmeans.quantized(
       embeddings.join(broadcast(known), Seq("vec_id"), "left_anti"))
-    val books = loadBooks(spark, indexRoot)
-    val fresh = Pq.encode(newQv, books)
-      .toDF("vec_id", "sub", "code", "d2")
-      .select("vec_id", "sub", "code")
-    if (!fresh.isEmpty)
-      fresh.write.mode("append").parquet(s"$indexRoot/codes")
+      .persist()
+    try {
+      if (!newQv.isEmpty) {
+        val books = loadBooks(spark, indexRoot)
+        Pq.encode(newQv, books)
+          .toDF("vec_id", "sub", "code", "d2")
+          .select("vec_id", "sub", "code")
+          .write.mode("append").parquet(s"$indexRoot/codes")
+      }
+    } finally newQv.unpersist()
   }
 
   /** Builds the persisted PQ index on the id-prefix HALF of the corpus,
