@@ -561,6 +561,42 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.ops.Caches.drain()
   }
 
+  test("extend-index delta: both broadcasts are delta-bounded — the " +
+      "index id set is never the build side") {
+    val idx = Pq.persistedIndex(spark, dir, m = 4, k = 8)
+    val df = Pq.pendingArrivals(spark, idx, Tables(spark, dir,
+      "embeddings"))
+    val p = df.queryExecution.executedPlan.toString
+    // exactly two broadcast joins (semi backstop + final anti), both
+    // building the RIGHT side = the delta-bounded id sets; a BuildLeft
+    // or a sort-merge here would mean the index ids started moving
+    "BroadcastHashJoin".r.findAllIn(p).size shouldBe 2
+    "BuildRight".r.findAllIn(p).size shouldBe 2
+    p should not include "BuildLeft"
+    p should not include "SortMergeJoin"
+    // the index contributes ONE narrow column scan with the sub=0
+    // one-row-per-vector predicate pushed to parquet
+    "pqindex_".r.findAllIn(p).size shouldBe 1
+    p should include("EqualTo(sub,0)")
+    // replay is a no-op: every id Bloom-hits, the backstop confirms
+    // all of them, the anti leaves nothing
+    df.count() shouldBe 0L
+  }
+
+  test("incremental sidecar Bloom merges to the byte-identical " +
+      "from-scratch filter") {
+    val full = Pq.persistedIndex(spark, dir, m = 4, k = 8)
+    val inc = Pq.persistedIndexIncremental(spark, dir, m = 4, k = 8)
+    def bloomBytes(root: String): Array[Byte] =
+      spark.read.parquet(s"$root/idbloom").head().getAs[Array[Byte]]("bf")
+    // prefix-build + delta-merge ORs the same inserted keys the full
+    // build inserts — identical bits, like the codes tables themselves
+    java.util.Arrays.equals(bloomBytes(inc), bloomBytes(full)) shouldBe
+      true
+    spark.read.parquet(s"$inc/codes").collect().toSet shouldBe
+      spark.read.parquet(s"$full/codes").collect().toSet
+  }
+
   test("persisted index memo keys on quantization params, not just the corpus") {
     // a differently-shaped request must get its own index root — the
     // memo serving the m=4 build to an m=8 caller would load
