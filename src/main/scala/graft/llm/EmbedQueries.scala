@@ -532,6 +532,27 @@ object EmbedQueries {
       },
       Some(ivfPqOracleSql)),
 
+    "q_sim_ann_ivfpq_trained" -> Q(
+      (spark, dir) => {
+        // the TRAINED nightly build: Lloyd coarse centroids + Lloyd
+        // per-subspace codebooks persisted to the same four-table
+        // layout, searched by the SAME ivfPqTop3FromIndex (index-only
+        // plan, gated in PlanSpec alongside the init family). Lloyd is
+        // iterative re-quantized argmin — not SQL-expressible → rows-
+        // only; PqSpec pins the quality law instead: on a planted
+        // clustered corpus the trained index's recall@3 is ≥ the
+        // init-index recall and is exactly 1.0 (cells align with the
+        // true clusters), and on THIS corpus the search returns 3
+        // valid rows per probe from index tables alone.
+        val idx = Pq.persistedIvfPqTrained(spark, dir,
+          k = 8, m = 4, kb = 8, iters = 3)
+        Pq.ivfPqTop3FromIndex(spark, idx,
+          Tables(spark, dir, "embeddings"),
+          nProbes = 10, probeCells = 3)
+          .orderBy("probe", "rn")
+      },
+      None),
+
     "q_embed_pca" -> Q(
       (spark, dir) => {
         // covariance eigen-spectrum of the embedding corpus (see

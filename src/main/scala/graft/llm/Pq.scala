@@ -161,13 +161,15 @@ object Pq {
 
   /** Writes the PQ half of a persisted index (`codes` + flattened
     * `books` tables + the id-Bloom sidecar `idbloom`) under `out` —
-    * shared by [[persistedIndex]] and [[persistedIvfPq]] so the
-    * encode/flatten discipline exists once.
+    * shared by every persisted-index builder so the encode/flatten
+    * discipline exists once; `books` may be the iteration-0 devices
+    * ([[initBooks]], oracle-exact) or the Lloyd-trained ones
+    * ([[trainedBooks]], the production nightly build).
     */
   private def writePqTables(spark: org.apache.spark.sql.SparkSession,
-      out: String, qv: Dataset[KVec], m: Int, k: Int): Unit = {
+      out: String, qv: Dataset[KVec],
+      books: Array[Array[Array[Long]]]): Unit = {
     import spark.implicits._
-    val books = initBooks(qv, m, k)
     encode(qv, books).toDF("vec_id", "sub", "code", "d2")
       .select("vec_id", "sub", "code")
       .write.mode("overwrite").parquet(s"$out/codes")
@@ -299,8 +301,8 @@ object Pq {
     indexWritten.computeIfAbsent(s"$dir#pq:$m:$k", { _ =>
       val out = graft.io.Scratch.stable("pqindex_" +
         java.lang.Integer.toHexString(dir.hashCode) + s"_${m}_$k")
-      writePqTables(spark, out,
-        Kmeans.quantized(graft.Tables(spark, dir, "embeddings")), m, k)
+      val qv = Kmeans.quantized(graft.Tables(spark, dir, "embeddings"))
+      writePqTables(spark, out, qv, initBooks(qv, m, k))
       out
     })
 
@@ -315,22 +317,67 @@ object Pq {
     * the combined query gets a FULL oracle, unlike the trained-IVF
     * path (whose pruning quality q_sim_ann_recall audits separately).
     */
+  /** Writes the IVF half of a persisted index (`cells` assignments +
+    * flattened `cents` coarse centroids) under `out`.
+    */
+  private def writeIvfTables(spark: org.apache.spark.sql.SparkSession,
+      out: String, qv: Dataset[KVec],
+      cents: Array[Array[Long]]): Unit = {
+    import spark.implicits._
+    qv.map(v => (v.id, nearestAt(v.q, 0, cents)._1))
+      .toDF("vec_id", "c")
+      .write.mode("overwrite").parquet(s"$out/cells")
+    cents.zipWithIndex.flatMap { case (ctr, c) =>
+      ctr.zipWithIndex.map { case (q, i) => (c, i, q) }
+    }.toSeq.toDF("c", "i", "q")
+      .write.mode("overwrite").parquet(s"$out/cents")
+  }
+
   def persistedIvfPq(spark: org.apache.spark.sql.SparkSession,
       dir: String, k: Int = 8, m: Int = 4, kb: Int = 8): String =
     indexWritten.computeIfAbsent(s"$dir#ivfpq:$k:$m:$kb", { _ =>
-      import spark.implicits._
       val out = graft.io.Scratch.stable("ivfpq_" +
         java.lang.Integer.toHexString(dir.hashCode) + s"_${k}_${m}_$kb")
       val qv = Kmeans.quantized(graft.Tables(spark, dir, "embeddings"))
-      val cents = Kmeans.initCentroids(qv, k)
-      qv.map(v => (v.id, nearestAt(v.q, 0, cents)._1))
-        .toDF("vec_id", "c")
-        .write.mode("overwrite").parquet(s"$out/cells")
-      cents.zipWithIndex.flatMap { case (ctr, c) =>
-        ctr.zipWithIndex.map { case (q, i) => (c, i, q) }
-      }.toSeq.toDF("c", "i", "q")
-        .write.mode("overwrite").parquet(s"$out/cents")
-      writePqTables(spark, out, qv, m, kb)
+      writeIvfTables(spark, out, qv, Kmeans.initCentroids(qv, k))
+      writePqTables(spark, out, qv, initBooks(qv, m, kb))
+      out
+    })
+
+  /** Builds the TRAINED combined index — full-dim Lloyd coarse
+    * centroids and per-subspace Lloyd codebooks (vs the iteration-0
+    * devices of [[persistedIvfPq]]) — into the SAME four-table layout,
+    * so [[ivfPqTop3FromIndex]] searches both families unchanged. This
+    * is the production nightly shape: train → persist trained books →
+    * search from the index. Exposed un-memoized for the spec's planted
+    * corpora; [[persistedIvfPqTrained]] is the memoized per-corpus
+    * entry.
+    */
+  private[graft] def buildIvfPqTrained(
+      spark: org.apache.spark.sql.SparkSession, out: String,
+      embeddings: DataFrame, k: Int, m: Int, kb: Int,
+      iters: Int): Unit = {
+    val qv = Kmeans.quantized(embeddings)
+    writeIvfTables(spark, out, qv, Kmeans.lloyd(embeddings, k, iters)._1)
+    writePqTables(spark, out, qv, trainedBooks(embeddings, m, kb, iters))
+  }
+
+  /** Memoized trained-index build for `dir`'s embeddings table.
+    * Training (Lloyd) is not SQL-expressible, so the declared query
+    * over this index is rows-only; its quality is pinned by PqSpec's
+    * recall law — searched-from-trained-index recall ≥ the init-index
+    * recall on a planted clustered corpus — and its plan by the same
+    * index-only gate as the init family.
+    */
+  def persistedIvfPqTrained(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 8, m: Int = 4, kb: Int = 8,
+      iters: Int = 3): String =
+    indexWritten.computeIfAbsent(s"$dir#ivfpqt:$k:$m:$kb:$iters", { _ =>
+      val out = graft.io.Scratch.stable("ivfpqt_" +
+        java.lang.Integer.toHexString(dir.hashCode) +
+        s"_${k}_${m}_${kb}_$iters")
+      buildIvfPqTrained(spark, out,
+        graft.Tables(spark, dir, "embeddings"), k, m, kb, iters)
       out
     })
 
@@ -466,7 +513,8 @@ object Pq {
       // with fewer than k vectors and silently train different books
       require(prefix.limit(k + 1).count() >= k,
         s"id-prefix <= $half holds fewer than k=$k vectors")
-      writePqTables(spark, out, Kmeans.quantized(prefix), m, k)
+      val pqv = Kmeans.quantized(prefix)
+      writePqTables(spark, out, pqv, initBooks(pqv, m, k))
       extendIndex(spark, out, emb)
       // a REPLAYED extend must be a no-op (the anti join sees every id)
       extendIndex(spark, out, emb)

@@ -597,6 +597,45 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
       spark.read.parquet(s"$full/codes").collect().toSet
   }
 
+  test("trained ivf+pq index: recall law — trained ≥ init on a planted " +
+      "clustered corpus, searched from the same index layout") {
+    import spark.implicits._
+    // 8 orthogonal clusters × 8 members; ids 0..7 are ALL cluster 0, so
+    // the iteration-0 coarse centroids (k lowest ids) are degenerate —
+    // eight centroids inside one cluster — and cluster 0 itself splits
+    // across cells. Probes are exactly those ids: the init index can
+    // lose their co-member neighbors, the Lloyd-trained one must not
+    // do WORSE (the recall law), and the contrast is non-vacuous by
+    // construction. Deterministic jitter (sine, no RNG) keeps every
+    // true top-3 inside the probe's own cluster.
+    val dim = 64
+    val planted = (0 until 64).map { i =>
+      val c = i / 8
+      val emb = Array.tabulate(dim) { j =>
+        (if (j % 8 == c) 8.0 else 0.0).toFloat +
+          (math.sin(i * 131 + j) * 0.05).toFloat
+      }
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding")
+    def recall(iters: Int): Double = {
+      val out = graft.io.Scratch.sub(s"ivfpq_plant_$iters")
+      Pq.buildIvfPqTrained(spark, out, planted,
+        k = 8, m = 4, kb = 8, iters = iters)
+      val rows = Pq.ivfPqTop3FromIndex(spark, out, planted,
+        nProbes = 8, probeCells = 1).collect()
+      rows.length should be <= 24
+      rows.count(r => r.getAs[Long]("nb") / 8 ==
+        r.getAs[Long]("probe") / 8) / 24.0
+    }
+    val init = recall(0) // iters=0 ⇒ the iteration-0 devices exactly
+    val trained = recall(5)
+    trained should be >= init
+    // Lloyd separates the planted clusters: every probe's 3 hits are
+    // co-members
+    trained shouldBe 1.0
+    graft.ops.Caches.drain()
+  }
+
   test("persisted index memo keys on quantization params, not just the corpus") {
     // a differently-shaped request must get its own index root — the
     // memo serving the m=4 build to an m=8 caller would load

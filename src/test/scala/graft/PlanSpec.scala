@@ -356,6 +356,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("BroadcastHashJoin")
   }
 
+  test("trained persisted ivf+pq search: same index-only plan as the " +
+      "init family") {
+    Registry.all("q_sim_ann_ivfpq_trained").fn(spark, sf).count()
+    val p = plan("q_sim_ann_ivfpq_trained")
+    // training happened in the BUILD job; the search plan must contain
+    // no Lloyd stage, no encode, no corpus embedding scan — only the
+    // persisted trained-index tables and the broadcast candidate cut
+    p should not include "SerializeFromObject"
+    p should not include "embeddings.parquet"
+    p should include("ivfpqt_")
+    p should include("BroadcastHashJoin")
+  }
+
   test("native asof join plans the custom exec: two key shuffles, no union") {
     val p = plan("q_join_asof_native")
     p should include("AsOfJoin")
