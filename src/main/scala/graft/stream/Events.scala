@@ -94,6 +94,19 @@ object Events {
       watermark: String = defaultWatermark): DataFrame =
     intervalJoinImpl(purchases, views, watermark, "left_outer")
 
+  /** FULL OUTER variant: unmatched rows on BOTH sides emit — a
+    * purchase with no prior view (null view columns) AND a view no
+    * purchase followed within 30 minutes (null purchase columns, the
+    * abandoned-browse signal). Each side's null rows appear only once
+    * the OTHER side's watermark proves no partner can still arrive, so
+    * state stays bounded exactly as in the one-sided outer;
+    * `user_id` coalesces across the two sides so every output row
+    * carries its user.
+    */
+  def intervalJoinFull(purchases: DataFrame, views: DataFrame,
+      watermark: String = defaultWatermark): DataFrame =
+    intervalJoinImpl(purchases, views, watermark, "full_outer")
+
   private def intervalJoinImpl(purchases: DataFrame, views: DataFrame,
       watermark: String, joinType: String): DataFrame = {
     val p = purchases
@@ -104,12 +117,16 @@ object Events {
       .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
       .withWatermark("v_ts", watermark)
+    val user =
+      if (joinType == "full_outer") coalesce(col("user_id"),
+        col("v_user"))
+      else col("user_id")
     p.join(v,
         col("user_id") === col("v_user") &&
           col("v_ts") >= col("p_ts") - expr("interval 30 minutes") &&
           col("v_ts") < col("p_ts"),
         joinType)
-      .select(col("p_id"), col("user_id"), col("p_ts"), col("v_id"),
+      .select(col("p_id"), user.as("user_id"), col("p_ts"), col("v_id"),
         col("v_ts"))
   }
 

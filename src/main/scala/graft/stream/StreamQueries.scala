@@ -227,5 +227,37 @@ object StreamQueries {
         "ON p.user_id = v.user_id " +
         "AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000 " +
         "AND epoch_us(v.ts) < epoch_us(p.ts) " +
+        "ORDER BY p_id, v_id")),
+
+    "q_stream_interval_join_full" -> Q(
+      (spark, dir) => {
+        // batch frame of Events.intervalJoinFull: BOTH sides' unmatched
+        // rows emit — no-view purchases AND no-follow-up views (the
+        // abandoned-browse signal) — with null columns as -1 sentinels
+        // on whichever side is absent. StreamingSpec pins the streaming
+        // leg's two-sided null emission against this same transform;
+        // (p_id, v_id) is a total order (unmatched views carry p_id=-1
+        // and distinct v_ids).
+        val ev = Tables(spark, dir, "events")
+        Events.intervalJoinFull(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"))
+          .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
+            col("user_id"),
+            coalesce(Cols.epochUs(col("p_ts")), lit(-1L)).as("p_tus"),
+            coalesce(col("v_id"), lit(-1L)).as("v_id"),
+            coalesce(Cols.epochUs(col("v_ts")), lit(-1L)).as("v_tus"))
+          .orderBy("p_id", "v_id")
+      },
+      Some("SELECT COALESCE(p.event_id, -1) AS p_id, " +
+        "COALESCE(p.user_id, v.user_id) AS user_id, " +
+        "COALESCE(epoch_us(p.ts), -1) AS p_tus, " +
+        "COALESCE(v.event_id, -1) AS v_id, " +
+        "COALESCE(epoch_us(v.ts), -1) AS v_tus " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id " +
+        "AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000 " +
+        "AND epoch_us(v.ts) < epoch_us(p.ts) " +
         "ORDER BY p_id, v_id")))
 }

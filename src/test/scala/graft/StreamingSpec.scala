@@ -295,6 +295,82 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     outer.sorted shouldBe Array(6L, 7L)
   }
 
+  test("full outer interval join: null rows emit on BOTH sides once " +
+      "watermarks pass") {
+    val sp = spark
+    import sp.implicits._
+    val data = Seq(
+      ev(1, 0, typ = "view"), ev(2, 10, typ = "view"),
+      ev(3, 25, typ = "purchase"),  // pairs with views at 0 and 10
+      ev(4, 100, typ = "view"),
+      ev(5, 120, typ = "purchase"), // pairs with the view at 100 only
+      ev(6, 300, typ = "purchase"), // no view in lookback → NULL views
+      ev(7, 10, user = 2, typ = "purchase"), // other user → NULL views
+      ev(8, 290, user = 3, typ = "view")) // no purchase follows → NULL p
+    // two-sided finalization needs the far-future flush on both legs;
+    // the flush rows themselves can never finalize — exclude from both
+    val flush = Seq(ev(98, 10000, user = 98, typ = "purchase"),
+      ev(99, 10000, user = 99, typ = "view"))
+    val logic = (df: org.apache.spark.sql.DataFrame) =>
+      Events.intervalJoinFull(
+        df.filter(col("event_type") === "purchase"),
+        df.filter(col("event_type") === "view"))
+    def keep(r: org.apache.spark.sql.Row): Boolean =
+      r.getAs[Any]("p_id") != 98L && r.getAs[Any]("v_id") != 99L
+    val streamed = runStream(Seq(data.take(4), data.drop(4), flush),
+      logic, "append").filter(keep)
+    val batch = logic((data ++ flush).toDF()).collect().filter(keep)
+    streamed.map(_.toString).sorted shouldBe batch.map(_.toString).sorted
+    // two-sided outer semantics: unmatched purchases AND the unmatched
+    // view each surface exactly once, user_id never null
+    streamed.filter(_.isNullAt(3)).map(_.getAs[Long]("p_id"))
+      .sorted shouldBe Array(6L, 7L)
+    streamed.filter(_.isNullAt(0)).map(_.getAs[Long]("v_id"))
+      .sorted shouldBe Array(8L)
+    streamed.count(_.isNullAt(1)) shouldBe 0
+  }
+
+  test("interval join state is watermark-bounded: the store evicts once " +
+      "the watermark passes — the 100 TB stream guarantee") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Event]
+    val df = mem.toDF()
+    val joined = Events.intervalJoinOuter(
+      df.filter(col("event_type") === "purchase"),
+      df.filter(col("event_type") === "view"))
+    val name = s"memsink_state_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      def stateRows: Long = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      mem.addData((1 to 40).map(i =>
+        ev(i, i, typ = if (i % 2 == 0) "view" else "purchase")))
+      q.processAllAvailable()
+      val loaded = stateRows
+      // both sides resident while the watermark can't prove anything
+      loaded should be >= 40L
+      // far-future rows on BOTH legs push the global watermark past
+      // every resident row + band + delay; eviction runs in the batch
+      // that executes WITH the advanced watermark, hence two flushes
+      mem.addData(Seq(ev(98, 100000, user = 98, typ = "purchase"),
+        ev(99, 100000, user = 99, typ = "view")))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(96, 100001, user = 96, typ = "purchase"),
+        ev(97, 100001, user = 97, typ = "view")))
+      q.processAllAvailable()
+      val after = stateRows
+      // every pre-flush row left the store; only the un-finalizable
+      // flush tail may remain. Without eviction this is ≥44 — the
+      // unbounded-state failure a year-long stream dies of.
+      after should be < loaded
+      after should be <= 4L
+    } finally q.stop()
+  }
+
   test("sessions: stream equals batch gaps-and-islands on in-order data") {
     val sp = spark
     import sp.implicits._
