@@ -83,6 +83,51 @@ object Warehouse {
     survivors.unionByName(updated).unionByName(inserted)
   }
 
+  /** FULL-COLUMN upsert variant of [[applyCdc]] — closes that method's
+    * documented partial-update caveat: the changeset carries EVERY
+    * writable column (name AND bal_c), so a winning U-row fully
+    * determines its output row and the delete-then-update-across-
+    * batches asymmetry disappears. The sequencing law therefore holds
+    * on ALL columns (CdcLawSpec pins it): split-batch application
+    * equals the collapsed union, with only the action LABEL free to
+    * differ (a day-1-deleted, day-2-updated key reads `inserted`
+    * sequentially but `updated` collapsed — same output row).
+    *
+    * Same 100 TB shape as [[applyCdc]]: the base never shuffles (two
+    * narrow broadcast-probed scans — survivor anti + live-key semi),
+    * every broadcast build is changeset-bounded, and the changeset's
+    * per-key window is the one exchange.
+    */
+  private[graft] def applyCdcFull(base: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("key")
+      .orderBy(desc("tus"), desc("event_id"))
+    val latest = Caches.register(changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("key", "op", "new_name", "new_bal_c")
+      .persist())
+    val survivors = base
+      .join(broadcast(latest.select("key")), Seq("key"), "left_anti")
+      .select(col("key"), col("name"), col("bal_c"),
+        lit("kept").as("action"))
+    val ups = latest.filter(col("op") === "U")
+      .select(col("key"), col("new_name").as("name"),
+        col("new_bal_c").as("bal_c"))
+    // live/dead only picks the action label: key membership probed by
+    // streaming base through a semi join built from the (small) U-set,
+    // the result again changeset-bounded → broadcastable
+    val live = base.select("key")
+      .join(broadcast(ups.select("key")), Seq("key"), "left_semi")
+      .withColumn("__live", lit(true))
+    val upserted = ups.join(broadcast(live), Seq("key"), "left")
+      .select(col("key"), col("name"), col("bal_c"),
+        when(col("__live"), "updated").otherwise("inserted")
+          .as("action"))
+    survivors.unionByName(upserted)
+  }
+
   /** The events-derived changeset feeding q_warehouse_merge_cdc (and
     * CdcLawSpec's split fixtures): user_id keys, every 11th key a
     * DELETE, every 7th-residue-3 key shifted out of the base domain so
@@ -104,6 +149,16 @@ object Warehouse {
       when(col("user_id") % 11 === 0, "D").otherwise("U").as("op"),
       coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
         .cast("long"), lit(0L)).as("new_bal_c"))
+
+  /** Full-column changeset: [[cdcChangesFrom]] plus a per-op
+    * replacement name — every writable column present, the
+    * [[applyCdcFull]] contract.
+    */
+  private[graft] def cdcChangesFullFrom(
+      events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cdcChangesFrom(events)
+      .withColumn("new_name", concat(lit("ev"), col("event_id")))
 
   private[graft] def cdcBase(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -709,6 +764,44 @@ object Warehouse {
         "UNION ALL SELECT l.key, '(new)', l.new_bal_c, 'inserted' " +
         "FROM latest l WHERE l.op = 'U' AND NOT EXISTS " +
         "(SELECT 1 FROM base WHERE base.key = l.key) " +
+        "ORDER BY key, action")),
+
+    "q_warehouse_merge_cdc_full" -> Q(
+      (spark, dir) => {
+        // FULL-COLUMN CDC MERGE — the applyCdc partial-update caveat
+        // closed: the changeset carries every writable column (a
+        // replacement name derived from the winning event plus the new
+        // balance), so the winning op fully determines its row and the
+        // sequencing law holds on ALL columns (CdcLawSpec). Plan shape
+        // unchanged from q_warehouse_merge_cdc: base never shuffles,
+        // one changeset-window exchange, changeset-bounded broadcasts
+        // (the live/dead membership probe streams the base through a
+        // semi join built from the U-set — gated in PlanSpec).
+        applyCdcFull(cdcBase(spark, dir),
+          cdcChangesFullFrom(Tables(spark, dir, "events")))
+          .orderBy("key", "action")
+      },
+      Some("WITH ch AS (SELECT CASE WHEN user_id % 7 = 3 " +
+        "THEN user_id + 2000000 ELSE user_id END AS key, " +
+        "epoch_us(ts) AS tus, event_id, " +
+        "CASE WHEN user_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "COALESCE(TRY_CAST(NULLIF(regexp_extract(props, " +
+        "'\"k\": (\\d+)', 1), '') AS BIGINT), 0) AS new_bal_c, " +
+        "'ev' || CAST(event_id AS VARCHAR) AS new_name " +
+        "FROM events), " +
+        "latest AS (SELECT key, op, new_name, new_bal_c FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY key " +
+        "ORDER BY tus DESC, event_id DESC) AS rn FROM ch) WHERE rn = 1), " +
+        "base AS (SELECT c_custkey AS key, c_name AS name, " +
+        "CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_c FROM customer) " +
+        "SELECT key, name, bal_c, 'kept' AS action FROM base " +
+        "WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.key = " +
+        "base.key) " +
+        "UNION ALL SELECT l.key, l.new_name AS name, " +
+        "l.new_bal_c AS bal_c, " +
+        "CASE WHEN EXISTS (SELECT 1 FROM base WHERE base.key = l.key) " +
+        "THEN 'updated' ELSE 'inserted' END AS action " +
+        "FROM latest l WHERE l.op = 'U' " +
         "ORDER BY key, action")),
 
     "q_scd2_props" -> Q(

@@ -735,6 +735,36 @@ class CdcLawSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.ops.Caches.drain()
   }
 
+  test("full-column upsert closes the partial-update caveat: split " +
+      "batches equal the collapsed union on ALL columns") {
+    val base = Warehouse.cdcBase(spark, dir)
+    val changes = Warehouse.cdcChangesFullFrom(
+      graft.Tables(spark, dir, "events"))
+    val cut = changes.agg(
+      org.apache.spark.sql.functions.expr("percentile_approx(tus, 0.5)"))
+      .head().getLong(0)
+    val day1 = changes.filter(col("tus") <= cut)
+    val day2 = changes.filter(col("tus") > cut)
+    day1.count() should be > 0L
+    day2.count() should be > 0L
+    // includes the delete-then-update-across-batches keys applyCdc's
+    // partial form documents as divergent on `name`; with every column
+    // in the changeset the states match on name TOO (only the action
+    // label may differ, by design)
+    def stateAll(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "name", "bal_c").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+    val sequential = Warehouse.applyCdcFull(
+      asBase(Warehouse.applyCdcFull(base, day1)), day2)
+    val collapsed = Warehouse.applyCdcFull(base, changes)
+    stateAll(sequential) shouldBe stateAll(collapsed)
+    // replay idempotence carries over to the full-column form
+    val twice = Warehouse.applyCdcFull(asBase(collapsed), changes)
+    stateAll(twice) shouldBe stateAll(collapsed)
+    graft.ops.Caches.drain()
+  }
+
   test("replay idempotence: applying the same changeset twice changes nothing") {
     val base = Warehouse.cdcBase(spark, dir)
     val changes = Warehouse.cdcChanges(spark, dir)

@@ -333,6 +333,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("InMemoryTableScan")
   }
 
+  test("full-column cdc merge keeps the base-never-shuffles shape") {
+    val p = plan("q_warehouse_merge_cdc_full")
+    // survivor anti + live-key semi + label join all broadcast off the
+    // changeset; the per-key window stays the one hash exchange
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    val exchangeIds = "Exchange hashpartitioning.*?plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    exchangeIds.size shouldBe 1
+    p should include("InMemoryTableScan")
+  }
+
   test("persisted pq search: no training/encode stage, no corpus embedding scan") {
     // build the index first (separate job), then inspect the SEARCH plan
     Registry.all("q_sim_ann_pq_persisted").fn(spark, sf).count()
