@@ -201,20 +201,6 @@ object Pq {
     spark.read.parquet(s"$indexRoot/idbloom").head()
       .getAs[Array[Byte]]("bf")
 
-  /** Bitwise-OR merge of two serialized filters built with identical
-    * params — equal to a from-scratch build over the union of their
-    * inserted keys (PqSpec pins this byte-identity on the incremental
-    * index cycle).
-    */
-  private def mergeBloom(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    import org.apache.spark.util.sketch.BloomFilter
-    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
-    fa.mergeInPlace(
-      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
-    val bos = new java.io.ByteArrayOutputStream()
-    fa.writeTo(bos)
-    bos.toByteArray
-  }
 
   /** Loads the flattened `books` table back into the m×k×(D/M) array.
     * All three dimensions are inferred from the rows themselves, so the
@@ -485,7 +471,7 @@ object Pq {
           .toDF("vec_id", "sub", "code", "d2")
           .select("vec_id", "sub", "code")
           .write.mode("append").parquet(s"$indexRoot/codes")
-        writeIdBloom(spark, indexRoot, mergeBloom(
+        writeIdBloom(spark, indexRoot, Selection.bloomMerge(
           readIdBloom(spark, indexRoot),
           Selection.bloomBuild(newQv.map(_.id).toDF("vec_id"),
             org.apache.spark.sql.functions.col("vec_id"),

@@ -55,6 +55,118 @@ object Selection {
   def bloomMightContain(filter: Array[Byte], keyCol: Column): Column =
     call_function("might_contain", lit(filter), xxhash64(keyCol))
 
+  /** Bitwise-OR merge of two serialized filters built with identical
+    * params — equal to a from-scratch build over the union of their
+    * inserted keys (the incremental-state absorption step; byte
+    * identity pinned in SelectionSpec and PqSpec).
+    */
+  def bloomMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    fa.mergeInPlace(
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+    val bos = new java.io.ByteArrayOutputStream()
+    fa.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private val stateWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** (doc_id, clean_md5) content-address frame over `dir`'s documents —
+    * the one normalization+hash pass every dedup-state job shares.
+    */
+  private def addressed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), cleanMd5.as("clean_md5"))
+
+  /** Dedup-state Bloom sizing — fixed per state family so an extended
+    * sidecar stays bit-compatible with (and byte-identical to) a
+    * from-scratch build; a production ingestion sizes `expected` to its
+    * corpus-address cardinality.
+    */
+  private val stateExpectedKeys = 1L << 16
+  private val stateNumBits = 1L << 20
+
+  /** Builds (once per JVM × corpus) and PERSISTS the cross-run dedup
+    * state for `dir`'s corpus split: a `fingerprints` table (distinct
+    * clean-md5 content addresses — the exact backstop and audit
+    * surface) plus the one-row Bloom sidecar. This is how daily corpus
+    * ingestion actually runs — ONE build job writes the state, later
+    * probe jobs ([[probeDedupState]]) and absorption jobs
+    * ([[extendDedupState]]) read it and never rescan the corpus.
+    */
+  def persistedDedupState(spark: SparkSession, dir: String): String =
+    stateWritten.computeIfAbsent(s"$dir#dedupstate", { _ =>
+      val out = graft.io.Scratch.stable("dedupstate_" +
+        java.lang.Integer.toHexString(dir.hashCode))
+      val corpus = addressed(spark, dir)
+        .filter(col("doc_id") % 10 =!= shardMod)
+      corpus.select("clean_md5").distinct()
+        .write.mode("overwrite").parquet(s"$out/fingerprints")
+      writeStateBloom(spark, out, bloomBuild(corpus, col("clean_md5"),
+        stateExpectedKeys, stateNumBits))
+      out
+    })
+
+  private def writeStateBloom(spark: SparkSession, root: String,
+      bytes: Array[Byte]): Unit = {
+    import spark.implicits._
+    Seq((bytes, stateExpectedKeys, stateNumBits))
+      .toDF("bf", "expected", "numbits")
+      .write.mode("overwrite").parquet(s"$root/bloom")
+  }
+
+  private def readStateBloom(spark: SparkSession, root: String)
+      : Array[Byte] =
+    spark.read.parquet(s"$root/bloom").head().getAs[Array[Byte]]("bf")
+
+  /** EXACT incremental membership of a (doc_id, clean_md5) shard
+    * against the persisted state — the daily-ingestion probe job, and
+    * the same three-step scale shape as `Pq.pendingArrivals`: the Bloom
+    * sidecar prefilters the shard in a narrow codegen'd map (negative =
+    * proven new), the maybe-known residue broadcast-builds a semi join
+    * the fingerprint table STREAMS through, and the confirmed addresses
+    * broadcast back onto the shard. Every broadcast is shard-bounded;
+    * the corpus itself is never rescanned — its only trace in the probe
+    * plan is the persisted state tables.
+    */
+  private[graft] def probeDedupState(spark: SparkSession, root: String,
+      shard: DataFrame): DataFrame = {
+    val bytes = readStateBloom(spark, root)
+    val maybe = shard.filter(bloomMightContain(bytes, col("clean_md5")))
+      .select("clean_md5").distinct()
+    val confirmed = spark.read.parquet(s"$root/fingerprints")
+      .join(broadcast(maybe), Seq("clean_md5"), "left_semi")
+      .withColumn("__in", lit(true))
+    shard.join(broadcast(confirmed), Seq("clean_md5"), "left")
+      .select(col("doc_id"), col("clean_md5"),
+        coalesce(col("__in"), lit(false)).as("in_corpus"))
+  }
+
+  /** ABSORB a probed shard into the persisted state — the nightly
+    * ingestion commit: append only the genuinely novel addresses to
+    * `fingerprints` and OR-merge them into the Bloom sidecar (byte-
+    * identical to a from-scratch build over the union). Replaying the
+    * same shard is a no-op: every address probes as known.
+    */
+  private[graft] def extendDedupState(spark: SparkSession, root: String,
+      shard: DataFrame): Unit = {
+    val novel = graft.ops.Caches.register(
+      probeDedupState(spark, root, shard)
+        .filter(!col("in_corpus")).select("clean_md5").distinct()
+        .persist())
+    // count() (not isEmpty) fully materializes the cache BEFORE the
+    // append below writes into a table the probe plan also reads
+    if (novel.count() > 0) {
+      novel.write.mode("append").parquet(s"$root/fingerprints")
+      writeStateBloom(spark, root, bloomMerge(
+        readStateBloom(spark, root),
+        bloomBuild(novel, col("clean_md5"),
+          stateExpectedKeys, stateNumBits)))
+    }
+  }
+
   /** The q_text_clean normalization chain (same expression shape there —
     * casefold, strip tags, drop non-alphanumerics, collapse whitespace,
     * trim), reduced to its md5 content address.
@@ -68,6 +180,21 @@ object Selection {
     "md5(trim(regexp_replace(regexp_replace(regexp_replace(" +
       "lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), " +
       "' +', ' ', 'g')))"
+
+  /** Exact shard-vs-corpus membership — the shared oracle of
+    * q_dedup_bloom_exactcheck (in-run exact join) and
+    * q_dedup_bloom_incremental (persisted-state probe): same split,
+    * same content address, same output shape.
+    */
+  // lazy: interpolates shardMod, declared later in the file — an eager
+  // val here would capture the uninitialized 0
+  private lazy val exactMembershipSql: String =
+    "WITH keyed AS (SELECT doc_id, " + cleanMd5Sql +
+      " AS clean_md5 FROM documents) " +
+      "SELECT k.doc_id, k.clean_md5, EXISTS (SELECT 1 FROM keyed c " +
+      s"WHERE c.doc_id % 10 <> $shardMod " +
+      "AND c.clean_md5 = k.clean_md5) AS in_corpus " +
+      s"FROM keyed k WHERE k.doc_id % 10 = $shardMod ORDER BY doc_id"
 
   /** Simulated shard split: incoming = every 10th doc, corpus = the rest
     * (deterministic, engine-agnostic — both sides express it as doc_id
@@ -252,12 +379,28 @@ object Selection {
             coalesce(col("__in"), lit(false)).as("in_corpus"))
           .orderBy("doc_id")
       },
-      Some("WITH keyed AS (SELECT doc_id, " + cleanMd5Sql +
-        " AS clean_md5 FROM documents) " +
-        "SELECT k.doc_id, k.clean_md5, EXISTS (SELECT 1 FROM keyed c " +
-        s"WHERE c.doc_id % 10 <> $shardMod " +
-        "AND c.clean_md5 = k.clean_md5) AS in_corpus " +
-        s"FROM keyed k WHERE k.doc_id % 10 = $shardMod ORDER BY doc_id")),
+      Some(exactMembershipSql)),
+
+    "q_dedup_bloom_incremental" -> Q(
+      (spark, dir) => {
+        // CROSS-RUN dedup state (the daily-ingestion shape): the corpus
+        // filter + fingerprint table are PERSISTED by one build job
+        // (persistedDedupState) and this probe job reads only that
+        // state — Bloom prefilter (narrow map), shard-bounded broadcast
+        // semi against the streamed fingerprint table, confirmed
+        // addresses broadcast back. Unlike q_dedup_bloom's in-run
+        // filter the corpus is never rescanned (plan-gated: one
+        // documents scan — the shard's own), and unlike the maybe-
+        // answer the output is EXACT membership → the same full oracle
+        // as the exactcheck twin. SelectionSpec pins the absorption
+        // cycle: extend with the corpus = no-op, extend with the shard
+        // = all-known on replay, sidecar byte-identical to scratch.
+        val root = persistedDedupState(spark, dir)
+        probeDedupState(spark, root, addressed(spark, dir)
+          .filter(col("doc_id") % 10 === shardMod))
+          .orderBy("doc_id")
+      },
+      Some(exactMembershipSql)),
 
     "q_dedup_bloom_spans" -> Q(
       (spark, dir) => {

@@ -333,6 +333,24 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("InMemoryTableScan")
   }
 
+  test("incremental dedup probe reads persisted state, never rescans " +
+      "the corpus") {
+    Registry.all("q_dedup_bloom_incremental").fn(spark, sf).count()
+    val p = plan("q_dedup_bloom_incremental")
+    // documents appears only as the SHARD's own scans (the delta side
+    // is read twice — Bloom prefilter + final membership join, both
+    // filtered to doc_id%10=7); the corpus exists in the plan solely
+    // as the persisted fingerprint table, scanned once
+    "documents.parquet".r.findAllIn(p).size shouldBe 2
+    "doc_id#\\d+L? % 10\\) = 7".r.findAllIn(p).size should be >= 2
+    "dedupstate_".r.findAllIn(p).size shouldBe 1
+    // both joins broadcast their shard-bounded side; the fingerprint
+    // table streams probe-side
+    "BroadcastHashJoin".r.findAllIn(p).size shouldBe 2
+    p should not include "BuildLeft"
+    p should not include "SortMergeJoin"
+  }
+
   test("full-column cdc merge keeps the base-never-shuffles shape") {
     val p = plan("q_warehouse_merge_cdc_full")
     // survivor anti + live-key semi + label join all broadcast off the

@@ -71,6 +71,53 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     ops.Caches.drain()
   }
 
+  test("persisted dedup state: probe is exact; absorption cycle — " +
+      "corpus no-op, shard absorbed, sidecar byte-identical to scratch") {
+    val sp = spark
+    val dir = "/root/testdata/sf0.001"
+    val root = llm.Selection.persistedDedupState(sp, dir)
+    def fpCount: Long =
+      sp.read.parquet(s"$root/fingerprints").count()
+    def bloomBytes: Array[Byte] =
+      sp.read.parquet(s"$root/bloom").head().getAs[Array[Byte]]("bf")
+    val addressedAll = graft.Tables(sp, dir, "documents")
+      .select(col("doc_id"), md5(trim(regexp_replace(regexp_replace(
+        regexp_replace(lower(col("text")), "<[^>]*>", " "),
+        "[^a-z0-9 ]", ""), " +", " ")).cast("binary")).as("clean_md5"))
+    val corpus = addressedAll.filter(col("doc_id") % 10 =!= 7)
+    val shard = addressedAll.filter(col("doc_id") % 10 === 7)
+    val n0 = fpCount
+    val b0 = bloomBytes
+    // probe = EXACT membership (the declared query's oracle law, here
+    // against the exact join directly)
+    val probed = llm.Selection.probeDedupState(sp, root, shard)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val exact = shard.join(corpus.select("clean_md5").distinct()
+        .withColumn("__in", lit(true)), Seq("clean_md5"), "left")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        !r.isNullAt(r.fieldIndex("__in")))).toMap
+    probed shouldBe exact
+    // replaying the BUILD input is a no-op: nothing novel to absorb
+    llm.Selection.extendDedupState(sp, root, corpus)
+    fpCount shouldBe n0
+    java.util.Arrays.equals(bloomBytes, b0) shouldBe true
+    // absorbing the shard: next probe sees every address as known, and
+    // the sidecar equals a from-scratch build over corpus ∪ shard
+    llm.Selection.extendDedupState(sp, root, shard)
+    llm.Selection.probeDedupState(sp, root, shard)
+      .filter(!col("in_corpus")).count() shouldBe 0L
+    val scratch = llm.Selection.bloomBuild(
+      addressedAll.select("clean_md5").distinct(), col("clean_md5"),
+      1L << 16, 1L << 20)
+    java.util.Arrays.equals(bloomBytes, scratch) shouldBe true
+    // absorption replay is ALSO a no-op
+    val n1 = fpCount
+    llm.Selection.extendDedupState(sp, root, shard)
+    fpCount shouldBe n1
+    ops.Caches.drain()
+  }
+
   test("container decode: naive JVM pack+parse agrees frame-for-frame") {
     val dir = "/root/testdata/sf0.001"
     val got = Registry.all("q_multimodal_decode").fn(spark, dir).collect()
