@@ -75,7 +75,13 @@ object Relational {
         .flatMap(f =>
           f.getName.stripPrefix(key + "_v").toLongOption.map(_ -> f))
         .sortBy(-_._1)
+      // age gate on top of the grace window: a version younger than
+      // 60 s may still be under a long in-flight scan that started two
+      // rewrites ago (deleteTree swallows errors, so a mid-read reap
+      // would surface as an opaque scan failure, not here)
+      val cutoff = System.currentTimeMillis() - 60000L
       versions.drop(2)
+        .filter { case (_, f) => f.lastModified() < cutoff }
         .foreach { case (_, f) => graft.io.Scratch.reap(f.getPath) }
       out
     } else zorderWritten.computeIfAbsent(key, _ => write())

@@ -157,7 +157,18 @@ object StreamMain {
         // N+1), seeded from the batch base table.
         val stateBase =
           if (out.nonEmpty) out else graft.io.Scratch.sub("cdc_state")
-        var stateV = 0
+        // a durable --out directory may hold a PRIOR run's state:
+        // silently re-seeding v0 over it would orphan that history —
+        // resume the version counter past it instead of overwriting
+        val prior = Option(new java.io.File(stateBase).listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => f.getName.stripPrefix("v").toIntOption
+            .filter(_ => f.getName.startsWith("v")))
+        var stateV = if (prior.isEmpty) 0 else prior.max + 1
+        val seedV = stateV
+        if (stateV > 0)
+          println(s"[cdc] resuming past prior state v${prior.max} " +
+            s"in $stateBase: seeding v$stateV")
         var statePath = s"$stateBase/v$stateV"
         graft.ops.Warehouse.cdcBase(spark, dir)
           .withColumn("action", lit("kept"))
@@ -172,6 +183,13 @@ object StreamMain {
             val nextPath = s"$stateBase/v$stateV"
             next.write.mode("overwrite").parquet(nextPath)
             statePath = nextPath
+            // reap superseded versions with the same ONE-version grace
+            // as the layout rewrites (an in-flight reader of v(N-1) is
+            // protected; older versions would otherwise accumulate
+            // without bound on a durable --out). Never reaps below this
+            // run's own seed — a resumed-past prior history stays put
+            if (stateV - 2 >= seedV)
+              graft.io.Scratch.reap(s"$stateBase/v${stateV - 2}")
             val acts = spark.read.parquet(nextPath)
               .groupBy("action").count().collect()
               .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted

@@ -66,9 +66,14 @@ def main():
             ints = {"int8", "int16", "int32", "int64",
                     "uint8", "uint16", "uint32", "uint64"}
             floats = {"float32", "float64"}  # duckdb .df() is always f64
+            # spark float vs oracle int is benign too: toPandas renders
+            # a NULLABLE integer column as float64 while DuckDB keeps a
+            # non-null BIGINT as int64; the HUGEINT signature is the
+            # opposite orientation (spark int, oracle float/object)
             benign = (da == db
                       or (da in ints and db in ints)
                       or (da in floats and db in floats)
+                      or (da in floats and db in ints)
                       or (da.startswith("datetime64") and db == "object")
                       or (da == "object" and db.startswith("datetime64")))
             if not benign:
