@@ -429,19 +429,38 @@ object Pq {
     * Both broadcasts are bounded by the delta, the index contributes
     * one narrow column scan, and nothing index-sized crosses the
     * driver or the network.
+    *
+    * The nominal delta is small, but a DEGENERATE feed (a full-corpus
+    * replay after a crash, a merged backfill) can make the maybe-known
+    * residue index-sized — broadcasting it would recreate the problem
+    * this method exists to avoid. So the residue is COUNTED first (one
+    * narrow job over the prefiltered delta) and above
+    * `maxBroadcastIds` the method falls back to the shuffled exact
+    * backstop: a plain left_anti exchanging both sides on vec_id (the
+    * index contributes the same one narrow column). PqSpec parity-pins
+    * the two branches (cap forced to 0) and gates the fallback plan
+    * broadcast-free.
     */
   private[graft] def pendingArrivals(
       spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, embeddings: DataFrame): DataFrame = {
+      indexRoot: String, embeddings: DataFrame,
+      maxBroadcastIds: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.functions._
     val bloom = readIdBloom(spark, indexRoot)
     val maybe = embeddings
       .filter(Selection.bloomMightContain(bloom, col("vec_id")))
       .select("vec_id").distinct()
-    val known = spark.read.parquet(s"$indexRoot/codes")
+    val known0 = spark.read.parquet(s"$indexRoot/codes")
       .filter(col("sub") === 0).select("vec_id")
-      .join(broadcast(maybe), Seq("vec_id"), "left_semi")
-    embeddings.join(broadcast(known), Seq("vec_id"), "left_anti")
+    val probeCap = math.min(maxBroadcastIds + 1, Int.MaxValue).toInt
+    if (maybe.limit(probeCap).count() <= maxBroadcastIds) {
+      val known = known0.join(broadcast(maybe), Seq("vec_id"),
+        "left_semi")
+      embeddings.join(broadcast(known), Seq("vec_id"), "left_anti")
+    } else {
+      embeddings.join(known0.hint("shuffle_merge"), Seq("vec_id"),
+        "left_anti")
+    }
   }
 
   /** INCREMENTAL index maintenance — the nightly job of a production

@@ -130,18 +130,34 @@ object Selection {
     * broadcast back onto the shard. Every broadcast is shard-bounded;
     * the corpus itself is never rescanned — its only trace in the probe
     * plan is the persisted state tables.
+    *
+    * A DEGENERATE shard (full-corpus replay, merged backfill) can make
+    * the maybe-known residue state-sized; as in `Pq.pendingArrivals`
+    * the residue is counted first and above `maxBroadcastKeys` the
+    * probe falls back to the shuffled exact join (both sides exchange
+    * on the content address — the state contributes the same one
+    * narrow column). SelectionSpec parity-pins the branches.
     */
   private[graft] def probeDedupState(spark: SparkSession, root: String,
-      shard: DataFrame): DataFrame = {
+      shard: DataFrame, maxBroadcastKeys: Long = 1L << 22): DataFrame = {
     val bytes = readStateBloom(spark, root)
+    val fps = spark.read.parquet(s"$root/fingerprints")
     val maybe = shard.filter(bloomMightContain(bytes, col("clean_md5")))
       .select("clean_md5").distinct()
-    val confirmed = spark.read.parquet(s"$root/fingerprints")
-      .join(broadcast(maybe), Seq("clean_md5"), "left_semi")
-      .withColumn("__in", lit(true))
-    shard.join(broadcast(confirmed), Seq("clean_md5"), "left")
-      .select(col("doc_id"), col("clean_md5"),
-        coalesce(col("__in"), lit(false)).as("in_corpus"))
+    val probeCap = math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt
+    if (maybe.limit(probeCap).count() <= maxBroadcastKeys) {
+      val confirmed = fps
+        .join(broadcast(maybe), Seq("clean_md5"), "left_semi")
+        .withColumn("__in", lit(true))
+      shard.join(broadcast(confirmed), Seq("clean_md5"), "left")
+        .select(col("doc_id"), col("clean_md5"),
+          coalesce(col("__in"), lit(false)).as("in_corpus"))
+    } else {
+      shard.join(fps.withColumn("__in", lit(true))
+          .hint("shuffle_merge"), Seq("clean_md5"), "left")
+        .select(col("doc_id"), col("clean_md5"),
+          coalesce(col("__in"), lit(false)).as("in_corpus"))
+    }
   }
 
   /** ABSORB a probed shard into the persisted state — the nightly

@@ -583,6 +583,35 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     df.count() shouldBe 0L
   }
 
+  test("extend-index degenerate-delta fallback: cap-forced shuffled " +
+      "branch is broadcast-free and result-identical") {
+    val idx = Pq.persistedIndex(spark, dir, m = 4, k = 8)
+    val emb = Tables(spark, dir, "embeddings")
+    // cap 0 forces the shuffled exact backstop — the branch a
+    // full-corpus replay or merged backfill takes at 100 TB, where the
+    // maybe-known residue is index-sized and must not broadcast
+    val fb = Pq.pendingArrivals(spark, idx, emb, maxBroadcastIds = 0L)
+    val p = fb.queryExecution.executedPlan.toString
+    p should not include "BroadcastHashJoin"
+    p should include("SortMergeJoin")
+    // parity with the nominal branch: both prove the replay is empty
+    fb.count() shouldBe
+      Pq.pendingArrivals(spark, idx, emb).count()
+    // and on a half-known feed both branches agree row-for-row
+    val half = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 2 === 0)
+    val prefixIdx = graft.io.Scratch.sub("pqfb")
+    // index over the even ids only → odd ids are the genuine delta
+    Pq.buildIvfPqTrained(spark, prefixIdx, half,
+      k = 8, m = 4, kb = 8, iters = 0)
+    def ids(cap: Long) =
+      Pq.pendingArrivals(spark, prefixIdx, emb, cap)
+        .select("vec_id").collect().map(_.getLong(0)).sorted
+    ids(0L) shouldBe ids(1L << 22)
+    ids(0L).forall(_ % 2 == 1) shouldBe true
+    graft.ops.Caches.drain()
+  }
+
   test("incremental sidecar Bloom merges to the byte-identical " +
       "from-scratch filter") {
     val full = Pq.persistedIndex(spark, dir, m = 4, k = 8)

@@ -118,6 +118,35 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     ops.Caches.drain()
   }
 
+  test("dedup probe degenerate-shard fallback: cap-forced shuffled " +
+      "branch is broadcast-free and agrees row-for-row") {
+    val sp = spark
+    val dir = "/root/testdata/sf0.001"
+    val root = llm.Selection.persistedDedupState(sp, dir)
+    val shard = graft.Tables(sp, dir, "documents")
+      .select(col("doc_id"), md5(trim(regexp_replace(regexp_replace(
+        regexp_replace(lower(col("text")), "<[^>]*>", " "),
+        "[^a-z0-9 ]", ""), " +", " ")).cast("binary")).as("clean_md5"))
+      .filter(col("doc_id") % 10 === 7)
+      // fabricated addresses guarantee proven-new rows regardless of
+      // what earlier tests absorbed into the memoized state
+      .unionByName(Seq((999991L, "0" * 32), (999992L, "f" * 32))
+        .toDF("doc_id", "clean_md5"))
+    val fb = llm.Selection.probeDedupState(sp, root, shard,
+      maxBroadcastKeys = 0L)
+    val p = fb.queryExecution.executedPlan.toString
+    p should not include "BroadcastHashJoin"
+    p should include("SortMergeJoin")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getBoolean(2))).sorted.toSeq
+    val got = rows(fb)
+    got shouldBe rows(llm.Selection.probeDedupState(sp, root, shard))
+    // the fabricated addresses prove the false path is exercised
+    got.count(!_._3) should be >= 2
+    ops.Caches.drain()
+  }
+
   test("container decode: naive JVM pack+parse agrees frame-for-frame") {
     val dir = "/root/testdata/sf0.001"
     val got = Registry.all("q_multimodal_decode").fn(spark, dir).collect()
