@@ -52,8 +52,24 @@ object Warehouse {
     * standard upsert-vs-partial-update distinction, documented not
     * hidden.
     */
+  /** Picks the join strategy for a changeset-derived side: broadcast
+    * for the nominal daily delta, a forced shuffle join once the
+    * collapsed changeset exceeds `cap` keys — the backfill/initial-load
+    * case where the changeset is comparable to the base and a
+    * broadcast build would not fit. Shared by [[applyCdc]] and
+    * [[applyCdcFull]]; CdcLawSpec parity-pins the branches (cap forced
+    * to 0) and gates the fallback broadcast-free.
+    */
+  private def cdcSide(latest: org.apache.spark.sql.DataFrame, cap: Long)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val probe = math.min(cap + 1, Int.MaxValue).toInt
+    if (latest.limit(probe).count() <= cap) broadcast
+    else _.hint("shuffle_merge")
+  }
+
   private[graft] def applyCdc(base: org.apache.spark.sql.DataFrame,
-      changes: org.apache.spark.sql.DataFrame)
+      changes: org.apache.spark.sql.DataFrame,
+      maxBroadcastKeys: Long = 1L << 22)
       : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("key")
       .orderBy(desc("tus"), desc("event_id"))
@@ -65,19 +81,20 @@ object Warehouse {
       .filter(col("rn") === 1)
       .select("key", "op", "new_bal_c")
       .persist())
+    val side = cdcSide(latest, maxBroadcastKeys)
     val survivors = base
-      .join(broadcast(latest.select("key")), Seq("key"), "left_anti")
+      .join(side(latest.select("key")), Seq("key"), "left_anti")
       .select(col("key"), col("name"), col("bal_c"),
         lit("kept").as("action"))
     val ups = latest.filter(col("op") === "U")
     // persisted too: the inserted branch's broadcast build would
     // otherwise RE-EXECUTE this base join — a third full base scan
-    val updated = Caches.register(base.join(broadcast(ups), Seq("key"))
+    val updated = Caches.register(base.join(side(ups), Seq("key"))
       .select(col("key"), col("name"),
         col("new_bal_c").as("bal_c"), lit("updated").as("action"))
       .persist())
     val inserted = ups
-      .join(broadcast(updated.select("key")), Seq("key"), "left_anti")
+      .join(side(updated.select("key")), Seq("key"), "left_anti")
       .select(col("key"), lit("(new)").as("name"),
         col("new_bal_c").as("bal_c"), lit("inserted").as("action"))
     survivors.unionByName(updated).unionByName(inserted)
@@ -99,7 +116,8 @@ object Warehouse {
     * per-key window is the one exchange.
     */
   private[graft] def applyCdcFull(base: org.apache.spark.sql.DataFrame,
-      changes: org.apache.spark.sql.DataFrame)
+      changes: org.apache.spark.sql.DataFrame,
+      maxBroadcastKeys: Long = 1L << 22)
       : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("key")
       .orderBy(desc("tus"), desc("event_id"))
@@ -108,8 +126,9 @@ object Warehouse {
       .filter(col("rn") === 1)
       .select("key", "op", "new_name", "new_bal_c")
       .persist())
+    val side = cdcSide(latest, maxBroadcastKeys)
     val survivors = base
-      .join(broadcast(latest.select("key")), Seq("key"), "left_anti")
+      .join(side(latest.select("key")), Seq("key"), "left_anti")
       .select(col("key"), col("name"), col("bal_c"),
         lit("kept").as("action"))
     val ups = latest.filter(col("op") === "U")
@@ -119,9 +138,9 @@ object Warehouse {
     // streaming base through a semi join built from the (small) U-set,
     // the result again changeset-bounded → broadcastable
     val live = base.select("key")
-      .join(broadcast(ups.select("key")), Seq("key"), "left_semi")
+      .join(side(ups.select("key")), Seq("key"), "left_semi")
       .withColumn("__live", lit(true))
-    val upserted = ups.join(broadcast(live), Seq("key"), "left")
+    val upserted = ups.join(side(live), Seq("key"), "left")
       .select(col("key"), col("name"), col("bal_c"),
         when(col("__live"), "updated").otherwise("inserted")
           .as("action"))

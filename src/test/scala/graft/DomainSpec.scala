@@ -765,6 +765,33 @@ class CdcLawSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.ops.Caches.drain()
   }
 
+  test("large-changeset fallback: cap-forced shuffle branch is " +
+      "broadcast-free and state-identical, both variants") {
+    val base = Warehouse.cdcBase(spark, dir)
+    // cap 0 forces the shuffle joins — the backfill/initial-load shape
+    // where the changeset is comparable to the base and must not
+    // broadcast-build
+    val partial = Warehouse.applyCdc(base,
+      Warehouse.cdcChanges(spark, dir), maxBroadcastKeys = 0L)
+    val pPlan = partial.queryExecution.executedPlan.toString
+    pPlan should not include "BroadcastHashJoin"
+    pPlan should include("SortMergeJoin")
+    state(partial) shouldBe
+      state(Warehouse.applyCdc(base, Warehouse.cdcChanges(spark, dir)))
+    val full = Warehouse.applyCdcFull(base,
+      Warehouse.cdcChangesFullFrom(graft.Tables(spark, dir, "events")),
+      maxBroadcastKeys = 0L)
+    full.queryExecution.executedPlan.toString should
+      not include "BroadcastHashJoin"
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "name", "bal_c", "action").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).sorted.toSeq
+    all(full) shouldBe all(Warehouse.applyCdcFull(base,
+      Warehouse.cdcChangesFullFrom(graft.Tables(spark, dir, "events"))))
+    graft.ops.Caches.drain()
+  }
+
   test("replay idempotence: applying the same changeset twice changes nothing") {
     val base = Warehouse.cdcBase(spark, dir)
     val changes = Warehouse.cdcChanges(spark, dir)
