@@ -107,6 +107,17 @@ object Events {
       watermark: String = defaultWatermark): DataFrame =
     intervalJoinImpl(purchases, views, watermark, "full_outer")
 
+  /** RIGHT OUTER variant — the view-side projection of
+    * [[intervalJoinFull]]: every view emits (null purchase columns when
+    * nothing followed within 30 minutes — the abandoned-browse rows),
+    * matched purchases ride along, unmatched purchases are dropped.
+    * Completes the interval-join family (inner/left/full/right) on the
+    * one shared impl.
+    */
+  def intervalJoinRight(purchases: DataFrame, views: DataFrame,
+      watermark: String = defaultWatermark): DataFrame =
+    intervalJoinImpl(purchases, views, watermark, "right_outer")
+
   private def intervalJoinImpl(purchases: DataFrame, views: DataFrame,
       watermark: String, joinType: String): DataFrame = {
     val p = purchases
@@ -118,8 +129,8 @@ object Events {
         col("ts").as("v_ts"))
       .withWatermark("v_ts", watermark)
     val user =
-      if (joinType == "full_outer") coalesce(col("user_id"),
-        col("v_user"))
+      if (joinType == "full_outer" || joinType == "right_outer")
+        coalesce(col("user_id"), col("v_user"))
       else col("user_id")
     p.join(v,
         col("user_id") === col("v_user") &&

@@ -10,7 +10,8 @@ import org.apache.spark.sql.types._
   *
   * Usage (all flags optional):
   *   runMain graft.stream.StreamMain
-  *     [--logic tumbling|sliding|session|dedup|join|marginals|ema|spline|cdc]
+  *     [--logic tumbling|sliding|session|dedup|join|join_outer|
+  *       join_full|join_right|marginals|ema|spline|cdc]
   *     [--source rate|files] [--dir /root/testdata/sf0.001]
   *     [--sink console|parquet] [--out outDir]
   *     [--watermark "10 seconds"] [--timeout-sec 30]
@@ -86,7 +87,11 @@ object StreamMain {
           .parquet(dir)
         if (tsIsLong)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+        else
+          // driver MICROS footers read as TIMESTAMP_NTZ, which event-
+          // time watermarks reject — cast to TIMESTAMP (wall clock
+          // interpreted in the session's UTC, a no-op if already TZ)
+          raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ =>
         spark.readStream.format("rate").option("rowsPerSecond", 500).load()
           .select(col("value").as("event_id"), col("timestamp").as("ts"),
@@ -128,12 +133,19 @@ object StreamMain {
       // UnsupportedOperationChecker); complete matches StreamingSpec
       case "session" => (Events.sessions(events, watermark), "complete")
       case "dedup" => (Events.dedup(events, watermark), "append")
-      case "join" =>
+      case "join" | "join_outer" | "join_full" | "join_right" =>
         // stream-stream interval join (purchase ⋈ prior views): the two
         // sides are independent filters of the same source stream — the
-        // production shape where both legs arrive on one bus
+        // production shape where both legs arrive on one bus. The
+        // outer variants emit their null rows as watermarks pass.
         val ev = events
-        (Events.intervalJoin(
+        val join = logic match {
+          case "join_outer" => Events.intervalJoinOuter _
+          case "join_full" => Events.intervalJoinFull _
+          case "join_right" => Events.intervalJoinRight _
+          case _ => Events.intervalJoin _
+        }
+        (join(
           ev.filter(col("event_type") === "purchase"),
           ev.filter(col("event_type") === "view"), watermark), "append")
       case "marginals" =>

@@ -259,5 +259,32 @@ object StreamQueries {
         "ON p.user_id = v.user_id " +
         "AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000 " +
         "AND epoch_us(v.ts) < epoch_us(p.ts) " +
+        "ORDER BY p_id, v_id")),
+
+    "q_stream_interval_join_right" -> Q(
+      (spark, dir) => {
+        // batch frame of Events.intervalJoinRight — the view-side
+        // projection: every view emits (purchase columns -1 when
+        // nothing followed), unmatched purchases drop. Completes the
+        // interval family inner/left/full/right on the shared impl.
+        val ev = Tables(spark, dir, "events")
+        Events.intervalJoinRight(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"))
+          .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
+            col("user_id"),
+            coalesce(Cols.epochUs(col("p_ts")), lit(-1L)).as("p_tus"),
+            col("v_id"), Cols.epochUs(col("v_ts")).as("v_tus"))
+          .orderBy("p_id", "v_id")
+      },
+      Some("SELECT COALESCE(p.event_id, -1) AS p_id, " +
+        "COALESCE(p.user_id, v.user_id) AS user_id, " +
+        "COALESCE(epoch_us(p.ts), -1) AS p_tus, " +
+        "v.event_id AS v_id, epoch_us(v.ts) AS v_tus " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "RIGHT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id " +
+        "AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000 " +
+        "AND epoch_us(v.ts) < epoch_us(p.ts) " +
         "ORDER BY p_id, v_id")))
 }

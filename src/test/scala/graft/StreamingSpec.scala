@@ -330,6 +330,41 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     streamed.count(_.isNullAt(1)) shouldBe 0
   }
 
+  test("right outer interval join: every view emits, unmatched " +
+      "purchases drop, stream equals batch") {
+    val sp = spark
+    import sp.implicits._
+    val data = Seq(
+      ev(1, 0, typ = "view"), ev(2, 10, typ = "view"),
+      ev(3, 25, typ = "purchase"),
+      ev(4, 100, typ = "view"),
+      ev(5, 120, typ = "purchase"),
+      ev(6, 300, typ = "purchase"), // unmatched purchase → DROPPED
+      ev(8, 290, user = 3, typ = "view")) // unmatched view → NULL p
+    val flush = Seq(ev(98, 10000, user = 98, typ = "purchase"),
+      ev(99, 10000, user = 99, typ = "view"))
+    val logic = (df: org.apache.spark.sql.DataFrame) =>
+      Events.intervalJoinRight(
+        df.filter(col("event_type") === "purchase"),
+        df.filter(col("event_type") === "view"))
+    def keep(r: org.apache.spark.sql.Row): Boolean =
+      r.getAs[Any]("v_id") != 99L
+    val streamed = runStream(Seq(data.take(4), data.drop(4), flush),
+      logic, "append").filter(keep)
+    val batch = logic((data ++ flush).toDF()).collect().filter(keep)
+    streamed.map(_.toString).sorted shouldBe batch.map(_.toString).sorted
+    // view-side projection: every non-flush view surfaces exactly once
+    // per match (or once with null purchase), the unmatched purchase
+    // never does
+    streamed.map(_.getAs[Long]("v_id")).distinct.sorted shouldBe
+      Array(1L, 2L, 4L, 8L)
+    streamed.filter(_.isNullAt(0)).map(_.getAs[Long]("v_id"))
+      .sorted shouldBe Array(8L)
+    streamed.exists(r => !r.isNullAt(0) &&
+      r.getAs[Long]("p_id") == 6L) shouldBe false
+    streamed.count(_.isNullAt(1)) shouldBe 0
+  }
+
   test("interval join state is watermark-bounded: the store evicts once " +
       "the watermark passes — the 100 TB stream guarantee") {
     val sp = spark
