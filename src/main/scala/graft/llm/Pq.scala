@@ -202,6 +202,58 @@ object Pq {
       .getAs[Array[Byte]]("bf")
 
 
+  /** Resolves the LIVE codes table directory: a `MANIFEST` pointer file
+    * (written atomically by [[compactIndex]]) names the current
+    * version; absent manifest = the original build layout. Every codes
+    * reader and the append path go through this, so a compaction swap
+    * is invisible to searches and extends.
+    */
+  private def codesDir(indexRoot: String): String = {
+    val mf = java.nio.file.Paths.get(indexRoot, "MANIFEST")
+    if (java.nio.file.Files.exists(mf))
+      s"$indexRoot/" + new String(java.nio.file.Files.readAllBytes(mf),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    else s"$indexRoot/codes"
+  }
+
+  /** COMPACTS the codes table — the maintenance job that follows a run
+    * of nightly [[extendIndex]] appends, each of which lands small
+    * files (the lakehouse small-files problem, here on the index
+    * itself): rewrite the live codes into `targetFiles` files as a NEW
+    * version directory, then swap the `MANIFEST` pointer with an
+    * atomic rename — a reader that resolved the old version mid-query
+    * keeps its snapshot (its file listing is already pinned), and the
+    * superseded version is reaped with a one-version grace exactly
+    * like the layout rewrites. Codes content is identical as a SET, so
+    * search results are unchanged (PqSpec pins row-for-row identity
+    * and the file counts).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, targetFiles: Int = 4): Unit = {
+    val cur = codesDir(indexRoot)
+    val curV =
+      if (cur.endsWith("/codes")) 0
+      else cur.substring(cur.lastIndexOf("_v") + 2).toInt
+    val nextName = s"codes_v${curV + 1}"
+    spark.read.parquet(cur).repartition(targetFiles)
+      .write.mode("overwrite").parquet(s"$indexRoot/$nextName")
+    val tmp = java.nio.file.Paths.get(indexRoot, "MANIFEST.tmp")
+    java.nio.file.Files.write(tmp,
+      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(indexRoot, "MANIFEST"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // one-version grace: cur survives for in-flight readers; the
+    // version BEFORE it is now two generations stale — reap it
+    if (curV >= 1) {
+      val prev =
+        if (curV == 1) s"$indexRoot/codes"
+        else s"$indexRoot/codes_v${curV - 1}"
+      graft.io.Scratch.reap(prev)
+    }
+  }
+
   /** Loads the flattened `books` table back into the m×k×(D/M) array.
     * All three dimensions are inferred from the rows themselves, so the
     * search never has to touch the corpus (or trust a caller) for
@@ -405,7 +457,7 @@ object Pq {
         col("c") === col("pc") && col("probe") =!= col("vec_id"))
       .select(col("probe"), col("vec_id").as("nb"))
     top3ByAdc(cand
-      .join(spark.read.parquet(s"$indexRoot/codes")
+      .join(spark.read.parquet(codesDir(indexRoot))
         .withColumnRenamed("vec_id", "nb"), Seq("nb"))
       .join(broadcast(lut), Seq("probe", "sub", "code")))
   }
@@ -450,7 +502,7 @@ object Pq {
     val maybe = embeddings
       .filter(Selection.bloomMightContain(bloom, col("vec_id")))
       .select("vec_id").distinct()
-    val known0 = spark.read.parquet(s"$indexRoot/codes")
+    val known0 = spark.read.parquet(codesDir(indexRoot))
       .filter(col("sub") === 0).select("vec_id")
     val probeCap = math.min(maxBroadcastIds + 1, Int.MaxValue).toInt
     if (maybe.limit(probeCap).count() <= maxBroadcastIds) {
@@ -489,7 +541,7 @@ object Pq {
         Pq.encode(newQv, books)
           .toDF("vec_id", "sub", "code", "d2")
           .select("vec_id", "sub", "code")
-          .write.mode("append").parquet(s"$indexRoot/codes")
+          .write.mode("append").parquet(codesDir(indexRoot))
         writeIdBloom(spark, indexRoot, Selection.bloomMerge(
           readIdBloom(spark, indexRoot),
           Selection.bloomBuild(newQv.map(_.id).toDF("vec_id"),
@@ -542,7 +594,7 @@ object Pq {
     val books = loadBooks(spark, indexRoot)
     val probes = collectProbes(embeddings, nProbes)
     val lut = probeLut(probes, books).toDF("probe", "sub", "code", "pd2")
-    top3ByAdc(spark.read.parquet(s"$indexRoot/codes")
+    top3ByAdc(spark.read.parquet(codesDir(indexRoot))
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("probe") =!= col("vec_id"))
       .withColumnRenamed("vec_id", "nb"))

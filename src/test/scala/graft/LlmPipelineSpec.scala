@@ -665,6 +665,37 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.ops.Caches.drain()
   }
 
+  test("index compaction: append-fragmented codes rewrite to " +
+      "targetFiles behind the manifest swap; search results identical") {
+    val emb = Tables(spark, dir, "embeddings")
+    val idx = graft.io.Scratch.sub("pqcompact")
+    // build on the even ids, extend with the full corpus — the extend
+    // APPENDS the odd-id codes as extra files (the nightly
+    // fragmentation this job exists for)
+    Pq.buildIvfPqTrained(spark, idx,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0),
+      k = 8, m = 4, kb = 8, iters = 0)
+    Pq.extendIndex(spark, idx, emb)
+    def parts(rel: String) = new java.io.File(s"$idx/$rel").listFiles()
+      .count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    val before = Pq.ivfPqTop3FromIndex(spark, idx, emb, nProbes = 8,
+      probeCells = 3).collect().map(_.toString).sorted
+    parts("codes") should be >= 2
+    Pq.compactIndex(spark, idx, targetFiles = 2)
+    parts("codes_v1") shouldBe 2
+    // the swap is invisible: searches and extends resolve the manifest
+    Pq.ivfPqTop3FromIndex(spark, idx, emb, nProbes = 8, probeCells = 3)
+      .collect().map(_.toString).sorted shouldBe before
+    Pq.pendingArrivals(spark, idx, emb).count() shouldBe 0L
+    // a second compaction reaps the two-generations-stale original
+    Pq.compactIndex(spark, idx, targetFiles = 2)
+    parts("codes_v2") shouldBe 2
+    new java.io.File(s"$idx/codes").exists() shouldBe false
+    new java.io.File(s"$idx/codes_v1").exists() shouldBe true
+    graft.ops.Caches.drain()
+  }
+
   test("persisted index memo keys on quantization params, not just the corpus") {
     // a differently-shaped request must get its own index root — the
     // memo serving the m=4 build to an m=8 caller would load
