@@ -17,6 +17,50 @@ object StreamQueries {
   private def valUnits = round(col("value") * 1000000, 0).cast("long")
   private val valUnitsSql = "CAST(ROUND(value*1000000,0) AS BIGINT)"
 
+  /** Batch-scalable interval-join core shared by the four declared
+    * interval queries: SAME semantics as [[Events.intervalJoin]] but
+    * expressed as a marker-hinted binned band equi-join
+    * (RangeJoinBinRule) — the join keys become (user, 2³¹µs-time-bin ≈
+    * 35.8 min ≥ the 30-min band, ≤2 bins per purchase window), so a
+    * hot user's pair evaluation splits across TIME BINS instead of
+    * piling into one quadratic task. Measured on the 30 %-hot-user
+    * Zipf fixture: the naive single-key batch join reads ~205 s where
+    * this shape stays in the output-bound band. The STREAMING leg
+    * keeps the direct formulation (watermark state handles it there);
+    * StreamingSpec pins binned-batch ≡ direct-batch ≡ stream, and the
+    * DuckDB oracles pin the whole family exactly.
+    *
+    * Returns (purchases, views, matched pairs) — the outer variants
+    * complete the null sides with output-bounded anti joins against
+    * the matched id sets.
+    */
+  private def binnedInterval(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.plans.RangeJoin.install(spark)
+    val ev = Tables(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        Cols.epochUs(col("ts")).as("p_tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        Cols.epochUs(col("ts")).as("v_tus"))
+    val w = 1L << 31
+    // persisted: the outer variants read pairs once for the matched
+    // rows and once per anti completion — cache so the band join runs
+    // once, not per consumer
+    val pairs = graft.ops.Caches.register(v.join(p,
+        col("v_user") === col("user_id") &&
+          col("v_tus") >= col("p_tus") - lit(1800000000L) &&
+          col("v_tus") < col("p_tus") &&
+          graft.plans.RangeJoin.marker(w, col("v_tus"),
+            col("p_tus") - lit(1800000000L), col("p_tus")))
+      .select(col("p_id"), col("user_id"), col("p_tus"), col("v_id"),
+        col("v_tus"))
+      .persist())
+    (p, v, pairs)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_stream_ema" -> Q(
       (spark, dir) => {
@@ -180,17 +224,13 @@ object StreamQueries {
 
     "q_stream_interval_join" -> Q(
       (spark, dir) => {
-        // batch frame of Events.intervalJoin (stream-stream purchase ⋈
-        // prior-views-within-30min); StreamingSpec asserts MemoryStream
-        // parity of the same transform. Timestamps leave as epoch-µs.
-        val ev = Tables(spark, dir, "events")
-        val joined = Events.intervalJoin(
-          ev.filter(col("event_type") === "purchase"),
-          ev.filter(col("event_type") === "view"))
-        joined.select(col("p_id"), col("user_id"),
-            Cols.epochUs(col("p_ts")).as("p_tus"), col("v_id"),
-            Cols.epochUs(col("v_ts")).as("v_tus"))
-          .orderBy("p_id", "v_id")
+        // batch frame of the stream-stream purchase ⋈ prior-views join,
+        // in the binned-band shape (see binnedInterval — the naive
+        // single-key join is quadratic on a hot user); StreamingSpec
+        // asserts MemoryStream parity of the direct transform AND
+        // binned ≡ direct. Timestamps leave as epoch-µs.
+        val (_, _, pairs) = binnedInterval(spark, dir)
+        pairs.orderBy("p_id", "v_id")
       },
       Some("SELECT p.event_id AS p_id, p.user_id, " +
         "epoch_us(p.ts) AS p_tus, v.event_id AS v_id, " +
@@ -203,20 +243,17 @@ object StreamQueries {
 
     "q_stream_interval_join_outer" -> Q(
       (spark, dir) => {
-        // batch frame of Events.intervalJoinOuter: a purchase with no
-        // prior view still emits — the watermark-driven null-emission
-        // semantics StreamingSpec pins on the streaming leg. Null view
-        // columns leave as a -1 sentinel so the hash compare is
-        // null-ordering- and dtype-stable.
-        val ev = Tables(spark, dir, "events")
-        Events.intervalJoinOuter(
-            ev.filter(col("event_type") === "purchase"),
-            ev.filter(col("event_type") === "view"))
-          .select(col("p_id"), col("user_id"),
-            Cols.epochUs(col("p_ts")).as("p_tus"),
-            coalesce(col("v_id"), lit(-1L)).as("v_id"),
-            coalesce(Cols.epochUs(col("v_ts")), lit(-1L)).as("v_tus"))
-          .orderBy("p_id", "v_id")
+        // left-outer batch frame: binned matched pairs + an output-
+        // bounded anti completion for no-view purchases (the
+        // watermark-driven null-emission rows of the streaming leg,
+        // -1 sentinels for hash stability).
+        val (p, _, pairs) = binnedInterval(spark, dir)
+        val unmatched = p
+          .join(pairs.select("p_id").distinct(), Seq("p_id"),
+            "left_anti")
+          .select(col("p_id"), col("user_id"), col("p_tus"),
+            lit(-1L).as("v_id"), lit(-1L).as("v_tus"))
+        pairs.unionByName(unmatched).orderBy("p_id", "v_id")
       },
       Some("SELECT p.event_id AS p_id, p.user_id, " +
         "epoch_us(p.ts) AS p_tus, " +
@@ -231,22 +268,25 @@ object StreamQueries {
 
     "q_stream_interval_join_full" -> Q(
       (spark, dir) => {
-        // batch frame of Events.intervalJoinFull: BOTH sides' unmatched
-        // rows emit — no-view purchases AND no-follow-up views (the
-        // abandoned-browse signal) — with null columns as -1 sentinels
-        // on whichever side is absent. StreamingSpec pins the streaming
-        // leg's two-sided null emission against this same transform;
-        // (p_id, v_id) is a total order (unmatched views carry p_id=-1
-        // and distinct v_ids).
-        val ev = Tables(spark, dir, "events")
-        Events.intervalJoinFull(
-            ev.filter(col("event_type") === "purchase"),
-            ev.filter(col("event_type") === "view"))
-          .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
-            col("user_id"),
-            coalesce(Cols.epochUs(col("p_ts")), lit(-1L)).as("p_tus"),
-            coalesce(col("v_id"), lit(-1L)).as("v_id"),
-            coalesce(Cols.epochUs(col("v_ts")), lit(-1L)).as("v_tus"))
+        // full-outer batch frame: binned matched pairs + BOTH
+        // output-bounded anti completions — no-view purchases AND
+        // no-follow-up views (the abandoned-browse signal), -1
+        // sentinels on whichever side is absent. StreamingSpec pins
+        // the streaming leg's two-sided null emission on the direct
+        // transform; (p_id, v_id) is a total order (unmatched views
+        // carry p_id=-1 and distinct v_ids).
+        val (p, v, pairs) = binnedInterval(spark, dir)
+        val unP = p
+          .join(pairs.select("p_id").distinct(), Seq("p_id"),
+            "left_anti")
+          .select(col("p_id"), col("user_id"), col("p_tus"),
+            lit(-1L).as("v_id"), lit(-1L).as("v_tus"))
+        val unV = v
+          .join(pairs.select("v_id").distinct(), Seq("v_id"),
+            "left_anti")
+          .select(lit(-1L).as("p_id"), col("v_user").as("user_id"),
+            lit(-1L).as("p_tus"), col("v_id"), col("v_tus"))
+        pairs.unionByName(unP).unionByName(unV)
           .orderBy("p_id", "v_id")
       },
       Some("SELECT COALESCE(p.event_id, -1) AS p_id, " +
@@ -263,19 +303,17 @@ object StreamQueries {
 
     "q_stream_interval_join_right" -> Q(
       (spark, dir) => {
-        // batch frame of Events.intervalJoinRight — the view-side
-        // projection: every view emits (purchase columns -1 when
-        // nothing followed), unmatched purchases drop. Completes the
-        // interval family inner/left/full/right on the shared impl.
-        val ev = Tables(spark, dir, "events")
-        Events.intervalJoinRight(
-            ev.filter(col("event_type") === "purchase"),
-            ev.filter(col("event_type") === "view"))
-          .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
-            col("user_id"),
-            coalesce(Cols.epochUs(col("p_ts")), lit(-1L)).as("p_tus"),
-            col("v_id"), Cols.epochUs(col("v_ts")).as("v_tus"))
-          .orderBy("p_id", "v_id")
+        // right-outer batch frame — the view-side projection: binned
+        // matched pairs + the no-follow-up views (purchase columns
+        // -1), unmatched purchases drop. Completes the interval family
+        // inner/left/full/right on the shared binned core.
+        val (_, v, pairs) = binnedInterval(spark, dir)
+        val unV = v
+          .join(pairs.select("v_id").distinct(), Seq("v_id"),
+            "left_anti")
+          .select(lit(-1L).as("p_id"), col("v_user").as("user_id"),
+            lit(-1L).as("p_tus"), col("v_id"), col("v_tus"))
+        pairs.unionByName(unV).orderBy("p_id", "v_id")
       },
       Some("SELECT COALESCE(p.event_id, -1) AS p_id, " +
         "COALESCE(p.user_id, v.user_id) AS user_id, " +

@@ -406,6 +406,46 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("binned batch interval queries equal the direct streaming " +
+      "transform on real data, all four join types") {
+    // the declared queries run the binned-band shape (skew-immune);
+    // the streaming leg runs the direct single-key formulation. This
+    // closes the chain stream ≡ direct-batch ≡ binned-batch — the
+    // DuckDB oracles pin the other end
+    val sp = spark
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables(sp, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+    val v = ev.filter(col("event_type") === "view")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def direct(join: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, String) =>
+        org.apache.spark.sql.DataFrame) =
+      join(p, v, Events.defaultWatermark)
+        .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
+          col("user_id"),
+          coalesce(graft.ops.Cols.epochUs(col("p_ts")), lit(-1L))
+            .as("p_tus"),
+          coalesce(col("v_id"), lit(-1L)).as("v_id"),
+          coalesce(graft.ops.Cols.epochUs(col("v_ts")), lit(-1L))
+            .as("v_tus"))
+    def declared(name: String) = Registry.all(name).fn(sp, dir)
+      .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
+        col("user_id"), col("p_tus"),
+        coalesce(col("v_id"), lit(-1L)).as("v_id"),
+        coalesce(col("v_tus"), lit(-1L)).as("v_tus"))
+    rows(declared("q_stream_interval_join")) shouldBe
+      rows(direct(Events.intervalJoin))
+    rows(declared("q_stream_interval_join_outer")) shouldBe
+      rows(direct(Events.intervalJoinOuter))
+    rows(declared("q_stream_interval_join_full")) shouldBe
+      rows(direct(Events.intervalJoinFull))
+    rows(declared("q_stream_interval_join_right")) shouldBe
+      rows(direct(Events.intervalJoinRight))
+    graft.ops.Caches.drain()
+  }
+
   test("sessions: stream equals batch gaps-and-islands on in-order data") {
     val sp = spark
     import sp.implicits._
