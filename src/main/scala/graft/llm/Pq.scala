@@ -189,17 +189,25 @@ object Pq {
     * any distributed work touches the index.
     */
   private def writeIdBloom(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, bytes: Array[Byte]): Unit = {
+      indexRoot: String, bytes: Array[Byte],
+      expected: Long = bloomExpectedIds,
+      numBits: Long = bloomNumBits): Unit = {
     import spark.implicits._
-    Seq((bytes, bloomExpectedIds, bloomNumBits))
+    Seq((bytes, expected, numBits))
       .toDF("bf", "expected", "numbits")
       .write.mode("overwrite").parquet(s"$indexRoot/idbloom")
   }
 
+  /** (bytes, expected, numbits) — the stored params, not the session
+    * constants, drive every later merge: a build sized to its own
+    * corpus cardinality stays bit-compatible with its extensions.
+    */
   private def readIdBloom(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String): Array[Byte] =
-    spark.read.parquet(s"$indexRoot/idbloom").head()
-      .getAs[Array[Byte]]("bf")
+      indexRoot: String): (Array[Byte], Long, Long) = {
+    val r = spark.read.parquet(s"$indexRoot/idbloom").head()
+    (r.getAs[Array[Byte]]("bf"), r.getAs[Long]("expected"),
+      r.getAs[Long]("numbits"))
+  }
 
 
   /** Resolves the LIVE codes table directory: a `MANIFEST` pointer file
@@ -498,7 +506,7 @@ object Pq {
       indexRoot: String, embeddings: DataFrame,
       maxBroadcastIds: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.functions._
-    val bloom = readIdBloom(spark, indexRoot)
+    val (bloom, _, _) = readIdBloom(spark, indexRoot)
     val maybe = embeddings
       .filter(Selection.bloomMightContain(bloom, col("vec_id")))
       .select("vec_id").distinct()
@@ -542,11 +550,11 @@ object Pq {
           .toDF("vec_id", "sub", "code", "d2")
           .select("vec_id", "sub", "code")
           .write.mode("append").parquet(codesDir(indexRoot))
-        writeIdBloom(spark, indexRoot, Selection.bloomMerge(
-          readIdBloom(spark, indexRoot),
+        val (cur, expected, numBits) = readIdBloom(spark, indexRoot)
+        writeIdBloom(spark, indexRoot, Selection.bloomMerge(cur,
           Selection.bloomBuild(newQv.map(_.id).toDF("vec_id"),
             org.apache.spark.sql.functions.col("vec_id"),
-            bloomExpectedIds, bloomNumBits)))
+            expected, numBits)), expected, numBits)
       }
     } finally newQv.unpersist()
   }

@@ -110,16 +110,24 @@ object Selection {
     })
 
   private def writeStateBloom(spark: SparkSession, root: String,
-      bytes: Array[Byte]): Unit = {
+      bytes: Array[Byte], expected: Long = stateExpectedKeys,
+      numBits: Long = stateNumBits): Unit = {
     import spark.implicits._
-    Seq((bytes, stateExpectedKeys, stateNumBits))
+    Seq((bytes, expected, numBits))
       .toDF("bf", "expected", "numbits")
       .write.mode("overwrite").parquet(s"$root/bloom")
   }
 
+  /** (bytes, expected, numbits) — the stored params, not the session
+    * constants, drive every later merge: a build sized to its corpus
+    * cardinality stays bit-compatible with its extensions.
+    */
   private def readStateBloom(spark: SparkSession, root: String)
-      : Array[Byte] =
-    spark.read.parquet(s"$root/bloom").head().getAs[Array[Byte]]("bf")
+      : (Array[Byte], Long, Long) = {
+    val r = spark.read.parquet(s"$root/bloom").head()
+    (r.getAs[Array[Byte]]("bf"), r.getAs[Long]("expected"),
+      r.getAs[Long]("numbits"))
+  }
 
   /** EXACT incremental membership of a (doc_id, clean_md5) shard
     * against the persisted state — the daily-ingestion probe job, and
@@ -140,7 +148,7 @@ object Selection {
     */
   private[graft] def probeDedupState(spark: SparkSession, root: String,
       shard: DataFrame, maxBroadcastKeys: Long = 1L << 22): DataFrame = {
-    val bytes = readStateBloom(spark, root)
+    val (bytes, _, _) = readStateBloom(spark, root)
     val fps = spark.read.parquet(s"$root/fingerprints")
     val maybe = shard.filter(bloomMightContain(bytes, col("clean_md5")))
       .select("clean_md5").distinct()
@@ -176,10 +184,10 @@ object Selection {
     // append below writes into a table the probe plan also reads
     if (novel.count() > 0) {
       novel.write.mode("append").parquet(s"$root/fingerprints")
-      writeStateBloom(spark, root, bloomMerge(
-        readStateBloom(spark, root),
-        bloomBuild(novel, col("clean_md5"),
-          stateExpectedKeys, stateNumBits)))
+      val (cur, expected, numBits) = readStateBloom(spark, root)
+      writeStateBloom(spark, root, bloomMerge(cur,
+        bloomBuild(novel, col("clean_md5"), expected, numBits)),
+        expected, numBits)
     }
   }
 
