@@ -209,7 +209,6 @@ object Pq {
       r.getAs[Long]("numbits"))
   }
 
-
   /** Resolves the LIVE codes table directory: a `MANIFEST` pointer file
     * (written atomically by [[compactIndex]]) names the current
     * version; absent manifest = the original build layout. Every codes
@@ -352,17 +351,6 @@ object Pq {
       out
     })
 
-  /** Persists the COMBINED IVF+PQ index for `dir` — four tables under
-    * one root: `cells` (vec_id, c: which inverted list each corpus
-    * vector lives in), `cents` (c, i, q: the flattened coarse
-    * centroids, needed at query time to pick probe cells), `codes` and
-    * `books` (the PQ compression, as in [[persistedIndex]]). Both
-    * quantizers use the deterministic iteration-0 devices (k lowest
-    * vec_ids), so the ENTIRE search path — coarse assignment, probe
-    * cell choice, ADC ranking — is exact-integer and SQL-expressible:
-    * the combined query gets a FULL oracle, unlike the trained-IVF
-    * path (whose pruning quality q_sim_ann_recall audits separately).
-    */
   /** Writes the IVF half of a persisted index (`cells` assignments +
     * flattened `cents` coarse centroids) under `out`.
     */
@@ -379,6 +367,17 @@ object Pq {
       .write.mode("overwrite").parquet(s"$out/cents")
   }
 
+  /** Persists the COMBINED IVF+PQ index for `dir` — four tables under
+    * one root: `cells` (vec_id, c: which inverted list each corpus
+    * vector lives in), `cents` (c, i, q: the flattened coarse
+    * centroids, needed at query time to pick probe cells), `codes` and
+    * `books` (the PQ compression, as in [[persistedIndex]]). Both
+    * quantizers use the deterministic iteration-0 devices (k lowest
+    * vec_ids), so the ENTIRE search path — coarse assignment, probe
+    * cell choice, ADC ranking — is exact-integer and SQL-expressible:
+    * the combined query gets a FULL oracle, unlike the trained-IVF
+    * path (whose pruning quality q_sim_ann_recall audits separately).
+    */
   def persistedIvfPq(spark: org.apache.spark.sql.SparkSession,
       dir: String, k: Int = 8, m: Int = 4, kb: Int = 8): String =
     indexWritten.computeIfAbsent(s"$dir#ivfpq:$k:$m:$kb", { _ =>
