@@ -31,6 +31,27 @@ object Warehouse {
   private def asMoney(c: org.apache.spark.sql.Column) =
     Cols.fround(c.cast("double") / lit(10000.0), 4)
 
+  /** Picks the join strategy for a changeset-derived side: broadcast
+    * for the nominal daily delta, a forced shuffle join once the
+    * collapsed changeset exceeds `cap` keys — the backfill/initial-load
+    * case where the changeset is comparable to the base and a
+    * broadcast build would not fit. Shared by [[applyCdc]] and
+    * [[applyCdcFull]]; CdcLawSpec parity-pins the branches (cap forced
+    * to 0) and gates the fallback broadcast-free.
+    */
+  private def cdcSide(changes: org.apache.spark.sql.DataFrame, cap: Long)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val probe = math.min(cap + 1, Int.MaxValue).toInt
+    // sized from the RAW changeset's distinct keys (== collapsed rows)
+    // rather than the cached collapsed frame: probing the cache would
+    // force-materialize it before the consumer plan is built, and the
+    // printed plan then carries two generations of the window exchange
+    // (breaking the one-key-exchange plan gate for a cosmetic reason)
+    if (changes.select("key").distinct().limit(probe).count() <= cap)
+      broadcast
+    else _.hint("shuffle_merge")
+  }
+
   /** Applies a keyed CDC changeset to a base table. `base`: (key, name,
     * bal_c); `changes`: raw op rows (key, tus, event_id, op ∈ {U, D},
     * new_bal_c). Collapses the changeset to one winning op per key
@@ -52,21 +73,6 @@ object Warehouse {
     * standard upsert-vs-partial-update distinction, documented not
     * hidden.
     */
-  /** Picks the join strategy for a changeset-derived side: broadcast
-    * for the nominal daily delta, a forced shuffle join once the
-    * collapsed changeset exceeds `cap` keys — the backfill/initial-load
-    * case where the changeset is comparable to the base and a
-    * broadcast build would not fit. Shared by [[applyCdc]] and
-    * [[applyCdcFull]]; CdcLawSpec parity-pins the branches (cap forced
-    * to 0) and gates the fallback broadcast-free.
-    */
-  private def cdcSide(latest: org.apache.spark.sql.DataFrame, cap: Long)
-      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
-    val probe = math.min(cap + 1, Int.MaxValue).toInt
-    if (latest.limit(probe).count() <= cap) broadcast
-    else _.hint("shuffle_merge")
-  }
-
   private[graft] def applyCdc(base: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame,
       maxBroadcastKeys: Long = 1L << 22)
@@ -81,7 +87,7 @@ object Warehouse {
       .filter(col("rn") === 1)
       .select("key", "op", "new_bal_c")
       .persist())
-    val side = cdcSide(latest, maxBroadcastKeys)
+    val side = cdcSide(changes, maxBroadcastKeys)
     val survivors = base
       .join(side(latest.select("key")), Seq("key"), "left_anti")
       .select(col("key"), col("name"), col("bal_c"),
@@ -126,7 +132,7 @@ object Warehouse {
       .filter(col("rn") === 1)
       .select("key", "op", "new_name", "new_bal_c")
       .persist())
-    val side = cdcSide(latest, maxBroadcastKeys)
+    val side = cdcSide(changes, maxBroadcastKeys)
     val survivors = base
       .join(side(latest.select("key")), Seq("key"), "left_anti")
       .select(col("key"), col("name"), col("bal_c"),
