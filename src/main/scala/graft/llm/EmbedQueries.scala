@@ -532,6 +532,27 @@ object EmbedQueries {
       },
       Some(ivfPqOracleSql)),
 
+    "q_sim_ann_ivfpq_incremental" -> Q(
+      (spark, dir) => {
+        // the FULL production index LIFECYCLE under one hash oracle:
+        // combined IVF+PQ built on the id-prefix half, extended with
+        // the delta (cells AND codes append — a vector missing from
+        // cells would silently never be searched), codes COMPACTED
+        // behind the manifest swap, extend replayed as a no-op, then
+        // searched index-only. Iteration-0 devices are prefix-stable,
+        // so the result is byte-identical to the one-shot build and
+        // the SAME combined oracle pins every step: a cells row lost
+        // in the append, a codes row dropped by compaction, or a
+        // replay double-encode anywhere breaks the hash.
+        val idx = Pq.persistedIvfPqIncremental(spark, dir,
+          k = 8, m = 4, kb = 8)
+        Pq.ivfPqTop3FromIndex(spark, idx,
+          Tables(spark, dir, "embeddings"),
+          nProbes = 10, probeCells = 3)
+          .orderBy("probe", "rn")
+      },
+      Some(ivfPqOracleSql)),
+
     "q_sim_ann_ivfpq_trained" -> Q(
       (spark, dir) => {
         // the TRAINED nightly build: Lloyd coarse centroids + Lloyd

@@ -436,17 +436,27 @@ object Pq {
     * corpus embeddings are never read, candidate volume is
     * nProbes·probeCells·n/k, and the plan has no training stage.
     */
-  def ivfPqTop3FromIndex(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, embeddings: DataFrame,
-      nProbes: Int = 10, probeCells: Int = 3): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
+  /** Loads the flattened coarse centroids back into the k×D array —
+    * KBs, one driver collect, shapes inferred from the rows.
+    */
+  private def loadCents(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String): Array[Array[Long]] = {
     val centRows = spark.read.parquet(s"$indexRoot/cents").collect()
     val k = centRows.map(_.getAs[Int]("c")).max + 1
     val dim = centRows.map(_.getAs[Int]("i")).max + 1
     val cents = Array.fill(k)(Array.ofDim[Long](dim))
     centRows.foreach(r =>
       cents(r.getAs[Int]("c"))(r.getAs[Int]("i")) = r.getAs[Long]("q"))
+    cents
+  }
+
+  def ivfPqTop3FromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, embeddings: DataFrame,
+      nProbes: Int = 10, probeCells: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cents = loadCents(spark, indexRoot)
+    val dim = cents(0).length
     val books = loadBooks(spark, indexRoot)
     val probes = collectProbes(embeddings, nProbes)
     val pcells = probes.toSeq.flatMap { p =>
@@ -536,7 +546,25 @@ object Pq {
     * full-build ADC oracle.
     */
   def extendIndex(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, embeddings: DataFrame): Unit = {
+      indexRoot: String, embeddings: DataFrame): Unit =
+    extendImpl(spark, indexRoot, embeddings, withCells = false)
+
+  /** INCREMENTAL maintenance for the COMBINED IVF+PQ index: a new
+    * arrival needs BOTH halves appended — its coarse-cell assignment
+    * (the coarse centroids are immutable like the codebooks; a search
+    * that probes cells would silently never see a vector missing from
+    * `cells`) and its PQ codes, plus the sidecar merge. Same
+    * [[pendingArrivals]] delta discipline; the whole lifecycle —
+    * prefix build, extend, compact, replay — is pinned by
+    * q_sim_ann_ivfpq_incremental under the full combined oracle.
+    */
+  def extendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, embeddings: DataFrame): Unit =
+    extendImpl(spark, indexRoot, embeddings, withCells = true)
+
+  private def extendImpl(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, embeddings: DataFrame,
+      withCells: Boolean): Unit = {
     import spark.implicits._
     // persisted: the emptiness probe and the append would otherwise
     // each recompute the anti join (and the probe would re-encode)
@@ -544,6 +572,12 @@ object Pq {
       pendingArrivals(spark, indexRoot, embeddings)).persist()
     try {
       if (!newQv.isEmpty) {
+        if (withCells) {
+          val cents = loadCents(spark, indexRoot)
+          newQv.map(v => (v.id, nearestAt(v.q, 0, cents)._1))
+            .toDF("vec_id", "c")
+            .write.mode("append").parquet(s"$indexRoot/cells")
+        }
         val books = loadBooks(spark, indexRoot)
         Pq.encode(newQv, books)
           .toDF("vec_id", "sub", "code", "d2")
@@ -557,6 +591,37 @@ object Pq {
       }
     } finally newQv.unpersist()
   }
+
+  /** Builds the COMBINED index on the id-prefix half, extends it to the
+    * full corpus ([[extendIvfPqIndex]] — cells AND codes), COMPACTS the
+    * append-fragmented codes behind the manifest swap, then replays the
+    * extend as a no-op — the full production index lifecycle, memoized
+    * as one unit. Every device is iteration-0 and prefix-stable, so the
+    * searched result is byte-identical to a one-shot full build and the
+    * lifecycle query shares the combined full oracle.
+    */
+  def persistedIvfPqIncremental(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 8, m: Int = 4, kb: Int = 8): String =
+    indexWritten.computeIfAbsent(s"$dir#ivfpqinc:$k:$m:$kb", { _ =>
+      import org.apache.spark.sql.functions._
+      val out = graft.io.Scratch.stable("ivfpqinc_" +
+        java.lang.Integer.toHexString(dir.hashCode) + s"_${k}_${m}_$kb")
+      val emb = graft.Tables(spark, dir, "embeddings")
+      val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val prefix = emb.filter(col("vec_id") <= half)
+      require(prefix.limit(math.max(k, kb) + 1).count() >=
+        math.max(k, kb),
+        s"id-prefix <= $half holds fewer than max(k,kb) vectors")
+      val pqv = Kmeans.quantized(prefix)
+      writeIvfTables(spark, out, pqv, Kmeans.initCentroids(pqv, k))
+      writePqTables(spark, out, pqv, initBooks(pqv, m, kb))
+      extendIvfPqIndex(spark, out, emb)
+      compactIndex(spark, out, targetFiles = 4)
+      // a REPLAYED extend must be a no-op, through the compacted layout
+      extendIvfPqIndex(spark, out, emb)
+      out
+    })
 
   /** Builds the persisted PQ index on the id-prefix HALF of the corpus,
     * then [[extendIndex]]s it to the full corpus — memoized as one unit

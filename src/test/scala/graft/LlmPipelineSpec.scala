@@ -696,6 +696,29 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.ops.Caches.drain()
   }
 
+  test("combined-index lifecycle: prefix build + cells/codes extend + " +
+      "compaction equals the one-shot build exactly") {
+    val emb = Tables(spark, dir, "embeddings")
+    val inc = Pq.persistedIvfPqIncremental(spark, dir, k = 8, m = 4,
+      kb = 8)
+    val one = Pq.persistedIvfPq(spark, dir, k = 8, m = 4, kb = 8)
+    def search(root: String) =
+      Pq.ivfPqTop3FromIndex(spark, root, emb, nProbes = 10,
+        probeCells = 3).collect().map(_.toString).sorted
+    search(inc) shouldBe search(one)
+    // the lifecycle really exercised compaction: manifest swapped,
+    // live codes at the target file count
+    new java.io.File(s"$inc/MANIFEST").exists() shouldBe true
+    new java.io.File(s"$inc/codes_v1").listFiles()
+      .count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")) shouldBe 4
+    // cells cover the whole corpus — the half a missing append would
+    // silently drop from every search
+    spark.read.parquet(s"$inc/cells").count() shouldBe
+      spark.read.parquet(s"$one/cells").count()
+    graft.ops.Caches.drain()
+  }
+
   test("persisted index memo keys on quantization params, not just the corpus") {
     // a differently-shaped request must get its own index root — the
     // memo serving the m=4 build to an m=8 caller would load
