@@ -147,26 +147,49 @@ object Selection {
     * narrow column). SelectionSpec parity-pins the branches.
     */
   private[graft] def probeDedupState(spark: SparkSession, root: String,
-      shard: DataFrame, maxBroadcastKeys: Long = 1L << 22): DataFrame = {
+      shard: DataFrame, maxBroadcastKeys: Long = 1L << 22,
+      key: String = "clean_md5"): DataFrame = {
     val (bytes, _, _) = readStateBloom(spark, root)
     val fps = spark.read.parquet(s"$root/fingerprints")
-    val maybe = shard.filter(bloomMightContain(bytes, col("clean_md5")))
-      .select("clean_md5").distinct()
+    val maybe = shard.filter(bloomMightContain(bytes, col(key)))
+      .select(key).distinct()
     val probeCap = math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt
     if (maybe.limit(probeCap).count() <= maxBroadcastKeys) {
       val confirmed = fps
-        .join(broadcast(maybe), Seq("clean_md5"), "left_semi")
+        .join(broadcast(maybe), Seq(key), "left_semi")
         .withColumn("__in", lit(true))
-      shard.join(broadcast(confirmed), Seq("clean_md5"), "left")
-        .select(col("doc_id"), col("clean_md5"),
+      shard.join(broadcast(confirmed), Seq(key), "left")
+        .select(col("doc_id"), col(key),
           coalesce(col("__in"), lit(false)).as("in_corpus"))
     } else {
       shard.join(fps.withColumn("__in", lit(true))
-          .hint("shuffle_merge"), Seq("clean_md5"), "left")
-        .select(col("doc_id"), col("clean_md5"),
+          .hint("shuffle_merge"), Seq(key), "left")
+        .select(col("doc_id"), col(key),
           coalesce(col("__in"), lit(false)).as("in_corpus"))
     }
   }
+
+  /** SPAN-granular cross-run state — the window-key analog of
+    * [[persistedDedupState]] for the contamination-at-ingestion
+    * question "does this new shard copy any W-token span already in
+    * the corpus?": one build job persists the corpus's distinct W=8
+    * md5-window keys (the SpanDedup device) plus their Bloom sidecar
+    * (sized up — window keys outnumber documents ~text/W-fold), and
+    * daily probe jobs answer EXACTLY from the state alone via the
+    * generalized [[probeDedupState]].
+    */
+  def persistedSpanState(spark: SparkSession, dir: String): String =
+    stateWritten.computeIfAbsent(s"$dir#spanstate", { _ =>
+      val out = graft.io.Scratch.stable("spanstate_" +
+        java.lang.Integer.toHexString(dir.hashCode))
+      val corpus = spanKeys(spark, dir)
+        .filter(col("doc_id") % 10 =!= shardMod)
+      corpus.select("win_md5").distinct()
+        .write.mode("overwrite").parquet(s"$out/fingerprints")
+      writeStateBloom(spark, out, bloomBuild(corpus, col("win_md5"),
+        1L << 20, 1L << 23), 1L << 20, 1L << 23)
+      out
+    })
 
   /** ABSORB a probed shard into the persisted state — the nightly
     * ingestion commit: append only the genuinely novel addresses to
@@ -204,6 +227,24 @@ object Selection {
     "md5(trim(regexp_replace(regexp_replace(regexp_replace(" +
       "lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), " +
       "' +', ' ', 'g')))"
+
+  /** Exact per-doc span-hit reduction — the shared oracle of
+    * q_dedup_bloom_spans_exactcheck (in-run exact join) and
+    * q_dedup_bloom_spans_incremental (persisted-state probe). Lazy:
+    * interpolates shardMod, declared later in the file.
+    */
+  private lazy val spanMembershipSql: String =
+    "WITH " + spanKeysSql + " " +
+      "SELECT k.doc_id, COUNT(*) AS n_win, " +
+      "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM w c WHERE " +
+      s"c.doc_id % 10 <> $shardMod AND c.win_md5 = k.win_md5) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+      "(CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM w c WHERE " +
+      s"c.doc_id % 10 <> $shardMod AND c.win_md5 = k.win_md5) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) " +
+      "AS hit_ppm " +
+      s"FROM w k WHERE k.doc_id % 10 = $shardMod " +
+      "GROUP BY k.doc_id ORDER BY doc_id"
 
   /** Exact shard-vs-corpus membership — the shared oracle of
     * q_dedup_bloom_exactcheck (in-run exact join) and
@@ -478,17 +519,30 @@ object Selection {
             expr("(n_hit * 1000000L) div n_win").as("hit_ppm"))
           .orderBy("doc_id")
       },
-      Some("WITH " + spanKeysSql + " " +
-        "SELECT k.doc_id, COUNT(*) AS n_win, " +
-        "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM w c WHERE " +
-        s"c.doc_id % 10 <> $shardMod AND c.win_md5 = k.win_md5) " +
-        "THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
-        "(CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM w c WHERE " +
-        s"c.doc_id % 10 <> $shardMod AND c.win_md5 = k.win_md5) " +
-        "THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) " +
-        "AS hit_ppm " +
-        s"FROM w k WHERE k.doc_id % 10 = $shardMod " +
-        "GROUP BY k.doc_id ORDER BY doc_id")),
+      Some(spanMembershipSql)),
+
+    "q_dedup_bloom_spans_incremental" -> Q(
+      (spark, dir) => {
+        // cross-run SPAN state: the probe job reads only the persisted
+        // window-key fingerprints + sidecar (persistedSpanState — one
+        // corpus-side build job), answers exact per-window membership
+        // through the generalized three-step probe, and reduces to the
+        // same per-doc hit ppm as the in-run twins. Exact output → the
+        // SAME full oracle as the exactcheck twin; the corpus text is
+        // never re-windowed in the probe job.
+        val root = persistedSpanState(spark, dir)
+        val shard = spanKeys(spark, dir)
+          .filter(col("doc_id") % 10 === shardMod)
+        probeDedupState(spark, root, shard, key = "win_md5")
+          .select(col("doc_id"),
+            col("in_corpus").cast("long").as("hit"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_win"), sum(col("hit")).as("n_hit"))
+          .select(col("doc_id"), col("n_win"), col("n_hit"),
+            expr("(n_hit * 1000000L) div n_win").as("hit_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(spanMembershipSql)),
 
     "q_sample_quality_threshold" -> Q(
       (spark, dir) => {
