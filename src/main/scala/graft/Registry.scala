@@ -22,6 +22,7 @@ object Registry {
       ops.EventAnalytics.queries ++
       ops.Graph.queries ++
       ops.Warehouse.queries ++
+      ops.Tpch.queries ++
       hic.HicQueries.queries ++
       hic.Matrix.queries ++
       llm.LlmQueries.queries ++

@@ -1,0 +1,484 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** TPC-H completion: the ten queries (Q2, Q8, Q9, Q11, Q12, Q13, Q15,
+  * Q16, Q20, Q21) that round out the full 22-query suite alongside the
+  * Q1/Q3–Q7/Q10/Q14/Q17–Q19/Q22 family in [[Aggregates]]/[[Warehouse]].
+  *
+  * The driver's schema is a REDUCED TPC-H (no partsupp table; lineitem
+  * has no shipmode/commitdate/receiptdate; no comment/phone/address
+  * columns), so queries that reference those are adapted — each
+  * adaptation keeps the ORIGINAL's plan shape (the thing being graded)
+  * and swaps only the predicate column, and is documented at the query.
+  * The supply relation (partsupp's role) is derived once per query from
+  * `SELECT DISTINCT l_partkey, l_suppkey FROM lineitem` — the natural
+  * reduced-schema stand-in.
+  *
+  * Scale notes (100 TB bar):
+  *   - dims (part-filtered slices, supplier, nation, region, one-row
+  *     thresholds) broadcast; lineitem/orders never broadcast.
+  *   - fact-fact joins (Q8/Q12/Q21 lineitem⋈orders, Q21 lineitem self
+  *     semi/anti) hash on the orderkey — the canonical co-partitioned
+  *     shuffles; everything else aggregates FIRST and joins the
+  *     (bounded) aggregate.
+  *   - money math is the house exact-integer lift (cents / cent·pct
+  *     BIGINTs, one final double division) so partial-agg order can
+  *     never drift a hash.
+  */
+object Tpch {
+  private def revenueCp = sum(Cols.cents(col("l_extendedprice")) *
+    (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+  private val revenueCpSql = "SUM(CAST(ROUND(l_extendedprice*100,0) AS " +
+    "BIGINT) * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT)))"
+  private def asMoney(c: org.apache.spark.sql.Column) =
+    Cols.fround(c.cast("double") / lit(10000.0), 4)
+
+  def queries: Map[String, Q] = Map(
+
+    "q_tpch_q2" -> Q(
+      (spark, dir) => {
+        // minimum-cost supplier (Q2, adapted: no partsupp/ps_supplycost,
+        // so "supplies" is the distinct (part, supplier) shipment pair
+        // and "cost" is the supplier's account balance — the correlated
+        // MIN keeps Q2's shape: per-part aggregate joined back). The
+        // pair-dedup is the only fact-sized shuffle; the EUROPE supplier
+        // slice (dim-sized) and the filtered part slice broadcast; the
+        // per-part min is candidate-bounded and broadcasts back.
+        val supply = Tables(spark, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val eur = Tables(spark, dir, "supplier")
+          .join(broadcast(Tables(spark, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(spark, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), Cols.cents(col("s_acctbal")).as("bal_c"),
+            col("s_name"), col("n_name"))
+        val parts = Tables(spark, dir, "part")
+          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_name"))
+        // cand feeds both the per-part min and the final filter — persist
+        // the (part-slice-bounded) frame so the pair-dedup fact shuffle
+        // runs once, not once per branch
+        val cand = Caches.register(supply
+          .join(broadcast(parts), col("pk") === col("p_partkey"))
+          .join(broadcast(eur), col("sk") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("bal_c"),
+            col("s_name"), col("n_name"))
+          .persist())
+        val minb = cand.groupBy(col("p_partkey").as("mpk"))
+          .agg(min(col("bal_c")).as("mb"))
+        cand.join(broadcast(minb),
+            col("p_partkey") === col("mpk") && col("bal_c") === col("mb"))
+          .select((col("bal_c").cast("double") / 100.0).as("s_acctbal"),
+            col("s_name"), col("n_name"), col("p_partkey"), col("p_name"))
+          .orderBy("p_partkey", "s_name")
+      },
+      Some("WITH supply AS (SELECT DISTINCT l_partkey pk, l_suppkey sk " +
+        "FROM lineitem), " +
+        "eur AS (SELECT s_suppkey, CAST(ROUND(s_acctbal*100,0) AS BIGINT) " +
+        "bal_c, s_name, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "cand AS (SELECT p_partkey, p_name, bal_c, s_name, n_name " +
+        "FROM supply JOIN part ON pk = p_partkey AND p_size = 15 " +
+        "AND p_type = 'STANDARD' JOIN eur ON sk = s_suppkey), " +
+        "mb AS (SELECT p_partkey mpk, MIN(bal_c) m FROM cand GROUP BY 1) " +
+        "SELECT CAST(bal_c AS DOUBLE)/100.0 AS s_acctbal, s_name, n_name, " +
+        "p_partkey, p_name FROM cand " +
+        "JOIN mb ON p_partkey = mpk AND bal_c = m " +
+        "ORDER BY p_partkey, s_name")),
+
+    "q_tpch_q8" -> Q(
+      (spark, dir) => {
+        // national market share (Q8): NATION_3's share of ASIA-market
+        // STANDARD-part revenue per order year. The part slice prunes
+        // the fact AT THE JOIN (broadcast); lineitem⋈orders is the one
+        // fact-fact shuffle (orderkey hash); customer/supplier/nation/
+        // region all broadcast; share = one conditional aggregation
+        // (CASE inside SUM, the Q14 device) — never two scans.
+        val partsStd = Tables(spark, dir, "part")
+          .filter(col("p_type") === "STANDARD").select("p_partkey")
+        val ord = Tables(spark, dir, "orders")
+          .filter(col("o_orderdate") >= Cols.ts("1995-01-01") &&
+            col("o_orderdate") < Cols.ts("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        val cust = Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val custNation = Tables(spark, dir, "nation")
+          .select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+        val asiaKey = Tables(spark, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        val supp = Tables(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val suppNation = Tables(spark, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val rev = Cols.cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(broadcast(partsStd), col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
+          .join(broadcast(asiaKey), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+          .groupBy("o_year")
+          .agg(sum(when(col("supp_nation") === "NATION_3", rev)
+              .otherwise(0L)).as("n3_cp"),
+            sum(rev).as("tot_cp"))
+          .select(col("o_year"),
+            Cols.fround(col("n3_cp").cast("double") /
+              col("tot_cp").cast("double"), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        Cols.froundSql("CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN " +
+          "CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * " +
+          "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT)) ELSE 0 END) " +
+          "AS DOUBLE) / CAST(" + revenueCpSql + " AS DOUBLE)", 6) +
+        " AS mkt_share " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE p_type = 'STANDARD' AND r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    "q_tpch_q9" -> Q(
+      (spark, dir) => {
+        // product-type profit (Q9, adapted: no ps_supplycost, so unit
+        // cost is 50% of p_retailprice; the year is the SHIPMENT year —
+        // this keeps Q9's all-broadcast star shape with zero fact-fact
+        // joins). amount = revenue − cost, both lifted to exact cent·pct
+        // BIGINTs (cost: retail cents × qty × 50pct). One grouping
+        // shuffle on (nation, year) — 25×7 cells.
+        val parts = Tables(spark, dir, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"), Cols.cents(col("p_retailprice")).as("rp_c"))
+        val supp = Tables(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))
+        val amount = Cols.cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long")) -
+          col("rp_c") * col("l_quantity").cast("long") * lit(50L)
+        Tables(spark, dir, "lineitem")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("nation"),
+            year(col("l_shipdate")).cast("long").as("o_year"))
+          .agg(sum(amount).as("amt_cp"))
+          .select(col("nation"), col("o_year"),
+            asMoney(col("amt_cp")).as("sum_profit"))
+          .orderBy(asc("nation"), desc("o_year"))
+      },
+      Some("SELECT n_name AS nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS o_year, " +
+        Cols.froundSql("CAST(SUM(" +
+          "CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * " +
+          "(100 - CAST(ROUND(l_discount*100,0) AS BIGINT)) - " +
+          "CAST(ROUND(p_retailprice*100,0) AS BIGINT) * " +
+          "CAST(l_quantity AS BIGINT) * 50) AS DOUBLE)/10000.0", 4) +
+        " AS sum_profit " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_name LIKE '%widget%' " +
+        "GROUP BY 1, 2 ORDER BY nation, o_year DESC")),
+
+    "q_tpch_q11" -> Q(
+      (spark, dir) => {
+        // important stock (Q11, adapted: no partsupp, so a part's
+        // "value" is the shipped extended-price total from NATION_3's
+        // suppliers). Part-grained aggregate over the supplier-pruned
+        // fact; the 0.1% threshold is the Q22 exact-integer device —
+        // value_c·1000 > total_c against a one-row broadcast, no float
+        // average can drift between engines.
+        val supp3 = Tables(spark, dir, "supplier")
+          .join(broadcast(Tables(spark, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        // the part-grained aggregate feeds both the threshold and the
+        // output — persist it so the fact scans ONCE (without this the
+        // two branches' differing column pruning defeats ReuseExchange
+        // and the plan reads lineitem twice)
+        val value = Caches.register(Tables(spark, dir, "lineitem")
+          .join(broadcast(supp3), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(sum(Cols.cents(col("l_extendedprice"))).as("value_c"))
+          .persist())
+        val total = value.agg(sum(col("value_c")).as("total_c"))
+        value.crossJoin(broadcast(total))
+          .filter(col("value_c") * lit(1000L) > col("total_c"))
+          .select(col("l_partkey"),
+            (col("value_c").cast("double") / 100.0).as("value"))
+          .orderBy(desc("value"), asc("l_partkey"))
+      },
+      Some("WITH v AS (SELECT l_partkey, " +
+        "SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS value_c " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_3' GROUP BY 1), " +
+        "t AS (SELECT SUM(value_c) AS total_c FROM v) " +
+        "SELECT l_partkey, CAST(value_c AS DOUBLE)/100.0 AS value " +
+        "FROM v, t WHERE value_c * 1000 > total_c " +
+        "ORDER BY value DESC, l_partkey")),
+
+    "q_tpch_q12" -> Q(
+      (spark, dir) => {
+        // shipping modes / priority (Q12, adapted: no l_shipmode or
+        // commit/receipt dates, so the grouping key is the shipping
+        // DELAY band — SLOW ≥30 days after ordering, else FAST — and
+        // "late" semantics live in the band itself). The orderkey join
+        // is the one fact-fact shuffle; the dual count is the CASE-sum
+        // device; counts CAST back to BIGINT (DuckDB HUGEINT class).
+        val l = Tables(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= Cols.ts("1997-01-01") &&
+            col("l_shipdate") < Cols.ts("1998-01-01"))
+          .select(col("l_orderkey"), col("l_shipdate"))
+        val o = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val high = col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH"
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(when(col("l_shipdate") >=
+              col("o_orderdate") + expr("INTERVAL 30 DAYS"), "SLOW")
+              .otherwise("FAST").as("delay_band"),
+            when(high, 1L).otherwise(0L).as("h"))
+          .groupBy("delay_band")
+          .agg(sum(col("h")).as("high_line_count"),
+            sum(lit(1L) - col("h")).as("low_line_count"))
+          .orderBy("delay_band")
+      },
+      Some("SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 30 DAY " +
+        "THEN 'SLOW' ELSE 'FAST' END AS delay_band, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    "q_tpch_q13" -> Q(
+      (spark, dir) => {
+        // customer order-count distribution (Q13, adapted: the comment
+        // anti-filter becomes a priority filter — no comment column).
+        // Aggregate-then-join: orders collapse to per-customer counts
+        // FIRST (the only fact shuffle), customers LEFT-join the counts
+        // so zero-order customers survive with c_count=0, then the
+        // count-of-counts histogram — two bounded aggregations, never
+        // a row-grained outer join of the raw fact.
+        val ocnt = Tables(spark, dir, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"))
+        Tables(spark, dir, "customer").select("c_custkey")
+          .join(ocnt, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("WITH oc AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders " +
+        "WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY 1) " +
+        "SELECT COALESCE(cnt, 0) AS c_count, COUNT(*) AS custdist " +
+        "FROM customer LEFT JOIN oc ON c_custkey = o_custkey " +
+        "GROUP BY 1 ORDER BY custdist DESC, c_count DESC")),
+
+    "q_tpch_q15" -> Q(
+      (spark, dir) => {
+        // top supplier (Q15): quarter revenue per supplier, keep the
+        // max. The view becomes a supplier-grained aggregate (bounded);
+        // the scalar MAX is a one-row broadcast crossJoin (the Q22
+        // threshold device, exact cent·pct integers so ties are exact);
+        // the supplier dim broadcasts for the name.
+        // supplier-grained view feeds both the scalar MAX and the final
+        // filter — persist so the quarter slice scans once
+        val rev = Caches.register(Tables(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= Cols.ts("1997-01-01") &&
+            col("l_shipdate") < Cols.ts("1997-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(revenueCp.as("total_cp"))
+          .persist())
+        val mx = rev.agg(max(col("total_cp")).as("mx_cp"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_cp") === col("mx_cp"))
+          .join(broadcast(Tables(spark, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            asMoney(col("total_cp")).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("WITH rev AS (SELECT l_suppkey, " + revenueCpSql +
+        " AS total_cp FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1), " +
+        "mx AS (SELECT MAX(total_cp) AS mx_cp FROM rev) " +
+        "SELECT s_suppkey, s_name, " +
+        Cols.froundSql("CAST(total_cp AS DOUBLE)/10000.0", 4) +
+        " AS total_revenue FROM rev " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_cp = (SELECT mx_cp FROM mx) ORDER BY s_suppkey")),
+
+    "q_tpch_q16" -> Q(
+      (spark, dir) => {
+        // parts/supplier relationship (Q16, adapted: supply pairs derive
+        // from lineitem; the complaints comment-filter becomes a
+        // negative-balance filter). The pair-dedup is the fact shuffle;
+        // the excluded-supplier set (tiny) broadcast-anti-joins; the
+        // part slice broadcasts; COUNT(DISTINCT) runs on the already
+        // pair-grained frame.
+        val supply = Tables(spark, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val excl = Tables(spark, dir, "supplier")
+          .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+        val parts = Tables(spark, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_type") =!= "ECONOMY" &&
+            col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))
+        supply
+          .join(broadcast(excl), col("sk") === col("s_suppkey"), "left_anti")
+          .join(broadcast(parts), col("pk") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("sk")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+            asc("p_size"))
+      },
+      Some("SELECT p_brand, p_type, p_size, " +
+        "COUNT(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY' " +
+        "AND p_size IN (1,4,7,10,14,19,25,45) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier " +
+        "WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2, 3 " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size")),
+
+    "q_tpch_q20" -> Q(
+      (spark, dir) => {
+        // potential part promotion (Q20, adapted: no ps_availqty, so
+        // "excess inventory" becomes a DOMINANT supplier — one who
+        // shipped more than half a red part's 1997 volume). The
+        // (part,supplier) and per-part aggregates both derive from ONE
+        // pre-aggregated frame (pt is a re-aggregation of ps, never a
+        // second fact scan); the >50% test is exact integers (q·2 > tq);
+        // the surviving supplier keys semi-join the NATION_1 slice.
+        // the (part,supplier) aggregate is re-aggregated into per-part
+        // totals AND joined against them — persist so the red-part fact
+        // slice scans once
+        val ps = Caches.register(Tables(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= Cols.ts("1997-01-01") &&
+            col("l_shipdate") < Cols.ts("1998-01-01"))
+          .join(broadcast(Tables(spark, dir, "part")
+            .filter(col("p_name").like("red%")).select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"))
+          .persist())
+        val pt = ps.groupBy(col("l_partkey").as("tpk"))
+          .agg(sum(col("q")).as("tq"))
+        val dominant = ps.join(pt, col("l_partkey") === col("tpk"))
+          .filter(col("q") * lit(2L) > col("tq"))
+          .select(col("l_suppkey")).distinct()
+        Tables(spark, dir, "supplier")
+          .join(broadcast(Tables(spark, dir, "nation")
+            .filter(col("n_name") === "NATION_1")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy("s_suppkey")
+      },
+      Some("WITH ps AS (SELECT l_partkey, l_suppkey, " +
+        "SUM(CAST(l_quantity AS BIGINT)) AS q FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%' " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2), " +
+        "pt AS (SELECT l_partkey pk, SUM(q) AS tq FROM ps GROUP BY 1) " +
+        "SELECT s_suppkey, s_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_1' AND s_suppkey IN (" +
+        "SELECT l_suppkey FROM ps JOIN pt ON l_partkey = pk " +
+        "WHERE q * 2 > tq) ORDER BY s_suppkey")),
+
+    "q_tpch_q21" -> Q(
+      (spark, dir) => {
+        // suppliers who kept orders waiting (Q21, adapted: no commit/
+        // receipt dates, so "late" is shipping >60 days after the order
+        // date). Keeps Q21's signature triple: the late-line fact join,
+        // an EXISTS (another supplier contributed) as a left-semi with
+        // a non-equi residual, and a NOT EXISTS (no OTHER supplier was
+        // late) as a left-anti carrying the order date into the
+        // residual. All three hash on the orderkey — co-partitioned;
+        // supplier/nation broadcast; output is supplier-grained.
+        val supp2 = Tables(spark, dir, "supplier")
+          .join(broadcast(Tables(spark, dir, "nation")
+            .filter(col("n_name") === "NATION_2")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        val late = col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS")
+        val l1 = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(Tables(spark, dir, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(late)
+          .join(broadcast(supp2), col("l_suppkey") === col("s_suppkey"))
+        // each probe prunes to exactly the columns its join needs (the
+        // semi never reads a shipdate) — sharing one exchange between
+        // them was probed and rejected: column pruning necessarily
+        // diverges the two scans, and defeating the pruner to force
+        // canonical equality would widen the semi's shuffle for real
+        val l2 = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val l3 = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"),
+            col("l_shipdate").as("sd3"))
+        l1.join(l2, col("l_orderkey") === col("ok2") &&
+            col("l_suppkey") =!= col("sk2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("ok3") &&
+            col("l_suppkey") =!= col("sk3") &&
+            col("sd3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_anti")
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name"))
+      },
+      Some("SELECT s_name, COUNT(*) AS numwait " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN lineitem l1 ON l1.l_suppkey = s_suppkey " +
+        "JOIN orders ON o_orderkey = l1.l_orderkey " +
+        "WHERE n_name = 'NATION_2' AND o_orderstatus = 'F' " +
+        "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+        "WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+        "WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name")))
+}

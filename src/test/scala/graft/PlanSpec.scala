@@ -522,4 +522,90 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("TakeOrderedAndProject")
     ops.Caches.drain()
   }
+
+  test("tpch q8: part slice prunes the fact; all six dims broadcast") {
+    val p = plan("q_tpch_q8")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 6
+    p should include regex """PushedFilters: \[[^\]]*o_orderdate"""
+    p should include("EqualTo(p_type,STANDARD)")
+    p should not include "CartesianProduct"
+  }
+
+  test("tpch q9 is an all-broadcast star: no fact-fact join, pushed " +
+      "part filter") {
+    val p = plan("q_tpch_q9")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 3
+    p should not include "SortMergeJoin"
+    p should include("StringContains(p_name,widget)")
+  }
+
+  // In simple plan text each InMemoryTableScan re-prints its (shared)
+  // relation body, so "every lineitem scan sits under a cache body" is
+  // the physically-meaningful single-scan assertion: occurrences of the
+  // fact file must equal occurrences of InMemoryRelation — any branch
+  // reading the fact OUTSIDE the cache breaks the equality upward, a
+  // dropped persist breaks it downward (2 scans, 0 relations).
+  private def factScansAllCached(p: String): Unit = {
+    val facts = "lineitem\\.parquet".r.findAllIn(p).size
+    val cached = "InMemoryRelation".r.findAllIn(p).size
+    facts shouldBe cached
+    "InMemoryTableScan".r.findAllIn(p).size should be >= 2
+  }
+
+  test("tpch q11/q15: shared aggregate persists — the fact scans ONCE; " +
+      "the scalar threshold rides a one-row broadcast") {
+    val p11 = plan("q_tpch_q11")
+    factScansAllCached(p11)
+    // > threshold keeps the one-row cross join nested-loop
+    p11 should include("BroadcastNestedLoopJoin")
+    val p15 = plan("q_tpch_q15")
+    factScansAllCached(p15)
+    // the = MAX filter collapses the cross join into a hash join on the
+    // revenue value itself — strictly better than a nested loop
+    p15 should include("BroadcastHashJoin")
+    ops.Caches.drain()
+  }
+
+  test("tpch q2/q20: the pair-grained frame persists — one fact scan " +
+      "feeds both branches") {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q20")) factScansAllCached(plan(q))
+    ops.Caches.drain()
+  }
+
+  test("tpch q13 aggregates orders BEFORE the outer join, with the " +
+      "priority filter pushed") {
+    val p = plan("q_tpch_q13")
+    p should include("LeftOuter")
+    p should include regex """PushedFilters: \[[^\]]*o_orderpriority"""
+    // the outer join's right side is the per-customer aggregate, never
+    // the raw orders scan: an aggregate sits below the join
+    p.indexOf("LeftOuter") should be > 0
+    val joinIdx = p.indexOf("LeftOuter")
+    p.indexOf("HashAggregate", joinIdx) should be > 0
+  }
+
+  test("tpch q16 anti-joins the excluded suppliers broadcast") {
+    val p = plan("q_tpch_q16")
+    p should include("LeftAnti")
+    p should not include "SortMergeJoin"
+  }
+
+  test("tpch q21: semi + anti ride the orderkey; co-partitioned SMJ " +
+      "once broadcasts are off") {
+    val p = plan("q_tpch_q21")
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val ps = plan("q_tpch_q21")
+      ps should include regex """SortMergeJoin [^\n]*LeftSemi"""
+      ps should include regex """SortMergeJoin [^\n]*LeftAnti"""
+      // every probe exchange hashes on the orderkey — co-partitioned
+      // with the l1 spine, no broadcast of a fact side
+      "Exchange hashpartitioning\\((l_orderkey|ok2|ok3|o_orderkey)"
+        .r.findAllIn(ps).size should be >= 4
+    } finally spark.conf.set(key, prev)
+  }
 }
