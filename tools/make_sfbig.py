@@ -26,7 +26,14 @@ import duckdb
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
 skew = "--skew" in sys.argv
-argv = [a for a in sys.argv if a != "--skew"]
+# --hotorder (round-17 cont., TPC-H family probe): collapse ~30 % of all
+# lineitem rows into ONE orderkey (key 1 — an F-status 1996 order, so it
+# passes Q21's status filter and Q12's date band) — the hot-JOIN-key bomb
+# for every orderkey-grained operator (Q12/Q18/Q21 joins, semi/anti
+# probes, per-order aggregates). Distinct from --skew, which heats
+# chr/user/document content keys but leaves orderkeys uniform.
+hotorder = "--hotorder" in sys.argv
+argv = [a for a in sys.argv if a not in ("--skew", "--hotorder")]
 n = int(argv[3]) if len(argv) > 3 else 8
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
@@ -55,11 +62,15 @@ for t in ("region", "nation", "customer", "supplier", "part", "orders"):
 ls_skew = ("CASE WHEN {i} < " + str(n - 1) +
            " THEN 'Z' ELSE l_linestatus END AS l_linestatus, ") \
     if skew else ""
+ok_expr = ("CASE WHEN l_orderkey % 10 < 3 THEN 1 "
+           "ELSE l_orderkey + {i}*" + str(OFF) + " END AS l_orderkey"
+           ) if hotorder else ("l_orderkey + {i}*" + str(OFF) +
+                               " AS l_orderkey")
 build("lineitem",
       "SELECT * REPLACE (" + ls_skew +
       "l_partkey + {i}*" + str(OFF) + " AS l_partkey, "
-      "l_suppkey + {i}*" + str(OFF) + " AS l_suppkey, "
-      "l_orderkey + {i}*" + str(OFF) + " AS l_orderkey) "
+      "l_suppkey + {i}*" + str(OFF) + " AS l_suppkey, " +
+      ok_expr + ") "
       f"FROM read_parquet('{src}/lineitem.parquet')")
 BOILER = ("terms of service privacy policy all rights reserved "
           "subscribe to our newsletter for updates click here to "
