@@ -20,6 +20,7 @@ class ContractSpec extends AnyFunSuite with Matchers {
     "ops.EventAnalytics" -> ops.EventAnalytics.queries,
     "ops.Graph" -> ops.Graph.queries,
     "ops.Warehouse" -> ops.Warehouse.queries,
+    "ops.Tpch" -> ops.Tpch.queries,
     "hic.HicQueries" -> hic.HicQueries.queries,
     "hic.Matrix" -> hic.Matrix.queries,
     "llm.LlmQueries" -> llm.LlmQueries.queries,
