@@ -818,6 +818,45 @@ object LlmQueries {
         "ascii(substring(hx, 4, 1))) % 1024) AS max_h " +
         "FROM f GROUP BY kind ORDER BY kind")),
 
+    "q_multimodal_resize" -> Q(
+      (spark, dir) => {
+        // aspect-preserving resize-to-fit 224 over the decoded stub
+        // dims — the missing third batch stage between features and
+        // frame-sample. Integer floor math end-to-end, so the oracle
+        // replays geometry AND byte sizes exactly (// is DuckDB's
+        // integer division).
+        val media = Multimodal.asMedia(Tables(spark, dir, "documents"))
+        Multimodal.resizePlan(Multimodal.extractFeatures(media), 224)
+          .toDF()
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("downscaled"), 1L).otherwise(0L))
+              .as("n_downscaled"),
+            sum(col("out_bytes")).as("sum_out_bytes"),
+            min(col("out_w")).as("min_out_w"),
+            max(col("out_h")).as("max_out_h"))
+          .orderBy("kind")
+      },
+      Some("WITH f AS (SELECT source AS kind, md5(text) AS hx " +
+        "FROM documents), " +
+        "d AS (SELECT kind, " +
+        "64 + (ascii(substring(hx, 1, 1))*256 + " +
+        "ascii(substring(hx, 2, 1))) % 1024 AS w, " +
+        "64 + (ascii(substring(hx, 3, 1))*256 + " +
+        "ascii(substring(hx, 4, 1))) % 1024 AS h FROM f), " +
+        "r AS (SELECT kind, " +
+        "CASE WHEN greatest(w, h) <= 224 THEN w " +
+        "ELSE (w*224)//greatest(w, h) END AS ow, " +
+        "CASE WHEN greatest(w, h) <= 224 THEN h " +
+        "ELSE (h*224)//greatest(w, h) END AS oh, " +
+        "greatest(w, h) > 224 AS ds FROM d) " +
+        "SELECT kind, COUNT(*) AS n, " +
+        "CAST(SUM(CASE WHEN ds THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_downscaled, " +
+        "CAST(SUM(ow*oh*3) AS BIGINT) AS sum_out_bytes, " +
+        "MIN(ow) AS min_out_w, MAX(oh) AS max_out_h " +
+        "FROM r GROUP BY kind ORDER BY kind")),
+
     "q_multimodal_join" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "documents")

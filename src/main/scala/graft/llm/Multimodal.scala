@@ -69,4 +69,38 @@ object Multimodal {
       }
     }
   }
+
+  /** Resize output record: input geometry → output geometry fitted to a
+    * target box, plus the byte size the resized payload would occupy
+    * (out_w·out_h·channels).
+    */
+  case class ResizedMedia(media_id: Long, kind: String, width: Int,
+      height: Int, out_w: Int, out_h: Int, downscaled: Boolean,
+      out_bytes: Long)
+
+  /** Aspect-preserving resize-to-fit — the third mapInPandas-shaped
+    * batch stage (decode → features → RESIZE → frame-sample): scales
+    * the longer edge down to `box`, never upscales, and keeps the
+    * aspect ratio in pure integer math (floor(d·box/max(w,h)) — exact
+    * in Long, so the plan is deterministic and the DuckDB oracle can
+    * replay it with `//`). In production the same per-partition pass
+    * transforms the payload bytes; the stub stage emits the exact
+    * output geometry + byte size that transform would produce.
+    */
+  def resizePlan(features: Dataset[MediaFeatures], box: Int)
+      : Dataset[ResizedMedia] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.mapPartitions { rows =>
+      rows.map { f =>
+        val mx = math.max(f.width, f.height)
+        val (ow, oh) =
+          if (mx <= box) (f.width, f.height)
+          else ((f.width.toLong * box / mx).toInt,
+            (f.height.toLong * box / mx).toInt)
+        ResizedMedia(f.media_id, f.kind, f.width, f.height, ow, oh,
+          mx > box, ow.toLong * oh * f.channels)
+      }
+    }
+  }
 }

@@ -699,6 +699,31 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTest {
     again.map(f => (f.width, f.height, f.checksum)) shouldBe
       feats.map(f => (f.width, f.height, f.checksum))
   }
+
+  test("resize plan: fits the box, never upscales, keeps aspect within " +
+      "floor error, sizes the output payload exactly") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val box = 224
+    val rs = Multimodal.resizePlan(
+      Multimodal.extractFeatures(Multimodal.asMedia(docs)), box).collect()
+    rs.nonEmpty shouldBe true
+    rs.exists(_.downscaled) shouldBe true
+    rs.foreach { r =>
+      if (r.downscaled) {
+        math.max(r.out_w, r.out_h) shouldBe box
+        // floor error bound: |ow/oh − w/h| comes only from two floors
+        math.abs(r.out_w.toLong * r.height - r.out_h.toLong * r.width)
+          .toDouble should be <= math.max(r.width, r.height).toDouble
+      } else {
+        r.out_w shouldBe r.width
+        r.out_h shouldBe r.height
+      }
+      r.out_w should be <= r.width
+      r.out_h should be <= r.height
+      r.out_bytes shouldBe r.out_w.toLong * r.out_h * 3
+    }
+  }
 }
 
 class CdcLawSpec extends AnyFunSuite with Matchers with SparkTest {
