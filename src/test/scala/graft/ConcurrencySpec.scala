@@ -1,0 +1,60 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Concurrent-session correctness: a production cluster serves MANY
+  * queries on one SparkSession at once, so the engine's shared state —
+  * the [[Tables]] per-session memo, the [[ops.Caches]] release bag (a
+  * global: one query's post-run drain may unpersist a cache another
+  * in-flight query is still reading), persisted mid-frames, the ranged
+  * GlobalOrder caches — must stay CORRECT under interleaving. Losing a
+  * cache mid-read is allowed to cost recompute (Spark falls back to
+  * lineage), never wrong rows.
+  *
+  * The probe: a family-spanning query set runs sequentially for the
+  * baseline, then twice concurrently on a small pool WITH per-query
+  * drains (the Verify/Bench discipline, now racing), and every result
+  * must match the baseline row-for-row. All chosen queries end in a
+  * total ORDER BY, so plain ordered row comparison is exact.
+  */
+class ConcurrencySpec extends AnyFunSuite with Matchers with SparkTest {
+  private val sf = "/root/testdata/sf0.001"
+
+  // spans: persisted shared frames (tpch q15/q20, pagerank), ranged
+  // caches (equal-occupancy), broadcast+window+agg families, semi/anti
+  private val names = Seq(
+    "q_tpch_q15", "q_tpch_q20", "q_tpch_q21", "q_graph_pagerank",
+    "q_hic_bh", "q_hic_equal_occupancy", "q_join_broadcast",
+    "q_win_rank", "q_agg_cube", "q_dedup_exact", "q_text_tfidf",
+    "q_events_sessionize")
+
+  private def rows(name: String): Seq[String] = {
+    val out = Registry.all(name).fn(spark, sf).collect().map(_.toString).toSeq
+    ops.Caches.drain()
+    out
+  }
+
+  test("12 family-spanning queries under a 4-thread race equal their " +
+      "sequential baselines, twice") {
+    val baseline = names.map(n => n -> rows(n)).toMap
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      for (round <- 1 to 2) {
+        val futs = scala.util.Random.shuffle(names).map { n =>
+          Future(n -> rows(n))
+        }
+        val got = Await.result(Future.sequence(futs), Duration.Inf).toMap
+        names.foreach { n =>
+          withClue(s"round $round, $n: ") { got(n) shouldBe baseline(n) }
+        }
+      }
+    } finally pool.shutdown()
+  }
+}
