@@ -172,6 +172,45 @@ object Relational {
         "FROM events WHERE event_type IN ('click','purchase') " +
         "GROUP BY event_type ORDER BY event_type")),
 
+    "q_sink_partition_overwrite" -> Q(
+      (spark, dir) => {
+        // DYNAMIC partition overwrite — the nightly partition-correction
+        // op: the base table is partitioned by event_type; a correction
+        // batch carrying ONLY the 'click' partition (values doubled)
+        // overwrites in dynamic mode, so every untouched partition
+        // survives WITHOUT a rewrite (static mode would truncate the
+        // whole table first). At 100 TB this is replace-one-partition,
+        // never rewrite-the-table. The read-back aggregate covers ALL
+        // partitions, so a clobbered one breaks the oracle (which
+        // replays the correction as a CASE over the ORIGINAL events).
+        val out = graft.io.Scratch.sub("sink_dynpart")
+        val ev = Tables(spark, dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        try {
+          spark.conf.set(key, "dynamic")
+          ev.filter(col("event_type") === "click")
+            .withColumn("value", col("value") * 2)
+            .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        spark.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(Cols.cents(col("value"))).as("sum_value_c"))
+          .select(col("event_type"), col("n"),
+            (col("sum_value_c").cast("double") / 100.0).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(CAST(ROUND((CASE WHEN event_type = 'click' " +
+        "THEN value * 2 ELSE value END)*100,0) AS BIGINT)) AS BIGINT) " +
+        "AS DOUBLE)/100.0 AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     "q_sink_orc" -> Q(
       (spark, dir) => {
         // ORC round-trip (the other columnar interchange format): write,

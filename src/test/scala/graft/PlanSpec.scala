@@ -523,6 +523,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     ops.Caches.drain()
   }
 
+  test("dynamic partition overwrite touches ONLY the delta's partitions " +
+      "(other partitions' files are byte-identical, not rewritten)") {
+    import org.apache.spark.sql.functions.col
+    val out = io.Scratch.sub("dynpart_files")
+    val ev = Tables(spark, sf, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    def files(pt: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$out/event_type=$pt")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val viewBefore = files("view")
+    val clickBefore = files("click")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    try ev.filter(col("event_type") === "click")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally spark.conf.unset(key)
+    files("view") shouldBe viewBefore // untouched, same files + mtimes
+    files("click") should not be clickBefore // replaced
+  }
+
   test("tpch q8: part slice prunes the fact; all six dims broadcast") {
     val p = plan("q_tpch_q8")
     "BroadcastHashJoin".r.findAllIn(p).size should be >= 6
