@@ -153,6 +153,82 @@ object Warehouse {
     survivors.unionByName(upserted)
   }
 
+  /** Open-interval sentinel for SCD2 rows: 9999-01-01T00:00Z in µs.
+    * A literal (not MaxValue) so the DuckDB oracle can write the same
+    * BIGINT and interval arithmetic never overflows.
+    */
+  private[graft] val Scd2OpenUs = 253402300800000000L
+
+  /** SCD2 (type-2 history) variant of [[applyCdcFull]]: instead of
+    * replacing rows, the merge CLOSES the current version of every
+    * effectively-changed key (valid_to ← the winning op's commit time)
+    * and OPENS a new version for updates — deletes close without
+    * opening. Base rows are (key, name, bal_c, vf_us, vt_us) with open
+    * versions at vt_us = [[Scd2OpenUs]]; history rows of changed keys
+    * pass through labeled `history`.
+    *
+    * Replay/out-of-order guard: an op only applies when its commit time
+    * is NEWER than the key's history BOUNDARY — the open version's
+    * valid_from, or for a fully-closed (deleted) key its latest close
+    * time — so replaying a batch is a strict no-op (everything `kept`),
+    * a late stale batch cannot corrupt history, and a genuinely later
+    * re-insert of a deleted key still applies. The monotone discipline
+    * the rest of the CDC family pins via replay laws (Scd2 laws in
+    * CdcLawSpec: current-projection ≡ [[applyCdcFull]], replay
+    * idempotence, interval sanity).
+    *
+    * 100 TB shape (the family contract): the base never shuffles as a
+    * whole — the untouched anti and close join are narrow scans against
+    * changeset-bounded broadcast builds; the boundary probe semi-filters
+    * the base to the CHANGED keys and partial-aggregates map-side, so
+    * only changeset-bounded partials move. Two hash exchanges total:
+    * the changeset's per-key window + the bounded boundary aggregate.
+    */
+  private[graft] def applyCdcScd2(base: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame,
+      maxBroadcastKeys: Long = 1L << 22)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("key")
+      .orderBy(desc("tus"), desc("event_id"))
+    val latest = Caches.register(changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("key", "tus", "op", "new_name", "new_bal_c")
+      .persist())
+    val side = cdcSide(changes, maxBroadcastKeys)
+    // the changed keys' history boundary (open version → vf; closed
+    // versions → vt, so a replayed DELETE is recognized): base STREAMS
+    // through a broadcast semi probe and partial-aggregates map-side;
+    // the (changeset-bounded) result broadcasts into the guard
+    val bound = Caches.register(base
+      .join(side(latest.select("key")), Seq("key"), "left_semi")
+      .groupBy("key")
+      .agg(max(when(col("vt_us") === Scd2OpenUs, col("vf_us"))
+        .otherwise(col("vt_us"))).as("boundary"))
+      .persist())
+    val eff = Caches.register(latest
+      .join(side(bound), Seq("key"), "left")
+      .filter(col("boundary").isNull || col("tus") > col("boundary"))
+      .select("key", "tus", "op", "new_name", "new_bal_c")
+      .persist())
+    val untouched = base
+      .join(side(eff.select("key")), Seq("key"), "left_anti")
+      .select(col("key"), col("name"), col("bal_c"), col("vf_us"),
+        col("vt_us"), lit("kept").as("action"))
+    val closed = base
+      .join(side(eff.select("key", "tus")), Seq("key"))
+      .select(col("key"), col("name"), col("bal_c"), col("vf_us"),
+        when(col("vt_us") === Scd2OpenUs, col("tus"))
+          .otherwise(col("vt_us")).as("vt_us"),
+        when(col("vt_us") === Scd2OpenUs, lit("closed"))
+          .otherwise(lit("history")).as("action"))
+    val opened = eff.filter(col("op") === "U")
+      .select(col("key"), col("new_name").as("name"),
+        col("new_bal_c").as("bal_c"), col("tus").as("vf_us"),
+        lit(Scd2OpenUs).as("vt_us"), lit("opened").as("action"))
+    untouched.unionByName(closed).unionByName(opened)
+  }
+
   /** The events-derived changeset feeding q_warehouse_merge_cdc (and
     * CdcLawSpec's split fixtures): user_id keys, every 11th key a
     * DELETE, every 7th-residue-3 key shifted out of the base domain so
@@ -828,6 +904,63 @@ object Warehouse {
         "THEN 'updated' ELSE 'inserted' END AS action " +
         "FROM latest l WHERE l.op = 'U' " +
         "ORDER BY key, action")),
+
+    "q_warehouse_merge_scd2" -> Q(
+      (spark, dir) => {
+        // SCD2 MERGE — type-2 history maintenance under the same CDC
+        // feed: changed keys' current versions CLOSE at the winning
+        // op's commit time, updates OPEN a new version, deletes close
+        // without opening, untouched rows pass through. Base bootstrap:
+        // the customer snapshot as all-open versions from t=0. Same
+        // base-never-shuffles plan as the upsert family (PlanSpec);
+        // replay is a strict no-op via the tus > cur_vf guard.
+        applyCdcScd2(
+          cdcBase(spark, dir)
+            .withColumn("vf_us", lit(0L))
+            .withColumn("vt_us", lit(Scd2OpenUs)),
+          cdcChangesFullFrom(Tables(spark, dir, "events")))
+          .orderBy("key", "vf_us", "action")
+      },
+      Some("WITH ch AS (SELECT CASE WHEN user_id % 7 = 3 " +
+        "THEN user_id + 2000000 ELSE user_id END AS key, " +
+        "epoch_us(ts) AS tus, event_id, " +
+        "CASE WHEN user_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "COALESCE(TRY_CAST(NULLIF(regexp_extract(props, " +
+        "'\"k\": (\\d+)', 1), '') AS BIGINT), 0) AS new_bal_c, " +
+        "'ev' || CAST(event_id AS VARCHAR) AS new_name " +
+        "FROM events), " +
+        "latest AS (SELECT key, tus, op, new_name, new_bal_c FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY key " +
+        "ORDER BY tus DESC, event_id DESC) AS rn FROM ch) WHERE rn = 1), " +
+        "base AS (SELECT c_custkey AS key, c_name AS name, " +
+        "CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_c, " +
+        "CAST(0 AS BIGINT) AS vf_us, " +
+        "CAST(253402300800000000 AS BIGINT) AS vt_us FROM customer), " +
+        // the effectiveness guard: ops at or before the key's history
+        // boundary (open vf / latest close vt) are skipped — replay and
+        // out-of-order protection, deleted keys included
+        "cur AS (SELECT b.key, MAX(CASE WHEN b.vt_us = " +
+        "253402300800000000 THEN b.vf_us ELSE b.vt_us END) AS boundary " +
+        "FROM base b WHERE EXISTS " +
+        "(SELECT 1 FROM latest l WHERE l.key = b.key) GROUP BY b.key), " +
+        "eff AS (SELECT l.* FROM latest l LEFT JOIN cur " +
+        "ON l.key = cur.key WHERE cur.boundary IS NULL " +
+        "OR l.tus > cur.boundary) " +
+        "SELECT key, name, bal_c, vf_us, vt_us, 'kept' AS action " +
+        "FROM base WHERE NOT EXISTS " +
+        "(SELECT 1 FROM eff WHERE eff.key = base.key) " +
+        "UNION ALL " +
+        "SELECT b.key, b.name, b.bal_c, b.vf_us, " +
+        "CASE WHEN b.vt_us = 253402300800000000 THEN e.tus " +
+        "ELSE b.vt_us END AS vt_us, " +
+        "CASE WHEN b.vt_us = 253402300800000000 THEN 'closed' " +
+        "ELSE 'history' END AS action " +
+        "FROM base b JOIN eff e ON b.key = e.key " +
+        "UNION ALL " +
+        "SELECT key, new_name AS name, new_bal_c AS bal_c, " +
+        "tus AS vf_us, CAST(253402300800000000 AS BIGINT) AS vt_us, " +
+        "'opened' AS action FROM eff WHERE op = 'U' " +
+        "ORDER BY key, vf_us, action")),
 
     "q_scd2_props" -> Q(
       (spark, dir) => {

@@ -828,4 +828,71 @@ class CdcLawSpec extends AnyFunSuite with Matchers with SparkTest {
       .filter(col("count") > 1).count() shouldBe 0L
     graft.ops.Caches.drain()
   }
+
+  private def scd2Base = Warehouse.cdcBase(spark, dir)
+    .withColumn("vf_us", org.apache.spark.sql.functions.lit(0L))
+    .withColumn("vt_us",
+      org.apache.spark.sql.functions.lit(Warehouse.Scd2OpenUs))
+
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("key", "name", "bal_c", "vf_us", "vt_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+
+  test("scd2 current-projection law: the open versions equal the " +
+      "full-column upsert's surviving rows") {
+    val changes = Warehouse.cdcChangesFullFrom(graft.Tables(spark, dir,
+      "events"))
+    val hist = Warehouse.applyCdcScd2(scd2Base, changes)
+    val current = hist.filter(col("vt_us") === Warehouse.Scd2OpenUs)
+      .select("key", "name", "bal_c").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val upsert = Warehouse
+      .applyCdcFull(Warehouse.cdcBase(spark, dir), changes)
+      .select("key", "name", "bal_c").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    current shouldBe upsert
+    graft.ops.Caches.drain()
+  }
+
+  test("scd2 replay is a strict no-op: every row kept, history identical") {
+    val changes = Warehouse.cdcChangesFullFrom(graft.Tables(spark, dir,
+      "events"))
+    val once = Warehouse.applyCdcScd2(scd2Base, changes)
+    val replay = Warehouse.applyCdcScd2(
+      once.select("key", "name", "bal_c", "vf_us", "vt_us"), changes)
+    replay.filter(col("action") =!= "kept").count() shouldBe 0L
+    scd2Rows(replay) shouldBe scd2Rows(once)
+    graft.ops.Caches.drain()
+  }
+
+  test("scd2 interval sanity: versions nest without overlap, closes " +
+      "pair with opens") {
+    val changes = Warehouse.cdcChangesFullFrom(graft.Tables(spark, dir,
+      "events"))
+    val hist = Warehouse.applyCdcScd2(scd2Base, changes)
+    val rows = hist.select("key", "vf_us", "vt_us", "action").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    rows.foreach { case (_, vf, vt, _) => vf should be < vt }
+    // at most one open version per key; closed-by-update rows abut the
+    // version that replaced them (vt == successor vf)
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      vs.count(_._3 == Warehouse.Scd2OpenUs) should be <= 1
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, vt1, _), (_, vf2, _, _)) => vt1 shouldBe vf2
+        case _ =>
+      }
+    }
+    // every opened row was preceded by a close of the same key at the
+    // same instant (bootstrap keys) or is a brand-new key
+    val byAction = rows.groupBy(_._4)
+    byAction("opened").foreach { case (k, vf, _, _) =>
+      val closes = byAction.getOrElse("closed", Array.empty)
+        .filter(c => c._1 == k && c._3 == vf)
+      val isNewKey = !rows.exists(r => r._1 == k && r._4 != "opened")
+      (closes.nonEmpty || isNewKey) shouldBe true
+    }
+    graft.ops.Caches.drain()
+  }
 }

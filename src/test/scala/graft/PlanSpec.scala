@@ -363,6 +363,20 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include("InMemoryTableScan")
   }
 
+  test("scd2 merge keeps the family's base-never-shuffles shape") {
+    val p = plan("q_warehouse_merge_scd2")
+    // untouched anti + close join + boundary probe + guard join all
+    // broadcast off the changeset; two hash exchanges total — the
+    // changeset's per-key window and the boundary aggregate over the
+    // semi-filtered (changeset-bounded, map-side-combined) partials
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    val exchangeIds = "Exchange hashpartitioning.*?plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    exchangeIds.size shouldBe 2
+    p should include("InMemoryTableScan")
+  }
+
   test("persisted pq search: no training/encode stage, no corpus embedding scan") {
     // build the index first (separate job), then inspect the SEARCH plan
     Registry.all("q_sim_ann_pq_persisted").fn(spark, sf).count()
