@@ -248,8 +248,13 @@ object Warehouse {
         .otherwise(col("user_id")).as("key"),
       Cols.epochUs(col("ts")).as("tus"), col("event_id"),
       when(col("user_id") % 11 === 0, "D").otherwise("U").as("op"),
-      coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
-        .cast("long"), lit(0L)).as("new_bal_c"))
+      // NULLIF before the cast: on a props payload WITHOUT "k" (e.g. the
+      // CLI's rate source) regexp_extract yields "" and an ANSI cast of
+      // "" to BIGINT is a runtime error, not NULL — the oracle's
+      // TRY_CAST(NULLIF(...)) twin has always guarded this; the Spark
+      // side must too
+      coalesce(nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1),
+        lit("")).cast("long"), lit(0L)).as("new_bal_c"))
 
   /** Full-column changeset: [[cdcChangesFrom]] plus a per-op
     * replacement name — every writable column present, the

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * Usage (all flags optional):
   *   runMain graft.stream.StreamMain
   *     [--logic tumbling|sliding|session|dedup|join|join_outer|
-  *       join_full|join_right|marginals|ema|spline|cdc]
+  *       join_full|join_right|marginals|ema|spline|cdc|scd2]
   *     [--source rate|files] [--dir /root/testdata/sf0.001]
   *     [--sink console|parquet] [--out outDir]
   *     [--watermark "10 seconds"] [--timeout-sec 30]
@@ -159,16 +159,20 @@ object StreamMain {
           "org.apache.spark.sql.execution.streaming.state" +
             ".RocksDBStateStoreProvider")
         (TwsEma.emaStream(events).toDF(), "update")
-      case "cdc" =>
+      case "cdc" | "scd2" =>
         // incremental CDC apply: each micro-batch's keyed ops merge into
         // the running dimension state via ops.Warehouse.applyCdc — the
         // sequencing law (CdcLawSpec) makes this fold equal a one-shot
-        // apply of the full feed. State lives as a VERSIONED parquet
-        // table (write the next version, then swap the pointer — a
-        // reader of version N is never raced by the batch producing
-        // N+1), seeded from the batch base table.
+        // apply of the full feed. `scd2` applies applyCdcScd2 instead:
+        // the state is the full type-2 HISTORY (close/open versions, the
+        // monotone boundary guard making micro-batch replays no-ops).
+        // State lives as a VERSIONED parquet table (write the next
+        // version, then swap the pointer — a reader of version N is
+        // never raced by the batch producing N+1), seeded from the
+        // batch base table.
+        val isScd2 = logic == "scd2"
         val stateBase =
-          if (out.nonEmpty) out else graft.io.Scratch.sub("cdc_state")
+          if (out.nonEmpty) out else graft.io.Scratch.sub(s"${logic}_state")
         // a durable --out directory may hold a PRIOR run's state:
         // silently re-seeding v0 over it would orphan that history —
         // resume the version counter past it instead of overwriting
@@ -179,18 +183,27 @@ object StreamMain {
         var stateV = if (prior.isEmpty) 0 else prior.max + 1
         val seedV = stateV
         if (stateV > 0)
-          println(s"[cdc] resuming past prior state v${prior.max} " +
+          println(s"[$logic] resuming past prior state v${prior.max} " +
             s"in $stateBase: seeding v$stateV")
         var statePath = s"$stateBase/v$stateV"
-        graft.ops.Warehouse.cdcBase(spark, dir)
+        val seed = graft.ops.Warehouse.cdcBase(spark, dir)
+        (if (isScd2)
+          seed.withColumn("vf_us", lit(0L))
+            .withColumn("vt_us", lit(graft.ops.Warehouse.Scd2OpenUs))
+        else seed)
           .withColumn("action", lit("kept"))
           .write.mode("overwrite").parquet(statePath)
         val q = events.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            val next = graft.ops.Warehouse.applyCdc(
-              spark.read.parquet(statePath)
-                .select("key", "name", "bal_c"),
-              graft.ops.Warehouse.cdcChangesFrom(batch))
+            val next =
+              if (isScd2) graft.ops.Warehouse.applyCdcScd2(
+                spark.read.parquet(statePath)
+                  .select("key", "name", "bal_c", "vf_us", "vt_us"),
+                graft.ops.Warehouse.cdcChangesFullFrom(batch))
+              else graft.ops.Warehouse.applyCdc(
+                spark.read.parquet(statePath)
+                  .select("key", "name", "bal_c"),
+                graft.ops.Warehouse.cdcChangesFrom(batch))
             stateV += 1
             val nextPath = s"$stateBase/v$stateV"
             next.write.mode("overwrite").parquet(nextPath)
@@ -205,7 +218,7 @@ object StreamMain {
             val acts = spark.read.parquet(nextPath)
               .groupBy("action").count().collect()
               .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
-            println(s"[cdc] batch $id -> $nextPath: ${acts.mkString(" ")}")
+            println(s"[$logic] batch $id -> $nextPath: ${acts.mkString(" ")}")
             graft.ops.Caches.drain()
           }
           .option("checkpointLocation", graft.io.Scratch.sub("cdc_ckpt"))
