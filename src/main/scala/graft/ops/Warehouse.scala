@@ -229,6 +229,46 @@ object Warehouse {
     untouched.unionByName(closed).unionByName(opened)
   }
 
+  /** One streaming fold step of [[applyCdcScd2]] over COMPACT state —
+    * the long-running-stream shape: the full type-2 history grows
+    * without bound, so rewriting it per micro-batch is O(history) per
+    * batch; instead the fold carries only the open versions plus ONE
+    * tombstone per fully-closed key (its latest closed version — the
+    * row carrying the monotone guard's boundary), and each batch's
+    * newly-closed versions stream to an APPEND-ONLY history log.
+    * Correctness: intervals abut (an open version's vf equals the
+    * previous close's vt), so the compact rows carry exactly the same
+    * per-key boundary as the full history — the guard, and therefore
+    * the fold, behaves identically (CdcLawSpec reconstruction law:
+    * append-log ∪ final open rows ≡ the full-history fold).
+    *
+    * Returns (nextCompact, closedThisBatch): persist/write the first
+    * as the next state version, append the second to the log. Both are
+    * key-bounded / changeset-bounded — nothing history-sized moves.
+    */
+  private[graft] def applyCdcScd2Compact(
+      compact: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame,
+      maxBroadcastKeys: Long = 1L << 22)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val out = Caches.register(
+      applyCdcScd2(compact, changes, maxBroadcastKeys).persist())
+    val cols = Seq("key", "name", "bal_c", "vf_us", "vt_us")
+    val closedNow = out.filter(col("action") === "closed")
+      .select(cols.head, cols.tail: _*)
+    val open = out.filter(col("vt_us") === Scd2OpenUs)
+      .select(cols.head, cols.tail: _*)
+    // tombstone = the latest-closed version of each key with NO open
+    // version (deleted keys): bounded by key cardinality, never by ops
+    val wT = Window.partitionBy("key").orderBy(desc("vt_us"), desc("vf_us"))
+    val tomb = out.filter(col("vt_us") =!= Scd2OpenUs)
+      .join(open.select("key"), Seq("key"), "left_anti")
+      .withColumn("rn", row_number().over(wT))
+      .filter(col("rn") === 1)
+      .select(cols.head, cols.tail: _*)
+    (open.unionByName(tomb), closedNow)
+  }
+
   /** The events-derived changeset feeding q_warehouse_merge_cdc (and
     * CdcLawSpec's split fixtures): user_id keys, every 11th key a
     * DELETE, every 7th-residue-3 key shifted out of the base domain so

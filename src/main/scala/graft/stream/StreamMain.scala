@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   * Usage (all flags optional):
   *   runMain graft.stream.StreamMain
   *     [--logic tumbling|sliding|session|dedup|join|join_outer|
-  *       join_full|join_right|marginals|ema|spline|cdc|scd2]
+  *       join_full|join_right|marginals|ema|spline|cdc|scd2|
+  *       scd2_compact]
   *     [--source rate|files] [--dir /root/testdata/sf0.001]
   *     [--sink console|parquet] [--out outDir]
   *     [--watermark "10 seconds"] [--timeout-sec 30]
@@ -159,18 +160,24 @@ object StreamMain {
           "org.apache.spark.sql.execution.streaming.state" +
             ".RocksDBStateStoreProvider")
         (TwsEma.emaStream(events).toDF(), "update")
-      case "cdc" | "scd2" =>
+      case "cdc" | "scd2" | "scd2_compact" =>
         // incremental CDC apply: each micro-batch's keyed ops merge into
         // the running dimension state via ops.Warehouse.applyCdc — the
         // sequencing law (CdcLawSpec) makes this fold equal a one-shot
         // apply of the full feed. `scd2` applies applyCdcScd2 instead:
         // the state is the full type-2 HISTORY (close/open versions, the
-        // monotone boundary guard making micro-batch replays no-ops).
+        // monotone boundary guard making micro-batch replays no-ops) —
+        // simple, but the per-batch state rewrite grows with history.
+        // `scd2_compact` is the long-running production shape: state
+        // carries only open versions + per-key tombstones (key-bounded),
+        // each batch's newly-closed versions APPEND to
+        // <state>/history/ (reconstruction law in CdcLawSpec).
         // State lives as a VERSIONED parquet table (write the next
         // version, then swap the pointer — a reader of version N is
         // never raced by the batch producing N+1), seeded from the
         // batch base table.
-        val isScd2 = logic == "scd2"
+        val isScd2 = logic.startsWith("scd2")
+        val isCompact = logic == "scd2_compact"
         val stateBase =
           if (out.nonEmpty) out else graft.io.Scratch.sub(s"${logic}_state")
         // a durable --out directory may hold a PRIOR run's state:
@@ -196,7 +203,18 @@ object StreamMain {
         val q = events.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val next =
-              if (isScd2) graft.ops.Warehouse.applyCdcScd2(
+              if (isCompact) {
+                val (nc, closedNow) = graft.ops.Warehouse
+                  .applyCdcScd2Compact(
+                    spark.read.parquet(statePath)
+                      .select("key", "name", "bal_c", "vf_us", "vt_us"),
+                    graft.ops.Warehouse.cdcChangesFullFrom(batch))
+                closedNow.write.mode("append")
+                  .parquet(s"$stateBase/history")
+                nc.withColumn("action",
+                  when(col("vt_us") === graft.ops.Warehouse.Scd2OpenUs,
+                    "open").otherwise("tombstone"))
+              } else if (isScd2) graft.ops.Warehouse.applyCdcScd2(
                 spark.read.parquet(statePath)
                   .select("key", "name", "bal_c", "vf_us", "vt_us"),
                 graft.ops.Warehouse.cdcChangesFullFrom(batch))

@@ -866,6 +866,31 @@ class CdcLawSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.ops.Caches.drain()
   }
 
+  test("compact scd2 fold + append-only log reconstructs the " +
+      "full-history fold") {
+    val changes = Warehouse.cdcChangesFullFrom(graft.Tables(spark, dir,
+      "events"))
+    val cut = changes.agg(
+      org.apache.spark.sql.functions.expr("percentile_approx(tus, 0.5)"))
+      .head().getLong(0)
+    val day1 = changes.filter(col("tus") <= cut)
+    val day2 = changes.filter(col("tus") > cut)
+    day1.count() should be > 0L
+    day2.count() should be > 0L
+    val cols = Seq("key", "name", "bal_c", "vf_us", "vt_us")
+    val full = Warehouse.applyCdcScd2(
+      Warehouse.applyCdcScd2(scd2Base, day1)
+        .select(cols.head, cols.tail: _*), day2)
+    val (c1, log1) = Warehouse.applyCdcScd2Compact(scd2Base, day1)
+    val (c2, log2) = Warehouse.applyCdcScd2Compact(c1, day2)
+    // the compact state is key-bounded: open rows + tombstones only
+    c2.count() should be < full.count()
+    val recon = log1.unionByName(log2)
+      .unionByName(c2.filter(col("vt_us") === Warehouse.Scd2OpenUs))
+    scd2Rows(recon) shouldBe scd2Rows(full)
+    graft.ops.Caches.drain()
+  }
+
   test("scd2 interval sanity: versions nest without overlap, closes " +
       "pair with opens") {
     val changes = Warehouse.cdcChangesFullFrom(graft.Tables(spark, dir,
