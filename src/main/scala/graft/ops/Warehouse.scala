@@ -1007,6 +1007,76 @@ object Warehouse {
         "'opened' AS action FROM eff WHERE op = 'U' " +
         "ORDER BY key, vf_us, action")),
 
+    "q_warehouse_merge_scd2_incremental" -> Q(
+      (spark, dir) => {
+        // two-day INCREMENTAL scd2 via the COMPACT fold: day-split
+        // changesets fold through applyCdcScd2Compact (bounded state +
+        // append-only log); the output is the RECONSTRUCTED history
+        // (log ∪ final open rows). The oracle independently replays the
+        // FULL-history two-day fold in SQL, so the hash match proves
+        // compact ≡ full cross-engine — the reconstruction law with
+        // DuckDB as the referee. Fixed literal cut (2024-01-16T00Z in
+        // µs), never a percentile (approx quantiles differ by engine).
+        val changes = cdcChangesFullFrom(Tables(spark, dir, "events"))
+        val cut = 1705363200000000L
+        val day1 = changes.filter(col("tus") <= cut)
+        val day2 = changes.filter(col("tus") > cut)
+        val base = cdcBase(spark, dir)
+          .withColumn("vf_us", lit(0L))
+          .withColumn("vt_us", lit(Scd2OpenUs))
+        val (c1, log1) = applyCdcScd2Compact(base, day1)
+        val (c2, log2) = applyCdcScd2Compact(c1, day2)
+        log1.unionByName(log2)
+          .unionByName(c2.filter(col("vt_us") === Scd2OpenUs))
+          .orderBy("key", "vf_us")
+      },
+      Some("WITH ch AS (SELECT CASE WHEN user_id % 7 = 3 " +
+        "THEN user_id + 2000000 ELSE user_id END AS key, " +
+        "epoch_us(ts) AS tus, event_id, " +
+        "CASE WHEN user_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "COALESCE(TRY_CAST(NULLIF(regexp_extract(props, " +
+        "'\"k\": (\\d+)', 1), '') AS BIGINT), 0) AS new_bal_c, " +
+        "'ev' || CAST(event_id AS VARCHAR) AS new_name " +
+        "FROM events), " +
+        "w1 AS (SELECT key, tus, op, new_name, new_bal_c FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY key " +
+        "ORDER BY tus DESC, event_id DESC) AS rn FROM ch " +
+        "WHERE tus <= 1705363200000000) WHERE rn = 1), " +
+        "base AS (SELECT c_custkey AS key, c_name AS name, " +
+        "CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_c, " +
+        "CAST(0 AS BIGINT) AS vf_us, " +
+        "CAST(253402300800000000 AS BIGINT) AS vt_us FROM customer), " +
+        // day 1: bootstrap boundaries are all 0 < any tus, so every
+        // day-1 winner is effective
+        "s1 AS (SELECT key, name, bal_c, vf_us, vt_us FROM base " +
+        "WHERE key NOT IN (SELECT key FROM w1) " +
+        "UNION ALL SELECT b.key, b.name, b.bal_c, b.vf_us, " +
+        "w.tus AS vt_us FROM base b JOIN w1 w ON b.key = w.key " +
+        "UNION ALL SELECT key, new_name, new_bal_c, tus, " +
+        "CAST(253402300800000000 AS BIGINT) FROM w1 WHERE op = 'U'), " +
+        "w2 AS (SELECT key, tus, op, new_name, new_bal_c FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY key " +
+        "ORDER BY tus DESC, event_id DESC) AS rn FROM ch " +
+        "WHERE tus > 1705363200000000) WHERE rn = 1), " +
+        "cur2 AS (SELECT s.key, MAX(CASE WHEN s.vt_us = " +
+        "253402300800000000 THEN s.vf_us ELSE s.vt_us END) AS boundary " +
+        "FROM s1 s WHERE EXISTS (SELECT 1 FROM w2 WHERE w2.key = s.key) " +
+        "GROUP BY s.key), " +
+        "eff2 AS (SELECT w.* FROM w2 w LEFT JOIN cur2 c " +
+        "ON w.key = c.key WHERE c.boundary IS NULL " +
+        "OR w.tus > c.boundary) " +
+        "SELECT key, name, bal_c, vf_us, vt_us FROM (" +
+        "SELECT key, name, bal_c, vf_us, vt_us FROM s1 " +
+        "WHERE key NOT IN (SELECT key FROM eff2) " +
+        "UNION ALL SELECT s.key, s.name, s.bal_c, s.vf_us, " +
+        "CASE WHEN s.vt_us = 253402300800000000 THEN e.tus " +
+        "ELSE s.vt_us END AS vt_us " +
+        "FROM s1 s JOIN eff2 e ON s.key = e.key " +
+        "UNION ALL SELECT key, new_name AS name, new_bal_c AS bal_c, " +
+        "tus AS vf_us, CAST(253402300800000000 AS BIGINT) AS vt_us " +
+        "FROM eff2 WHERE op = 'U') " +
+        "ORDER BY key, vf_us")),
+
     "q_scd2_props" -> Q(
       (spark, dir) => {
         // SCD2 dimension build (change-data-capture): each user's props.k
