@@ -1025,8 +1025,18 @@ object Warehouse {
           .withColumn("vf_us", lit(0L))
           .withColumn("vt_us", lit(Scd2OpenUs))
         val (c1, log1) = applyCdcScd2Compact(base, day1)
-        val (c2, log2) = applyCdcScd2Compact(c1, day2)
-        log1.unionByName(log2)
+        // lineage cut between folds (the iterative-loop discipline —
+        // BPE/KR do the same): the compact state is key-bounded, so
+        // checkpointing it is cheap, while WITHOUT the cut fold 2's
+        // plan tree nests fold 1's whole tree and driver planning
+        // dominates wall time (measured 18 s warmed at the 8× fixture,
+        // 5.2 s with the cut — two folds, linear in the single-fold
+        // 2.7 s). The streaming CLI gets this for free by writing
+        // state to parquet per batch.
+        val c1ck = Caches.registerCheckpoint(c1.localCheckpoint())
+        val log1ck = Caches.registerCheckpoint(log1.localCheckpoint())
+        val (c2, log2) = applyCdcScd2Compact(c1ck, day2)
+        log1ck.unionByName(log2)
           .unionByName(c2.filter(col("vt_us") === Scd2OpenUs))
           .orderBy("key", "vf_us")
       },
