@@ -20,11 +20,15 @@ import graft.{Q, Tables}
   *     self-join, nothing global.
   */
 object Warehouse {
-  /** Σ l_extendedprice·(1−l_discount) in exact cent·percent units:
-    * price cents × (100 − discount points), both integers.
+  /** Per-row l_extendedprice·(1−l_discount) in exact cent·percent units:
+    * price cents × (100 − discount points), both integers — the signed
+    * delta terms of the IVM view need the row term, not just its sum.
     */
-  private def revenueCp = sum(Cols.cents(col("l_extendedprice")) *
-    (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+  private def revCpRow = Cols.cents(col("l_extendedprice")) *
+    (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+
+  /** Σ [[revCpRow]] — exact, so partial-agg order can't drift it. */
+  private def revenueCp = sum(revCpRow)
   private val revenueCpSql = "SUM(CAST(ROUND(l_extendedprice*100,0) AS " +
     "BIGINT) * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT)))"
   /** cent·percent → currency, one double division (identical shape). */
@@ -311,6 +315,180 @@ object Warehouse {
     Tables(spark, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("name"),
         Cols.cents(col("c_acctbal")).as("bal_c"))
+
+  /** Signed-delta INCREMENTAL maintenance of a JOIN view (the DBSP /
+    * differential-dataflow algebra, batch-shaped): the materialized view
+    * V = γ_custkey(orders ⋈ lineitem) was built over yesterday's data
+    * (orders before `cutLit`, lineitem shipped before it — materialized
+    * to parquet as MV0); today's feed brings order ARRIVALS (o_orderdate
+    * ≥ cut), order RETRACTIONS (every `retractMod`-th old order is
+    * cancelled — the signed case plain insert-only IVM can't express),
+    * and lineitem arrivals (l_shipdate ≥ cut). The bilinearity of ⋈
+    * gives the exact update
+    *
+    *   (A + ΔA) ⋈ (B + ΔB)  =  A⋈B  +  ΔA ⋈ (B + ΔB)  +  A ⋈ ΔB
+    *
+    * with ΔA carrying weight ±1 — so the maintained view is MV0 plus two
+    * delta terms, each joining a DELTA-BOUNDED broadcast side against
+    * ONE narrow base scan, merged by a single mergeable re-aggregation.
+    * A group whose weight reaches zero (fully-cancelled customer) leaves
+    * the view. At 100 TB this is the difference between touching the
+    * day's deltas and re-joining seven years of facts; the oracle
+    * recomputes the view from scratch, so the hash match proves
+    * incremental ≡ recompute (IvmLawSpec re-pins it at shifted cuts, and
+    * the production refinement — maintaining a co-partitioned join
+    * INDEX so ΔA⋈B is a lookup rather than a base scan — changes the
+    * constant, not the algebra).
+    *
+    * Plan contract (PlanSpec): the fact scans never shuffle — both delta
+    * joins are BroadcastHashJoins built from the deltas; the ONE hash
+    * exchange is the final custkey aggregation, map-side-combined over
+    * the three-branch union.
+    */
+  private[graft] def ivmJoinView(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cutLit: String = "1998-01-01", retractMod: Long = 13L)
+      : org.apache.spark.sql.DataFrame = {
+    val cut = Cols.ts(cutLit)
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), revCpRow.as("rev_cp"))
+    val oldOrd = ord.filter(col("o_orderdate") < cut)
+    // "yesterday's" materialized view — the standing parquet table a
+    // nightly job maintains (same stand-in discipline as incr_rollup)
+    val mv0 = graft.io.Scratch.stable("ivm_mv0_" +
+      java.lang.Integer.toHexString((dir, cutLit, retractMod).hashCode))
+    oldOrd.join(li.filter(col("l_shipdate") < cut).drop("l_shipdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_lines"), sum("rev_cp").as("rev_cp"))
+      .write.mode("overwrite").parquet(mv0)
+    // ΔA: today's orders at +1, cancelled old orders at −1
+    val dOrd = ord.filter(col("o_orderdate") >= cut)
+      .withColumn("w", lit(1L))
+      .unionByName(oldOrd.filter(col("o_orderkey") % retractMod === 0)
+        .withColumn("w", lit(-1L)))
+      .select("o_orderkey", "o_custkey", "w")
+    val dLi = li.filter(col("l_shipdate") >= cut).drop("l_shipdate")
+    // ΔA ⋈ (B + ΔB): the FULL lineitem scan probed by the signed order
+    // delta — rows contribute w to the count and w·rev to the revenue
+    val term1 = li.drop("l_shipdate")
+      .join(broadcast(dOrd), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("w").as("n_lines"),
+        (col("w") * col("rev_cp")).as("rev_cp"))
+    // A ⋈ ΔB: the old-orders scan probed by the lineitem delta — A is
+    // the ORIGINAL old set (cancellations are already retracted by
+    // term1's −ΔA ⋈ ΔB part; excluding them here would double-count)
+    val term2 = oldOrd
+      .join(broadcast(dLi), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), lit(1L).as("n_lines"), col("rev_cp"))
+    spark.read.parquet(mv0)
+      .select(col("o_custkey"), col("n_lines"), col("rev_cp"))
+      .unionByName(term1).unionByName(term2)
+      .groupBy("o_custkey")
+      .agg(sum("n_lines").as("n_lines"), sum("rev_cp").as("rev_cp"))
+      .filter(col("n_lines") > 0)
+      .select(col("o_custkey"), col("n_lines"),
+        asMoney(col("rev_cp")).as("revenue"))
+      .orderBy("o_custkey")
+  }
+
+  /** From-scratch recompute of [[ivmJoinView]]'s final state — the law
+    * twin IvmLawSpec compares against at shifted cuts and retract
+    * moduli (the declared query's oracle is the same recompute in
+    * DuckDB at the default parameters).
+    */
+  private[graft] def ivmJoinRecompute(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cutLit: String = "1998-01-01", retractMod: Long = 13L)
+      : org.apache.spark.sql.DataFrame = {
+    val cut = Cols.ts(cutLit)
+    Tables(spark, dir, "orders")
+      .filter(!(col("o_orderdate") < cut &&
+        col("o_orderkey") % retractMod === 0))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), revCpRow.as("rev_cp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_lines"), sum("rev_cp").as("rev_cp"))
+      .select(col("o_custkey"), col("n_lines"),
+        asMoney(col("rev_cp")).as("revenue"))
+      .orderBy("o_custkey")
+  }
+
+  private val morWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** MERGE-ON-READ layout build (once per JVM × corpus): the merge job
+    * writes NO base bytes — the base parquet stays immutable and the
+    * CDC changeset lands as two changeset-bounded sidecars: a
+    * key-grained DELETION VECTOR (`dv/` — the invalidated base keys;
+    * file-position DVs are the same idea one indirection lower) and the
+    * replacement rows (`delta/` — the collapsed winning U-rows). This
+    * is the other half of the lakehouse merge design space from
+    * [[applyCdcFull]]'s copy-on-write: write cost O(changeset) instead
+    * of O(base), read cost one reconcile join — the trade Iceberg/Delta
+    * v2 make for high-frequency CDC. CdcLawSpec pins readback ≡
+    * copy-on-write row-for-row, base-file immutability, and compaction
+    * invisibility.
+    */
+  private[graft] def mergeOnReadLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    morWritten.computeIfAbsent(dir + "#mor", { _ =>
+      val out = graft.io.Scratch.stable("mor_" +
+        java.lang.Integer.toHexString(dir.hashCode))
+      cdcBase(spark, dir).write.mode("overwrite").parquet(s"$out/base")
+      val w = Window.partitionBy("key")
+        .orderBy(desc("tus"), desc("event_id"))
+      val latest = cdcChangesFullFrom(Tables(spark, dir, "events"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("key", "op", "new_name", "new_bal_c")
+        .persist()
+      latest.select("key").write.mode("overwrite").parquet(s"$out/dv")
+      latest.filter(col("op") === "U")
+        .select(col("key"), col("new_name").as("name"),
+          col("new_bal_c").as("bal_c"))
+        .write.mode("overwrite").parquet(s"$out/delta")
+      latest.unpersist()
+      out
+    })
+
+  /** The merge-on-read READ path: base scan reconciled against the
+    * sidecars — anti-join the deletion vector (changeset-bounded
+    * broadcast; [[cdcSide]]'s counted fallback covers a degenerate
+    * backfill-sized DV), union the replacement rows. ZERO hash
+    * exchanges (PlanSpec-gated): the base streams through one narrow
+    * broadcast anti probe, exactly what a reconciling scan must cost.
+    */
+  private[graft] def mergeOnReadScan(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      maxBroadcastKeys: Long = 1L << 22)
+      : org.apache.spark.sql.DataFrame = {
+    val dv = spark.read.parquet(s"$root/dv")
+    val side = cdcSide(dv, maxBroadcastKeys)
+    spark.read.parquet(s"$root/base")
+      .join(side(dv), Seq("key"), "left_anti")
+      .unionByName(spark.read.parquet(s"$root/delta"))
+  }
+
+  /** Deferred copy-on-write: fold the sidecars into a rewritten base at
+    * a NEW versioned root (readers of the old root keep intact files —
+    * the index-compaction discipline) with EMPTY sidecars. Readback
+    * must be invisible (CdcLawSpec).
+    */
+  private[graft] def compactMergeOnRead(
+      spark: org.apache.spark.sql.SparkSession, root: String): String = {
+    val out = graft.io.Scratch.sub("mor_compact")
+    mergeOnReadScan(spark, root)
+      .write.mode("overwrite").parquet(s"$out/base")
+    spark.read.parquet(s"$root/dv").limit(0)
+      .write.mode("overwrite").parquet(s"$out/dv")
+    spark.read.parquet(s"$root/delta").limit(0)
+      .write.mode("overwrite").parquet(s"$out/delta")
+    out
+  }
 
   def queries: Map[String, Q] = Map(
     "q_tpch_q3" -> Q(
@@ -1086,6 +1264,56 @@ object Warehouse {
         "tus AS vf_us, CAST(253402300800000000 AS BIGINT) AS vt_us " +
         "FROM eff2 WHERE op = 'U') " +
         "ORDER BY key, vf_us")),
+
+    "q_warehouse_ivm_join" -> Q(
+      (spark, dir) =>
+        // signed-delta incremental JOIN-view maintenance — see
+        // ivmJoinView: MV0 + two delta-broadcast join terms + one
+        // mergeable re-aggregation; arrivals AND retractions. The
+        // oracle recomputes the view from scratch over the final state
+        // (all orders minus the cancelled old ones, all lineitem), so
+        // the hash match proves incremental ≡ recompute cross-engine.
+        ivmJoinView(spark, dir),
+      Some("SELECT o_custkey, COUNT(*) AS n_lines, " +
+        Cols.froundSql(s"CAST($revenueCpSql AS DOUBLE)/10000.0", 4) +
+        " AS revenue " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND o_orderkey % 13 = 0) " +
+        "GROUP BY o_custkey ORDER BY o_custkey")),
+
+    "q_warehouse_merge_dv" -> Q(
+      (spark, dir) => {
+        // MERGE-ON-READ CDC — the deletion-vector half of the merge
+        // design space (applyCdcFull is copy-on-write): the merge job
+        // writes only changeset-bounded sidecars (key-grained DV +
+        // replacement rows), the base parquet is immutable, and THIS —
+        // the read path — reconciles: one broadcast anti probe + union,
+        // zero hash exchanges (PlanSpec). Same final table as the
+        // copy-on-write merge (CdcLawSpec pins it row-for-row), same
+        // oracle reconstruction minus the action labels.
+        mergeOnReadScan(spark, mergeOnReadLayout(spark, dir))
+          .orderBy("key")
+      },
+      Some("WITH ch AS (SELECT CASE WHEN user_id % 7 = 3 " +
+        "THEN user_id + 2000000 ELSE user_id END AS key, " +
+        "epoch_us(ts) AS tus, event_id, " +
+        "CASE WHEN user_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "COALESCE(TRY_CAST(NULLIF(regexp_extract(props, " +
+        "'\"k\": (\\d+)', 1), '') AS BIGINT), 0) AS new_bal_c, " +
+        "'ev' || CAST(event_id AS VARCHAR) AS new_name " +
+        "FROM events), " +
+        "latest AS (SELECT key, op, new_name, new_bal_c FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY key " +
+        "ORDER BY tus DESC, event_id DESC) AS rn FROM ch) WHERE rn = 1), " +
+        "base AS (SELECT c_custkey AS key, c_name AS name, " +
+        "CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_c FROM customer) " +
+        "SELECT key, name, bal_c FROM base " +
+        "WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.key = " +
+        "base.key) " +
+        "UNION ALL SELECT l.key, l.new_name AS name, " +
+        "l.new_bal_c AS bal_c FROM latest l WHERE l.op = 'U' " +
+        "ORDER BY key")),
 
     "q_scd2_props" -> Q(
       (spark, dir) => {

@@ -891,6 +891,39 @@ class CdcLawSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.ops.Caches.drain()
   }
 
+  test("merge-on-read: readback equals the copy-on-write merge, base " +
+      "files are immutable, compaction is invisible") {
+    val root = Warehouse.mergeOnReadLayout(spark, dir)
+    def baseSig = new java.io.File(s"$root/base").listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sorted
+    val sig0 = baseSig
+    sig0 should not be empty
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "name", "bal_c").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+    val mor = all(Warehouse.mergeOnReadScan(spark, root))
+    val cow = all(Warehouse.applyCdcFull(Warehouse.cdcBase(spark, dir),
+      Warehouse.cdcChangesFullFrom(graft.Tables(spark, dir, "events"))))
+    mor shouldBe cow
+    // reading reconciled state never touched a base byte
+    baseSig shouldBe sig0
+    // and the merge job itself wrote only sidecars: every base file
+    // predates the deletion-vector files it reconciles against
+    val dvFiles = new java.io.File(s"$root/dv").listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+    dvFiles should not be empty
+    sig0.map(_._3).max should be <= dvFiles.map(_.lastModified).min
+    // deferred copy-on-write: the compacted root reads identically with
+    // EMPTY sidecars
+    val croot = Warehouse.compactMergeOnRead(spark, root)
+    all(Warehouse.mergeOnReadScan(spark, croot)) shouldBe mor
+    spark.read.parquet(s"$croot/dv").count() shouldBe 0L
+    spark.read.parquet(s"$croot/delta").count() shouldBe 0L
+    graft.ops.Caches.drain()
+  }
+
   test("scd2 interval sanity: versions nest without overlap, closes " +
       "pair with opens") {
     val changes = Warehouse.cdcChangesFullFrom(graft.Tables(spark, dir,
@@ -919,5 +952,37 @@ class CdcLawSpec extends AnyFunSuite with Matchers with SparkTest {
       (closes.nonEmpty || isNewKey) shouldBe true
     }
     graft.ops.Caches.drain()
+  }
+}
+
+/** Laws of the signed-delta incremental join-view maintenance
+  * (Warehouse.ivmJoinView): the maintained state must equal a
+  * from-scratch recompute at ANY cut/retraction parameters (the declared
+  * query's DuckDB oracle pins one point; these pin the algebra), and
+  * groups whose weight drains to zero must leave the view.
+  */
+class IvmLawSpec extends AnyFunSuite with Matchers with SparkTest {
+  import graft.ops.Warehouse
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+
+  test("incremental maintenance equals recompute at shifted cuts and " +
+      "retract rates") {
+    for ((cut, m) <- Seq(("1997-01-01", 7L), ("1996-07-01", 2L))) {
+      val inc = rows(Warehouse.ivmJoinView(spark, dir, cut, m))
+      inc should not be empty
+      inc shouldBe rows(Warehouse.ivmJoinRecompute(spark, dir, cut, m))
+    }
+  }
+
+  test("zero-weight groups leave the view: retracting every old order " +
+      "at a beyond-the-data cut drains the view to empty") {
+    // cut beyond the corpus: no arrivals on either side; retractMod=1
+    // cancels EVERY order, so the signed fold must cancel MV0 exactly
+    Warehouse.ivmJoinView(spark, dir, "2099-01-01", 1L)
+      .count() shouldBe 0L
   }
 }

@@ -453,6 +453,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include regex """PushedFilters: \[[^\]]*o_orderdate"""
   }
 
+  test("ivm join view: fact scans never shuffle — two delta-broadcast " +
+      "joins, one mergeable agg exchange") {
+    val p = plan("q_warehouse_ivm_join")
+    p should not include "SortMergeJoin"
+    // ΔA ⋈ (B+ΔB) and A ⋈ ΔB, both built from the (small) delta side
+    p.sliding("BroadcastHashJoin".length).count(
+      _ == "BroadcastHashJoin") shouldBe 2
+    // the ONE hash exchange is the final custkey re-aggregation over the
+    // three-branch union (MV0 ∪ term1 ∪ term2), partial-agg'd map-side
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("merge-on-read scan: base streams through one broadcast anti " +
+      "probe — zero hash exchanges") {
+    val p = plan("q_warehouse_merge_dv")
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    p should not include "SortMergeJoin"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+  }
+
   test("attribution is one per-user window pass: no join, one exchange") {
     val p = plan("q_events_attribution")
     p should not include "Join"
