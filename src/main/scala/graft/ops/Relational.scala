@@ -87,7 +87,135 @@ object Relational {
     } else zorderWritten.computeIfAbsent(key, _ => write())
   }
 
+  private val bloomIdxWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Writes (once per JVM × corpus) the POINT-LOOKUP index layout:
+    * lineitem hash-clustered by l_partkey into 32 files — placement
+    * deliberately UNCORRELATED with the lookup key, the regime where
+    * min/max zone maps (q_scan_skipping) prune nothing because every
+    * file's key range spans the whole domain — plus a per-file Bloom
+    * MANIFEST (one row per file, metadata-sized: thousands of rows
+    * against petabytes at 100 TB) built with Spark's own
+    * bloom_filter_agg. Per-file bits are fixed here (32 KB/file); a
+    * production writer sizes them to per-file key cardinality —
+    * an overloaded filter degrades to reading more files, never to a
+    * wrong answer (the row predicate is re-applied after the read).
+    */
+  private[graft] def bloomIndexLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    bloomIdxWritten.computeIfAbsent(dir + "#bloomidx", { _ =>
+      val out = graft.io.Scratch.stable("bloomidx_" +
+        java.lang.Integer.toHexString(dir.hashCode))
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .withColumn("line_id",
+          col("l_orderkey") * 10 + col("l_linenumber"))
+        .repartition(32, col("l_partkey"))
+        .write.mode("overwrite").parquet(s"$out/data")
+      graft.llm.Selection.registerBloom(spark)
+      spark.read.parquet(s"$out/data")
+        .groupBy(input_file_name().as("file"))
+        .agg(call_function("bloom_filter_agg", col("line_id"),
+          lit(1L << 15), lit(1L << 18)).as("bf"))
+        .write.mode("overwrite").parquet(s"$out/manifest")
+      out
+    })
+
+  /** Prunes the layout's file list for a point-lookup key set via the
+    * persisted Bloom manifest: (all files, surviving files). The probe
+    * is driver-side over manifest rows — the file-count-sized metadata
+    * operation every lakehouse planner runs, never a data scan.
+    */
+  private[graft] def bloomPrunedFiles(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      keys: Seq[Long]): (Seq[String], Seq[String]) = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val man = spark.read.parquet(s"$root/manifest").collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Array[Byte]]("bf")))
+    val surviving = man.filter { case (_, bytes) =>
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      keys.exists(bf.mightContainLong)
+    }
+    (man.map(_._1).toSeq, surviving.map(_._1).toSeq)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_scan_bloom_skipping" -> Q(
+      (spark, dir) => {
+        // BLOOM-MANIFEST FILE SKIPPING — the point-lookup complement to
+        // q_scan_skipping's min/max zone maps: the layout is clustered
+        // by a DIFFERENT column, so every file's line_id range spans
+        // the domain and range stats prune nothing; the per-file Bloom
+        // sidecars still prune to the handful of files that can
+        // contain the probed keys (PlanSpec gates the skipping law).
+        // The lookup keys here are a deterministic fixture stand-in
+        // (the 4 smallest first-line ids) for the application-supplied
+        // id list of a real point-lookup; the derivation scan is
+        // fixture setup, not the lookup path. Pruning is
+        // semantics-invisible: the predicate is re-applied after the
+        // read and the oracle runs on the ORIGINAL table.
+        val root = bloomIndexLayout(spark, dir)
+        val keys = Tables(spark, dir, "lineitem")
+          .filter(col("l_linenumber") === 1)
+          .select((col("l_orderkey") * 10 + 1).as("line_id"))
+          .distinct().orderBy("line_id").limit(4)
+          .collect().map(_.getLong(0)).toSeq
+        val (_, surviving) = bloomPrunedFiles(spark, root, keys)
+        val src =
+          if (surviving.isEmpty)
+            spark.read.parquet(s"$root/data").limit(0)
+          else spark.read.parquet(surviving: _*)
+        src.filter(col("line_id").isin(keys: _*))
+          .select("line_id", "l_quantity", "l_extendedprice")
+          .orderBy("line_id", "l_quantity", "l_extendedprice")
+      },
+      Some("WITH k AS (SELECT DISTINCT l_orderkey*10+1 AS line_id " +
+        "FROM lineitem WHERE l_linenumber = 1 ORDER BY line_id LIMIT 4) " +
+        "SELECT l_orderkey*10+l_linenumber AS line_id, l_quantity, " +
+        "l_extendedprice FROM lineitem " +
+        "WHERE l_orderkey*10+l_linenumber IN (SELECT line_id FROM k) " +
+        "ORDER BY line_id, l_quantity, l_extendedprice")),
+
+    "q_schema_evolution" -> Q(
+      (spark, dir) => {
+        // SCHEMA EVOLUTION — the widened-table read every long-lived
+        // ingestion hits: day-1 files were written under schema v1,
+        // day-2 files carry a NEW column (`channel`); mergeSchema
+        // reconciles the footers so old files surface the column as
+        // NULL, and the aggregate coalesces them into a legacy bucket.
+        // At 100 TB the alternative is rewriting history for every
+        // added column. The oracle replays the evolution as a CASE
+        // over the ORIGINAL table, so a dropped or misaligned column
+        // breaks the hash.
+        val out = graft.io.Scratch.sub("schema_evo")
+        val cut = Cols.ts("2024-01-16")
+        val ev = Tables(spark, dir, "events")
+        ev.filter(col("ts") < cut)
+          .select("event_id", "user_id", "ts", "value")
+          .write.mode("overwrite").parquet(s"$out/d1")
+        ev.filter(col("ts") >= cut)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value"), col("event_type").as("channel"))
+          .write.mode("overwrite").parquet(s"$out/d2")
+        spark.read.option("mergeSchema", "true")
+          .parquet(s"$out/d1", s"$out/d2")
+          .groupBy(coalesce(col("channel"), lit("(legacy)"))
+            .as("channel"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(Cols.cents(col("value"))).as("sum_value_c"))
+          .orderBy("channel")
+      },
+      Some("SELECT CASE WHEN ts >= TIMESTAMP '2024-01-16' " +
+        "THEN event_type ELSE '(legacy)' END AS channel, " +
+        "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, " +
+        "CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) " +
+        "AS sum_value_c " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
     "q_scan_project" -> Q(
       (spark, dir) =>
         Tables(spark, dir, "lineitem")

@@ -453,6 +453,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should include regex """PushedFilters: \[[^\]]*o_orderdate"""
   }
 
+  test("bloom manifest prunes the point-lookup file list") {
+    import org.apache.spark.sql.functions.col
+    val root = ops.Relational.bloomIndexLayout(spark, sf)
+    val keys = Tables(spark, sf, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select((col("l_orderkey") * 10 + 1).as("line_id"))
+      .distinct().orderBy("line_id").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    keys should have size 4
+    val (all, surviving) = ops.Relational.bloomPrunedFiles(spark, root,
+      keys)
+    all.size shouldBe 32
+    surviving.size should be >= 1
+    // 4 point keys can only live in a handful of the 32 files — the
+    // skipping LAW; a saturated or broken filter surfaces here as no
+    // pruning while the row-level refilter keeps the ANSWER correct
+    surviving.size should be <= 8
+  }
+
   test("ivm join view: fact scans never shuffle — two delta-broadcast " +
       "joins, one mergeable agg exchange") {
     val p = plan("q_warehouse_ivm_join")
