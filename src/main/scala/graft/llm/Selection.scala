@@ -146,11 +146,60 @@ object Selection {
     * on the content address — the state contributes the same one
     * narrow column). SelectionSpec parity-pins the branches.
     */
+  /** Resolves the LIVE fingerprints directory: a `MANIFEST` pointer
+    * (written atomically by [[compactDedupState]]) names the current
+    * version; absent manifest = the original build layout. Probe and
+    * extend both resolve through this, so a compaction swap is
+    * invisible to daily ingestion — the same pointer discipline as the
+    * ANN index's codes table (Pq.codesDir).
+    */
+  private def fpsDir(root: String): String = {
+    val mf = java.nio.file.Paths.get(root, "MANIFEST")
+    if (java.nio.file.Files.exists(mf))
+      s"$root/" + new String(java.nio.file.Files.readAllBytes(mf),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    else s"$root/fingerprints"
+  }
+
+  /** COMPACTS the fingerprint table — the maintenance job after a run
+    * of nightly [[extendDedupState]] appends, each landing small novel
+    * files (the small-files problem on the dedup state itself):
+    * rewrite the live addresses into `targetFiles` files as a NEW
+    * version directory, swap the `MANIFEST` pointer with an atomic
+    * rename (in-flight probes keep their pinned snapshot), reap the
+    * two-generations-stale version. Address content is identical as a
+    * SET and the Bloom sidecar is untouched, so probe answers are
+    * unchanged (SelectionSpec pins row-for-row identity, the file
+    * counts, and that replay-extend after a compact stays a no-op).
+    */
+  private[graft] def compactDedupState(spark: SparkSession, root: String,
+      targetFiles: Int = 4): Unit = {
+    val cur = fpsDir(root)
+    val curV =
+      if (cur.endsWith("/fingerprints")) 0
+      else cur.substring(cur.lastIndexOf("_v") + 2).toInt
+    val nextName = s"fingerprints_v${curV + 1}"
+    spark.read.parquet(cur).repartition(targetFiles)
+      .write.mode("overwrite").parquet(s"$root/$nextName")
+    val tmp = java.nio.file.Paths.get(root, "MANIFEST.tmp")
+    java.nio.file.Files.write(tmp,
+      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "MANIFEST"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (curV >= 1) {
+      val prev =
+        if (curV == 1) s"$root/fingerprints"
+        else s"$root/fingerprints_v${curV - 1}"
+      graft.io.Scratch.reap(prev)
+    }
+  }
+
   private[graft] def probeDedupState(spark: SparkSession, root: String,
       shard: DataFrame, maxBroadcastKeys: Long = 1L << 22,
       key: String = "clean_md5"): DataFrame = {
     val (bytes, _, _) = readStateBloom(spark, root)
-    val fps = spark.read.parquet(s"$root/fingerprints")
+    val fps = spark.read.parquet(fpsDir(root))
     val maybe = shard.filter(bloomMightContain(bytes, col(key)))
       .select(key).distinct()
     val probeCap = math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt
@@ -206,7 +255,7 @@ object Selection {
     // count() (not isEmpty) fully materializes the cache BEFORE the
     // append below writes into a table the probe plan also reads
     if (novel.count() > 0) {
-      novel.write.mode("append").parquet(s"$root/fingerprints")
+      novel.write.mode("append").parquet(fpsDir(root))
       val (cur, expected, numBits) = readStateBloom(spark, root)
       writeStateBloom(spark, root, bloomMerge(cur,
         bloomBuild(novel, col("clean_md5"), expected, numBits)),

@@ -147,6 +147,46 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     ops.Caches.drain()
   }
 
+  test("dedup-state compaction: manifest swap invisible to probes, " +
+      "files shrink to target, replay stays no-op, grace reaps") {
+    val sp = spark
+    val dir = "/root/testdata/sf0.001"
+    val root = llm.Selection.persistedDedupState(sp, dir)
+    val shard = graft.Tables(sp, dir, "documents")
+      .select(col("doc_id"), md5(trim(regexp_replace(regexp_replace(
+        regexp_replace(lower(col("text")), "<[^>]*>", " "),
+        "[^a-z0-9 ]", ""), " +", " ")).cast("binary")).as("clean_md5"))
+      .filter(col("doc_id") % 10 === 7)
+    // fragment the state the way a week of nightly ingestion does:
+    // two absorption appends, each landing its own small files
+    llm.Selection.extendDedupState(sp, root,
+      Seq((888801L, "1" * 32), (888802L, "2" * 32))
+        .toDF("doc_id", "clean_md5"))
+    llm.Selection.extendDedupState(sp, root,
+      Seq((888803L, "3" * 32)).toDF("doc_id", "clean_md5"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getBoolean(2))).sorted.toSeq
+    val before = rows(llm.Selection.probeDedupState(sp, root, shard))
+    llm.Selection.compactDedupState(sp, root, targetFiles = 2)
+    // the rewritten live version has exactly the target file count
+    new java.io.File(s"$root/fingerprints_v1").listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe 2
+    // ... and the probe answer is bit-identical through the swap
+    rows(llm.Selection.probeDedupState(sp, root, shard)) shouldBe before
+    // absorbed addresses stay known post-compact: replay is a no-op
+    val n1 = sp.read.parquet(s"$root/fingerprints_v1").count()
+    llm.Selection.extendDedupState(sp, root,
+      Seq((888801L, "1" * 32)).toDF("doc_id", "clean_md5"))
+    sp.read.parquet(s"$root/fingerprints_v1").count() shouldBe n1
+    // second compaction: the original layout is two generations stale
+    // and gets reaped (one-version grace), answers still identical
+    llm.Selection.compactDedupState(sp, root, targetFiles = 2)
+    new java.io.File(s"$root/fingerprints").exists() shouldBe false
+    rows(llm.Selection.probeDedupState(sp, root, shard)) shouldBe before
+    ops.Caches.drain()
+  }
+
   test("container decode: naive JVM pack+parse agrees frame-for-frame") {
     val dir = "/root/testdata/sf0.001"
     val got = Registry.all("q_multimodal_decode").fn(spark, dir).collect()
