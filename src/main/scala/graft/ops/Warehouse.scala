@@ -417,6 +417,75 @@ object Warehouse {
       .orderBy("o_custkey")
   }
 
+  /** IVM for a NON-INVERTIBLE aggregate (MAX): a retraction can remove
+    * the current maximum, and no signed fold can recover the runner-up
+    * from the aggregate alone — the case [[ivmJoinView]]'s ±1 algebra
+    * cannot express. The production answer (Materialize's MIN/MAX
+    * reduction, Delta MVs alike) is GROUP-SCOPED RECOMPUTE: groups
+    * untouched by the delta pass through from the materialized view
+    * unread; only the delta's own key set — arrivals ∪ retractions,
+    * delta-bounded — recomputes, from a base scan semi-filtered by
+    * those keys. At 100 TB the recompute term reads one narrow
+    * broadcast-probed pass of the fact, not seven years of history per
+    * group, and the MV supplies every other group byte-for-byte
+    * (IvmLawSpec pins that untouched rows ARE the MV0 rows).
+    *
+    * Plan contract (PlanSpec): no SortMergeJoin; the MV anti probe and
+    * the base semi probe both build from the delta key set; the ONE
+    * hash exchange is the touched-group re-aggregation.
+    */
+  private[graft] def ivmMinmaxView(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cutLit: String = "1998-01-01", retractMod: Long = 13L)
+      : org.apache.spark.sql.DataFrame = {
+    val cut = Cols.ts(cutLit)
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        Cols.cents(col("o_totalprice")).as("price_c"))
+    val oldOrd = ord.filter(col("o_orderdate") < cut)
+    val retracted = col("o_orderkey") % retractMod === 0
+    val mv0 = graft.io.Scratch.stable("ivm_mm0_" +
+      java.lang.Integer.toHexString((dir, cutLit, retractMod).hashCode))
+    oldOrd.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), max("price_c").as("max_price_c"))
+      .write.mode("overwrite").parquet(mv0)
+    // the touched key set: every group an arrival or retraction lands
+    // in — the delta-bounded broadcast side of both probes. Persisted:
+    // it feeds the anti probe plus the semi probe Catalyst pushes
+    // through the recompute union (one per branch), so without the
+    // cache the distinct would recompute three times
+    val touched = Caches.register(ord.filter(col("o_orderdate") >= cut)
+      .unionByName(oldOrd.filter(retracted))
+      .select("o_custkey").distinct().persist())
+    val untouched = spark.read.parquet(mv0)
+      .join(broadcast(touched), Seq("o_custkey"), "left_anti")
+    // group-scoped recompute over the FINAL state of the touched keys:
+    // (A ∖ ΔA⁻ ∪ ΔA⁺) ⋉ touched — one semi-probed narrow fact pass
+    val recomputed = oldOrd.filter(!retracted)
+      .unionByName(ord.filter(col("o_orderdate") >= cut))
+      .join(broadcast(touched), Seq("o_custkey"), "left_semi")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), max("price_c").as("max_price_c"))
+    untouched.unionByName(recomputed)
+      .select(col("o_custkey"), col("n_orders"), col("max_price_c"))
+      .orderBy("o_custkey")
+  }
+
+  /** From-scratch recompute twin of [[ivmMinmaxView]] (IvmLawSpec). */
+  private[graft] def ivmMinmaxRecompute(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cutLit: String = "1998-01-01", retractMod: Long = 13L)
+      : org.apache.spark.sql.DataFrame = {
+    val cut = Cols.ts(cutLit)
+    Tables(spark, dir, "orders")
+      .filter(!(col("o_orderdate") < cut &&
+        col("o_orderkey") % retractMod === 0))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        max(Cols.cents(col("o_totalprice"))).as("max_price_c"))
+      .orderBy("o_custkey")
+  }
+
   private val morWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1278,6 +1347,23 @@ object Warehouse {
         Cols.froundSql(s"CAST($revenueCpSql AS DOUBLE)/10000.0", 4) +
         " AS revenue " +
         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND o_orderkey % 13 = 0) " +
+        "GROUP BY o_custkey ORDER BY o_custkey")),
+
+    "q_warehouse_ivm_minmax" -> Q(
+      (spark, dir) =>
+        // IVM with a NON-INVERTIBLE aggregate (MAX under retraction) —
+        // see ivmMinmaxView: untouched groups pass through from the MV
+        // unread, the delta's own key set recomputes from a
+        // semi-probed base pass. Oracle = full recompute, so the hash
+        // match proves the group-scoped fallback is exact — including
+        // the groups whose retracted row WAS the maximum.
+        ivmMinmaxView(spark, dir),
+      Some("SELECT o_custkey, COUNT(*) AS n_orders, " +
+        "CAST(MAX(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) " +
+        "AS BIGINT) AS max_price_c " +
+        "FROM orders " +
         "WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' " +
         "AND o_orderkey % 13 = 0) " +
         "GROUP BY o_custkey ORDER BY o_custkey")),

@@ -985,4 +985,28 @@ class IvmLawSpec extends AnyFunSuite with Matchers with SparkTest {
     Warehouse.ivmJoinView(spark, dir, "2099-01-01", 1L)
       .count() shouldBe 0L
   }
+
+  private def rows3L(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+
+  test("non-invertible MAX: group-scoped recompute equals full " +
+      "recompute, including groups whose retracted row held the max") {
+    for ((cut, m) <- Seq(("1998-01-01", 13L), ("1997-01-01", 5L))) {
+      val inc = rows3L(Warehouse.ivmMinmaxView(spark, dir, cut, m))
+      inc should not be empty
+      inc shouldBe rows3L(Warehouse.ivmMinmaxRecompute(spark, dir, cut, m))
+    }
+    // the challenge case genuinely occurs in this corpus: at least one
+    // group's max CHANGES when retractions apply — the row a signed
+    // fold could never reconstruct from the aggregate alone
+    val noRetract = rows3L(Warehouse.ivmMinmaxRecompute(
+        spark, dir, "1998-01-01", Long.MaxValue))
+      .map(r => r._1 -> r._3).toMap
+    val withRetract = rows3L(Warehouse.ivmMinmaxRecompute(
+        spark, dir, "1998-01-01", 13L))
+      .map(r => r._1 -> r._3).toMap
+    withRetract.exists { case (k, mx) =>
+      noRetract.get(k).exists(_ != mx) } shouldBe true
+  }
 }

@@ -484,6 +484,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  test("ivm minmax: untouched groups pass through the MV, touched " +
+      "groups recompute off delta-broadcast probes") {
+    val p = plan("q_warehouse_ivm_minmax")
+    p should not include "SortMergeJoin"
+    // MV anti probe + the semi probe Catalyst pushes through the
+    // recompute union (one per branch) — all built from the CACHED
+    // touched set (InMemoryTableScan), computed once
+    p.sliding("BroadcastHashJoin".length).count(
+      _ == "BroadcastHashJoin") shouldBe 3
+    p should include("InMemoryTableScan")
+    // no exchange-count gate here: the printed tree re-prints the
+    // cached touched-distinct exchange inside every InMemoryRelation
+    // occurrence (the round-17 cdcSide cosmetic-duplication class), so
+    // the string count is 3× the physical truth. The physical claim —
+    // both probes build from the delta side — is the BuildRight pair:
+    "BuildRight".r.findAllIn(p).size shouldBe 3
+    p should not include "BuildLeft"
+  }
+
   test("merge-on-read scan: base streams through one broadcast anti " +
       "probe — zero hash exchanges") {
     val p = plan("q_warehouse_merge_dv")
