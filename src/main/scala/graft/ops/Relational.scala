@@ -179,6 +179,43 @@ object Relational {
         "WHERE l_orderkey*10+l_linenumber IN (SELECT line_id FROM k) " +
         "ORDER BY line_id, l_quantity, l_extendedprice")),
 
+    "q_warehouse_retention" -> Q(
+      (spark, dir) => {
+        // RETENTION by PARTITION DROP — the data-lifecycle op every
+        // time-partitioned 100 TB table runs nightly: the table is
+        // laid out by event day, and expiring data older than the
+        // retention cut means REMOVING PARTITION DIRECTORIES — a
+        // filesystem/metadata operation, O(#expired partitions), zero
+        // data read or rewritten (ALTER TABLE DROP PARTITION; the
+        // row-level alternative rewrites every old file). Surviving
+        // partitions keep byte-identical files (PlanSpec gates the
+        // metadata-only law); the read-back aggregate spans ALL
+        // remaining partitions and the oracle replays the retention as
+        // a timestamp predicate, so an over- or under-drop breaks the
+        // hash.
+        val out = graft.io.Scratch.sub("retention")
+        Tables(spark, dir, "events")
+          .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("d").parquet(out)
+        val cut = "2024-01-16"
+        new java.io.File(out).listFiles().toSeq
+          .filter(f => f.getName.startsWith("d=") &&
+            f.getName.stripPrefix("d=") < cut)
+          .foreach(f => graft.io.Scratch.reap(f.getPath))
+        spark.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(Cols.cents(col("value"))).as("sum_value_c"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, COUNT(*) AS n, " +
+        "COUNT(DISTINCT user_id) AS n_users, " +
+        "CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) " +
+        "AS sum_value_c " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-16' " +
+        "GROUP BY event_type ORDER BY event_type")),
+
     "q_schema_evolution" -> Q(
       (spark, dir) => {
         // SCHEMA EVOLUTION — the widened-table read every long-lived

@@ -472,6 +472,30 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     surviving.size should be <= 8
   }
 
+  test("retention drop is metadata-only: surviving partition files " +
+      "untouched, expired directories gone, readback exact") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val out = graft.io.Scratch.sub("retention_gate")
+    val ev = Tables(spark, sf, "events")
+      .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("d").parquet(out)
+    val cut = "2024-01-16"
+    def parts = new java.io.File(out).listFiles().toSeq
+      .filter(_.getName.startsWith("d="))
+    val (expired, kept) =
+      parts.partition(_.getName.stripPrefix("d=") < cut)
+    expired should not be empty
+    kept should not be empty
+    def sig(dirs: Seq[java.io.File]) = dirs.flatMap(_.listFiles().toSeq)
+      .map(f => (f.getPath, f.length, f.lastModified)).sorted
+    val before = sig(kept)
+    expired.foreach(f => graft.io.Scratch.reap(f.getPath))
+    // the drop wrote and read ZERO data bytes: survivors byte-identical
+    sig(parts) shouldBe before
+    spark.read.parquet(out).count() shouldBe
+      ev.filter(col("d") >= cut).count()
+  }
+
   test("ivm join view: fact scans never shuffle — two delta-broadcast " +
       "joins, one mergeable agg exchange") {
     val p = plan("q_warehouse_ivm_join")
