@@ -1401,6 +1401,48 @@ object Warehouse {
         "l.new_bal_c AS bal_c FROM latest l WHERE l.op = 'U' " +
         "ORDER BY key")),
 
+    "q_warehouse_time_travel" -> Q(
+      (spark, dir) => {
+        // TIME TRAVEL on the merge-on-read table: because the merge
+        // wrote only sidecars, the immutable base IS the v0 snapshot —
+        // "AS OF before-merge" is a plain read of base/, the current
+        // version reconciles the sidecars, both served from ONE layout
+        // with zero copies (the lakehouse snapshot-read mechanism,
+        // here explicit). The two-snapshot audit — row count + exact
+        // balance total per version — is the reconciliation report a
+        // reader runs after every merge; the oracle recomputes both
+        // snapshots from the original tables.
+        val root = mergeOnReadLayout(spark, dir)
+        def audit(df: org.apache.spark.sql.DataFrame, snap: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum("bal_c").as("sum_bal_c"))
+            .select(lit(snap).as("snap"), col("n_rows"),
+              col("sum_bal_c"))
+        audit(spark.read.parquet(s"$root/base"), "v0")
+          .unionByName(audit(mergeOnReadScan(spark, root), "v1"))
+          .orderBy("snap")
+      },
+      Some("WITH ch AS (SELECT CASE WHEN user_id % 7 = 3 " +
+        "THEN user_id + 2000000 ELSE user_id END AS key, " +
+        "epoch_us(ts) AS tus, event_id, " +
+        "CASE WHEN user_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "COALESCE(TRY_CAST(NULLIF(regexp_extract(props, " +
+        "'\"k\": (\\d+)', 1), '') AS BIGINT), 0) AS new_bal_c " +
+        "FROM events), " +
+        "latest AS (SELECT key, op, new_bal_c FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY key " +
+        "ORDER BY tus DESC, event_id DESC) AS rn FROM ch) WHERE rn = 1), " +
+        "base AS (SELECT c_custkey AS key, " +
+        "CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_c FROM customer), " +
+        "merged AS (SELECT key, bal_c FROM base " +
+        "WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.key = " +
+        "base.key) " +
+        "UNION ALL SELECT key, new_bal_c FROM latest WHERE op = 'U') " +
+        "SELECT 'v0' AS snap, COUNT(*) AS n_rows, " +
+        "CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c FROM base " +
+        "UNION ALL SELECT 'v1', COUNT(*), " +
+        "CAST(SUM(bal_c) AS BIGINT) FROM merged ORDER BY snap")),
+
     "q_scd2_props" -> Q(
       (spark, dir) => {
         // SCD2 dimension build (change-data-capture): each user's props.k
