@@ -486,6 +486,113 @@ object Warehouse {
       .orderBy("o_custkey")
   }
 
+  /** IVM for exact COUNT(DISTINCT) — the AUXILIARY-STATE class, distinct
+    * from both [[ivmJoinView]] (fully invertible, the aggregate alone is
+    * enough) and [[ivmMinmaxView]] (non-invertible, groups recompute):
+    * COUNT(DISTINCT) is not invertible at the view's grain, but it IS
+    * exactly maintainable with one level of auxiliary state — the
+    * SUPPORT TABLE holding each (group, value) pair's multiplicity. A
+    * value enters the distinct count when its support crosses 0→1 and
+    * leaves on 1→0; a 2→1 retraction changes nothing. This is the
+    * standard production design (Materialize's reduce stack, DBSP's
+    * distinct operator) because the alternative — re-scanning every
+    * touched group's full history like the MAX fallback — pays
+    * O(group size), while the support probe pays O(|delta|).
+    *
+    * The view: distinct parts supplied per supplier over live lineitem
+    * (arrivals ship ≥ cut; every `retractMod`-th old order cancels its
+    * old lines). The support table aux0 = per-(suppkey, partkey)
+    * multiplicity over yesterday's rows; MV0 = yesterday's per-supplier
+    * distinct counts. Today's job aggregates the signed delta to pair
+    * grain, probes aux0 for the touched pairs' old support (broadcast
+    * semi — the support table, the BIG side at 100 TB, never shuffles
+    * as a whole; only the delta-bounded touched slice enters the merge
+    * exchange), converts support crossings to ±1 presence deltas, and
+    * merges them into MV0 with one mergeable re-aggregation. The oracle
+    * recomputes COUNT(DISTINCT) from scratch over the final state.
+    *
+    * Plan contract (PlanSpec): no SortMergeJoin; the one join against
+    * the support table is a broadcast semi built from the delta pairs;
+    * every hash exchange is delta- or MV-bounded (never the fact).
+    */
+  private[graft] def ivmDistinctView(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cutLit: String = "1998-01-01", retractMod: Long = 13L)
+      : org.apache.spark.sql.DataFrame = {
+    val cut = Cols.ts(cutLit)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+        col("l_shipdate"))
+    val oldLi = li.filter(col("l_shipdate") < cut)
+    val tag = java.lang.Integer.toHexString(
+      (dir, cutLit, retractMod).hashCode)
+    // yesterday's auxiliary support state + the view it supports — the
+    // standing parquet tables a nightly job maintains (same stand-in
+    // discipline as ivmJoinView's MV0)
+    val aux0 = graft.io.Scratch.stable("ivm_dc_aux0_" + tag)
+    oldLi.groupBy("l_suppkey", "l_partkey")
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(aux0)
+    val mv0 = graft.io.Scratch.stable("ivm_dc_mv0_" + tag)
+    spark.read.parquet(aux0).groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts"))
+      .write.mode("overwrite").parquet(mv0)
+    // signed delta folded to PAIR grain: arrivals at +1, the cancelled
+    // orders' old lines at −1; a pair whose weights cancel is untouched
+    // persisted: dPairs feeds BOTH the broadcast semi build and the
+    // union's delta branch — without the cache the signed fold (two
+    // fact-filter scans + an exchange) would compute twice
+    val dPairs = Caches.register(
+      li.filter(col("l_shipdate") >= cut).withColumn("w", lit(1L))
+        .unionByName(oldLi.filter(col("l_orderkey") % retractMod === 0)
+          .withColumn("w", lit(-1L)))
+        .groupBy("l_suppkey", "l_partkey").agg(sum("w").as("dw"))
+        .filter(col("dw") =!= 0)
+        .persist())
+    // old support for exactly the touched pairs: the support scan is
+    // semi-probed by the broadcast delta (pairs absent from aux0 —
+    // brand-new (supp, part) combinations — simply contribute no oldCnt
+    // row, so their support starts at 0 in the merge below)
+    val auxTouched = spark.read.parquet(aux0)
+      .join(broadcast(dPairs.select("l_suppkey", "l_partkey")),
+        Seq("l_suppkey", "l_partkey"), "left_semi")
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("cnt").as("oldCnt"), lit(0L).as("dw"))
+    // support crossing → presence delta: [old+dw > 0] − [old > 0]
+    val present = (c: org.apache.spark.sql.Column) =>
+      when(c > 0, 1L).otherwise(0L)
+    val pairDn = auxTouched
+      .unionByName(dPairs.select(col("l_suppkey"), col("l_partkey"),
+        lit(0L).as("oldCnt"), col("dw")))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("oldCnt").as("oldCnt"), sum("dw").as("dw"))
+      .select(col("l_suppkey"),
+        (present(col("oldCnt") + col("dw")) - present(col("oldCnt")))
+          .as("n_parts"))
+      .filter(col("n_parts") =!= 0)
+    // the per-pair ±1 presence deltas fold DIRECTLY into the MV merge —
+    // they are delta-bounded, so a pre-aggregation would only add an
+    // exchange
+    spark.read.parquet(mv0).unionByName(pairDn)
+      .groupBy("l_suppkey").agg(sum("n_parts").as("n_parts"))
+      .filter(col("n_parts") > 0)
+      .orderBy("l_suppkey")
+  }
+
+  /** From-scratch recompute twin of [[ivmDistinctView]] (IvmLawSpec). */
+  private[graft] def ivmDistinctRecompute(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cutLit: String = "1998-01-01", retractMod: Long = 13L)
+      : org.apache.spark.sql.DataFrame = {
+    val cut = Cols.ts(cutLit)
+    Tables(spark, dir, "lineitem")
+      .filter(!(col("l_shipdate") < cut &&
+        col("l_orderkey") % retractMod === 0))
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_suppkey")
+  }
+
   private val morWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1367,6 +1474,22 @@ object Warehouse {
         "WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' " +
         "AND o_orderkey % 13 = 0) " +
         "GROUP BY o_custkey ORDER BY o_custkey")),
+
+    "q_warehouse_ivm_distinct" -> Q(
+      (spark, dir) =>
+        // IVM for exact COUNT(DISTINCT) — the AUXILIARY-STATE class:
+        // see ivmDistinctView. The support table absorbs arrivals and
+        // retractions at (group, value) grain; only 0↔1 support
+        // crossings move the distinct count. Oracle = from-scratch
+        // COUNT(DISTINCT) over the final state, so the hash match
+        // proves the support algebra exact cross-engine.
+        ivmDistinctView(spark, dir),
+      Some("SELECT l_suppkey, " +
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts " +
+        "FROM lineitem " +
+        "WHERE NOT (l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_orderkey % 13 = 0) " +
+        "GROUP BY l_suppkey ORDER BY l_suppkey")),
 
     "q_warehouse_merge_dv" -> Q(
       (spark, dir) => {

@@ -1009,4 +1009,36 @@ class IvmLawSpec extends AnyFunSuite with Matchers with SparkTest {
     withRetract.exists { case (k, mx) =>
       noRetract.get(k).exists(_ != mx) } shouldBe true
   }
+
+  private def rows2L(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("count-distinct via support counts: incremental equals " +
+      "recompute at shifted cuts, and both crossing classes occur") {
+    for ((cut, m) <- Seq(("1998-01-01", 13L), ("1997-01-01", 5L))) {
+      val inc = rows2L(Warehouse.ivmDistinctView(spark, dir, cut, m))
+      inc should not be empty
+      inc shouldBe rows2L(Warehouse.ivmDistinctRecompute(spark, dir,
+        cut, m))
+    }
+    // the corpus must genuinely exercise BOTH support-crossing classes
+    // at the default parameters, or the oracle match would be vacuous:
+    // (a) a 1→0 crossing — some supplier LOSES a distinct part to the
+    // retraction; (b) a surviving-support retraction — some supplier
+    // loses rows but NO distinct parts (multiplicity absorbed it)
+    val cut = graft.ops.Cols.ts("1998-01-01")
+    val li = graft.Tables(spark, dir, "lineitem")
+    val noRe = rows2L(Warehouse.ivmDistinctRecompute(spark, dir,
+      "1998-01-01", Long.MaxValue)).toMap
+    val withRe = rows2L(Warehouse.ivmDistinctRecompute(spark, dir,
+      "1998-01-01", 13L)).toMap
+    withRe.exists { case (k, n) =>
+      noRe.get(k).exists(_ > n) } shouldBe true
+    val retractedSupps = li
+      .filter(col("l_shipdate") < cut && col("l_orderkey") % 13 === 0)
+      .select("l_suppkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    retractedSupps.exists(k =>
+      withRe.get(k) == noRe.get(k)) shouldBe true
+  }
 }

@@ -527,6 +527,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     p should not include "BuildLeft"
   }
 
+  test("ivm count-distinct: the support table never shuffles — one " +
+      "delta-broadcast semi probe, delta/MV-bounded exchanges only") {
+    val p = plan("q_warehouse_ivm_distinct")
+    p should not include "SortMergeJoin"
+    // the ONE join: the support scan semi-probed by the broadcast
+    // delta-pair set — support (the 100 TB side) streams, delta builds
+    p.sliding("BroadcastHashJoin".length).count(
+      _ == "BroadcastHashJoin") shouldBe 1
+    p should include("LeftSemi, BuildRight")
+    p should not include "BuildLeft"
+    // the signed delta-pair fold computes ONCE (cached) and feeds both
+    // the broadcast build and the union branch; no exchange-count gate —
+    // the printed tree re-prints the cached fold's exchange inside every
+    // InMemoryRelation occurrence (the cosmetic-duplication class the
+    // minmax gate documents). The physical claims stay: support streams
+    // (BuildRight only), and the fact scans never shuffle (no SMJ)
+    p should include("InMemoryTableScan")
+  }
+
   test("merge-on-read scan: base streams through one broadcast anti " +
       "probe — zero hash exchanges") {
     val p = plan("q_warehouse_merge_dv")
