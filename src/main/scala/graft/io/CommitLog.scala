@@ -1,0 +1,108 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Optimistic-concurrency commit log for a table root — the missing
+  * arbitration half of the lakehouse layer (the manifest swap in
+  * `llm.Selection`/`llm.Pq` serializes ONE writer's versions; nothing
+  * there decides between TWO). This is the Iceberg/Delta commit protocol
+  * shape, filesystem-native:
+  *
+  *   - the log is a dense sequence of pointer files `commits/v%08d`,
+  *     each naming the data directory its version ADDS (append-only
+  *     snapshots: snapshot V = union of data dirs 0..V);
+  *   - committing version N+1 is a compare-and-swap on the filesystem:
+  *     write the pointer to a temp file, then `link(2)` it to
+  *     `commits/v{N+1}` — link is atomic and fails with EEXIST, so
+  *     exactly one of any set of concurrent committers wins; every
+  *     loser re-reads the log, REBASES its delta on the new snapshot,
+  *     and retries. (Rename is NOT the primitive: POSIX rename silently
+  *     replaces an existing target.)
+  *
+  * On an object store without atomic rename the same contract comes from
+  * a conditional PUT (If-None-Match) or a commit service; the protocol —
+  * read snapshot, prepare data files, CAS the pointer, rebase on loss —
+  * is identical, which is why the laws are pinned here against the
+  * rename-based implementation (CommitLogSpec: dense versions, exactly
+  * one winner per version, every committer's batch lands exactly once,
+  * a deterministically-staled committer loses its CAS and succeeds on
+  * rebase).
+  *
+  * Readers never lock: a snapshot read resolves the pointer files once
+  * and reads immutable data directories — a concurrent commit can only
+  * ADD a version, never mutate one, so reads are trivially
+  * snapshot-isolated (same immutability discipline as the merge-on-read
+  * layout's base).
+  */
+object CommitLog {
+  private def commitsDir(root: String): Path = {
+    val d = Paths.get(root, "commits")
+    Files.createDirectories(d)
+    d
+  }
+
+  private def pointer(root: String, v: Int): Path =
+    commitsDir(root).resolve(f"v$v%08d")
+
+  /** Highest committed version, or -1 for an empty log. */
+  def currentVersion(root: String): Int = {
+    val it = Files.list(commitsDir(root))
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
+        .map(n => n.drop(1).toInt)
+        .foldLeft(-1)(math.max)
+    } finally it.close()
+  }
+
+  /** The log in version order: (version, data directory it adds). */
+  def versions(root: String): Seq[(Int, String)] =
+    (0 to currentVersion(root)).map { v =>
+      v -> new String(Files.readAllBytes(pointer(root, v)),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    }
+
+  /** One CAS attempt: commit `dataDir` as version `expected + 1`.
+    * Returns true iff this caller won. The primitive is `link(2)`
+    * (`Files.createLink`), NOT rename: POSIX rename silently REPLACES
+    * an existing target, so an ATOMIC_MOVE "CAS" lets two winners
+    * clobber each other (caught by CommitLogSpec's race). link(2) is
+    * atomic and fails with EEXIST when the pointer already exists —
+    * and because the temp file is fully written before the link, a
+    * reader can never observe a torn pointer.
+    */
+  def tryCommit(root: String, expected: Int, dataDir: String): Boolean = {
+    val target = pointer(root, expected + 1)
+    val tmp = commitsDir(root).resolve(
+      f"v${expected + 1}%08d.${java.util.UUID.randomUUID().toString}.tmp")
+    Files.write(tmp,
+      dataDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      Files.createLink(target, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Commit with rebase-and-retry: `prepare` sees the CURRENT version
+    * and returns the data directory to commit on top of it (a real
+    * writer re-derives its delta against the new snapshot here — e.g.
+    * re-checks its MERGE keys; an append-only writer returns the same
+    * directory). Returns the version this committer won.
+    */
+  def commitRetry(root: String, maxAttempts: Int = 64)(
+      prepare: Int => String): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(root)
+      val dataDir = prepare(cur)
+      if (tryCommit(root, cur, dataDir)) return cur + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commit lost $maxAttempts consecutive races under $root")
+  }
+}

@@ -593,6 +593,36 @@ object Warehouse {
       .orderBy("l_suppkey")
   }
 
+  private val clogWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit-log table build (once per JVM × corpus): four append
+    * batches of orders (split by orderkey residue — deterministic and
+    * disjoint) land as four OCC commits through
+    * [[graft.io.CommitLog.commitRetry]], the CAS protocol CommitLogSpec
+    * races for real. The build is sequential here (the declared query
+    * must be deterministic); what the query pins is the READ side of
+    * the protocol — pointer resolution + snapshot-per-version audit.
+    */
+  private[graft] def commitLogLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    clogWritten.computeIfAbsent(dir + "#clog", { _ =>
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val root = graft.io.Scratch.stable("clog_" + tag)
+      if (graft.io.CommitLog.currentVersion(root) < 3) {
+        val ord = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"),
+            Cols.cents(col("o_totalprice")).as("price_c"))
+        for (i <- 0 to 3) {
+          val data = graft.io.Scratch.stable(s"clog_b${i}_" + tag)
+          ord.filter(col("o_orderkey") % 4 === i)
+            .write.mode("overwrite").parquet(data)
+          graft.io.CommitLog.commitRetry(root)(_ => data)
+        }
+      }
+      root
+    })
+
   private val morWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1565,6 +1595,38 @@ object Warehouse {
         "CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c FROM base " +
         "UNION ALL SELECT 'v1', COUNT(*), " +
         "CAST(SUM(bal_c) AS BIGINT) FROM merged ORDER BY snap")),
+
+    "q_warehouse_commit_log" -> Q(
+      (spark, dir) => {
+        // OCC COMMIT LOG read path: four append batches committed
+        // through the filesystem CAS (commitLogLayout; CommitLogSpec
+        // races the protocol itself) — this query resolves the dense
+        // pointer sequence and audits every version's snapshot
+        // (cumulative rows + exact balance), i.e. the per-version
+        // reconciliation a reader runs against an OCC table. Each data
+        // directory is read ONCE (agg pushed to the scan); the
+        // cumulative fold is a window over #versions rows.
+        val root = commitLogLayout(spark, dir)
+        val perV = graft.io.CommitLog.versions(root).map { case (v, d) =>
+          spark.read.parquet(d)
+            .agg(count(lit(1)).as("n"), sum("price_c").as("s"))
+            .select(lit(v).as("version"), col("n"), col("s"))
+        }.reduce(_ unionByName _)
+        val w = Window.orderBy("version")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perV.select(col("version"),
+            sum("n").over(w).as("n_rows"),
+            sum("s").over(w).as("sum_price_c"))
+          .orderBy("version")
+      },
+      Some("WITH b AS (SELECT CAST(o_orderkey % 4 AS INTEGER) AS " +
+        "version, COUNT(*) AS n, " +
+        "SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS s " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT version, " +
+        "CAST(SUM(n) OVER (ORDER BY version) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(s) OVER (ORDER BY version) AS BIGINT) AS sum_price_c " +
+        "FROM b ORDER BY version")),
 
     "q_scd2_props" -> Q(
       (spark, dir) => {

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.io.CommitLog
+
+/** Laws of the filesystem-CAS commit protocol (io.CommitLog) — the
+  * arbitration the declared query's deterministic build relies on. No
+  * Spark involved: the protocol is pure pointer arithmetic; data
+  * directories are opaque strings here.
+  */
+class CommitLogSpec extends AnyFunSuite with Matchers {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("clog_spec_").toString
+
+  test("a staled committer loses its CAS deterministically and wins " +
+      "after exactly one rebase that sees the new snapshot") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, -1, "base") shouldBe true
+    // A reads the current version... then B commits first
+    val aStale = CommitLog.currentVersion(root)
+    aStale shouldBe 0
+    CommitLog.tryCommit(root, 0, "b-wins") shouldBe true
+    // A's stale attempt MUST lose — v1 exists
+    CommitLog.tryCommit(root, aStale, "a-stale") shouldBe false
+    // ...and the loser's staging tmp must not linger as a phantom v1
+    CommitLog.versions(root).map(_._2) shouldBe Seq("base", "b-wins")
+    // commitRetry rebases: prepare runs once at cur=1 (not the stale 0)
+    val seen = scala.collection.mutable.ArrayBuffer[Int]()
+    val won = CommitLog.commitRetry(root) { cur =>
+      seen += cur; s"a-rebased-on-$cur"
+    }
+    won shouldBe 2
+    seen.toSeq shouldBe Seq(1)
+    CommitLog.versions(root).map(_._2) shouldBe
+      Seq("base", "b-wins", "a-rebased-on-1")
+  }
+
+  test("N racing committers all land exactly once on a dense log, and " +
+      "concurrent readers only ever see complete dense prefixes") {
+    val root = freshRoot()
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n + 1)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val readerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerBad =
+      new java.util.concurrent.atomic.AtomicReference[String](null)
+    // a polling reader: every observation must be a dense prefix of
+    // fully-written pointers (rename-atomicity — never a torn read)
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        while (!readerStop.get()) {
+          val vs = CommitLog.versions(root)
+          if (vs.map(_._1) != (0 until vs.size))
+            readerBad.compareAndSet(null, s"non-dense: $vs")
+          if (vs.exists(_._2.isEmpty))
+            readerBad.compareAndSet(null, s"torn pointer: $vs")
+        }
+      }
+    })
+    val futs = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          start.await()
+          CommitLog.commitRetry(root)(cur => s"writer-$i")
+        }
+      })
+    }
+    start.countDown()
+    val wonVersions = futs.map(_.get())
+    readerStop.set(true)
+    pool.shutdown()
+    pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    // dense log, one version per committer, every batch exactly once
+    wonVersions.sorted shouldBe (0 until n)
+    CommitLog.currentVersion(root) shouldBe n - 1
+    CommitLog.versions(root).map(_._2).sorted shouldBe
+      (0 until n).map(i => s"writer-$i").sorted
+    readerBad.get() shouldBe null
+  }
+}
