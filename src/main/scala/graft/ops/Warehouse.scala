@@ -56,6 +56,25 @@ object Warehouse {
     else _.hint("shuffle_merge")
   }
 
+  /** [[cdcSide]]'s twin for FACT-DERIVED deltas (the IVM views): the
+    * probe counts raw delta rows — an upper bound on its keys — on an
+    * uncached limit-capped scan, so an oversized probe early-exits and
+    * never materializes the delta. Broadcast for the nominal daily
+    * delta; forced shuffle once the bound exceeds `cap` (the
+    * backfill/late-cut case where the "delta" is corpus-proportional:
+    * at 64× the distinct-IVM's pair set passes 6M rows, and a 6M-row
+    * broadcast is a ~150 MB driver+executor build). IvmLawSpec
+    * parity-pins the branches (cap forced to 0) and gates the fallback
+    * broadcast-free.
+    */
+  private def deltaSide(probeRows: org.apache.spark.sql.DataFrame,
+      cap: Long)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val probe = math.min(cap + 1, Int.MaxValue).toInt
+    if (probeRows.limit(probe).count() <= cap) broadcast
+    else _.hint("shuffle_merge")
+  }
+
   /** Applies a keyed CDC changeset to a base table. `base`: (key, name,
     * bal_c); `changes`: raw op rows (key, tus, event_id, op ∈ {U, D},
     * new_bal_c). Collapses the changeset to one winning op per key
@@ -345,8 +364,27 @@ object Warehouse {
     * exchange is the final custkey aggregation, map-side-combined over
     * the three-branch union.
     */
+  private val standingBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materializes yesterday's STANDING state once per JVM × parameters
+    * (same memo discipline as the merge-on-read layout): the nightly
+    * job's output is an input the incremental query reads, not part of
+    * the work it claims — rebuilding the full-history state on every
+    * call would charge the maintenance job the recompute cost it
+    * exists to avoid. The tag carries every parameter, so shifted-cut
+    * law runs build their own state.
+    */
+  private def standing(tag: String)(build: String => Unit): String =
+    standingBuilt.computeIfAbsent(tag, { _ =>
+      val p = graft.io.Scratch.stable(tag)
+      build(p)
+      p
+    })
+
   private[graft] def ivmJoinView(spark: org.apache.spark.sql.SparkSession,
-      dir: String, cutLit: String = "1998-01-01", retractMod: Long = 13L)
+      dir: String, cutLit: String = "1998-01-01", retractMod: Long = 13L,
+      maxBroadcastKeys: Long = 1L << 22)
       : org.apache.spark.sql.DataFrame = {
     val cut = Cols.ts(cutLit)
     val ord = Tables(spark, dir, "orders")
@@ -355,14 +393,16 @@ object Warehouse {
       .select(col("l_orderkey"), col("l_shipdate"), revCpRow.as("rev_cp"))
     val oldOrd = ord.filter(col("o_orderdate") < cut)
     // "yesterday's" materialized view — the standing parquet table a
-    // nightly job maintains (same stand-in discipline as incr_rollup)
-    val mv0 = graft.io.Scratch.stable("ivm_mv0_" +
-      java.lang.Integer.toHexString((dir, cutLit, retractMod).hashCode))
-    oldOrd.join(li.filter(col("l_shipdate") < cut).drop("l_shipdate"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_lines"), sum("rev_cp").as("rev_cp"))
-      .write.mode("overwrite").parquet(mv0)
+    // nightly job maintains, built once per JVM × params
+    val mv0 = standing("ivm_mv0_" +
+        java.lang.Integer.toHexString((dir, cutLit, retractMod).hashCode)) {
+      p =>
+        oldOrd.join(li.filter(col("l_shipdate") < cut).drop("l_shipdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_lines"), sum("rev_cp").as("rev_cp"))
+          .write.mode("overwrite").parquet(p)
+    }
     // ΔA: today's orders at +1, cancelled old orders at −1
     val dOrd = ord.filter(col("o_orderdate") >= cut)
       .withColumn("w", lit(1L))
@@ -370,17 +410,25 @@ object Warehouse {
         .withColumn("w", lit(-1L)))
       .select("o_orderkey", "o_custkey", "w")
     val dLi = li.filter(col("l_shipdate") >= cut).drop("l_shipdate")
+    // both delta builds pick broadcast-vs-shuffle adaptively: a late
+    // cut (backfill) makes the "daily" delta corpus-proportional, and
+    // the correct plan is then a shuffle join, not a giant broadcast
+    val ordSide = deltaSide(ord.filter(col("o_orderdate") >= cut)
+      .unionByName(oldOrd.filter(col("o_orderkey") % retractMod === 0)),
+      maxBroadcastKeys)
+    val liSide = deltaSide(li.filter(col("l_shipdate") >= cut),
+      maxBroadcastKeys)
     // ΔA ⋈ (B + ΔB): the FULL lineitem scan probed by the signed order
     // delta — rows contribute w to the count and w·rev to the revenue
     val term1 = li.drop("l_shipdate")
-      .join(broadcast(dOrd), col("l_orderkey") === col("o_orderkey"))
+      .join(ordSide(dOrd), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), col("w").as("n_lines"),
         (col("w") * col("rev_cp")).as("rev_cp"))
     // A ⋈ ΔB: the old-orders scan probed by the lineitem delta — A is
     // the ORIGINAL old set (cancellations are already retracted by
     // term1's −ΔA ⋈ ΔB part; excluding them here would double-count)
     val term2 = oldOrd
-      .join(broadcast(dLi), col("l_orderkey") === col("o_orderkey"))
+      .join(liSide(dLi), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), lit(1L).as("n_lines"), col("rev_cp"))
     spark.read.parquet(mv0)
       .select(col("o_custkey"), col("n_lines"), col("rev_cp"))
@@ -444,11 +492,14 @@ object Warehouse {
         Cols.cents(col("o_totalprice")).as("price_c"))
     val oldOrd = ord.filter(col("o_orderdate") < cut)
     val retracted = col("o_orderkey") % retractMod === 0
-    val mv0 = graft.io.Scratch.stable("ivm_mm0_" +
-      java.lang.Integer.toHexString((dir, cutLit, retractMod).hashCode))
-    oldOrd.groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_orders"), max("price_c").as("max_price_c"))
-      .write.mode("overwrite").parquet(mv0)
+    val mv0 = standing("ivm_mm0_" +
+        java.lang.Integer.toHexString((dir, cutLit, retractMod).hashCode)) {
+      p =>
+        oldOrd.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            max("price_c").as("max_price_c"))
+          .write.mode("overwrite").parquet(p)
+    }
     // the touched key set: every group an arrival or retraction lands
     // in — the delta-bounded broadcast side of both probes. Persisted:
     // it feeds the anti probe plus the semi probe Catalyst pushes
@@ -517,7 +568,8 @@ object Warehouse {
     */
   private[graft] def ivmDistinctView(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      cutLit: String = "1998-01-01", retractMod: Long = 13L)
+      cutLit: String = "1998-01-01", retractMod: Long = 13L,
+      maxBroadcastKeys: Long = 1L << 22)
       : org.apache.spark.sql.DataFrame = {
     val cut = Cols.ts(cutLit)
     val li = Tables(spark, dir, "lineitem")
@@ -527,16 +579,18 @@ object Warehouse {
     val tag = java.lang.Integer.toHexString(
       (dir, cutLit, retractMod).hashCode)
     // yesterday's auxiliary support state + the view it supports — the
-    // standing parquet tables a nightly job maintains (same stand-in
-    // discipline as ivmJoinView's MV0)
-    val aux0 = graft.io.Scratch.stable("ivm_dc_aux0_" + tag)
-    oldLi.groupBy("l_suppkey", "l_partkey")
-      .agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(aux0)
-    val mv0 = graft.io.Scratch.stable("ivm_dc_mv0_" + tag)
-    spark.read.parquet(aux0).groupBy("l_suppkey")
-      .agg(count(lit(1)).as("n_parts"))
-      .write.mode("overwrite").parquet(mv0)
+    // standing parquet tables a nightly job maintains, built once per
+    // JVM × params (same memo discipline as ivmJoinView's MV0)
+    val state = standing("ivm_dc_" + tag) { p =>
+      oldLi.groupBy("l_suppkey", "l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(p + "/aux")
+      spark.read.parquet(p + "/aux").groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_parts"))
+        .write.mode("overwrite").parquet(p + "/mv")
+    }
+    val aux0 = state + "/aux"
+    val mv0 = state + "/mv"
     // signed delta folded to PAIR grain: arrivals at +1, the cancelled
     // orders' old lines at −1; a pair whose weights cancel is untouched
     // persisted: dPairs feeds BOTH the broadcast semi build and the
@@ -550,11 +604,16 @@ object Warehouse {
         .filter(col("dw") =!= 0)
         .persist())
     // old support for exactly the touched pairs: the support scan is
-    // semi-probed by the broadcast delta (pairs absent from aux0 —
-    // brand-new (supp, part) combinations — simply contribute no oldCnt
-    // row, so their support starts at 0 in the merge below)
+    // semi-probed by the delta (pairs absent from aux0 — brand-new
+    // (supp, part) combinations — simply contribute no oldCnt row, so
+    // their support starts at 0 in the merge below). Probe side picked
+    // adaptively off the raw delta rows: broadcast for a daily delta,
+    // shuffle for a backfill-shaped one
+    val side = deltaSide(li.filter(col("l_shipdate") >= cut)
+      .unionByName(oldLi.filter(col("l_orderkey") % retractMod === 0)),
+      maxBroadcastKeys)
     val auxTouched = spark.read.parquet(aux0)
-      .join(broadcast(dPairs.select("l_suppkey", "l_partkey")),
+      .join(side(dPairs.select("l_suppkey", "l_partkey")),
         Seq("l_suppkey", "l_partkey"), "left_semi")
       .select(col("l_suppkey"), col("l_partkey"),
         col("cnt").as("oldCnt"), lit(0L).as("dw"))

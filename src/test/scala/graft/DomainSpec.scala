@@ -1041,4 +1041,22 @@ class IvmLawSpec extends AnyFunSuite with Matchers with SparkTest {
     retractedSupps.exists(k =>
       withRe.get(k) == noRe.get(k)) shouldBe true
   }
+
+  test("degenerate-feed fallback: cap-forced shuffle branches equal " +
+      "the broadcast branches row-for-row, broadcast-free") {
+    // cap 0 forces every delta-derived build side onto the shuffle
+    // path — the backfill case where the "daily" delta is
+    // corpus-proportional and a broadcast build would not fit
+    val forcedJoin = Warehouse.ivmJoinView(spark, dir,
+      maxBroadcastKeys = 0L)
+    forcedJoin.queryExecution.executedPlan.toString should not include
+      "BroadcastHashJoin"
+    rows(forcedJoin) shouldBe rows(Warehouse.ivmJoinView(spark, dir))
+    val forcedDc = Warehouse.ivmDistinctView(spark, dir,
+      maxBroadcastKeys = 0L)
+    forcedDc.queryExecution.executedPlan.toString should not include
+      "BroadcastHashJoin"
+    rows2L(forcedDc) shouldBe
+      rows2L(Warehouse.ivmDistinctView(spark, dir))
+  }
 }
