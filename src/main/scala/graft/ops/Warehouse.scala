@@ -418,24 +418,113 @@ object Warehouse {
       maxBroadcastKeys)
     val liSide = deltaSide(li.filter(col("l_shipdate") >= cut),
       maxBroadcastKeys)
-    // ΔA ⋈ (B + ΔB): the FULL lineitem scan probed by the signed order
-    // delta — rows contribute w to the count and w·rev to the revenue
-    val term1 = li.drop("l_shipdate")
-      .join(ordSide(dOrd), col("l_orderkey") === col("o_orderkey"))
+    ivmJoinApply(spark.read.parquet(mv0)
+        .select(col("o_custkey"), col("n_lines"), col("rev_cp")),
+      oldOrd, li.drop("l_shipdate"), dOrd, dLi, ordSide, liSide)
+      .select(col("o_custkey"), col("n_lines"),
+        asMoney(col("rev_cp")).as("revenue"))
+      .orderBy("o_custkey")
+  }
+
+  /** One signed-delta maintenance step of the join view (the shared
+    * kernel of [[ivmJoinView]] and [[ivmJoinFold]]):
+    *
+    *   MV' = MV + ΔA ⋈ (B + ΔB) + A ⋈ ΔB
+    *
+    * `mv`: (o_custkey, n_lines, rev_cp); `aPrev`: the A relation BEFORE
+    * this batch (o_orderkey, o_custkey); `bAfter`: B + ΔB, i.e. the B
+    * relation AFTER this batch (l_orderkey, rev_cp); `dA`: signed order
+    * delta carrying `w` ∈ {−1, +1}; `dB`: lineitem arrivals. `sideA`/
+    * `sideB` pick the delta build strategy (broadcast vs shuffle).
+    */
+  private def ivmJoinApply(mv: org.apache.spark.sql.DataFrame,
+      aPrev: org.apache.spark.sql.DataFrame,
+      bAfter: org.apache.spark.sql.DataFrame,
+      dA: org.apache.spark.sql.DataFrame,
+      dB: org.apache.spark.sql.DataFrame,
+      sideA: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      sideB: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // ΔA ⋈ (B + ΔB): the fact scan probed by the signed order delta —
+    // rows contribute w to the count and w·rev to the revenue
+    val term1 = bAfter
+      .join(sideA(dA), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), col("w").as("n_lines"),
         (col("w") * col("rev_cp")).as("rev_cp"))
-    // A ⋈ ΔB: the old-orders scan probed by the lineitem delta — A is
-    // the ORIGINAL old set (cancellations are already retracted by
-    // term1's −ΔA ⋈ ΔB part; excluding them here would double-count)
-    val term2 = oldOrd
-      .join(liSide(dLi), col("l_orderkey") === col("o_orderkey"))
+    // A ⋈ ΔB: the pre-batch orders probed by the lineitem delta — A is
+    // the set BEFORE this batch's retractions (they are already
+    // retracted by term1's −ΔA ⋈ ΔB part; excluding them here would
+    // double-count)
+    val term2 = aPrev
+      .join(sideB(dB), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), lit(1L).as("n_lines"), col("rev_cp"))
-    spark.read.parquet(mv0)
-      .select(col("o_custkey"), col("n_lines"), col("rev_cp"))
-      .unionByName(term1).unionByName(term2)
+    mv.unionByName(term1).unionByName(term2)
       .groupBy("o_custkey")
       .agg(sum("n_lines").as("n_lines"), sum("rev_cp").as("rev_cp"))
       .filter(col("n_lines") > 0)
+  }
+
+  /** ITERATIVE maintenance — the production nightly loop: MV0 folds
+    * through TWO successive delta batches (window [cut0, cut1), then
+    * [cut1, ∞); retractions land in batch 1), each step one
+    * [[ivmJoinApply]]. The intermediate MV localCheckpoints between
+    * folds — the fold-lineage discipline (BPE/KR/SCD2-incremental):
+    * without the cut, fold 2's plan nests fold 1's whole tree and
+    * driver planning dominates. The declared query's oracle recomputes
+    * the FINAL state from scratch, so the hash match proves the view
+    * is maintainable iteratively, not just one-shot; IvmLawSpec pins
+    * fold ≡ one-shot recompute at shifted splits.
+    */
+  private[graft] def ivmJoinFold(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cut0Lit: String = "1997-07-01", cut1Lit: String = "1998-01-01",
+      retractMod: Long = 13L, maxBroadcastKeys: Long = 1L << 22)
+      : org.apache.spark.sql.DataFrame = {
+    val c0 = Cols.ts(cut0Lit)
+    val c1 = Cols.ts(cut1Lit)
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), revCpRow.as("rev_cp"))
+    val a0 = ord.filter(col("o_orderdate") < c0)
+    val mv0 = standing("ivm_fold_mv0_" + java.lang.Integer.toHexString(
+        (dir, cut0Lit, retractMod).hashCode)) { p =>
+      a0.join(li.filter(col("l_shipdate") < c0).drop("l_shipdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_lines"), sum("rev_cp").as("rev_cp"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val retracted = col("o_orderkey") % retractMod === 0
+    // batch 1: arrivals in [cut0, cut1) at +1, old cancellations at −1
+    val dA1 = ord.filter(col("o_orderdate") >= c0 &&
+        col("o_orderdate") < c1).withColumn("w", lit(1L))
+      .unionByName(a0.filter(retracted).withColumn("w", lit(-1L)))
+      .select("o_orderkey", "o_custkey", "w")
+    val dB1 = li.filter(col("l_shipdate") >= c0 &&
+      col("l_shipdate") < c1).drop("l_shipdate")
+    val mv1 = ivmJoinApply(spark.read.parquet(mv0)
+        .select(col("o_custkey"), col("n_lines"), col("rev_cp")),
+      a0, li.filter(col("l_shipdate") < c1).drop("l_shipdate"),
+      dA1, dB1,
+      deltaSide(ord.filter(col("o_orderdate") >= c0 &&
+          col("o_orderdate") < c1)
+        .unionByName(a0.filter(retracted)), maxBroadcastKeys),
+      deltaSide(dB1, maxBroadcastKeys))
+      .localCheckpoint()
+    // batch 2 applies onto A₁ = A₀ ∖ retracted ∪ batch-1 arrivals
+    val a1 = a0.filter(!retracted)
+      .unionByName(ord.filter(col("o_orderdate") >= c0 &&
+        col("o_orderdate") < c1))
+      .select("o_orderkey", "o_custkey")
+    val dA2 = ord.filter(col("o_orderdate") >= c1)
+      .withColumn("w", lit(1L))
+      .select("o_orderkey", "o_custkey", "w")
+    val dB2 = li.filter(col("l_shipdate") >= c1).drop("l_shipdate")
+    ivmJoinApply(mv1, a1, li.drop("l_shipdate"), dA2, dB2,
+        deltaSide(ord.filter(col("o_orderdate") >= c1),
+          maxBroadcastKeys),
+        deltaSide(dB2, maxBroadcastKeys))
       .select(col("o_custkey"), col("n_lines"),
         asMoney(col("rev_cp")).as("revenue"))
       .orderBy("o_custkey")
@@ -1561,6 +1650,23 @@ object Warehouse {
         "AS BIGINT) AS max_price_c " +
         "FROM orders " +
         "WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND o_orderkey % 13 = 0) " +
+        "GROUP BY o_custkey ORDER BY o_custkey")),
+
+    "q_warehouse_ivm_incremental" -> Q(
+      (spark, dir) =>
+        // ITERATIVE IVM — MV0 folded through TWO successive delta
+        // batches (see ivmJoinFold; localCheckpoint cuts fold lineage).
+        // The oracle recomputes the final state from scratch, so the
+        // hash match proves the signed algebra composes across
+        // batches: maintain-then-maintain ≡ recompute — the nightly
+        // production loop, not the one-shot demo.
+        ivmJoinFold(spark, dir),
+      Some("SELECT o_custkey, COUNT(*) AS n_lines, " +
+        Cols.froundSql(s"CAST($revenueCpSql AS DOUBLE)/10000.0", 4) +
+        " AS revenue " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE NOT (o_orderdate < TIMESTAMP '1997-07-01' " +
         "AND o_orderkey % 13 = 0) " +
         "GROUP BY o_custkey ORDER BY o_custkey")),
 

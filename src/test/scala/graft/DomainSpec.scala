@@ -1042,6 +1042,16 @@ class IvmLawSpec extends AnyFunSuite with Matchers with SparkTest {
       withRe.get(k) == noRe.get(k)) shouldBe true
   }
 
+  test("iterative fold composes: two-batch maintenance equals the " +
+      "one-shot recompute at shifted split points") {
+    for ((c0, c1, m) <- Seq(("1997-07-01", "1998-01-01", 13L),
+        ("1996-01-01", "1997-01-01", 7L))) {
+      val fold = rows(Warehouse.ivmJoinFold(spark, dir, c0, c1, m))
+      fold should not be empty
+      fold shouldBe rows(Warehouse.ivmJoinRecompute(spark, dir, c0, m))
+    }
+  }
+
   test("degenerate-feed fallback: cap-forced shuffle branches equal " +
       "the broadcast branches row-for-row, broadcast-free") {
     // cap 0 forces every delta-derived build side onto the shuffle
