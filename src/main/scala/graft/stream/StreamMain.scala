@@ -41,6 +41,21 @@ object StreamMain {
   private def eventsSchemaWith(ts: DataType) = StructType(eventsSchema.map(
     f => if (f.name == "ts") f.copy(dataType = ts) else f))
 
+  /** CAS-commits state version `v` through the OCC log, failing FAST on
+    * a contested commit: losing the CAS means another live run owns
+    * this state directory (split-brain) — the batch that lost must not
+    * keep folding on a lineage the winner has already advanced. The
+    * orphaned data directory is reaped; the pointer log stays dense
+    * under the winner. CommitLogSpec pins the guard.
+    */
+  private[graft] def commitStateVersion(logic: String, base: String,
+      v: Int, path: String): Unit =
+    if (!graft.io.CommitLog.tryCommit(base, v - 1, path)) {
+      graft.io.Scratch.reap(path)
+      throw new IllegalStateException(s"[$logic] split-brain: lost the " +
+        s"version-$v CAS in $base — another writer is live; aborting")
+    }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k -> v
@@ -182,16 +197,24 @@ object StreamMain {
           if (out.nonEmpty) out else graft.io.Scratch.sub(s"${logic}_state")
         // a durable --out directory may hold a PRIOR run's state:
         // silently re-seeding v0 over it would orphan that history —
-        // resume the version counter past it instead of overwriting
+        // resume the version counter past it instead of overwriting.
+        // Versions are arbitrated through the OCC commit log (pointer
+        // CAS per version): a prior run that predates the log is
+        // covered by the legacy v* listing, and TWO LIVE runs on one
+        // state directory — the split-brain case — now fail fast at
+        // the first contested CAS instead of silently interleaving
+        // versions
         val prior = Option(new java.io.File(stateBase).listFiles())
           .getOrElse(Array.empty)
           .flatMap(f => f.getName.stripPrefix("v").toIntOption
             .filter(_ => f.getName.startsWith("v")))
-        var stateV = if (prior.isEmpty) 0 else prior.max + 1
+        var stateV = math.max(
+          if (prior.isEmpty) 0 else prior.max + 1,
+          graft.io.CommitLog.currentVersion(stateBase) + 1)
         val seedV = stateV
         if (stateV > 0)
-          println(s"[$logic] resuming past prior state v${prior.max} " +
-            s"in $stateBase: seeding v$stateV")
+          println(s"[$logic] resuming past prior state " +
+            s"v${stateV - 1} in $stateBase: seeding v$stateV")
         var statePath = s"$stateBase/v$stateV"
         val seed = graft.ops.Warehouse.cdcBase(spark, dir)
         (if (isScd2)
@@ -200,6 +223,7 @@ object StreamMain {
         else seed)
           .withColumn("action", lit("kept"))
           .write.mode("overwrite").parquet(statePath)
+        commitStateVersion(logic, stateBase, stateV, statePath)
         val q = events.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val next =
@@ -225,6 +249,7 @@ object StreamMain {
             stateV += 1
             val nextPath = s"$stateBase/v$stateV"
             next.write.mode("overwrite").parquet(nextPath)
+            commitStateVersion(logic, stateBase, stateV, nextPath)
             statePath = nextPath
             // reap superseded versions with the same ONE-version grace
             // as the layout rewrites (an in-flight reader of v(N-1) is

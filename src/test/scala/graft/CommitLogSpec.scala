@@ -38,6 +38,27 @@ class CommitLogSpec extends AnyFunSuite with Matchers {
       Seq("base", "b-wins", "a-rebased-on-1")
   }
 
+  test("streaming state guard: a fold that lost its version CAS aborts " +
+      "and reaps its orphaned write instead of advancing split-brained") {
+    val root = freshRoot()
+    // run A seeds v0 and folds to v1
+    stream.StreamMain.commitStateVersion("cdc", root, 0, s"$root/v0")
+    stream.StreamMain.commitStateVersion("cdc", root, 1, s"$root/v1")
+    // run B (a second live writer) wins the v2 CAS first
+    CommitLog.tryCommit(root, 1, s"$root/v2-B") shouldBe true
+    // run A's v2 attempt must abort, and its orphan directory is reaped
+    val orphan = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "v2"))
+    val ex = intercept[IllegalStateException] {
+      stream.StreamMain.commitStateVersion("cdc", root, 2, orphan.toString)
+    }
+    ex.getMessage should include("split-brain")
+    java.nio.file.Files.exists(orphan) shouldBe false
+    // the winner's lineage is intact
+    CommitLog.versions(root).map(_._2) shouldBe
+      Seq(s"$root/v0", s"$root/v1", s"$root/v2-B")
+  }
+
   test("N racing committers all land exactly once on a dense log, and " +
       "concurrent readers only ever see complete dense prefixes") {
     val root = freshRoot()
