@@ -57,12 +57,27 @@ object CommitLog {
     } finally it.close()
   }
 
-  /** The log in version order: (version, data directory it adds). */
-  def versions(root: String): Seq[(Int, String)] =
-    (0 to currentVersion(root)).map { v =>
+  /** The log in version order: (version, data directory it adds).
+    * Enumerates the pointers that EXIST rather than assuming density —
+    * a legacy resume may begin the log past absent predecessors (the
+    * streaming state path), and future pointer retention may prune a
+    * prefix; a log whose every version was committed here is dense.
+    */
+  def versions(root: String): Seq[(Int, String)] = {
+    val it = Files.list(commitsDir(root))
+    val vs = try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
+        .map(n => n.drop(1).toInt)
+        .toSeq.sorted
+    } finally it.close()
+    vs.map { v =>
       v -> new String(Files.readAllBytes(pointer(root, v)),
         java.nio.charset.StandardCharsets.UTF_8).trim
     }
+  }
 
   /** One CAS attempt: commit `dataDir` as version `expected + 1`.
     * Returns true iff this caller won. The primitive is `link(2)`

@@ -364,6 +364,14 @@ object Warehouse {
     * exchange is the final custkey aggregation, map-side-combined over
     * the three-branch union.
     */
+  /** Filename-safe verbatim parameter tag: identity for persisted
+    * per-JVM state must be the PARAMETERS, not a 32-bit hashCode — a
+    * colliding tuple would silently read another build's state.
+    */
+  private def tagOf(parts: Any*): String =
+    parts.map(_.toString.replaceAll("[^a-zA-Z0-9.-]", "_"))
+      .mkString("_")
+
   private val standingBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -394,8 +402,7 @@ object Warehouse {
     val oldOrd = ord.filter(col("o_orderdate") < cut)
     // "yesterday's" materialized view — the standing parquet table a
     // nightly job maintains, built once per JVM × params
-    val mv0 = standing("ivm_mv0_" +
-        java.lang.Integer.toHexString((dir, cutLit, retractMod).hashCode)) {
+    val mv0 = standing(tagOf("ivm_mv0", dir, cutLit, retractMod)) {
       p =>
         oldOrd.join(li.filter(col("l_shipdate") < cut).drop("l_shipdate"),
             col("l_orderkey") === col("o_orderkey"))
@@ -412,12 +419,11 @@ object Warehouse {
     val dLi = li.filter(col("l_shipdate") >= cut).drop("l_shipdate")
     // both delta builds pick broadcast-vs-shuffle adaptively: a late
     // cut (backfill) makes the "daily" delta corpus-proportional, and
-    // the correct plan is then a shuffle join, not a giant broadcast
-    val ordSide = deltaSide(ord.filter(col("o_orderdate") >= cut)
-      .unionByName(oldOrd.filter(col("o_orderkey") % retractMod === 0)),
-      maxBroadcastKeys)
-    val liSide = deltaSide(li.filter(col("l_shipdate") >= cut),
-      maxBroadcastKeys)
+    // the correct plan is then a shuffle join, not a giant broadcast.
+    // The probes count the SAME frames the joins build from (uncached),
+    // so the sizing decision can't drift from the real delta
+    val ordSide = deltaSide(dOrd, maxBroadcastKeys)
+    val liSide = deltaSide(dLi, maxBroadcastKeys)
     ivmJoinApply(spark.read.parquet(mv0)
         .select(col("o_custkey"), col("n_lines"), col("rev_cp")),
       oldOrd, li.drop("l_shipdate"), dOrd, dLi, ordSide, liSide)
@@ -487,8 +493,8 @@ object Warehouse {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_shipdate"), revCpRow.as("rev_cp"))
     val a0 = ord.filter(col("o_orderdate") < c0)
-    val mv0 = standing("ivm_fold_mv0_" + java.lang.Integer.toHexString(
-        (dir, cut0Lit, retractMod).hashCode)) { p =>
+    val mv0 = standing(tagOf("ivm_fold_mv0", dir, cut0Lit,
+        retractMod)) { p =>
       a0.join(li.filter(col("l_shipdate") < c0).drop("l_shipdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_custkey")
@@ -507,11 +513,11 @@ object Warehouse {
         .select(col("o_custkey"), col("n_lines"), col("rev_cp")),
       a0, li.filter(col("l_shipdate") < c1).drop("l_shipdate"),
       dA1, dB1,
-      deltaSide(ord.filter(col("o_orderdate") >= c0 &&
-          col("o_orderdate") < c1)
-        .unionByName(a0.filter(retracted)), maxBroadcastKeys),
+      deltaSide(dA1, maxBroadcastKeys),
       deltaSide(dB1, maxBroadcastKeys))
-      .localCheckpoint()
+    // fold-lineage cut; registered so drain() releases the checkpoint
+    // blocks (a bare localCheckpoint leaks them for the JVM lifetime)
+    val mv1ck = Caches.registerCheckpoint(mv1.localCheckpoint())
     // batch 2 applies onto A₁ = A₀ ∖ retracted ∪ batch-1 arrivals
     val a1 = a0.filter(!retracted)
       .unionByName(ord.filter(col("o_orderdate") >= c0 &&
@@ -521,9 +527,8 @@ object Warehouse {
       .withColumn("w", lit(1L))
       .select("o_orderkey", "o_custkey", "w")
     val dB2 = li.filter(col("l_shipdate") >= c1).drop("l_shipdate")
-    ivmJoinApply(mv1, a1, li.drop("l_shipdate"), dA2, dB2,
-        deltaSide(ord.filter(col("o_orderdate") >= c1),
-          maxBroadcastKeys),
+    ivmJoinApply(mv1ck, a1, li.drop("l_shipdate"), dA2, dB2,
+        deltaSide(dA2, maxBroadcastKeys),
         deltaSide(dB2, maxBroadcastKeys))
       .select(col("o_custkey"), col("n_lines"),
         asMoney(col("rev_cp")).as("revenue"))
@@ -581,8 +586,7 @@ object Warehouse {
         Cols.cents(col("o_totalprice")).as("price_c"))
     val oldOrd = ord.filter(col("o_orderdate") < cut)
     val retracted = col("o_orderkey") % retractMod === 0
-    val mv0 = standing("ivm_mm0_" +
-        java.lang.Integer.toHexString((dir, cutLit, retractMod).hashCode)) {
+    val mv0 = standing(tagOf("ivm_mm0", dir, cutLit, retractMod)) {
       p =>
         oldOrd.groupBy("o_custkey")
           .agg(count(lit(1)).as("n_orders"),
@@ -665,8 +669,7 @@ object Warehouse {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
         col("l_shipdate"))
     val oldLi = li.filter(col("l_shipdate") < cut)
-    val tag = java.lang.Integer.toHexString(
-      (dir, cutLit, retractMod).hashCode)
+    val tag = tagOf(dir, cutLit, retractMod)
     // yesterday's auxiliary support state + the view it supports — the
     // standing parquet tables a nightly job maintains, built once per
     // JVM × params (same memo discipline as ivmJoinView's MV0)
@@ -755,13 +758,17 @@ object Warehouse {
   private[graft] def commitLogLayout(
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     clogWritten.computeIfAbsent(dir + "#clog", { _ =>
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = tagOf(dir)
       val root = graft.io.Scratch.stable("clog_" + tag)
       if (graft.io.CommitLog.currentVersion(root) < 3) {
         val ord = Tables(spark, dir, "orders")
           .select(col("o_orderkey"),
             Cols.cents(col("o_totalprice")).as("price_c"))
-        for (i <- 0 to 3) {
+        // resume from the COMMITTED version: a build that failed
+        // mid-loop (computeIfAbsent records nothing on throw) must not
+        // re-append its already-committed batches to the append-only
+        // log on retry
+        for (i <- graft.io.CommitLog.currentVersion(root) + 1 to 3) {
           val data = graft.io.Scratch.stable(s"clog_b${i}_" + tag)
           ord.filter(col("o_orderkey") % 4 === i)
             .write.mode("overwrite").parquet(data)
@@ -790,8 +797,7 @@ object Warehouse {
   private[graft] def mergeOnReadLayout(
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     morWritten.computeIfAbsent(dir + "#mor", { _ =>
-      val out = graft.io.Scratch.stable("mor_" +
-        java.lang.Integer.toHexString(dir.hashCode))
+      val out = graft.io.Scratch.stable("mor_" + tagOf(dir))
       cdcBase(spark, dir).write.mode("overwrite").parquet(s"$out/base")
       val w = Window.partitionBy("key")
         .orderBy(desc("tus"), desc("event_id"))
@@ -1282,8 +1288,7 @@ object Warehouse {
         // a hash match proves merge ≡ full recompute.
         val cutoff = Cols.ts("2000-01-01")
         val o = Tables(spark, dir, "orders")
-        val basePath = graft.io.Scratch.stable(
-          "rollup_" + java.lang.Integer.toHexString(dir.hashCode))
+        val basePath = graft.io.Scratch.stable("rollup_" + tagOf(dir))
         o.filter(col("o_orderdate") < cutoff)
           .groupBy("o_custkey")
           .agg(count(lit(1)).as("n_orders"),

@@ -215,7 +215,15 @@ object StreamMain {
         if (stateV > 0)
           println(s"[$logic] resuming past prior state " +
             s"v${stateV - 1} in $stateBase: seeding v$stateV")
-        var statePath = s"$stateBase/v$stateV"
+        // data directories carry a RUN-UNIQUE suffix: two racing runs
+        // must never share a staging path, or the CAS loser's
+        // overwrite+reap would destroy the very state the CAS winner
+        // committed — the pointer, not the path convention, names the
+        // live version
+        val runId = java.util.UUID.randomUUID().toString.take(8)
+        // this run's own committed (version → path), for the grace reap
+        val ownPaths = scala.collection.mutable.Map[Int, String]()
+        var statePath = s"$stateBase/v$stateV-$runId"
         val seed = graft.ops.Warehouse.cdcBase(spark, dir)
         (if (isScd2)
           seed.withColumn("vf_us", lit(0L))
@@ -224,6 +232,7 @@ object StreamMain {
           .withColumn("action", lit("kept"))
           .write.mode("overwrite").parquet(statePath)
         commitStateVersion(logic, stateBase, stateV, statePath)
+        ownPaths(stateV) = statePath
         val q = events.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val next =
@@ -247,17 +256,19 @@ object StreamMain {
                   .select("key", "name", "bal_c"),
                 graft.ops.Warehouse.cdcChangesFrom(batch))
             stateV += 1
-            val nextPath = s"$stateBase/v$stateV"
+            val nextPath = s"$stateBase/v$stateV-$runId"
             next.write.mode("overwrite").parquet(nextPath)
             commitStateVersion(logic, stateBase, stateV, nextPath)
             statePath = nextPath
+            ownPaths(stateV) = nextPath
             // reap superseded versions with the same ONE-version grace
             // as the layout rewrites (an in-flight reader of v(N-1) is
             // protected; older versions would otherwise accumulate
-            // without bound on a durable --out). Never reaps below this
-            // run's own seed — a resumed-past prior history stays put
+            // without bound on a durable --out). Only reaps paths THIS
+            // run committed (ownPaths) — never another run's or a
+            // prior history's, so a resumed-past lineage stays put
             if (stateV - 2 >= seedV)
-              graft.io.Scratch.reap(s"$stateBase/v${stateV - 2}")
+              ownPaths.remove(stateV - 2).foreach(graft.io.Scratch.reap)
             val acts = spark.read.parquet(nextPath)
               .groupBy("action").count().collect()
               .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
