@@ -44,14 +44,19 @@ object CommitLog {
   private def pointer(root: String, v: Int): Path =
     commitsDir(root).resolve(f"v$v%08d")
 
-  /** Highest committed version, or -1 for an empty log. */
+  /** Highest committed version, or -1 for an empty log. Floors at the
+    * latest checkpoint: a fully-pruned log (every pointer covered by
+    * the checkpoint) must still tell appenders where the sequence
+    * continues.
+    */
   def currentVersion(root: String): Int = {
     val it = Files.list(commitsDir(root))
     try {
       import scala.jdk.CollectionConverters._
       it.iterator().asScala
         .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
+        .filter(n => (n.startsWith("v") || n.startsWith("c")) &&
+          !n.endsWith(".tmp"))
         .map(n => n.drop(1).toInt)
         .foldLeft(-1)(math.max)
     } finally it.close()
@@ -77,6 +82,55 @@ object CommitLog {
       v -> new String(Files.readAllBytes(pointer(root, v)),
         java.nio.charset.StandardCharsets.UTF_8).trim
     }
+  }
+
+  /** Latest checkpoint, if any: (version it covers through, snapshot
+    * directory). The snapshot carries a `version` column so
+    * per-version lineage survives consolidation.
+    */
+  def latestCheckpoint(root: String): Option[(Int, String)] = {
+    val it = Files.list(commitsDir(root))
+    val cs = try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("c") && !n.endsWith(".tmp"))
+        .map(n => n.drop(1).toInt)
+        .toSeq.sorted
+    } finally it.close()
+    cs.lastOption.map { v =>
+      v -> new String(Files.readAllBytes(
+        commitsDir(root).resolve(f"c$v%08d")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    }
+  }
+
+  /** Publishes a CHECKPOINT covering versions 0..upTo and prunes their
+    * pointers — the log-compaction half of the protocol (Delta's
+    * `_last_checkpoint`, Iceberg's snapshot expiry): without it,
+    * resolving a year-old table means listing and reading a million
+    * pointer files. The caller has already materialized the
+    * consolidated snapshot (tagged with a `version` column) at
+    * `snapshotDir`; this publishes the `c{upTo}` marker through the
+    * same link(2) CAS (exactly one checkpointer wins a given version)
+    * and only THEN deletes the covered pointers, so a concurrent
+    * reader resolves either the old pointers or the checkpoint —
+    * never neither. `currentVersion` floors at the checkpoint, so
+    * appenders continue past a fully-pruned log.
+    */
+  def checkpoint(root: String, upTo: Int, snapshotDir: String): Boolean = {
+    val target = commitsDir(root).resolve(f"c$upTo%08d")
+    val tmp = commitsDir(root).resolve(
+      f"c$upTo%08d.${java.util.UUID.randomUUID().toString}.tmp")
+    Files.write(tmp,
+      snapshotDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val won =
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    if (won)
+      (0 to upTo).foreach(v => Files.deleteIfExists(pointer(root, v)))
+    won
   }
 
   /** One CAS attempt: commit `dataDir` as version `expected + 1`.

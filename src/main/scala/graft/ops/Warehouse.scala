@@ -778,6 +778,40 @@ object Warehouse {
       root
     })
 
+  /** Checkpointed commit-log build (independent root — checkpointing
+    * [[commitLogLayout]]'s log in place would make that query's result
+    * order-dependent within a session): the same four OCC commits, then
+    * a CHECKPOINT covering v0..v1 — their rows consolidate into ONE
+    * snapshot parquet tagged with a `version` column and their pointers
+    * are pruned ([[graft.io.CommitLog.checkpoint]]). Readers resolve
+    * checkpoint + tail.
+    */
+  private[graft] def checkpointedLogLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    clogWritten.computeIfAbsent(dir + "#clogck", { _ =>
+      val tag = tagOf(dir)
+      val root = graft.io.Scratch.stable("clogck_" + tag)
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          Cols.cents(col("o_totalprice")).as("price_c"))
+      for (i <- graft.io.CommitLog.currentVersion(root) + 1 to 3) {
+        val data = graft.io.Scratch.stable(s"clogck_b${i}_" + tag)
+        ord.filter(col("o_orderkey") % 4 === i)
+          .write.mode("overwrite").parquet(data)
+        graft.io.CommitLog.commitRetry(root)(_ => data)
+      }
+      if (graft.io.CommitLog.latestCheckpoint(root).isEmpty) {
+        val snap = graft.io.Scratch.stable("clogck_snap_" + tag)
+        graft.io.CommitLog.versions(root).filter(_._1 <= 1)
+          .map { case (v, d) =>
+            spark.read.parquet(d).withColumn("version", lit(v)) }
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(snap)
+        graft.io.CommitLog.checkpoint(root, 1, snap)
+      }
+      root
+    })
+
   private val morWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1785,6 +1819,44 @@ object Warehouse {
         val w = Window.orderBy("version")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         perV.select(col("version"),
+            sum("n").over(w).as("n_rows"),
+            sum("s").over(w).as("sum_price_c"))
+          .orderBy("version")
+      },
+      Some("WITH b AS (SELECT CAST(o_orderkey % 4 AS INTEGER) AS " +
+        "version, COUNT(*) AS n, " +
+        "SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS s " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT version, " +
+        "CAST(SUM(n) OVER (ORDER BY version) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(s) OVER (ORDER BY version) AS BIGINT) AS sum_price_c " +
+        "FROM b ORDER BY version")),
+
+    "q_warehouse_log_checkpoint" -> Q(
+      (spark, dir) => {
+        // CHECKPOINTED commit-log read: versions 0..1 were consolidated
+        // into one version-tagged snapshot and their pointers PRUNED
+        // (see checkpointedLogLayout) — the read path resolves
+        // checkpoint + tail and must reconstruct the SAME per-version
+        // audit as the unpruned log, pinned by sharing
+        // q_warehouse_commit_log's oracle: log compaction is
+        // read-invisible, cross-engine.
+        val root = checkpointedLogLayout(spark, dir)
+        val (ckV, snap) = graft.io.CommitLog.latestCheckpoint(root).get
+        val fromSnap = spark.read.parquet(snap)
+          .groupBy("version")
+          .agg(count(lit(1)).as("n"), sum("price_c").as("s"))
+        val fromTail = graft.io.CommitLog.versions(root)
+          .filter(_._1 > ckV)
+          .map { case (v, d) =>
+            spark.read.parquet(d)
+              .agg(count(lit(1)).as("n"), sum("price_c").as("s"))
+              .select(lit(v).as("version"), col("n"), col("s"))
+          }.reduce(_ unionByName _)
+        val w = Window.orderBy("version")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fromSnap.unionByName(fromTail)
+          .select(col("version"),
             sum("n").over(w).as("n_rows"),
             sum("s").over(w).as("sum_price_c"))
           .orderBy("version")

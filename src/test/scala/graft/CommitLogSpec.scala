@@ -59,6 +59,45 @@ class CommitLogSpec extends AnyFunSuite with Matchers {
       Seq(s"$root/v0", s"$root/v1", s"$root/v2-B")
   }
 
+  test("checkpoint prunes covered pointers, keeps the version sequence " +
+      "continuable, and exactly one checkpointer wins") {
+    val root = freshRoot()
+    (0 to 3).foreach(i =>
+      CommitLog.commitRetry(root)(_ => s"batch-$i") shouldBe i)
+    CommitLog.checkpoint(root, 1, "snap-0-1") shouldBe true
+    // a second checkpointer at the same version loses the CAS
+    CommitLog.checkpoint(root, 1, "snap-other") shouldBe false
+    CommitLog.latestCheckpoint(root) shouldBe Some(1 -> "snap-0-1")
+    // covered pointers pruned; the tail intact
+    CommitLog.versions(root) shouldBe Seq(2 -> "batch-2", 3 -> "batch-3")
+    // appenders continue where the sequence left off
+    CommitLog.currentVersion(root) shouldBe 3
+    CommitLog.commitRetry(root)(_ => "batch-4") shouldBe 4
+    // a FULLY-pruned log still floors at the checkpoint
+    val root2 = freshRoot()
+    (0 to 1).foreach(i => CommitLog.commitRetry(root2)(_ => s"b$i"))
+    CommitLog.checkpoint(root2, 1, "snap") shouldBe true
+    CommitLog.versions(root2) shouldBe Seq.empty
+    CommitLog.currentVersion(root2) shouldBe 1
+    CommitLog.commitRetry(root2)(_ => "b2") shouldBe 2
+  }
+
+  test("restore is a new commit pointing at an old version's data: " +
+      "history is preserved and the restored state is re-readable") {
+    val root = freshRoot()
+    (0 to 3).foreach(i => CommitLog.commitRetry(root)(_ => s"d$i"))
+    // RESTORE to v1 = commit v4 whose data pointer IS v1's — a forward
+    // write, never a history rewrite (an auditor still sees v2/v3).
+    // This is the FULL-STATE-per-version shape (the streaming state
+    // log); an increment-log table restores by committing a compensating
+    // delta instead
+    val restoreTo = CommitLog.versions(root).find(_._1 == 1).get._2
+    CommitLog.commitRetry(root)(_ => restoreTo) shouldBe 4
+    CommitLog.versions(root).map(_._2) shouldBe
+      Seq("d0", "d1", "d2", "d3", "d1")
+    CommitLog.currentVersion(root) shouldBe 4
+  }
+
   test("N racing committers all land exactly once on a dense log, and " +
       "concurrent readers only ever see complete dense prefixes") {
     val root = freshRoot()
