@@ -730,6 +730,118 @@ object Warehouse {
       .orderBy("l_suppkey")
   }
 
+  /** One maintenance step of the support-count state AND its view (the
+    * fold kernel of [[ivmDistinctFold]]): merges the signed delta into
+    * the support table at pair grain and folds the presence crossings
+    * into the view. Unlike the one-shot [[ivmDistinctView]] (which
+    * leaves the standing state untouched and keeps a leaner, plan-gated
+    * read path), a STEP must also WRITE tomorrow's support table — the
+    * state-maintenance cost. Here that is a full rewrite (untouched
+    * rows stream through a broadcast anti, touched pairs merge); the
+    * production refinement — a partitioned upsert or merge-on-read
+    * sidecar on the support table — changes the constant, not the
+    * algebra. Returns (next support path, next view).
+    */
+  private def ivmDistinctStep(spark: org.apache.spark.sql.SparkSession,
+      auxPrevPath: String, mvPrev: org.apache.spark.sql.DataFrame,
+      dRows: org.apache.spark.sql.DataFrame, auxNextPath: String,
+      cap: Long): (String, org.apache.spark.sql.DataFrame) = {
+    val dPairs = Caches.register(dRows
+      .groupBy("l_suppkey", "l_partkey").agg(sum("w").as("dw"))
+      .filter(col("dw") =!= 0).persist())
+    val side = deltaSide(dRows, cap)
+    val aux0 = spark.read.parquet(auxPrevPath)
+    val keys = dPairs.select("l_suppkey", "l_partkey")
+    // touched pairs' merged support — persisted: feeds BOTH the state
+    // write and the view merge
+    val touched = Caches.register(aux0
+      .join(side(keys), Seq("l_suppkey", "l_partkey"), "left_semi")
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("cnt").as("oldCnt"), lit(0L).as("dw"))
+      .unionByName(dPairs.select(col("l_suppkey"), col("l_partkey"),
+        lit(0L).as("oldCnt"), col("dw")))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("oldCnt").as("oldCnt"), sum("dw").as("dw"))
+      .persist())
+    aux0.join(side(keys), Seq("l_suppkey", "l_partkey"), "left_anti")
+      .select(col("l_suppkey"), col("l_partkey"), col("cnt"))
+      .unionByName(touched.filter(col("oldCnt") + col("dw") > 0)
+        .select(col("l_suppkey"), col("l_partkey"),
+          (col("oldCnt") + col("dw")).as("cnt")))
+      .write.mode("overwrite").parquet(auxNextPath)
+    val present = (c: org.apache.spark.sql.Column) =>
+      when(c > 0, 1L).otherwise(0L)
+    val pairDn = touched.select(col("l_suppkey"),
+        (present(col("oldCnt") + col("dw")) - present(col("oldCnt")))
+          .as("n_parts"))
+      .filter(col("n_parts") =!= 0)
+    val mvNext = mvPrev.unionByName(pairDn)
+      .groupBy("l_suppkey").agg(sum("n_parts").as("n_parts"))
+      .filter(col("n_parts") > 0)
+    (auxNextPath, mvNext)
+  }
+
+  /** ITERATIVE maintenance of the count-distinct view AND its support
+    * state: two successive delta windows fold through
+    * [[ivmDistinctStep]] — each batch consumes the support table the
+    * previous batch WROTE, which is the half the one-shot query leaves
+    * standing. The declared query's oracle recomputes the final view
+    * from scratch; IvmLawSpec additionally pins the final SUPPORT
+    * TABLE row-for-row against a from-scratch support recompute — the
+    * state, not just the view, survives composition.
+    */
+  private[graft] def ivmDistinctFold(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cut0Lit: String = "1997-07-01", cut1Lit: String = "1998-01-01",
+      retractMod: Long = 13L, maxBroadcastKeys: Long = 1L << 22)
+      : org.apache.spark.sql.DataFrame = {
+    val (mv2, _) = ivmDistinctFoldWithState(spark, dir, cut0Lit,
+      cut1Lit, retractMod, maxBroadcastKeys)
+    mv2
+  }
+
+  /** [[ivmDistinctFold]] plus the final support-table path (the law
+    * spec reads it to pin state composition).
+    */
+  private[graft] def ivmDistinctFoldWithState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cut0Lit: String, cut1Lit: String, retractMod: Long,
+      maxBroadcastKeys: Long = 1L << 22)
+      : (org.apache.spark.sql.DataFrame, String) = {
+    val c0 = Cols.ts(cut0Lit)
+    val c1 = Cols.ts(cut1Lit)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+        col("l_shipdate"))
+    val old0 = li.filter(col("l_shipdate") < c0)
+    val state0 = standing(tagOf("ivm_dcf", dir, cut0Lit, retractMod)) {
+      p =>
+        old0.groupBy("l_suppkey", "l_partkey")
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(p + "/aux")
+        spark.read.parquet(p + "/aux").groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_parts"))
+          .write.mode("overwrite").parquet(p + "/mv")
+    }
+    val d1 = li.filter(col("l_shipdate") >= c0 &&
+        col("l_shipdate") < c1).withColumn("w", lit(1L))
+      .unionByName(old0.filter(col("l_orderkey") % retractMod === 0)
+        .withColumn("w", lit(-1L)))
+      .select("l_suppkey", "l_partkey", "w")
+    val (aux1, mv1) = ivmDistinctStep(spark, state0 + "/aux",
+      spark.read.parquet(state0 + "/mv"), d1,
+      graft.io.Scratch.sub("ivm_dcf_aux1"), maxBroadcastKeys)
+    // fold-lineage cut on the view; the support state's parquet write
+    // is its own cut
+    val mv1ck = Caches.registerCheckpoint(mv1.localCheckpoint())
+    val d2 = li.filter(col("l_shipdate") >= c1)
+      .withColumn("w", lit(1L))
+      .select("l_suppkey", "l_partkey", "w")
+    val (aux2, mv2) = ivmDistinctStep(spark, aux1, mv1ck, d2,
+      graft.io.Scratch.sub("ivm_dcf_aux2"), maxBroadcastKeys)
+    (mv2.orderBy("l_suppkey"), aux2)
+  }
+
   /** From-scratch recompute twin of [[ivmDistinctView]] (IvmLawSpec). */
   private[graft] def ivmDistinctRecompute(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -1722,6 +1834,22 @@ object Warehouse {
         "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts " +
         "FROM lineitem " +
         "WHERE NOT (l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_orderkey % 13 = 0) " +
+        "GROUP BY l_suppkey ORDER BY l_suppkey")),
+
+    "q_warehouse_ivm_distinct_incremental" -> Q(
+      (spark, dir) =>
+        // ITERATIVE count-distinct IVM: two delta windows fold through
+        // the support-table state, each batch consuming the table the
+        // previous batch WROTE (ivmDistinctFold) — the oracle
+        // recomputes the final view from scratch, and IvmLawSpec pins
+        // the final support table itself against a from-scratch
+        // recompute: state AND view survive composition.
+        ivmDistinctFold(spark, dir),
+      Some("SELECT l_suppkey, " +
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts " +
+        "FROM lineitem " +
+        "WHERE NOT (l_shipdate < TIMESTAMP '1997-07-01' " +
         "AND l_orderkey % 13 = 0) " +
         "GROUP BY l_suppkey ORDER BY l_suppkey")),
 

@@ -1052,6 +1052,31 @@ class IvmLawSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
+  test("distinct fold composes state AND view: the folded support " +
+      "table equals a from-scratch support recompute, and the view " +
+      "equals the recompute, at shifted splits") {
+    for ((c0, c1, m) <- Seq(("1997-07-01", "1998-01-01", 13L),
+        ("1996-01-01", "1997-01-01", 7L))) {
+      val (view, auxPath) = Warehouse.ivmDistinctFoldWithState(
+        spark, dir, c0, c1, m)
+      val v = rows2L(view)
+      v should not be empty
+      v shouldBe rows2L(Warehouse.ivmDistinctRecompute(spark, dir,
+        c0, m))
+      // the STATE law: folded support ≡ from-scratch (supp, part, cnt)
+      val cut = graft.ops.Cols.ts(c0)
+      val expected = graft.Tables(spark, dir, "lineitem")
+        .filter(!(col("l_shipdate") < cut &&
+          col("l_orderkey") % m === 0))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+      val got = spark.read.parquet(auxPath)
+      got.count() shouldBe expected.count()
+      got.exceptAll(expected).count() shouldBe 0L
+    }
+    graft.ops.Caches.drain()
+  }
+
   test("degenerate-feed fallback: cap-forced shuffle branches equal " +
       "the broadcast branches row-for-row, broadcast-free") {
     // cap 0 forces every delta-derived build side onto the shuffle
