@@ -27,12 +27,16 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkTest {
   private val sf = "/root/testdata/sf0.001"
 
   // spans: persisted shared frames (tpch q15/q20, pagerank), ranged
-  // caches (equal-occupancy), broadcast+window+agg families, semi/anti
+  // caches (equal-occupancy), broadcast+window+agg families, semi/anti,
+  // and the STATEFUL layouts (standing-state memos, once-per-JVM commit
+  // log builds, cached delta folds) — two racing callers must converge
+  // on ONE build and read consistent state
   private val names = Seq(
     "q_tpch_q15", "q_tpch_q20", "q_tpch_q21", "q_graph_pagerank",
     "q_hic_bh", "q_hic_equal_occupancy", "q_join_broadcast",
     "q_win_rank", "q_agg_cube", "q_dedup_exact", "q_text_tfidf",
-    "q_events_sessionize")
+    "q_events_sessionize", "q_warehouse_ivm_distinct",
+    "q_warehouse_commit_log", "q_warehouse_ivm_incremental")
 
   private def rows(name: String): Seq[String] = {
     val out = Registry.all(name).fn(spark, sf).collect().map(_.toString).toSeq
@@ -40,7 +44,7 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkTest {
     out
   }
 
-  test("12 family-spanning queries under a 4-thread race equal their " +
+  test("15 family-spanning queries under a 4-thread race equal their " +
       "sequential baselines, twice") {
     val baseline = names.map(n => n -> rows(n)).toMap
     val pool = Executors.newFixedThreadPool(4)
