@@ -63,13 +63,13 @@ ls_skew = ("CASE WHEN {i} < " + str(n - 1) +
            " THEN 'Z' ELSE l_linestatus END AS l_linestatus, ") \
     if skew else ""
 ok_expr = ("CASE WHEN l_orderkey % 10 < 3 THEN 1 "
-           "ELSE l_orderkey + {i}*" + str(OFF) + " END AS l_orderkey"
-           ) if hotorder else ("l_orderkey + {i}*" + str(OFF) +
+           "ELSE l_orderkey + {i}::BIGINT*" + str(OFF) + " END AS l_orderkey"
+           ) if hotorder else ("l_orderkey + {i}::BIGINT*" + str(OFF) +
                                " AS l_orderkey")
 build("lineitem",
       "SELECT * REPLACE (" + ls_skew +
-      "l_partkey + {i}*" + str(OFF) + " AS l_partkey, "
-      "l_suppkey + {i}*" + str(OFF) + " AS l_suppkey, " +
+      "l_partkey + {i}::BIGINT*" + str(OFF) + " AS l_partkey, "
+      "l_suppkey + {i}::BIGINT*" + str(OFF) + " AS l_suppkey, " +
       ok_expr + ") "
       f"FROM read_parquet('{src}/lineitem.parquet')")
 BOILER = ("terms of service privacy policy all rights reserved "
@@ -79,10 +79,10 @@ doc_skew = ("CASE WHEN doc_id % 10 < 3 THEN '" + BOILER +
             "' || text ELSE text END AS text, ") if skew else ""
 build("documents",
       "SELECT * REPLACE (" + doc_skew +
-      "doc_id + {i}*" + str(OFF) + " AS doc_id) "
+      "doc_id + {i}::BIGINT*" + str(OFF) + " AS doc_id) "
       f"FROM read_parquet('{src}/documents.parquet')")
 build("embeddings",
-      "SELECT * REPLACE (vec_id + {i}*" + str(OFF) + " AS vec_id) "
+      "SELECT * REPLACE (vec_id + {i}::BIGINT*" + str(OFF) + " AS vec_id) "
       f"FROM read_parquet('{src}/embeddings.parquet')")
 # events must keep parquet TIMESTAMP(NANOS) — graft.Tables reads ts via
 # nanosAsLong — and DuckDB's COPY downcasts to micros, so rewrite with
