@@ -859,6 +859,57 @@ object Warehouse {
     (mv2.orderBy("l_suppkey"), aux2)
   }
 
+  /** SKETCH IVM — the INSERT-ONLY distinct class, completing the
+    * maintenance taxonomy (invertible signed-delta / non-invertible
+    * group-recompute / exact auxiliary-state / approximate sketch):
+    * when even the (group, value) support table is too big, the
+    * standing state is one fixed-size HLL register array per group and
+    * the daily job sketches ONLY the delta and merges registers
+    * (`hll_union_agg`). The boundary is fundamental: HLL cannot
+    * forget, so retractions route to the exact support-table class —
+    * this is the trade every 100 TB distinct-users dashboard makes.
+    * IvmLawSpec pins the merge law REGISTER-EXACTLY (standing ∪ delta
+    * ≡ one-shot sketch of the union — HLL registers are max-merged,
+    * so composition is lossless, not just approximately right) and
+    * the estimates within HLL error of exact.
+    */
+  private[graft] def ivmSketchView(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cutLit: String = "2024-01-16")
+      : org.apache.spark.sql.DataFrame = {
+    val cut = Cols.ts(cutLit)
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val state0 = standing(tagOf("ivm_hll", dir, cutLit)) { p =>
+      ev.filter(col("ts") < cut).groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val delta = ev.filter(col("ts") >= cut).groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+        count(lit(1)).as("n"))
+    spark.read.parquet(state0).unionByName(delta)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("approx_users"),
+        sum("n").as("n"))
+      .orderBy("event_type")
+  }
+
+  /** One-shot sketch of the full corpus — [[ivmSketchView]]'s law twin:
+    * the register merge must reproduce THESE estimates exactly.
+    */
+  private[graft] def ivmSketchRecompute(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** From-scratch recompute twin of [[ivmDistinctView]] (IvmLawSpec). */
   private[graft] def ivmDistinctRecompute(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -1870,6 +1921,18 @@ object Warehouse {
         "WHERE NOT (l_shipdate < TIMESTAMP '1997-07-01' " +
         "AND l_orderkey % 13 = 0) " +
         "GROUP BY l_suppkey ORDER BY l_suppkey")),
+
+    "q_warehouse_ivm_sketch" -> Q(
+      (spark, dir) =>
+        // INSERT-ONLY sketch IVM: standing per-group HLL registers,
+        // delta-only sketching, lossless register merge — see
+        // ivmSketchView. rows-only (Spark's Datasketches estimates ≠
+        // DuckDB's sketch); IvmLawSpec pins merged ≡ one-shot
+        // REGISTER-EXACTLY plus HLL-error accuracy vs exact, and
+        // q_agg_hll_sketch carries the same estimator under the
+        // ≤10 % AggSpec contract.
+        ivmSketchView(spark, dir),
+      None),
 
     "q_warehouse_merge_dv" -> Q(
       (spark, dir) => {

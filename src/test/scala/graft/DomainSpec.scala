@@ -1077,6 +1077,31 @@ class IvmLawSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.ops.Caches.drain()
   }
 
+  test("sketch IVM: standing-plus-delta register merge reproduces the " +
+      "one-shot sketch EXACTLY, and estimates stay within HLL error " +
+      "of exact") {
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val merged = m(Warehouse.ivmSketchView(spark, dir))
+    val oneShot = m(Warehouse.ivmSketchRecompute(spark, dir))
+    merged should not be empty
+    // the merge law is LOSSLESS (registers max-merge), so the
+    // estimates must be identical, not merely close
+    merged shouldBe oneShot
+    val exact = graft.Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (k, (est, _)) =>
+      val ex = exact(k).toDouble
+      withClue(s"$k: est $est vs exact $ex: ") {
+        math.abs(est - ex) / ex should be <= 0.1
+      }
+    }
+    graft.ops.Caches.drain()
+  }
+
   test("degenerate-feed fallback: cap-forced shuffle branches equal " +
       "the broadcast branches row-for-row, broadcast-free") {
     // cap 0 forces every delta-derived build side onto the shuffle
