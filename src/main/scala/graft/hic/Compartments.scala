@@ -268,17 +268,18 @@ object Compartments {
         graft.ops.Caches.releaseLocalCheckpoint(phase1Final)
       else graft.ops.Caches.registerCheckpoint(phase1Final)
     }
-    // the final iterate feeds the returned plan lazily — release at drain()
-    graft.ops.Caches.registerCheckpoint(v)
+    // drain-immune handoff of the final iterate to the returned plan
+    // (a registered checkpoint dies under a concurrent caller's drain)
+    val vOut = graft.ops.Caches.parquetHandoff(v, "compartments_v")
     // sign convention: flip each chromosome so its smallest nonzero-score
     // bin is positive
     val w = org.apache.spark.sql.expressions.Window.partitionBy("chr")
       .orderBy(col("i"))
-    val signs = v.filter(col("s") =!= 0.0)
+    val signs = vOut.filter(col("s") =!= 0.0)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("chr"), signum(col("s")).as("sgn"))
-    v.join(broadcast(signs), Seq("chr"), "left")
+    vOut.join(broadcast(signs), Seq("chr"), "left")
       .select(col("chr"), col("i").as("bin"),
         (col("s") * coalesce(col("sgn"), lit(1.0))).as("score"))
   }

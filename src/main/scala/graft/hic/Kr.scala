@@ -276,12 +276,16 @@ object Kr {
       if (prevCkpt != null) graft.ops.Caches.releaseLocalCheckpoint(prevCkpt)
       prevCkpt = if (iter < iterations) bias else null
     }
-    graft.ops.Caches.registerCheckpoint(bias)
+    // drain-immune handoff: the returned plan reads the final iterate
+    // from scratch parquet (a registered checkpoint would be released
+    // by ANY concurrent caller's drain with the lineage already
+    // truncated — the reader then crashes instead of recomputing)
+    val biasOut = graft.ops.Caches.parquetHandoff(bias, "kr_bias")
     // fix the free scale: report biases with per-chromosome mean 1 (the
     // conventional normalization — downstream clamps to [0.5, 2])
-    val scale = bias.groupBy("chr")
+    val scale = biasOut.groupBy("chr")
       .agg((sum(col("b")) / count(lit(1))).as("mean_b"))
-    bias.join(broadcast(scale), "chr")
+    biasOut.join(broadcast(scale), "chr")
       .select(col("chr"), col("i").as("mid"),
         (col("b") / col("mean_b")).as("bias"))
       .unionByName(loners)

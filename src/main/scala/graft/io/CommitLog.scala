@@ -69,19 +69,33 @@ object CommitLog {
     * prefix; a log whose every version was committed here is dense.
     */
   def versions(root: String): Seq[(Int, String)] = {
-    val it = Files.list(commitsDir(root))
-    val vs = try {
-      import scala.jdk.CollectionConverters._
-      it.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
-        .map(n => n.drop(1).toInt)
-        .toSeq.sorted
-    } finally it.close()
-    vs.map { v =>
-      v -> new String(Files.readAllBytes(pointer(root, v)),
-        java.nio.charset.StandardCharsets.UTF_8).trim
+    // list-then-read retries: a checkpoint may PRUNE a listed pointer
+    // before its read (the documented reader guarantee is "the old
+    // pointers or the checkpoint — never neither", so a vanished
+    // pointer means a re-list now resolves through the checkpoint)
+    var attempt = 0
+    while (true) {
+      val it = Files.list(commitsDir(root))
+      val vs = try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
+          .map(n => n.drop(1).toInt)
+          .toSeq.sorted
+      } finally it.close()
+      try {
+        return vs.map { v =>
+          v -> new String(Files.readAllBytes(pointer(root, v)),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        }
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempt += 1
+          if (attempt > 16) throw e
+      }
     }
+    Seq.empty // unreachable
   }
 
   /** Latest checkpoint, if any: (version it covers through, snapshot
@@ -119,6 +133,22 @@ object CommitLog {
     * appenders continue past a fully-pruned log.
     */
   def checkpoint(root: String, upTo: Int, snapshotDir: String): Boolean = {
+    // LAYERING GUARD: a later checkpoint must cover everything the
+    // earlier one covered — its snapshot must be built from the
+    // PREVIOUS checkpoint's snapshot ∪ the tail pointers (building it
+    // from versions() alone would silently drop every already-pruned
+    // version, then prune the survivors too). The API can't validate
+    // snapshot contents, but it CAN refuse the two always-wrong calls:
+    // re-checkpointing at or below the existing checkpoint, and
+    // checkpointing past the committed head.
+    latestCheckpoint(root).foreach { case (v, _) =>
+      require(upTo > v,
+        s"checkpoint at v$upTo does not advance past the existing " +
+          s"checkpoint at v$v")
+    }
+    require(upTo <= currentVersion(root),
+      s"checkpoint at v$upTo exceeds the committed head " +
+        s"v${currentVersion(root)}")
     val target = commitsDir(root).resolve(f"c$upTo%08d")
     val tmp = commitsDir(root).resolve(
       f"c$upTo%08d.${java.util.UUID.randomUUID().toString}.tmp")

@@ -40,6 +40,34 @@ object Scratch {
     Files.createDirectories(
       base.resolve(s"${tag}_${counter.incrementAndGet()}")).toString
 
+  private val generations =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.Queue[String]]()
+
+  /** [[sub]] with BOUNDED accumulation: each call reaps this tag's
+    * prior generations once they are older than `minAgeMs` (the same
+    * one-generation grace the layout rewrites use — an in-flight
+    * reader of a recent generation is protected; a long serving
+    * session no longer grows tmpfs by one state copy per invocation).
+    */
+  def subTagged(tag: String, minAgeMs: Long = 60000L): String = {
+    val q = generations.computeIfAbsent(tag,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    var prior = q.peek()
+    while (prior != null && {
+        val f = new java.io.File(prior)
+        !f.exists() ||
+          System.currentTimeMillis() - f.lastModified() > minAgeMs
+      }) {
+      val p = q.poll()
+      if (p != null) reap(p)
+      prior = q.peek()
+    }
+    val d = sub(tag)
+    q.add(d)
+    d
+  }
+
   /** A DETERMINISTIC (per tag, per JVM) directory under the same reaped
     * base — for callers that must re-find the path later in the JVM,
     * e.g. the bucketed-table cache keyed by sfDir. Cross-process safety

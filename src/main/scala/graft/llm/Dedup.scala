@@ -329,14 +329,16 @@ object Dedup {
       converged = changed == 0L
       iter += 1
     }
-    // the final labels feed the returned plan lazily — release at drain()
-    graft.ops.Caches.registerCheckpoint(labels)
     // a silently-truncated propagation would return split clusters that
     // LOOK valid — fail loudly instead (simple min-propagation needs
     // component-diameter rounds; raise maxIters for pathological graphs)
+    if (!converged) graft.ops.Caches.releaseLocalCheckpoint(labels)
     require(converged,
       s"connectedComponents did not converge in $maxIters iterations")
-    labels.select(col("doc_id"), col("root").as("cluster"))
+    // drain-immune handoff of the final labels to the returned plan
+    // (a registered checkpoint dies under a concurrent caller's drain)
+    graft.ops.Caches.parquetHandoff(labels, "cc_labels")
+      .select(col("doc_id"), col("root").as("cluster"))
   }
 
   /** Exact union-find labeling of the edge-involved vertices: map from

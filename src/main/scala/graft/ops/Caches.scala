@@ -33,6 +33,29 @@ object Caches {
     bag.clear()
   }
 
+  /** DRAIN-IMMUNE handoff of a computed state to a lazily-read returned
+    * plan: round-trips through a scratch parquet and — when the source
+    * was localCheckpoint'ed — releases its blocks IMMEDIATELY (the
+    * write has fully consumed it). This replaces [[registerCheckpoint]]
+    * for final iterates handed to consumers: a registered checkpoint is
+    * released by ANY caller's [[drain]], and once the lineage is
+    * truncated the reader cannot recompute — it crashes with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND under concurrent queries on one
+    * session (ConcurrencySpec). A parquet read needs no cache entry at
+    * all; the scratch generations are reaped with an age grace
+    * (Scratch.subTagged), so the write leaks neither blocks nor tmpfs.
+    * Intermediate iterates inside solver loops stay on the
+    * eager-checkpoint + inline-release pattern — they are never visible
+    * to drain.
+    */
+  def parquetHandoff(df: org.apache.spark.sql.DataFrame, tag: String,
+      released: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val p = graft.io.Scratch.subTagged(tag)
+    df.write.mode("overwrite").parquet(p)
+    if (released) releaseLocalCheckpoint(df)
+    df.sparkSession.read.parquet(p)
+  }
+
   /** Free the blocks behind a localCheckpoint'ed Dataset. A plain
     * `ds.unpersist()` is a no-op there: the persisted RDD is the internal
     * checkpoint RDD wrapped by the plan's `LogicalRDD` leaf, not a cache

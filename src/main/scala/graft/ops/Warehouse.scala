@@ -372,25 +372,6 @@ object Warehouse {
     parts.map(_.toString.replaceAll("[^a-zA-Z0-9.-]", "_"))
       .mkString("_")
 
-  /** Fold-lineage cut that is also DRAIN-IMMUNE: the intermediate state
-    * round-trips through a scratch parquet — the production shape, every
-    * fold commits state to storage — instead of localCheckpoint, whose
-    * blocks a CONCURRENT caller's Caches.drain() can release after the
-    * lineage is already truncated; recompute is then impossible and the
-    * reader crashes with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (caught by
-    * ConcurrencySpec once the stateful queries joined the race; a
-    * persisted cache degrades to recompute, a released checkpoint
-    * cannot). The states cut here are key-bounded, so the write is
-    * cheap.
-    */
-  private def foldCut(spark: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame, tag: String)
-      : org.apache.spark.sql.DataFrame = {
-    val p = graft.io.Scratch.sub(tag)
-    df.write.mode("overwrite").parquet(p)
-    spark.read.parquet(p)
-  }
-
   private val standingBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -492,10 +473,10 @@ object Warehouse {
   /** ITERATIVE maintenance — the production nightly loop: MV0 folds
     * through TWO successive delta batches (window [cut0, cut1), then
     * [cut1, ∞); retractions land in batch 1), each step one
-    * [[ivmJoinApply]]. The intermediate MV localCheckpoints between
-    * folds — the fold-lineage discipline (BPE/KR/SCD2-incremental):
-    * without the cut, fold 2's plan nests fold 1's whole tree and
-    * driver planning dominates. The declared query's oracle recomputes
+    * [[ivmJoinApply]]. The intermediate MV round-trips through a
+    * scratch parquet between folds (Caches.parquetHandoff — the
+    * fold-lineage discipline, drain-immune): without the cut, fold 2's
+    * plan nests fold 1's whole tree and driver planning dominates. The declared query's oracle recomputes
     * the FINAL state from scratch, so the hash match proves the view
     * is maintainable iteratively, not just one-shot; IvmLawSpec pins
     * fold ≡ one-shot recompute at shifted splits.
@@ -534,7 +515,8 @@ object Warehouse {
       dA1, dB1,
       deltaSide(dA1, maxBroadcastKeys),
       deltaSide(dB1, maxBroadcastKeys))
-    val mv1ck = foldCut(spark, mv1, "ivm_fold_mv1")
+    // drain-immune fold-lineage cut (see Caches.parquetHandoff)
+    val mv1ck = Caches.parquetHandoff(mv1, "ivm_fold_mv1")
     // batch 2 applies onto A₁ = A₀ ∖ retracted ∪ batch-1 arrivals
     val a1 = a0.filter(!retracted)
       .unionByName(ord.filter(col("o_orderdate") >= c0 &&
@@ -847,15 +829,15 @@ object Warehouse {
       .select("l_suppkey", "l_partkey", "w")
     val (aux1, mv1) = ivmDistinctStep(spark, state0 + "/aux",
       spark.read.parquet(state0 + "/mv"), d1,
-      graft.io.Scratch.sub("ivm_dcf_aux1"), maxBroadcastKeys)
+      graft.io.Scratch.subTagged("ivm_dcf_aux1"), maxBroadcastKeys)
     // fold-lineage cut on the view; the support state's parquet write
     // is its own cut
-    val mv1ck = foldCut(spark, mv1, "ivm_dcf_mv1")
+    val mv1ck = Caches.parquetHandoff(mv1, "ivm_dcf_mv1")
     val d2 = li.filter(col("l_shipdate") >= c1)
       .withColumn("w", lit(1L))
       .select("l_suppkey", "l_partkey", "w")
     val (aux2, mv2) = ivmDistinctStep(spark, aux1, mv1ck, d2,
-      graft.io.Scratch.sub("ivm_dcf_aux2"), maxBroadcastKeys)
+      graft.io.Scratch.subTagged("ivm_dcf_aux2"), maxBroadcastKeys)
     (mv2.orderBy("l_suppkey"), aux2)
   }
 
@@ -1778,15 +1760,15 @@ object Warehouse {
         val (c1, log1) = applyCdcScd2Compact(base, day1)
         // lineage cut between folds (the iterative-loop discipline —
         // BPE/KR do the same): the compact state is key-bounded, so
-        // the foldCut parquet round-trip is cheap, while WITHOUT the
+        // the parquetHandoff round-trip is cheap, while WITHOUT the
         // cut fold 2's plan tree nests fold 1's whole tree and driver
         // planning dominates wall time (measured 18 s warmed at the 8×
         // fixture, 5.2 s with the cut — two folds, linear in the
         // single-fold 2.7 s). The streaming CLI gets this for free by
-        // writing state to parquet per batch; foldCut is the same
+        // writing state to parquet per batch; parquetHandoff is the same
         // shape, and drain-immune where localCheckpoint was not.
-        val c1ck = foldCut(spark, c1, "scd2_fold_c1")
-        val log1ck = foldCut(spark, log1, "scd2_fold_log1")
+        val c1ck = Caches.parquetHandoff(c1, "scd2_fold_c1")
+        val log1ck = Caches.parquetHandoff(log1, "scd2_fold_log1")
         val (c2, log2) = applyCdcScd2Compact(c1ck, day2)
         log1ck.unionByName(log2)
           .unionByName(c2.filter(col("vt_us") === Scd2OpenUs))
@@ -1876,7 +1858,7 @@ object Warehouse {
     "q_warehouse_ivm_incremental" -> Q(
       (spark, dir) =>
         // ITERATIVE IVM — MV0 folded through TWO successive delta
-        // batches (see ivmJoinFold; localCheckpoint cuts fold lineage).
+        // batches (see ivmJoinFold; parquetHandoff cuts fold lineage).
         // The oracle recomputes the final state from scratch, so the
         // hash match proves the signed algebra composes across
         // batches: maintain-then-maintain ≡ recompute — the nightly

@@ -65,8 +65,15 @@ class CommitLogSpec extends AnyFunSuite with Matchers {
     (0 to 3).foreach(i =>
       CommitLog.commitRetry(root)(_ => s"batch-$i") shouldBe i)
     CommitLog.checkpoint(root, 1, "snap-0-1") shouldBe true
-    // a second checkpointer at the same version loses the CAS
-    CommitLog.checkpoint(root, 1, "snap-other") shouldBe false
+    // the layering guard refuses the always-wrong calls: a checkpoint
+    // at or below the existing one (whose data it cannot cover), and
+    // one past the committed head
+    intercept[IllegalArgumentException] {
+      CommitLog.checkpoint(root, 1, "snap-other")
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.checkpoint(root, 99, "snap-early")
+    }
     CommitLog.latestCheckpoint(root) shouldBe Some(1 -> "snap-0-1")
     // covered pointers pruned; the tail intact
     CommitLog.versions(root) shouldBe Seq(2 -> "batch-2", 3 -> "batch-3")

@@ -36,7 +36,8 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkTest {
     "q_hic_bh", "q_hic_equal_occupancy", "q_join_broadcast",
     "q_win_rank", "q_agg_cube", "q_dedup_exact", "q_text_tfidf",
     "q_events_sessionize", "q_warehouse_ivm_distinct",
-    "q_warehouse_commit_log", "q_warehouse_ivm_incremental")
+    "q_warehouse_commit_log", "q_warehouse_ivm_incremental",
+    "q_dedup_cluster", "q_hic_kr_biases")
 
   private def rows(name: String): Seq[String] = {
     val out = Registry.all(name).fn(spark, sf).collect().map(_.toString).toSeq
@@ -44,7 +45,7 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkTest {
     out
   }
 
-  test("15 family-spanning queries under a 4-thread race equal their " +
+  test("17 family-spanning queries under a 4-thread race equal their " +
       "sequential baselines, twice") {
     val baseline = names.map(n => n -> rows(n)).toMap
     val pool = Executors.newFixedThreadPool(4)
