@@ -974,6 +974,38 @@ object Warehouse {
       root
     })
 
+  /** Full-state version log with a RESTORE (once per JVM × corpus):
+    * v0 = the base dimension, v1/v2 = two CDC folds (each version a
+    * complete state — the streaming-state shape, where restore is
+    * meaningful), then the rollback: v3 is a FORWARD commit whose
+    * pointer names v1's data directory. History is preserved (v2 stays
+    * auditable); no data is rewritten — restore costs one pointer.
+    */
+  private[graft] def restoreLogLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    clogWritten.computeIfAbsent(dir + "#restore", { _ =>
+      val tag = tagOf(dir)
+      val root = graft.io.Scratch.stable("rlog_" + tag)
+      if (graft.io.CommitLog.currentVersion(root) < 3) {
+        val cut = 1705363200000000L
+        val changes = cdcChangesFrom(Tables(spark, dir, "events"))
+        def write(df: org.apache.spark.sql.DataFrame, name: String)
+            : String = {
+          val p = graft.io.Scratch.stable(s"rlog_${name}_" + tag)
+          df.write.mode("overwrite").parquet(p)
+          p
+        }
+        val v0 = write(cdcBase(spark, dir), "v0")
+        val v1 = write(applyCdc(spark.read.parquet(v0),
+          changes.filter(col("tus") <= cut)).drop("action"), "v1")
+        val v2 = write(applyCdc(spark.read.parquet(v1),
+          changes.filter(col("tus") > cut)).drop("action"), "v2")
+        Seq(v0, v1, v2, /* restore to v1 */ v1).foreach(d =>
+          graft.io.CommitLog.commitRetry(root)(_ => d))
+      }
+      root
+    })
+
   private val morWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2022,6 +2054,44 @@ object Warehouse {
         "CAST(SUM(n) OVER (ORDER BY version) AS BIGINT) AS n_rows, " +
         "CAST(SUM(s) OVER (ORDER BY version) AS BIGINT) AS sum_price_c " +
         "FROM b ORDER BY version")),
+
+    "q_warehouse_restore" -> Q(
+      (spark, dir) => {
+        // RESTORE read: the log holds v0 (base), v1, v2 (two CDC
+        // folds, full state per version), then v3 — the rollback, a
+        // forward commit whose pointer names v1's data
+        // (restoreLogLayout; CommitLogSpec pins the protocol). The
+        // query reads the LATEST head through the log; the oracle
+        // independently recomputes v1's state (base + day-1 changes),
+        // so the hash match proves the restored head IS v1, while v2
+        // remains in history un-rewritten.
+        val root = restoreLogLayout(spark, dir)
+        val head = graft.io.CommitLog.versions(root).last._2
+        spark.read.parquet(head)
+          .select("key", "name", "bal_c")
+          .orderBy("key")
+      },
+      Some("WITH ch AS (SELECT CASE WHEN user_id % 7 = 3 " +
+        "THEN user_id + 2000000 ELSE user_id END AS key, " +
+        "epoch_us(ts) AS tus, event_id, " +
+        "CASE WHEN user_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "COALESCE(TRY_CAST(NULLIF(regexp_extract(props, " +
+        "'\"k\": (\\d+)', 1), '') AS BIGINT), 0) AS new_bal_c " +
+        "FROM events WHERE epoch_us(ts) <= 1705363200000000), " +
+        "latest AS (SELECT key, op, new_bal_c FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY key " +
+        "ORDER BY tus DESC, event_id DESC) AS rn FROM ch) WHERE rn = 1), " +
+        "base AS (SELECT c_custkey AS key, c_name AS name, " +
+        "CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_c FROM customer) " +
+        "SELECT key, name, bal_c FROM base " +
+        "WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.key = " +
+        "base.key) " +
+        "UNION ALL SELECT b.key, b.name, l.new_bal_c AS bal_c " +
+        "FROM base b JOIN latest l ON b.key = l.key WHERE l.op = 'U' " +
+        "UNION ALL SELECT l.key, '(new)', l.new_bal_c " +
+        "FROM latest l WHERE l.op = 'U' AND NOT EXISTS " +
+        "(SELECT 1 FROM base WHERE base.key = l.key) " +
+        "ORDER BY key")),
 
     "q_warehouse_log_checkpoint" -> Q(
       (spark, dir) => {
