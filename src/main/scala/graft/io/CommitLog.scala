@@ -158,8 +158,15 @@ object CommitLog {
       try { Files.createLink(target, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally Files.deleteIfExists(tmp)
-    if (won)
+    if (won) {
       (0 to upTo).foreach(v => Files.deleteIfExists(pointer(root, v)))
+      // superseded checkpoint markers prune too — a periodically-
+      // checkpointing writer (the streaming CLI) must not grow one
+      // marker per batch; latestCheckpoint takes the max, so removing
+      // older markers is invisible to readers
+      (0 until upTo).foreach(v =>
+        Files.deleteIfExists(commitsDir(root).resolve(f"c$v%08d")))
+    }
     won
   }
 

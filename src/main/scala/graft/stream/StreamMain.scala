@@ -267,6 +267,19 @@ object StreamMain {
             // without bound on a durable --out). Only reaps paths THIS
             // run committed (ownPaths) — never another run's or a
             // prior history's, so a resumed-past lineage stays put
+            // log compaction FIRST: each version is a FULL state, so
+            // the checkpoint snapshot covering 0..N-1 is simply
+            // v(N-1)'s own data — one marker supersedes every older
+            // pointer (and older markers), keeping the commit log
+            // batch-count-independent. Runs BEFORE the reap so the
+            // marker always advances past a version before that
+            // version's data can vanish. The layering guard never
+            // fires here (upTo advances monotonically within a run);
+            // a racing run dies at its version CAS first.
+            if (stateV - 1 >= seedV)
+              ownPaths.get(stateV - 1).foreach(prev =>
+                graft.io.CommitLog.checkpoint(stateBase, stateV - 1,
+                  prev))
             if (stateV - 2 >= seedV)
               ownPaths.remove(stateV - 2).foreach(graft.io.Scratch.reap)
             val acts = spark.read.parquet(nextPath)

@@ -80,6 +80,21 @@ class CommitLogSpec extends AnyFunSuite with Matchers {
     // appenders continue where the sequence left off
     CommitLog.currentVersion(root) shouldBe 3
     CommitLog.commitRetry(root)(_ => "batch-4") shouldBe 4
+    // a LAYERED checkpoint (built from the previous snapshot ∪ tail)
+    // advances, prunes the covered tail AND the superseded marker —
+    // a periodically-checkpointing writer stays O(1) in log files
+    CommitLog.checkpoint(root, 3, "snap-0-3") shouldBe true
+    CommitLog.latestCheckpoint(root) shouldBe Some(3 -> "snap-0-3")
+    CommitLog.versions(root) shouldBe Seq(4 -> "batch-4")
+    val names = {
+      val it = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "commits"))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally it.close()
+    }
+    names shouldBe Set("c00000003", "v00000004")
     // a FULLY-pruned log still floors at the checkpoint
     val root2 = freshRoot()
     (0 to 1).foreach(i => CommitLog.commitRetry(root2)(_ => s"b$i"))
