@@ -33,6 +33,29 @@ import java.nio.file.{Files, Path, Paths}
   * ADD a version, never mutate one, so reads are trivially
   * snapshot-isolated (same immutability discipline as the merge-on-read
   * layout's base).
+  *
+  * == Commit classes ==
+  *
+  * The log arbitrates version ORDER for two distinct table shapes, and
+  * the rebase obligation after a lost CAS differs:
+  *
+  *   - APPEND-ONLY snapshots (snapshot V = union of data dirs 0..V):
+  *     a loser's prepared data directory is still valid verbatim — the
+  *     winner only added rows the loser never claimed to know about.
+  *     Rebase = retry the CAS at the new version with the SAME dir
+  *     ([[commitRetry]] with a prepare that ignores its argument).
+  *   - STATE-REPLACING versions (each data dir is the FULL state, the
+  *     streaming CLI's shape): a loser's prepared state was derived
+  *     from a snapshot the winner has REPLACED — recommitting it
+  *     verbatim would silently drop the winner's changes (lost
+  *     update). Rebase = RE-DERIVE the state from the WINNER's
+  *     snapshot (re-apply the changeset on the new base), then retry.
+  *     [[commitStateRetry]] enforces this mechanically by handing
+  *     `prepare` the current HEAD SNAPSHOT each attempt;
+  *     CommitLogSpec pins the law — the final state of two racing
+  *     state committers equals sequential application of both
+  *     changesets in winner order, and a loser that (incorrectly)
+  *     recommits its stale derivation is detectably wrong.
   */
 object CommitLog {
   private def commitsDir(root: String): Path = {
@@ -101,22 +124,47 @@ object CommitLog {
   /** Latest checkpoint, if any: (version it covers through, snapshot
     * directory). The snapshot carries a `version` column so
     * per-version lineage survives consolidation.
+    *
+    * Same list-then-read prune race as [[versions]]: [[checkpoint]]
+    * deletes SUPERSEDED c-markers after publishing a newer one, so a
+    * concurrent reader (or a racing second checkpointer's layering
+    * guard) can list c(N) and then find it vanished because c(N+1)
+    * won. Markers only ever prune in favor of a NEWER marker, so the
+    * newest-first read falls back to the next candidate and a full
+    * re-list bounds the loop — the documented "old pointers or the
+    * checkpoint, never neither" guarantee holds for markers too.
     */
   def latestCheckpoint(root: String): Option[(Int, String)] = {
-    val it = Files.list(commitsDir(root))
-    val cs = try {
-      import scala.jdk.CollectionConverters._
-      it.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("c") && !n.endsWith(".tmp"))
-        .map(n => n.drop(1).toInt)
-        .toSeq.sorted
-    } finally it.close()
-    cs.lastOption.map { v =>
-      v -> new String(Files.readAllBytes(
-        commitsDir(root).resolve(f"c$v%08d")),
-        java.nio.charset.StandardCharsets.UTF_8).trim
+    var attempt = 0
+    while (attempt <= 16) {
+      val it = Files.list(commitsDir(root))
+      val cs = try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("c") && !n.endsWith(".tmp"))
+          .map(n => n.drop(1).toInt)
+          .toSeq.sorted(Ordering.Int.reverse)
+      } finally it.close()
+      if (cs.isEmpty) return None
+      // read ONLY the newest marker: an older one from the same
+      // listing may pair a stale snapshot with pointers the newer
+      // checkpoint has since pruned. A newest marker that vanished
+      // mid-read was superseded by a strictly NEWER one, which the
+      // re-list resolves.
+      val v = cs.head
+      try {
+        return Some(v -> new String(Files.readAllBytes(
+          commitsDir(root).resolve(f"c$v%08d")),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } catch {
+        case _: java.nio.file.NoSuchFileException => ()
+      }
+      attempt += 1
     }
+    throw new IllegalStateException(
+      s"latestCheckpoint under $root: markers kept vanishing across " +
+        "16 re-lists")
   }
 
   /** Publishes a CHECKPOINT covering versions 0..upTo and prunes their
@@ -210,5 +258,59 @@ object CommitLog {
     }
     throw new IllegalStateException(
       s"commit lost $maxAttempts consecutive races under $root")
+  }
+
+  /** Snapshot directory of the current HEAD version — the full state a
+    * STATE-REPLACING committer must re-derive from. Resolves the head
+    * pointer when one exists, else the latest checkpoint (a
+    * fully-pruned log's head data lives in its snapshot); None on an
+    * empty log. Re-resolves on the same prune race as [[versions]]:
+    * a head pointer can only vanish in favor of a checkpoint covering
+    * it or a newer head.
+    */
+  def headSnapshot(root: String): Option[(Int, String)] = {
+    var attempt = 0
+    while (attempt <= 16) {
+      val cur = currentVersion(root)
+      if (cur < 0) return None
+      try {
+        return Some(cur -> new String(Files.readAllBytes(
+          pointer(root, cur)), java.nio.charset.StandardCharsets.UTF_8)
+          .trim)
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          latestCheckpoint(root) match {
+            case Some((v, snap)) if v >= cur => return Some(v -> snap)
+            case _ => () // pruned mid-read by a NEWER commit: re-list
+          }
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"headSnapshot under $root: head kept vanishing across 16 re-lists")
+  }
+
+  /** Commit-with-rebase for the STATE-REPLACING class (see the commit
+    * classes note above): each attempt hands `prepare` the current
+    * version AND the current head snapshot directory (None on an
+    * empty log), and `prepare` must derive the FULL next state from
+    * THAT base — never from a snapshot it read before the attempt. A
+    * CAS loss therefore re-applies the changeset on the winner's
+    * state, which is exactly serial execution in winner order; the
+    * loser's previously-prepared directory is abandoned (the caller's
+    * scratch discipline reaps it). Returns the version this committer
+    * won.
+    */
+  def commitStateRetry(root: String, maxAttempts: Int = 64)(
+      prepare: (Int, Option[String]) => String): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(root)
+      val dataDir = prepare(cur, headSnapshot(root).map(_._2))
+      if (tryCommit(root, cur, dataDir)) return cur + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"state commit lost $maxAttempts consecutive races under $root")
   }
 }

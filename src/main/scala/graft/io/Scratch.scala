@@ -45,23 +45,31 @@ object Scratch {
       String, java.util.Queue[String]]()
 
   /** [[sub]] with BOUNDED accumulation: each call reaps this tag's
-    * prior generations once they are older than `minAgeMs` (the same
-    * one-generation grace the layout rewrites use — an in-flight
-    * reader of a recent generation is protected; a long serving
-    * session no longer grows tmpfs by one state copy per invocation).
+    * stale prior generations (a long serving session no longer grows
+    * tmpfs by one state copy per invocation). A generation is reaped
+    * only when BOTH graces pass: it is older than `minAgeMs` (age
+    * grace) AND at least one newer PRIOR generation exists beyond the
+    * directory being created now (count grace — the most recent prior
+    * is always retained regardless of age, because a consumer of a
+    * lazily-returned plan, e.g. a `parquetHandoff` frame, may
+    * materialize it well after `minAgeMs` while a later invocation of
+    * the same operator tag races this reaper).
     */
   def subTagged(tag: String, minAgeMs: Long = 60000L): String = {
     val q = generations.computeIfAbsent(tag,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
-    var prior = q.peek()
-    while (prior != null && {
-        val f = new java.io.File(prior)
-        !f.exists() ||
-          System.currentTimeMillis() - f.lastModified() > minAgeMs
+    // q.size >= 2 ⇒ after the add below the head has ≥2 newer
+    // generations — reaping it leaves the one-generation grace intact
+    while (q.size() >= 2 && {
+        val prior = q.peek()
+        prior != null && {
+          val f = new java.io.File(prior)
+          !f.exists() ||
+            System.currentTimeMillis() - f.lastModified() > minAgeMs
+        }
       }) {
       val p = q.poll()
       if (p != null) reap(p)
-      prior = q.peek()
     }
     val d = sub(tag)
     q.add(d)

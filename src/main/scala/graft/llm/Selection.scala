@@ -153,6 +153,27 @@ object Selection {
     * invisible to daily ingestion — the same pointer discipline as the
     * ANN index's codes table (Pq.codesDir).
     */
+  /** Serializes the two STATE-MUTATING maintenance jobs on one root —
+    * [[extendDedupState]] (nightly absorb: appends into the live
+    * fingerprints dir) and [[compactDedupState]] (rewrites a new
+    * version, swaps MANIFEST, reaps a stale one). Unserialized they
+    * race: an extend that resolved the old dir appends fingerprints a
+    * concurrent compact never copied (and whose later reap deletes),
+    * while the Bloom sidecar still claims them — absorbed docs would
+    * re-probe as novel. PROBES never take this lock (read-only,
+    * pinned to the dir they resolved). Cross-PROCESS the contract is
+    * single-maintenance-writer per state root (the nightly ingestion
+    * owns its state, the standard lakehouse-maintenance discipline);
+    * in-process — the shape every spec and declared query runs —
+    * the lock enforces it.
+    */
+  private val maintenanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def withMaintenanceLock[A](root: String)(body: => A): A =
+    maintenanceLocks.computeIfAbsent(root, _ => new AnyRef)
+      .synchronized(body)
+
   private def fpsDir(root: String): String = {
     val mf = java.nio.file.Paths.get(root, "MANIFEST")
     if (java.nio.file.Files.exists(mf))
@@ -173,7 +194,7 @@ object Selection {
     * counts, and that replay-extend after a compact stays a no-op).
     */
   private[graft] def compactDedupState(spark: SparkSession, root: String,
-      targetFiles: Int = 4): Unit = {
+      targetFiles: Int = 4): Unit = withMaintenanceLock(root) {
     val cur = fpsDir(root)
     val curV =
       if (cur.endsWith("/fingerprints")) 0
@@ -247,7 +268,7 @@ object Selection {
     * same shard is a no-op: every address probes as known.
     */
   private[graft] def extendDedupState(spark: SparkSession, root: String,
-      shard: DataFrame): Unit = {
+      shard: DataFrame): Unit = withMaintenanceLock(root) {
     val novel = graft.ops.Caches.register(
       probeDedupState(spark, root, shard)
         .filter(!col("in_corpus")).select("clean_md5").distinct()

@@ -729,65 +729,185 @@ object Warehouse {
       .orderBy("l_suppkey")
   }
 
-  /** One maintenance step of the support-count state AND its view (the
-    * fold kernel of [[ivmDistinctFold]]): merges the signed delta into
-    * the support table at pair grain and folds the presence crossings
-    * into the view. Unlike the one-shot [[ivmDistinctView]] (which
-    * leaves the standing state untouched and keeps a leaner, plan-gated
-    * read path), a STEP must also WRITE tomorrow's support table — the
-    * state-maintenance cost. Here that is a full rewrite (untouched
-    * rows stream through a broadcast anti, touched pairs merge); the
-    * production refinement — a partitioned upsert or merge-on-read
-    * sidecar on the support table — changes the constant, not the
-    * algebra. Returns (next support path, next view).
+  /** Bucket fanout of the partitioned support table: the state is
+    * hash-clustered on its GROUP key so maintenance can address a
+    * bucket subset. 16 here (the fixtures' support tables are tens of
+    * MB); a 100 TB deployment sizes this so one bucket ≈ one
+    * rewrite-sized file group (thousands).
     */
-  private def ivmDistinctStep(spark: org.apache.spark.sql.SparkSession,
-      auxPrevPath: String, mvPrev: org.apache.spark.sql.DataFrame,
-      dRows: org.apache.spark.sql.DataFrame, auxNextPath: String,
-      cap: Long): (String, org.apache.spark.sql.DataFrame) = {
+  private[graft] val SupportBuckets = 16
+
+  private[graft] def supportBucket(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = pmod(hash(c), lit(SupportBuckets))
+
+  /** A merge-on-read SUPPORT STATE: an immutable BASE table
+    * hash-partitioned by `b = pmod(hash(l_suppkey), SupportBuckets)`
+    * plus an ordered list of signed sidecar DELTAS (l_suppkey,
+    * l_partkey, dw). The resolved table is base ⊎ deltas summed at
+    * pair grain, cnt > 0 ([[resolveSupport]]).
+    */
+  private[graft] final case class SupportState(
+      base: String, sidecars: Seq[String])
+
+  /** The support state resolved to its logical (l_suppkey, l_partkey,
+    * cnt) table — what a from-scratch support recompute must equal
+    * (IvmLawSpec) and what [[compactSupport]] folds back into one
+    * base generation. Signed sidecars make resolution ORDER-FREE: a
+    * single mergeable sum, no last-writer sequencing.
+    */
+  private[graft] def resolveSupport(
+      spark: org.apache.spark.sql.SparkSession, base: String,
+      sidecars: Seq[String]): org.apache.spark.sql.DataFrame =
+    sidecars.map(p => spark.read.parquet(p)
+        .select(col("l_suppkey"), col("l_partkey"), col("dw").as("w")))
+      .foldLeft(spark.read.parquet(base)
+        .select(col("l_suppkey"), col("l_partkey"), col("cnt").as("w")))(
+        _ unionByName _)
+      .groupBy("l_suppkey", "l_partkey").agg(sum("w").as("cnt"))
+      .filter(col("cnt") > 0)
+
+  /** One O(delta) maintenance step of the support-count state AND its
+    * view (the fold kernel of [[ivmDistinctFold]]): the state write is
+    * the signed pair delta ITSELF, appended as a merge-on-read sidecar
+    * — delta-bounded bytes, never a table rewrite. (The first-cut step
+    * rewrote the FULL support table per batch: anti ∪ merged →
+    * overwrite. Correct, but O(state) per delta — at 100 TB the
+    * support table is corpus-scale and a daily batch must not pay a
+    * corpus-scale write. The rewrite now lives ONLY in
+    * [[compactSupport]], the amortized maintenance job, and even there
+    * touches only the buckets the sidecars name.)
+    *
+    * The view half still needs each touched pair's OLD resolved count
+    * (for the 0↔1 presence crossings): the bucketed base is
+    * partition-PRUNED to the delta's bucket set and semi-probed by the
+    * delta pairs (broadcast for a daily delta, counted shuffle
+    * fallback for a backfill via [[deltaSide]]); prior sidecars —
+    * delta-sized each — probe the same way. The base never shuffles
+    * and is never written. Returns the next view; the caller threads
+    * `sidecarOut` into its state's sidecar list.
+    */
+  private def ivmDistinctStepMor(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, priorSidecars: Seq[String],
+      mvPrev: org.apache.spark.sql.DataFrame,
+      dRows: org.apache.spark.sql.DataFrame, sidecarOut: String,
+      cap: Long): org.apache.spark.sql.DataFrame = {
     val dPairs = Caches.register(dRows
       .groupBy("l_suppkey", "l_partkey").agg(sum("w").as("dw"))
       .filter(col("dw") =!= 0).persist())
+    // THE state write: the collapsed signed delta itself — O(|delta|)
+    dPairs.write.mode("overwrite").parquet(sidecarOut)
     val side = deltaSide(dRows, cap)
-    val aux0 = spark.read.parquet(auxPrevPath)
     val keys = dPairs.select("l_suppkey", "l_partkey")
-    // touched pairs' merged support — persisted: feeds BOTH the state
-    // write and the view merge
-    val touched = Caches.register(aux0
+    // bucket set of the delta's groups: ≤ SupportBuckets values, so the
+    // collect is constant-sized; pruning the base scan to these
+    // partitions is what makes a key-local delta's probe sublinear in
+    // the state
+    val touchedBuckets = dPairs
+      .select(supportBucket(col("l_suppkey")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val baseTouched = spark.read.parquet(basePath)
+      .filter(col("b").isin(touchedBuckets: _*))
       .join(side(keys), Seq("l_suppkey", "l_partkey"), "left_semi")
-      .select(col("l_suppkey"), col("l_partkey"),
-        col("cnt").as("oldCnt"), lit(0L).as("dw"))
+      .select(col("l_suppkey"), col("l_partkey"), col("cnt").as("w"))
+    val priorTouched = priorSidecars.map(p => spark.read.parquet(p)
+      .join(side(keys), Seq("l_suppkey", "l_partkey"), "left_semi")
+      .select(col("l_suppkey"), col("l_partkey"), col("dw").as("w")))
+    val present = (c: org.apache.spark.sql.Column) =>
+      when(c > 0, 1L).otherwise(0L)
+    val pairDn = priorTouched.foldLeft(baseTouched)(_ unionByName _)
+      .select(col("l_suppkey"), col("l_partkey"), col("w").as("oldCnt"),
+        lit(0L).as("dw"))
       .unionByName(dPairs.select(col("l_suppkey"), col("l_partkey"),
         lit(0L).as("oldCnt"), col("dw")))
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum("oldCnt").as("oldCnt"), sum("dw").as("dw"))
-      .persist())
-    aux0.join(side(keys), Seq("l_suppkey", "l_partkey"), "left_anti")
-      .select(col("l_suppkey"), col("l_partkey"), col("cnt"))
-      .unionByName(touched.filter(col("oldCnt") + col("dw") > 0)
-        .select(col("l_suppkey"), col("l_partkey"),
-          (col("oldCnt") + col("dw")).as("cnt")))
-      .write.mode("overwrite").parquet(auxNextPath)
-    val present = (c: org.apache.spark.sql.Column) =>
-      when(c > 0, 1L).otherwise(0L)
-    val pairDn = touched.select(col("l_suppkey"),
+      .select(col("l_suppkey"),
         (present(col("oldCnt") + col("dw")) - present(col("oldCnt")))
           .as("n_parts"))
       .filter(col("n_parts") =!= 0)
-    val mvNext = mvPrev.unionByName(pairDn)
+    mvPrev.unionByName(pairDn)
       .groupBy("l_suppkey").agg(sum("n_parts").as("n_parts"))
       .filter(col("n_parts") > 0)
-    (auxNextPath, mvNext)
+  }
+
+  /** COMPACTS a support state: folds the sidecar deltas into the
+    * bucketed base as a NEW generation, rewriting ONLY the buckets the
+    * sidecars touch. Untouched buckets carry over as hard links to the
+    * previous generation's files — zero data bytes read, copied, or
+    * rewritten (the local-filesystem analog of Iceberg/Delta manifest
+    * reuse, where the new snapshot's manifest points at the old
+    * objects; IvmLawSpec gates the carried files byte-identical via
+    * inode equality). The previous generation stays valid — in-flight
+    * readers keep their snapshot; the caller's scratch discipline reaps
+    * it. Returns the new base path (the old one verbatim when there is
+    * nothing to fold).
+    */
+  private[graft] def compactSupport(
+      spark: org.apache.spark.sql.SparkSession, basePath: String,
+      sidecars: Seq[String], outPath: String): String = {
+    if (sidecars.isEmpty) return basePath
+    val deltas = sidecars.map(p => spark.read.parquet(p)
+        .select(col("l_suppkey"), col("l_partkey"), col("dw")))
+      .reduce(_ unionByName _)
+    val touched = deltas.select(supportBucket(col("l_suppkey")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // merged content of the touched buckets only — the base scan is
+    // partition-pruned to them
+    spark.read.parquet(basePath)
+      .filter(col("b").isin(touched.toSeq: _*))
+      .select(col("l_suppkey"), col("l_partkey"), col("cnt").as("w"))
+      .unionByName(deltas.select(col("l_suppkey"), col("l_partkey"),
+        col("dw").as("w")))
+      .groupBy("l_suppkey", "l_partkey").agg(sum("w").as("cnt"))
+      .filter(col("cnt") > 0)
+      .withColumn("b", supportBucket(col("l_suppkey")))
+      .write.partitionBy("b").mode("overwrite").parquet(outPath)
+    // untouched buckets: link the previous generation's files into the
+    // new one (copy only if the filesystem refuses the link)
+    val src = java.nio.file.Paths.get(basePath)
+    val it = java.nio.file.Files.list(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .filter(d => java.nio.file.Files.isDirectory(d) && {
+          val n = d.getFileName.toString
+          n.startsWith("b=") && !touched.contains(n.drop(2).toInt)
+        })
+        .foreach { d =>
+          val dst = java.nio.file.Paths.get(outPath,
+            d.getFileName.toString)
+          java.nio.file.Files.createDirectories(dst)
+          val fs = java.nio.file.Files.list(d)
+          try fs.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .foreach { f =>
+              val t = dst.resolve(f.getFileName)
+              try java.nio.file.Files.createLink(t, f)
+              catch {
+                case _: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException =>
+                  java.nio.file.Files.copy(f, t,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
+            }
+          finally fs.close()
+        }
+    } finally it.close()
+    outPath
   }
 
   /** ITERATIVE maintenance of the count-distinct view AND its support
     * state: two successive delta windows fold through
-    * [[ivmDistinctStep]] — each batch consumes the support table the
-    * previous batch WROTE, which is the half the one-shot query leaves
-    * standing. The declared query's oracle recomputes the final view
-    * from scratch; IvmLawSpec additionally pins the final SUPPORT
-    * TABLE row-for-row against a from-scratch support recompute — the
-    * state, not just the view, survives composition.
+    * [[ivmDistinctStepMor]] — each batch consumes the state the
+    * previous batch EXTENDED (base + its sidecar), which is the half
+    * the one-shot query leaves standing. Per-batch state cost is
+    * O(delta) — the sidecar append — never a table rewrite. The
+    * declared query's oracle recomputes the final view from scratch;
+    * IvmLawSpec additionally pins the final RESOLVED support table
+    * row-for-row against a from-scratch support recompute, the
+    * compaction invisible, and the untouched bucket files
+    * byte-identical — the state, not just the view, survives
+    * composition.
     */
   private[graft] def ivmDistinctFold(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -799,46 +919,51 @@ object Warehouse {
     mv2
   }
 
-  /** [[ivmDistinctFold]] plus the final support-table path (the law
-    * spec reads it to pin state composition).
+  /** [[ivmDistinctFold]] plus the final merge-on-read support state
+    * (the law spec resolves it to pin state composition;
+    * [[compactSupport]] folds it).
     */
   private[graft] def ivmDistinctFoldWithState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       cut0Lit: String, cut1Lit: String, retractMod: Long,
       maxBroadcastKeys: Long = 1L << 22)
-      : (org.apache.spark.sql.DataFrame, String) = {
+      : (org.apache.spark.sql.DataFrame, SupportState) = {
     val c0 = Cols.ts(cut0Lit)
     val c1 = Cols.ts(cut1Lit)
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
         col("l_shipdate"))
     val old0 = li.filter(col("l_shipdate") < c0)
-    val state0 = standing(tagOf("ivm_dcf", dir, cut0Lit, retractMod)) {
+    val state0 = standing(tagOf("ivm_dcm", dir, cut0Lit, retractMod)) {
       p =>
         old0.groupBy("l_suppkey", "l_partkey")
           .agg(count(lit(1)).as("cnt"))
-          .write.mode("overwrite").parquet(p + "/aux")
-        spark.read.parquet(p + "/aux").groupBy("l_suppkey")
+          .withColumn("b", supportBucket(col("l_suppkey")))
+          .write.partitionBy("b").mode("overwrite")
+          .parquet(p + "/base")
+        spark.read.parquet(p + "/base").groupBy("l_suppkey")
           .agg(count(lit(1)).as("n_parts"))
           .write.mode("overwrite").parquet(p + "/mv")
     }
+    val base = state0 + "/base"
     val d1 = li.filter(col("l_shipdate") >= c0 &&
         col("l_shipdate") < c1).withColumn("w", lit(1L))
       .unionByName(old0.filter(col("l_orderkey") % retractMod === 0)
         .withColumn("w", lit(-1L)))
       .select("l_suppkey", "l_partkey", "w")
-    val (aux1, mv1) = ivmDistinctStep(spark, state0 + "/aux",
-      spark.read.parquet(state0 + "/mv"), d1,
-      graft.io.Scratch.subTagged("ivm_dcf_aux1"), maxBroadcastKeys)
-    // fold-lineage cut on the view; the support state's parquet write
-    // is its own cut
-    val mv1ck = Caches.parquetHandoff(mv1, "ivm_dcf_mv1")
+    val sc1 = graft.io.Scratch.subTagged("ivm_dcm_d1")
+    val mv1 = ivmDistinctStepMor(spark, base, Nil,
+      spark.read.parquet(state0 + "/mv"), d1, sc1, maxBroadcastKeys)
+    // fold-lineage cut on the view; the sidecar's parquet write is the
+    // state's own cut
+    val mv1ck = Caches.parquetHandoff(mv1, "ivm_dcm_mv1")
     val d2 = li.filter(col("l_shipdate") >= c1)
       .withColumn("w", lit(1L))
       .select("l_suppkey", "l_partkey", "w")
-    val (aux2, mv2) = ivmDistinctStep(spark, aux1, mv1ck, d2,
-      graft.io.Scratch.subTagged("ivm_dcf_aux2"), maxBroadcastKeys)
-    (mv2.orderBy("l_suppkey"), aux2)
+    val sc2 = graft.io.Scratch.subTagged("ivm_dcm_d2")
+    val mv2 = ivmDistinctStepMor(spark, base, Seq(sc1), mv1ck, d2,
+      sc2, maxBroadcastKeys)
+    (mv2.orderBy("l_suppkey"), SupportState(base, Seq(sc1, sc2)))
   }
 
   /** SKETCH IVM — the INSERT-ONLY distinct class, completing the
@@ -1923,11 +2048,14 @@ object Warehouse {
     "q_warehouse_ivm_distinct_incremental" -> Q(
       (spark, dir) =>
         // ITERATIVE count-distinct IVM: two delta windows fold through
-        // the support-table state, each batch consuming the table the
-        // previous batch WROTE (ivmDistinctFold) — the oracle
-        // recomputes the final view from scratch, and IvmLawSpec pins
-        // the final support table itself against a from-scratch
-        // recompute: state AND view survive composition.
+        // the MERGE-ON-READ support state, each batch consuming the
+        // state the previous one extended (ivmDistinctFold). The state
+        // write per batch is the signed sidecar ITSELF — O(delta),
+        // never a table rewrite (the rewrite lives in the amortized
+        // compaction, q_warehouse_ivm_support_compact). Oracle
+        // recomputes the final view from scratch; IvmLawSpec pins the
+        // resolved support table against a from-scratch recompute:
+        // state AND view survive composition.
         ivmDistinctFold(spark, dir),
       Some("SELECT l_suppkey, " +
         "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts " +
@@ -1935,6 +2063,32 @@ object Warehouse {
         "WHERE NOT (l_shipdate < TIMESTAMP '1997-07-01' " +
         "AND l_orderkey % 13 = 0) " +
         "GROUP BY l_suppkey ORDER BY l_suppkey")),
+
+    "q_warehouse_ivm_support_compact" -> Q(
+      (spark, dir) => {
+        // The AMORTIZED half of the merge-on-read support state: fold
+        // the fold's two sidecars into the bucketed base, rewriting
+        // ONLY the buckets the sidecars touch (untouched buckets carry
+        // over as links — IvmLawSpec gates them byte-identical, the
+        // q_sink_partition_overwrite device applied to IVM state).
+        // Full oracle on the STATE itself: the compacted (l_suppkey,
+        // l_partkey, cnt) table equals a from-scratch support
+        // recompute cross-engine — the support algebra, the sidecar
+        // resolution, AND the compaction are pinned in one hash.
+        val (_, st) = ivmDistinctFoldWithState(spark, dir,
+          "1997-07-01", "1998-01-01", 13L)
+        val compacted = compactSupport(spark, st.base, st.sidecars,
+          graft.io.Scratch.subTagged("ivm_dcm_compact"))
+        spark.read.parquet(compacted)
+          .select(col("l_suppkey"), col("l_partkey"), col("cnt"))
+          .orderBy("l_suppkey", "l_partkey")
+      },
+      Some("SELECT l_suppkey, l_partkey, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem " +
+        "WHERE NOT (l_shipdate < TIMESTAMP '1997-07-01' " +
+        "AND l_orderkey % 13 = 0) " +
+        "GROUP BY l_suppkey, l_partkey " +
+        "ORDER BY l_suppkey, l_partkey")),
 
     "q_warehouse_ivm_sketch" -> Q(
       (spark, dir) =>

@@ -280,8 +280,15 @@ object StreamMain {
               ownPaths.get(stateV - 1).foreach(prev =>
                 graft.io.CommitLog.checkpoint(stateBase, stateV - 1,
                   prev))
-            if (stateV - 2 >= seedV)
-              ownPaths.remove(stateV - 2).foreach(graft.io.Scratch.reap)
+            // data-dir reap lags the checkpoint by ONE EXTRA batch:
+            // checkpointing v(N-1) just pruned marker c(N-2), and an
+            // external reader that resolved c(N-2) an instant earlier
+            // still points at v(N-2)'s data — reaping v(N-2) here
+            // would yank the snapshot out from under it. v(N-3)'s
+            // marker was pruned a full batch ago, so its data dir has
+            // had the same one-version grace the pointers get.
+            if (stateV - 3 >= seedV)
+              ownPaths.remove(stateV - 3).foreach(graft.io.Scratch.reap)
             val acts = spark.read.parquet(nextPath)
               .groupBy("action").count().collect()
               .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted

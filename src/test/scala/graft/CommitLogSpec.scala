@@ -163,4 +163,106 @@ class CommitLogSpec extends AnyFunSuite with Matchers {
       (0 until n).map(i => s"writer-$i").sorted
     readerBad.get() shouldBe null
   }
+
+  // ---- the STATE-REPLACING commit class: rebase must RE-APPLY ----
+
+  /** A toy full-state table: one file holding a sorted element set.
+    * Each version's data dir is the COMPLETE state (the streaming
+    * CLI's shape), so a correct rebase must re-derive from the
+    * winner's snapshot, not recommit a stale derivation.
+    */
+  private def writeState(elems: Set[String]): String = {
+    val d = java.nio.file.Files.createTempDirectory("clog_state_")
+    java.nio.file.Files.write(d.resolve("state.txt"),
+      elems.toSeq.sorted.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.toString
+  }
+
+  private def readState(dir: String): Set[String] = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "state.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (s.isEmpty) Set.empty else s.split(",").toSet
+  }
+
+  test("rebase-reapply law: a state-replacing committer that loses its " +
+      "CAS re-derives from the WINNER's snapshot — the final state " +
+      "equals sequential application in winner order, and recommitting " +
+      "the stale derivation is a detectable lost update") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, -1, writeState(Set("x"))) shouldBe true
+    // A derives {x, a} from the v0 snapshot it read...
+    val aStaleBase = CommitLog.headSnapshot(root).get
+    aStaleBase._1 shouldBe 0
+    val aStaleDir = writeState(readState(aStaleBase._2) + "a")
+    // ...then B races past it with {x, b}
+    CommitLog.commitStateRetry(root) { (_, base) =>
+      writeState(readState(base.get) + "b")
+    } shouldBe 1
+    // A's stale CAS loses; its stale derivation LACKS b — committing
+    // it verbatim at v2 would silently drop the winner's change
+    CommitLog.tryCommit(root, aStaleBase._1, aStaleDir) shouldBe false
+    readState(aStaleDir) should not contain "b"
+    // the rebase contract: prepare re-derives from the handed head
+    var basesSeen = List.empty[Set[String]]
+    CommitLog.commitStateRetry(root) { (cur, base) =>
+      val s = readState(base.get)
+      basesSeen ::= s
+      writeState(s + "a")
+    } shouldBe 2
+    basesSeen.head shouldBe Set("x", "b") // re-applied on the winner
+    // final head = serial execution in winner order: x, then +b, then +a
+    readState(CommitLog.headSnapshot(root).get._2) shouldBe
+      Set("x", "b", "a")
+  }
+
+  test("N racing state committers through commitStateRetry compose as " +
+      "serial execution in winner order: every changeset survives and " +
+      "each version's state extends its predecessor by exactly one") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, -1, writeState(Set.empty)) shouldBe true
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val futs = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          start.await()
+          CommitLog.commitStateRetry(root) { (_, base) =>
+            writeState(readState(base.get) + s"e$i")
+          }
+        }
+      })
+    }
+    start.countDown()
+    val won = futs.map(_.get()).sorted
+    pool.shutdown()
+    pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    won shouldBe (1 to n)
+    // no lost updates: the head carries every writer's element
+    readState(CommitLog.headSnapshot(root).get._2) shouldBe
+      (0 until n).map(i => s"e$i").toSet
+    // winner-order seriality: version k's state = version k-1's plus
+    // exactly the element version k's winner added
+    val states = CommitLog.versions(root).map(v => readState(v._2))
+    states.head shouldBe Set.empty
+    states.sliding(2).foreach { w =>
+      val (prev, next) = (w(0), w(1))
+      prev.subsetOf(next) shouldBe true
+      (next -- prev).size shouldBe 1
+    }
+  }
+
+  test("headSnapshot resolves the head pointer, falls back to a " +
+      "covering checkpoint on a fully-pruned log, and is None when " +
+      "empty") {
+    val root = freshRoot()
+    CommitLog.headSnapshot(root) shouldBe None
+    (0 to 2).foreach(i => CommitLog.commitRetry(root)(_ => s"d$i"))
+    CommitLog.headSnapshot(root) shouldBe Some(2 -> "d2")
+    CommitLog.checkpoint(root, 2, "snap-0-2") shouldBe true
+    CommitLog.versions(root) shouldBe Seq.empty
+    CommitLog.headSnapshot(root) shouldBe Some(2 -> "snap-0-2")
+  }
 }

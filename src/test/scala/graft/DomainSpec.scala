@@ -1052,28 +1052,114 @@ class IvmLawSpec extends AnyFunSuite with Matchers with SparkTest {
     }
   }
 
-  test("distinct fold composes state AND view: the folded support " +
-      "table equals a from-scratch support recompute, and the view " +
-      "equals the recompute, at shifted splits") {
+  test("distinct fold composes state AND view: the RESOLVED merge-on-" +
+      "read support state equals a from-scratch support recompute, " +
+      "the view equals the recompute, at shifted splits, and each " +
+      "batch's state write is the delta-bounded sidecar (never a " +
+      "base rewrite)") {
     for ((c0, c1, m) <- Seq(("1997-07-01", "1998-01-01", 13L),
         ("1996-01-01", "1997-01-01", 7L))) {
-      val (view, auxPath) = Warehouse.ivmDistinctFoldWithState(
+      val (view, st) = Warehouse.ivmDistinctFoldWithState(
         spark, dir, c0, c1, m)
+      // snapshot the base's file set BEFORE forcing the fold: the
+      // O(delta) claim is that maintenance never writes the base
+      def baseFiles() = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(st.base))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => p.toString ->
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            .toMap
+        } finally s.close()
+      }
+      val before = baseFiles()
       val v = rows2L(view)
       v should not be empty
       v shouldBe rows2L(Warehouse.ivmDistinctRecompute(spark, dir,
         c0, m))
-      // the STATE law: folded support ≡ from-scratch (supp, part, cnt)
+      baseFiles() shouldBe before // the base is never rewritten
+      st.sidecars should have size 2
+      // the STATE law: resolved(base ⊎ sidecars) ≡ from-scratch
+      // (supp, part, cnt)
       val cut = graft.ops.Cols.ts(c0)
       val expected = graft.Tables(spark, dir, "lineitem")
         .filter(!(col("l_shipdate") < cut &&
           col("l_orderkey") % m === 0))
         .groupBy("l_suppkey", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
-      val got = spark.read.parquet(auxPath)
+      val got = Warehouse.resolveSupport(spark, st.base, st.sidecars)
+        .select("l_suppkey", "l_partkey", "cnt")
       got.count() shouldBe expected.count()
       got.exceptAll(expected).count() shouldBe 0L
+      // COMPACTION invisibility: the folded base resolves to the same
+      // table with zero sidecars left
+      val compacted = Warehouse.compactSupport(spark, st.base,
+        st.sidecars, graft.io.Scratch.sub("ivm_law_compact"))
+      val gotC = spark.read.parquet(compacted)
+        .select("l_suppkey", "l_partkey", "cnt")
+      gotC.count() shouldBe expected.count()
+      gotC.exceptAll(expected).count() shouldBe 0L
     }
+    graft.ops.Caches.drain()
+  }
+
+  test("support compaction rewrites ONLY the buckets a key-local " +
+      "delta touches: untouched bucket files carry over byte-" +
+      "identical (same inode), touched buckets are new files") {
+    import spark.implicits._
+    // a standing base over every supplier...
+    val basePath = graft.io.Scratch.sub("ivm_bucket_base")
+    graft.Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("b", Warehouse.supportBucket(col("l_suppkey")))
+      .write.partitionBy("b").mode("overwrite").parquet(basePath)
+    // ...and a delta touching exactly ONE supplier (the production
+    // key-local shape: one tenant's daily upsert)
+    val oneSupp = graft.Tables(spark, dir, "lineitem")
+      .select("l_suppkey").distinct().orderBy("l_suppkey")
+      .head().getLong(0)
+    val scPath = graft.io.Scratch.sub("ivm_bucket_delta")
+    Seq((oneSupp, 999999L, 3L)).toDF("l_suppkey", "l_partkey", "dw")
+      .write.mode("overwrite").parquet(scPath)
+    val touchedBucket = spark.range(1)
+      .select(Warehouse.supportBucket(lit(oneSupp))).head().getInt(0)
+    def inventory(root: String): Map[String, (Object, Long)] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val rel = java.nio.file.Paths.get(root).relativize(p).toString
+            val key = java.nio.file.Files.getAttribute(p, "unix:fileKey")
+            rel -> (key, java.nio.file.Files.size(p))
+          }.toMap
+      } finally s.close()
+    }
+    val before = inventory(basePath)
+    val out = graft.io.Scratch.sub("ivm_bucket_out")
+    Warehouse.compactSupport(spark, basePath, Seq(scPath), out)
+    val after = inventory(out)
+    val untouchedBefore = before.filterNot(_._1.startsWith(s"b=$touchedBucket/"))
+    val untouchedAfter = after.filterNot(_._1.startsWith(s"b=$touchedBucket/"))
+    untouchedBefore should not be empty
+    // same relative paths, same inodes (fileKey), same sizes — the
+    // carried buckets are the SAME bytes, not rewrites
+    untouchedAfter shouldBe untouchedBefore
+    // the touched bucket was genuinely rewritten: new inodes
+    val touchedAfter = after.filter(_._1.startsWith(s"b=$touchedBucket/"))
+    touchedAfter should not be empty
+    touchedAfter.values.map(_._1).toSet
+      .intersect(before.values.map(_._1).toSet) shouldBe empty
+    // and the compacted table carries the upsert
+    spark.read.parquet(out)
+      .filter(col("l_suppkey") === oneSupp &&
+        col("l_partkey") === 999999L)
+      .head().getAs[Long]("cnt") shouldBe 3L
     graft.ops.Caches.drain()
   }
 
