@@ -42,10 +42,30 @@ object Bench {
     // queries first until ~1650 chars, remainder rolled into "_rest"
     // (so the map still sums to the total). The full map goes out on an
     // earlier line for local tooling; the driver's tail discards it.
-    println("BENCH_FULL " + results.toSeq
+    val fullMap = results.toSeq
       .sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}"))
+      .mkString("{", ",", "}")
+    println("BENCH_FULL " + fullMap)
+    // sidecar: the driver keeps only the last 2000 chars of stdout, so
+    // with 250+ queries the budget-capped final line rolls most of the
+    // map into "_rest" and regression adjudication loses the tail.
+    // Persist the complete per-query map per run — latest for tooling,
+    // a timestamped history line for cross-round A/Bs.
+    try {
+      val full = "{\"ts\":\"" + java.time.Instant.now().toString +
+        "\",\"sf\":\"" + sfDir + "\",\"runs\":" + runs +
+        ",\"load\":[" + f3(loadStart) + "," + f3(sysLoad()) +
+        "],\"queries\":" + fullMap + "}"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_bench_full_latest.json"),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_bench_full_history.jsonl"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () } // never fail the bench line
     println(renderLine(results, runs, sfDir, loadStart, sysLoad()))
     spark.stop()
   }

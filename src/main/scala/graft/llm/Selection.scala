@@ -88,6 +88,22 @@ object Selection {
   private val stateExpectedKeys = 1L << 16
   private val stateNumBits = 1L << 20
 
+  /** Bucket fanout of the persisted fingerprint tables: the state is
+    * hash-partitioned on its content address so a probe whose Bloom
+    * residue is SMALL (the nominal daily shard — mostly-novel docs,
+    * residue ≈ false positives) reads only the buckets its keys hash
+    * to instead of streaming the whole corpus-scale state. Content
+    * addresses are uniform, so the pruning win is bounded by
+    * |residue| vs the bucket count: a replay-shaped residue touches
+    * every bucket and degrades gracefully to the full scan it used to
+    * be. 64 here; a 100 TB ingestion sizes this so one bucket ≈ one
+    * scan-task's worth of state.
+    */
+  private[graft] val StateBuckets = 64
+
+  private def stateBucket(c: Column): Column =
+    pmod(hash(c), lit(StateBuckets))
+
   /** Builds (once per JVM × corpus) and PERSISTS the cross-run dedup
     * state for `dir`'s corpus split: a `fingerprints` table (distinct
     * clean-md5 content addresses — the exact backstop and audit
@@ -103,7 +119,12 @@ object Selection {
       val corpus = addressed(spark, dir)
         .filter(col("doc_id") % 10 =!= shardMod)
       corpus.select("clean_md5").distinct()
-        .write.mode("overwrite").parquet(s"$out/fingerprints")
+        .withColumn("fb", stateBucket(col("clean_md5")))
+        // cluster by the partition column: one file per bucket, not
+        // one per (writer task × bucket)
+        .repartition(StateBuckets, col("fb"))
+        .write.partitionBy("fb").mode("overwrite")
+        .parquet(s"$out/fingerprints")
       writeStateBloom(spark, out, bloomBuild(corpus, col("clean_md5"),
         stateExpectedKeys, stateNumBits))
       out
@@ -200,8 +221,14 @@ object Selection {
       if (cur.endsWith("/fingerprints")) 0
       else cur.substring(cur.lastIndexOf("_v") + 2).toInt
     val nextName = s"fingerprints_v${curV + 1}"
-    spark.read.parquet(cur).repartition(targetFiles)
-      .write.mode("overwrite").parquet(s"$root/$nextName")
+    // bucket-preserving rewrite: clustering by the partition column
+    // lands each bucket wholly in one task, so the new generation has
+    // exactly ONE file per non-empty bucket — the small nightly
+    // append files collapse without destroying the probe's pruning
+    // layout (`targetFiles` caps the shuffle width, not the total)
+    spark.read.parquet(cur).repartition(targetFiles, col("fb"))
+      .write.partitionBy("fb").mode("overwrite")
+      .parquet(s"$root/$nextName")
     val tmp = java.nio.file.Paths.get(root, "MANIFEST.tmp")
     java.nio.file.Files.write(tmp,
       nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -221,18 +248,33 @@ object Selection {
       key: String = "clean_md5"): DataFrame = {
     val (bytes, _, _) = readStateBloom(spark, root)
     val fps = spark.read.parquet(fpsDir(root))
+    // uncached on purpose: registering the residue would put an
+    // InMemoryRelation into the consumer plan and break the
+    // shard-scans-only plan gate; the three passes (size probe,
+    // bucket-set collect, semi build) are each one narrow
+    // delta-bounded scan
     val maybe = shard.filter(bloomMightContain(bytes, col(key)))
       .select(key).distinct()
     val probeCap = math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt
     if (maybe.limit(probeCap).count() <= maxBroadcastKeys) {
-      val confirmed = fps
+      // bucket pruning: the residue's hash-bucket set (≤ StateBuckets
+      // values — a constant-sized collect) becomes a PARTITION filter
+      // on the fingerprint scan, so a small daily residue reads only
+      // the state files that can contain its keys; a residue touching
+      // every bucket reads what the unpruned scan always did
+      val touchedFb = maybe.select(stateBucket(col(key)).as("fb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val confirmed = fps.filter(col("fb").isin(touchedFb: _*))
         .join(broadcast(maybe), Seq(key), "left_semi")
-        .withColumn("__in", lit(true))
+        .select(col(key)).withColumn("__in", lit(true))
       shard.join(broadcast(confirmed), Seq(key), "left")
         .select(col("doc_id"), col(key),
           coalesce(col("__in"), lit(false)).as("in_corpus"))
     } else {
-      shard.join(fps.withColumn("__in", lit(true))
+      // degenerate residue (replay/backfill): every bucket is touched,
+      // pruning buys nothing — the counted fallback exchanges both
+      // sides on the content address as before
+      shard.join(fps.select(col(key)).withColumn("__in", lit(true))
           .hint("shuffle_merge"), Seq(key), "left")
         .select(col("doc_id"), col(key),
           coalesce(col("__in"), lit(false)).as("in_corpus"))
@@ -255,7 +297,10 @@ object Selection {
       val corpus = spanKeys(spark, dir)
         .filter(col("doc_id") % 10 =!= shardMod)
       corpus.select("win_md5").distinct()
-        .write.mode("overwrite").parquet(s"$out/fingerprints")
+        .withColumn("fb", stateBucket(col("win_md5")))
+        .repartition(StateBuckets, col("fb"))
+        .write.partitionBy("fb").mode("overwrite")
+        .parquet(s"$out/fingerprints")
       writeStateBloom(spark, out, bloomBuild(corpus, col("win_md5"),
         1L << 20, 1L << 23), 1L << 20, 1L << 23)
       out
@@ -276,7 +321,8 @@ object Selection {
     // count() (not isEmpty) fully materializes the cache BEFORE the
     // append below writes into a table the probe plan also reads
     if (novel.count() > 0) {
-      novel.write.mode("append").parquet(fpsDir(root))
+      novel.withColumn("fb", stateBucket(col("clean_md5")))
+        .write.partitionBy("fb").mode("append").parquet(fpsDir(root))
       val (cur, expected, numBits) = readStateBloom(spark, root)
       writeStateBloom(spark, root, bloomMerge(cur,
         bloomBuild(novel, col("clean_md5"), expected, numBits)),

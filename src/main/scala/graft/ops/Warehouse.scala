@@ -786,7 +786,8 @@ object Warehouse {
     * and is never written. Returns the next view; the caller threads
     * `sidecarOut` into its state's sidecar list.
     */
-  private def ivmDistinctStepMor(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def ivmDistinctStepMor(
+      spark: org.apache.spark.sql.SparkSession,
       basePath: String, priorSidecars: Seq[String],
       mvPrev: org.apache.spark.sql.DataFrame,
       dRows: org.apache.spark.sql.DataFrame, sidecarOut: String,
@@ -894,6 +895,127 @@ object Warehouse {
         }
     } finally it.close()
     outPath
+  }
+
+  /** An events micro-batch reduced to the IVM pair-delta grain:
+    * "distinct event types per user", insert-only (+1 weights), the
+    * type hashed to the support table's long value column. Shared by
+    * the streaming CLI (`--logic ivm_distinct`) and the batch twin the
+    * parity spec compares against.
+    */
+  private[graft] def eventPairDelta(batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    batch.select(col("user_id").as("l_suppkey"),
+      xxhash64(col("event_type")).as("l_partkey"), lit(1L).as("w"))
+
+  /** Micro-batch driver for the STREAMING count-distinct IVM: owns a
+    * merge-on-read support state under `supportRoot` (bucketed base +
+    * per-batch sidecars, resolved via [[resolveSupport]]) and the
+    * running view, and advances both one micro-batch at a time through
+    * [[ivmDistinctStepMor]] — per-batch state cost O(delta). Every
+    * `compactEvery` batches the sidecars fold into a new base
+    * generation ([[compactSupport]] — only touched buckets rewrite),
+    * published by an atomic BASE_MANIFEST swap with a one-generation
+    * grace, exactly the Selection/Pq pointer discipline. A constructor
+    * on an EXISTING root resumes: the manifest names the live base and
+    * the surviving sidecars enumerate in batch order. StreamingSpec
+    * pins micro-batched maintenance ≡ batch recompute across
+    * compactions; the CLI adds the commit-log CAS per published view
+    * version on top.
+    */
+  private[graft] final class IvmDistinctStream(
+      spark: org.apache.spark.sql.SparkSession, supportRoot: String,
+      seed: org.apache.spark.sql.DataFrame,
+      cap: Long = 1L << 22, compactEvery: Int = 3) {
+    private val rootP = java.nio.file.Paths.get(supportRoot)
+    private val mfP = rootP.resolve("BASE_MANIFEST")
+
+    private def baseDir: String = supportRoot + "/" +
+      new String(java.nio.file.Files.readAllBytes(mfP),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+
+    private def swapManifest(name: String): Unit = {
+      val tmp = rootP.resolve("BASE_MANIFEST.tmp")
+      java.nio.file.Files.write(tmp,
+        name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, mfP,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    if (!java.nio.file.Files.exists(mfP)) {
+      java.nio.file.Files.createDirectories(rootP)
+      seed.groupBy("l_suppkey", "l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("b", supportBucket(col("l_suppkey")))
+        .repartition(SupportBuckets, col("b"))
+        .write.partitionBy("b").mode("overwrite")
+        .parquet(supportRoot + "/base_v0")
+      swapManifest("base_v0")
+    }
+
+    // surviving sidecars in batch order (resume re-enumerates them;
+    // compaction deletes the absorbed ones)
+    private var sidecars: Vector[String] = {
+      val it = java.nio.file.Files.list(rootP)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("delta_")).toVector.sorted
+          .map(n => s"$supportRoot/$n")
+      } finally it.close()
+    }
+    private var batchN: Int = sidecars.size +
+      // a resumed root may have compacted past its sidecars: the base
+      // generation number floors the batch counter
+      (baseDir.substring(baseDir.lastIndexOf("_v") + 2).toIntOption
+        .getOrElse(0))
+    private var staleBase: Option[String] = None
+
+    private var mv: org.apache.spark.sql.DataFrame =
+      Caches.parquetHandoff(
+        resolveSupport(spark, baseDir, sidecars)
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n_parts")),
+        "ivm_stream_mv")
+
+    /** The current view: (l_suppkey, n_parts). */
+    def view: org.apache.spark.sql.DataFrame = mv
+
+    /** The current support state, resolved. */
+    def resolvedSupport: org.apache.spark.sql.DataFrame =
+      resolveSupport(spark, baseDir, sidecars)
+
+    /** Folds one micro-batch of (l_suppkey, l_partkey, w) rows into
+      * state and view; returns the new view (lineage-cut — safe to
+      * publish).
+      */
+    def processBatch(d: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      batchN += 1
+      val sc = f"$supportRoot/delta_$batchN%06d"
+      mv = Caches.parquetHandoff(
+        ivmDistinctStepMor(spark, baseDir, sidecars, mv, d, sc, cap),
+        "ivm_stream_mv")
+      sidecars :+= sc
+      if (compactEvery > 0 && sidecars.size >= compactEvery) compact()
+      mv
+    }
+
+    /** Folds the sidecars into a new base generation and publishes it;
+      * the PREVIOUS generation survives one more compaction (pointer
+      * grace for in-flight readers), then reaps.
+      */
+    def compact(): Unit = {
+      if (sidecars.isEmpty) return
+      val prev = baseDir
+      val next = f"base_v$batchN%06d"
+      compactSupport(spark, prev, sidecars, s"$supportRoot/$next")
+      swapManifest(next)
+      sidecars.foreach(graft.io.Scratch.reap)
+      sidecars = Vector.empty
+      staleBase.foreach(graft.io.Scratch.reap)
+      staleBase = Some(prev)
+    }
   }
 
   /** ITERATIVE maintenance of the count-distinct view AND its support

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   *   runMain graft.stream.StreamMain
   *     [--logic tumbling|sliding|session|dedup|join|join_outer|
   *       join_full|join_right|marginals|ema|spline|cdc|scd2|
-  *       scd2_compact]
+  *       scd2_compact|ivm_distinct]
   *     [--source rate|files] [--dir /root/testdata/sf0.001]
   *     [--sink console|parquet] [--out outDir]
   *     [--watermark "10 seconds"] [--timeout-sec 30]
@@ -296,6 +296,71 @@ object StreamMain {
             graft.ops.Caches.drain()
           }
           .option("checkpointLocation", graft.io.Scratch.sub("cdc_ckpt"))
+          .start()
+        if (timeoutSec > 0) {
+          q.awaitTermination(timeoutSec * 1000L); q.stop()
+        } else q.awaitTermination()
+        spark.stop()
+        return
+
+      case "ivm_distinct" =>
+        // streaming count-distinct IVM: per micro-batch the events
+        // delta folds into the merge-on-read support state (sidecar
+        // append — O(delta)) and the VIEW version publishes through
+        // the same commit-log CAS/checkpoint discipline as cdc/scd2;
+        // the support state compacts every few batches (touched
+        // buckets only). StreamingSpec pins micro-batch ≡ batch
+        // recompute; this branch adds the durability discipline.
+        val stateBase =
+          if (out.nonEmpty) out else graft.io.Scratch.sub("ivmdc_state")
+        val prior = Option(new java.io.File(stateBase).listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => f.getName.stripPrefix("v").toIntOption
+            .filter(_ => f.getName.startsWith("v")))
+        var stateV = math.max(
+          if (prior.isEmpty) 0 else prior.max + 1,
+          graft.io.CommitLog.currentVersion(stateBase) + 1)
+        val seedV = stateV
+        if (stateV > 0)
+          println(s"[ivm_distinct] resuming past prior state " +
+            s"v${stateV - 1} in $stateBase: seeding v$stateV")
+        val runId = java.util.UUID.randomUUID().toString.take(8)
+        val ownPaths = scala.collection.mutable.Map[Int, String]()
+        // support state under the same durable root: a resumed run
+        // reattaches to the live base + surviving sidecars via the
+        // manifest; seed = "yesterday's" batch events table
+        val stream = new graft.ops.Warehouse.IvmDistinctStream(
+          spark, s"$stateBase/support",
+          graft.ops.Warehouse.eventPairDelta(
+            graft.Tables(spark, dir, "events")))
+        var statePath = s"$stateBase/v$stateV-$runId"
+        stream.view.write.mode("overwrite").parquet(statePath)
+        commitStateVersion("ivm_distinct", stateBase, stateV, statePath)
+        ownPaths(stateV) = statePath
+        val q = events.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val mv = stream.processBatch(
+              graft.ops.Warehouse.eventPairDelta(batch))
+            stateV += 1
+            val nextPath = s"$stateBase/v$stateV-$runId"
+            mv.write.mode("overwrite").parquet(nextPath)
+            commitStateVersion("ivm_distinct", stateBase, stateV,
+              nextPath)
+            statePath = nextPath
+            ownPaths(stateV) = nextPath
+            if (stateV - 1 >= seedV)
+              ownPaths.get(stateV - 1).foreach(prev =>
+                graft.io.CommitLog.checkpoint(stateBase, stateV - 1,
+                  prev))
+            if (stateV - 3 >= seedV)
+              ownPaths.remove(stateV - 3).foreach(graft.io.Scratch.reap)
+            val n = spark.read.parquet(nextPath).count()
+            println(s"[ivm_distinct] batch $id -> $nextPath: " +
+              s"$n suppliers")
+            graft.ops.Caches.drain()
+          }
+          .option("checkpointLocation",
+            graft.io.Scratch.sub("ivmdc_ckpt"))
           .start()
         if (timeoutSec > 0) {
           q.awaitTermination(timeoutSec * 1000L); q.stop()

@@ -334,21 +334,41 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
   }
 
   test("incremental dedup probe reads persisted state, never rescans " +
-      "the corpus") {
+      "the corpus — an all-novel shard folds the state scan away " +
+      "entirely; a residue-bearing shard reads it once, " +
+      "partition-pruned") {
     Registry.all("q_dedup_bloom_incremental").fn(spark, sf).count()
     val p = plan("q_dedup_bloom_incremental")
-    // documents appears only as the SHARD's own scans (the delta side
-    // is read twice — Bloom prefilter + final membership join, both
-    // filtered to doc_id%10=7); the corpus exists in the plan solely
-    // as the persisted fingerprint table, scanned once
-    "documents.parquet".r.findAllIn(p).size shouldBe 2
-    "doc_id#\\d+L? % 10\\) = 7".r.findAllIn(p).size should be >= 2
-    "dedupstate_".r.findAllIn(p).size shouldBe 1
-    // both joins broadcast their shard-bounded side; the fingerprint
-    // table streams probe-side
-    "BroadcastHashJoin".r.findAllIn(p).size shouldBe 2
-    p should not include "BuildLeft"
+    // at this SF the shard is all-novel: the Bloom prefilter leaves an
+    // EMPTY residue, the driver-side bucket set pins the state scan to
+    // zero partitions, and Catalyst folds the membership join to a
+    // constant — the probe plan is ONE narrow shard scan with no state
+    // read at all (the strongest form of "never rescans the corpus")
+    "documents.parquet".r.findAllIn(p).size shouldBe 1
+    "dedupstate_".r.findAllIn(p).size shouldBe 0
     p should not include "SortMergeJoin"
+    // a residue-bearing shard (an address the state knows) keeps the
+    // join shape: the corpus appears ONLY as the fingerprint table,
+    // scanned once and partition-pruned to the residue's buckets; both
+    // joins broadcast their shard-bounded side
+    import spark.implicits._
+    val root = llm.Selection.persistedDedupState(spark, sf)
+    val mf = java.nio.file.Paths.get(root, "MANIFEST")
+    val liveDir =
+      if (java.nio.file.Files.exists(mf))
+        s"$root/" + new String(java.nio.file.Files.readAllBytes(mf),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      else s"$root/fingerprints"
+    val known = spark.read.parquet(liveDir)
+      .select("clean_md5").orderBy("clean_md5").head().getString(0)
+    val probed = llm.Selection.probeDedupState(spark, root,
+      Seq((1L, known)).toDF("doc_id", "clean_md5"))
+    probed.count()
+    val p2 = probed.queryExecution.executedPlan.toString
+    "dedupstate_".r.findAllIn(p2).size shouldBe 1
+    "PartitionFilters: \\[[^\\]]*fb".r.findAllIn(p2).size should be >= 1
+    "BroadcastHashJoin".r.findAllIn(p2).size shouldBe 2
+    p2 should not include "SortMergeJoin"
   }
 
   test("full-column cdc merge keeps the base-never-shuffles shape") {

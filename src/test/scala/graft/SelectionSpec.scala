@@ -169,9 +169,14 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
         r.getBoolean(2))).sorted.toSeq
     val before = rows(llm.Selection.probeDedupState(sp, root, shard))
     llm.Selection.compactDedupState(sp, root, targetFiles = 2)
-    // the rewritten live version has exactly the target file count
-    new java.io.File(s"$root/fingerprints_v1").listFiles()
-      .count(_.getName.endsWith(".parquet")) shouldBe 2
+    // the rewritten live version is bucket-preserving with exactly ONE
+    // file per non-empty bucket: the nightly append fragments are
+    // gone, the probe's partition-pruning layout survives
+    val v1Buckets = new java.io.File(s"$root/fingerprints_v1")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("fb="))
+    v1Buckets should not be empty
+    v1Buckets.foreach(b =>
+      b.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1)
     // ... and the probe answer is bit-identical through the swap
     rows(llm.Selection.probeDedupState(sp, root, shard)) shouldBe before
     // absorbed addresses stay known post-compact: replay is a no-op
@@ -184,6 +189,55 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     llm.Selection.compactDedupState(sp, root, targetFiles = 2)
     new java.io.File(s"$root/fingerprints").exists() shouldBe false
     rows(llm.Selection.probeDedupState(sp, root, shard)) shouldBe before
+    ops.Caches.drain()
+  }
+
+  test("bucketed dedup state: a small residue's fingerprint scan is " +
+      "PARTITION-PRUNED to the residue's buckets — the probe reads a " +
+      "strict subset of the state's files; answers unchanged") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val root = llm.Selection.persistedDedupState(sp, dir)
+    // resolve the LIVE fingerprints dir the way the probe does: an
+    // earlier test's compaction may have swapped the MANIFEST and
+    // reaped the original layout
+    val mf = java.nio.file.Paths.get(root, "MANIFEST")
+    val liveDir =
+      if (java.nio.file.Files.exists(mf))
+        s"$root/" + new String(java.nio.file.Files.readAllBytes(mf),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      else s"$root/fingerprints"
+    val fpsLive = sp.read.parquet(liveDir)
+    // one genuinely-known address + one fabricated one — the residue
+    // after the Bloom prefilter is ≤2 keys, hashing into ≤2 buckets
+    val known = fpsLive.select("clean_md5").orderBy("clean_md5")
+      .head().getString(0)
+    val shard = Seq((1L, known), (2L, "0" * 32))
+      .toDF("doc_id", "clean_md5")
+    val probed = llm.Selection.probeDedupState(sp, root, shard)
+    val got = probed.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    got(1L) shouldBe true
+    got(2L) shouldBe false
+    // the fingerprint scan carries a partition filter on the bucket
+    // column (the shard's documents scans are unpartitioned, so any
+    // fb partition filter is the state scan's)
+    val p = probed.queryExecution.executedPlan.toString
+    "PartitionFilters: \\[[^\\]]*fb".r.findAllIn(p).size should be >= 1
+    // quantitative: the pruned read touches a strict subset of the
+    // state's files (≤2 buckets of StateBuckets)
+    def filesOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val totalFiles = filesOf(fpsLive)
+    val touched = Seq(known, "0" * 32)
+      .map(k => sp.range(1)
+        .select(pmod(hash(lit(k)), lit(llm.Selection.StateBuckets)))
+        .head().getInt(0)).distinct
+    val prunedFiles = filesOf(fpsLive.filter(col("fb").isin(touched: _*)))
+    prunedFiles should be <= (2L * totalFiles / llm.Selection.StateBuckets
+      max 2L)
+    prunedFiles should be < totalFiles
     ops.Caches.drain()
   }
 

@@ -125,6 +125,64 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming count-distinct IVM: micro-batched merge-on-read " +
+      "maintenance equals the batch recompute across a compaction, " +
+      "for both the view and the resolved support state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // "yesterday's" corpus the state seeds from, then three micro-
+    // batches — sized so a compaction fires MID-STREAM (compactEvery=2)
+    val seedEvents = Seq(ev(1, 0, user = 1, typ = "click"),
+      ev(2, 1, user = 1, typ = "view"), ev(3, 2, user = 2, typ = "click"))
+    val batches = Seq(
+      Seq(ev(4, 10, user = 1, typ = "click"),   // no crossing: known pair
+        ev(5, 11, user = 3, typ = "purchase")), // new supplier
+      Seq(ev(6, 20, user = 2, typ = "view"),    // 0→1 crossing
+        ev(7, 21, user = 2, typ = "view")),     // same batch dup: one pair
+      Seq(ev(8, 30, user = 3, typ = "click")))  // post-compaction batch
+    val root = graft.io.Scratch.sub("ivm_stream_spec")
+    val s = new ops.Warehouse.IvmDistinctStream(sp, root,
+      ops.Warehouse.eventPairDelta(seedEvents.toDF()), compactEvery = 2)
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        s.processBatch(ops.Warehouse.eventPairDelta(batch)); ()
+      }.start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch twin: one-shot recompute over seed ∪ all batches
+    val all = (seedEvents ++ batches.flatten).toDF()
+    val expectedView = ops.Warehouse.eventPairDelta(all)
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    s.view.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      expectedView
+    expectedView(2L) shouldBe 2L // the 0→1 crossing landed
+    val expectedSupport = ops.Warehouse.eventPairDelta(all)
+      .groupBy("l_suppkey", "l_partkey").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    s.resolvedSupport.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap shouldBe expectedSupport
+    // the compaction genuinely fired: the live base advanced past v0
+    // and batch 3's sidecar is the only one outstanding
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "BASE_MANIFEST")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    mf should not be "base_v0"
+    // RESUME: a new driver on the same root reattaches through the
+    // manifest + surviving sidecars and reads the same state
+    val s2 = new ops.Warehouse.IvmDistinctStream(sp, root,
+      sp.emptyDataFrame)
+    s2.view.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      expectedView
+    ops.Caches.drain()
+  }
+
   test("incremental marginals: steady state equals batch q_hic_marginals") {
     val sp = spark
     import sp.implicits._
