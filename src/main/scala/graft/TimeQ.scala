@@ -6,7 +6,10 @@ object TimeQ {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.shuffle.partitions", 32)
+      // scale probes: more shuffle partitions = smaller per-task sort
+      // runs (the q21 512x spill knob); default matches Bench
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", "32").toInt)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(
@@ -34,11 +37,37 @@ object TimeQ {
     // an unreferenced window collapses entirely, which skews an A/B
     // against any operator the pruner can't see into)
     val full = sys.env.get("SPARK_GRAFT_TIMEQ_FULL").contains("1")
+    // spill accounting: wall time on a shared box is load-noisy, but
+    // bytes spilled is a deterministic function of the plan + partition
+    // count — the signal the partitions-knob scale probes record
+    val spilled = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            spilled.addAndGet(t.taskMetrics.diskBytesSpilled)
+      })
+    // listener events arrive on an async bus: without a quiesce the
+    // last tasks' spill lands after count() returns (undercounting
+    // this query, crediting the next one)
+    def quiesce(): Long = {
+      var prev = -1L
+      var cur = spilled.get()
+      var waited = 0
+      while (cur != prev && waited < 20) {
+        prev = cur; Thread.sleep(250); waited += 1; cur = spilled.get()
+      }
+      cur
+    }
     for (name <- args.drop(1)) {
+      val s0 = quiesce()
       val t0 = System.nanoTime()
       val df = Registry.all(name).fn(spark, dir)
       val n = if (full) df.queryExecution.toRdd.count() else df.count()
-      println(f"TIME $name ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+      val t1 = System.nanoTime()
+      println(f"TIME $name ${(t1-t0)/1e9}%.2f s rows=$n " +
+        f"spillMB=${(quiesce() - s0) / 1e6}%.0f")
       graft.ops.Caches.drain()
     }
     spark.stop()

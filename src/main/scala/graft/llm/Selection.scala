@@ -80,13 +80,32 @@ object Selection {
     Tables(spark, dir, "documents")
       .select(col("doc_id"), cleanMd5.as("clean_md5"))
 
-  /** Dedup-state Bloom sizing — fixed per state family so an extended
-    * sidecar stays bit-compatible with (and byte-identical to) a
-    * from-scratch build; a production ingestion sizes `expected` to its
-    * corpus-address cardinality.
+  /** Dedup-state Bloom sizing FLOORS — the build sizes the sidecar to
+    * the corpus it actually fingerprints ([[sizedToCorpus]]), floored
+    * here so small fixtures stay byte-comparable across tests. The
+    * STORED params (readStateBloom) drive every later merge, so
+    * extensions stay bit-compatible with their build regardless of
+    * what the corpus grew to.
     */
   private val stateExpectedKeys = 1L << 16
   private val stateNumBits = 1L << 20
+
+  /** Bloom params sized to a measured key count: next power of two
+    * above `n`, `bitsPerKey` bits per expected key — an UNDERSIZED
+    * sidecar saturates at scale (a 1M-bit filter over 2.3M keys reads
+    * ~90 % "maybe", so every probe residue is shard-sized and the
+    * bucket pruning the residue drives degrades to a full state scan).
+    * The per-family ratio preserves each family's fixture floor
+    * exactly (docs: 2^16 keys × 16 = 2^20 bits; spans: 2^20 keys × 8
+    * = 2^23 bits); capped at 2^30 bits (128 MB) where a production
+    * ingestion would shard the sidecar itself.
+    */
+  private def sizedToCorpus(n: Long, floorKeys: Long, bitsPerKey: Long)
+      : (Long, Long) = {
+    val expected = math.max(floorKeys,
+      java.lang.Long.highestOneBit(math.max(1L, n * 2 - 1)))
+    (expected, math.min(1L << 30, expected * bitsPerKey))
+  }
 
   /** Bucket fanout of the persisted fingerprint tables: the state is
     * hash-partitioned on its content address so a probe whose Bloom
@@ -125,8 +144,14 @@ object Selection {
         .repartition(StateBuckets, col("fb"))
         .write.partitionBy("fb").mode("overwrite")
         .parquet(s"$out/fingerprints")
+      // size the sidecar to the corpus just fingerprinted (footer-only
+      // count of the table we wrote); the stored params pin every
+      // later extension bit-compatible
+      val (expected, numBits) = sizedToCorpus(
+        spark.read.parquet(s"$out/fingerprints").count(),
+        stateExpectedKeys, stateNumBits / stateExpectedKeys)
       writeStateBloom(spark, out, bloomBuild(corpus, col("clean_md5"),
-        stateExpectedKeys, stateNumBits))
+        expected, numBits), expected, numBits)
       out
     })
 
@@ -255,8 +280,7 @@ object Selection {
     // delta-bounded scan
     val maybe = shard.filter(bloomMightContain(bytes, col(key)))
       .select(key).distinct()
-    val probeCap = math.min(maxBroadcastKeys + 1, Int.MaxValue).toInt
-    if (maybe.limit(probeCap).count() <= maxBroadcastKeys) {
+    if (graft.ops.Warehouse.fitsBroadcast(maybe, maxBroadcastKeys)) {
       // bucket pruning: the residue's hash-bucket set (≤ StateBuckets
       // values — a constant-sized collect) becomes a PARTITION filter
       // on the fingerprint scan, so a small daily residue reads only
@@ -301,8 +325,11 @@ object Selection {
         .repartition(StateBuckets, col("fb"))
         .write.partitionBy("fb").mode("overwrite")
         .parquet(s"$out/fingerprints")
+      val (expected, numBits) = sizedToCorpus(
+        spark.read.parquet(s"$out/fingerprints").count(),
+        1L << 20, bitsPerKey = 8L)
       writeStateBloom(spark, out, bloomBuild(corpus, col("win_md5"),
-        1L << 20, 1L << 23), 1L << 20, 1L << 23)
+        expected, numBits), expected, numBits)
       out
     })
 

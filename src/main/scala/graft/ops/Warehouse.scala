@@ -43,18 +43,29 @@ object Warehouse {
     * [[applyCdcFull]]; CdcLawSpec parity-pins the branches (cap forced
     * to 0) and gates the fallback broadcast-free.
     */
-  private def cdcSide(changes: org.apache.spark.sql.DataFrame, cap: Long)
-      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+  /** The ONE broadcast-capacity probe (shared by [[cdcSide]],
+    * [[deltaSide]], the MoR IVM step, and `Selection.probeDedupState`):
+    * true iff `probeRows` has at most `cap` rows, decided by a
+    * limit-capped count so an oversized probe early-exits instead of
+    * materializing the frame. Centralized because a divergent
+    * off-by-one here would silently split the broadcast/shuffle
+    * cutover between delta consumers.
+    */
+  private[graft] def fitsBroadcast(
+      probeRows: org.apache.spark.sql.DataFrame, cap: Long): Boolean = {
     val probe = math.min(cap + 1, Int.MaxValue).toInt
+    probeRows.limit(probe).count() <= cap
+  }
+
+  private def cdcSide(changes: org.apache.spark.sql.DataFrame, cap: Long)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
     // sized from the RAW changeset's distinct keys (== collapsed rows)
     // rather than the cached collapsed frame: probing the cache would
     // force-materialize it before the consumer plan is built, and the
     // printed plan then carries two generations of the window exchange
     // (breaking the one-key-exchange plan gate for a cosmetic reason)
-    if (changes.select("key").distinct().limit(probe).count() <= cap)
-      broadcast
+    if (fitsBroadcast(changes.select("key").distinct(), cap)) broadcast
     else _.hint("shuffle_merge")
-  }
 
   /** [[cdcSide]]'s twin for FACT-DERIVED deltas (the IVM views): the
     * probe counts raw delta rows — an upper bound on its keys — on an
@@ -69,11 +80,9 @@ object Warehouse {
     */
   private def deltaSide(probeRows: org.apache.spark.sql.DataFrame,
       cap: Long)
-      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
-    val probe = math.min(cap + 1, Int.MaxValue).toInt
-    if (probeRows.limit(probe).count() <= cap) broadcast
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    if (fitsBroadcast(probeRows, cap)) broadcast
     else _.hint("shuffle_merge")
-  }
 
   /** Applies a keyed CDC changeset to a base table. `base`: (key, name,
     * bal_c); `changes`: raw op rows (key, tus, event_id, op ∈ {U, D},
@@ -797,7 +806,12 @@ object Warehouse {
       .filter(col("dw") =!= 0).persist())
     // THE state write: the collapsed signed delta itself — O(|delta|)
     dPairs.write.mode("overwrite").parquet(sidecarOut)
-    val side = deltaSide(dRows, cap)
+    // branch probe (deltaSide's boolean, taken directly because the
+    // fallback additionally wants a Bloom prefilter on the base)
+    val isBroadcast = fitsBroadcast(dRows, cap)
+    val side: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+      if (isBroadcast) broadcast else _.hint("shuffle_merge")
     val keys = dPairs.select("l_suppkey", "l_partkey")
     // bucket set of the delta's groups: ≤ SupportBuckets values, so the
     // collect is constant-sized; pruning the base scan to these
@@ -806,8 +820,20 @@ object Warehouse {
     val touchedBuckets = dPairs
       .select(supportBucket(col("l_suppkey")).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val baseTouched = spark.read.parquet(basePath)
+    val basePruned = spark.read.parquet(basePath)
       .filter(col("b").isin(touchedBuckets: _*))
+    val pairKey = xxhash64(col("l_suppkey"), col("l_partkey"))
+    // degenerate-delta fallback: before the sort-merge semi exchanges
+    // the base, a Bloom over the delta's pair keys prefilters base
+    // rows in a narrow codegen'd map (the Pq.pendingArrivals /
+    // probeDedupState shape) — only maybe-touched rows enter the
+    // exchange; no false negatives, the exact semi still decides
+    val baseIn =
+      if (isBroadcast) basePruned
+      else basePruned.filter(graft.llm.Selection.bloomMightContain(
+        graft.llm.Selection.bloomBuild(dPairs, pairKey,
+          1L << 23, 1L << 27), pairKey))
+    val baseTouched = baseIn
       .join(side(keys), Seq("l_suppkey", "l_partkey"), "left_semi")
       .select(col("l_suppkey"), col("l_partkey"), col("cnt").as("w"))
     val priorTouched = priorSidecars.map(p => spark.read.parquet(p)
@@ -954,23 +980,57 @@ object Warehouse {
       swapManifest("base_v0")
     }
 
-    // surviving sidecars in batch order (resume re-enumerates them;
-    // compaction deletes the absorbed ones)
+    // the live base generation's batch number: sidecars at or below it
+    // were ABSORBED by that generation's compaction (they may survive
+    // on disk one extra compaction as reader grace — resume must not
+    // re-count them)
+    private def baseGen: Int =
+      baseDir.substring(baseDir.lastIndexOf("_v") + 2).toIntOption
+        .getOrElse(0)
+
+    // surviving UNABSORBED sidecars in batch order (resume
+    // re-enumerates them; their numbers ARE their batch numbers)
     private var sidecars: Vector[String] = {
+      val gen = baseGen
       val it = java.nio.file.Files.list(rootP)
       try {
         import scala.jdk.CollectionConverters._
         it.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("delta_")).toVector.sorted
+          .filter(n => n.startsWith("delta_") &&
+            n.drop("delta_".length).toIntOption.exists(_ > gen))
+          .toVector.sorted
           .map(n => s"$supportRoot/$n")
       } finally it.close()
     }
-    private var batchN: Int = sidecars.size +
-      // a resumed root may have compacted past its sidecars: the base
-      // generation number floors the batch counter
-      (baseDir.substring(baseDir.lastIndexOf("_v") + 2).toIntOption
-        .getOrElse(0))
-    private var staleBase: Option[String] = None
+    private var batchN: Int = (baseGen +: sidecars.map(p =>
+      p.substring(p.lastIndexOf("delta_") + "delta_".length).toInt)).max
+    // grace inventory: reaped on the NEXT compaction. Seeded from disk
+    // so a RESUMED driver adopts the previous run's grace generations
+    // instead of orphaning them forever (every restart would otherwise
+    // leak one base generation + compactEvery sidecars on durable
+    // storage)
+    private var staleBases: Vector[String] = {
+      val gen = baseGen
+      val it = java.nio.file.Files.list(rootP)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("base_v") &&
+            n.drop("base_v".length).toIntOption.exists(_ < gen))
+          .toVector.map(n => s"$supportRoot/$n")
+      } finally it.close()
+    }
+    private var staleSidecars: Vector[String] = {
+      val gen = baseGen
+      val it = java.nio.file.Files.list(rootP)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("delta_") &&
+            n.drop("delta_".length).toIntOption.exists(_ <= gen))
+          .toVector.map(n => s"$supportRoot/$n")
+      } finally it.close()
+    }
 
     private var mv: org.apache.spark.sql.DataFrame =
       Caches.parquetHandoff(
@@ -1002,8 +1062,9 @@ object Warehouse {
     }
 
     /** Folds the sidecars into a new base generation and publishes it;
-      * the PREVIOUS generation survives one more compaction (pointer
-      * grace for in-flight readers), then reaps.
+      * the PREVIOUS generation AND the absorbed sidecars survive one
+      * more compaction (pointer grace — an in-flight reader holding a
+      * pre-swap resolveSupport plan still references them), then reap.
       */
     def compact(): Unit = {
       if (sidecars.isEmpty) return
@@ -1011,10 +1072,15 @@ object Warehouse {
       val next = f"base_v$batchN%06d"
       compactSupport(spark, prev, sidecars, s"$supportRoot/$next")
       swapManifest(next)
-      sidecars.foreach(graft.io.Scratch.reap)
+      // reap LAST generation's grace inventory; the just-superseded
+      // base (whose untouched buckets the new one hard-links — the
+      // inodes survive the reap) and the just-absorbed sidecars become
+      // the new grace
+      staleSidecars.foreach(graft.io.Scratch.reap)
+      staleSidecars = sidecars
       sidecars = Vector.empty
-      staleBase.foreach(graft.io.Scratch.reap)
-      staleBase = Some(prev)
+      staleBases.foreach(graft.io.Scratch.reap)
+      staleBases = Vector(prev)
     }
   }
 

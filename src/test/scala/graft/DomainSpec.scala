@@ -1102,6 +1102,17 @@ class IvmLawSpec extends AnyFunSuite with Matchers with SparkTest {
       gotC.count() shouldBe expected.count()
       gotC.exceptAll(expected).count() shouldBe 0L
     }
+    // cap-forced FALLBACK branch through the MoR step (shuffle semi
+    // with the Bloom prefilter on the base — the backfill shape):
+    // view parity with the recompute, so a drift between the Bloom's
+    // build and probe key expressions (a false-negative source) can't
+    // slip through as a silent row drop
+    val (viewFb, stFb) = Warehouse.ivmDistinctFoldWithState(
+      spark, dir, "1997-07-01", "1998-01-01", 13L,
+      maxBroadcastKeys = 0L)
+    rows2L(viewFb) shouldBe rows2L(Warehouse.ivmDistinctRecompute(
+      spark, dir, "1997-07-01", 13L))
+    stFb.sidecars should have size 2
     graft.ops.Caches.drain()
   }
 

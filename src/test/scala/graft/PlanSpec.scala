@@ -339,13 +339,24 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
       "partition-pruned") {
     Registry.all("q_dedup_bloom_incremental").fn(spark, sf).count()
     val p = plan("q_dedup_bloom_incremental")
-    // at this SF the shard is all-novel: the Bloom prefilter leaves an
-    // EMPTY residue, the driver-side bucket set pins the state scan to
-    // zero partitions, and Catalyst folds the membership join to a
-    // constant — the probe plan is ONE narrow shard scan with no state
-    // read at all (the strongest form of "never rescans the corpus")
-    "documents.parquet".r.findAllIn(p).size shouldBe 1
-    "dedupstate_".r.findAllIn(p).size shouldBe 0
+    // two legitimate shapes, depending on whether an earlier suite's
+    // absorption test already taught the memoized state this shard:
+    //  - all-novel shard → EMPTY Bloom residue → the driver-side
+    //    bucket set pins the state scan to zero partitions and
+    //    Catalyst folds the membership join to a constant: ONE narrow
+    //    shard scan, no state read at all;
+    //  - residue-bearing shard → the corpus appears ONLY as the
+    //    fingerprint table, scanned once, partition-pruned, both
+    //    joins broadcast off the shard side.
+    val nState = "dedupstate_".r.findAllIn(p).size
+    if (nState == 0) {
+      "documents.parquet".r.findAllIn(p).size shouldBe 1
+    } else {
+      nState shouldBe 1
+      "documents.parquet".r.findAllIn(p).size shouldBe 2
+      "PartitionFilters: \\[[^\\]]*fb".r.findAllIn(p).size should be >= 1
+      "BroadcastHashJoin".r.findAllIn(p).size shouldBe 2
+    }
     p should not include "SortMergeJoin"
     // a residue-bearing shard (an address the state knows) keeps the
     // join shape: the corpus appears ONLY as the fingerprint table,
@@ -369,6 +380,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     "PartitionFilters: \\[[^\\]]*fb".r.findAllIn(p2).size should be >= 1
     "BroadcastHashJoin".r.findAllIn(p2).size shouldBe 2
     p2 should not include "SortMergeJoin"
+    // and the folded zero-state shape asserted UNCONDITIONALLY on a
+    // guaranteed-novel shard (fabricated addresses; the corpus-sized
+    // Bloom's FP odds on two keys are ~2^-60 — deterministic in
+    // practice): empty residue → no state scan, no join at all
+    val novel = llm.Selection.probeDedupState(spark, root,
+      Seq((1L, "d" * 32), (2L, "e" * 32)).toDF("doc_id", "clean_md5"))
+    novel.collect().map(_.getBoolean(2)) shouldBe Array(false, false)
+    val p3 = novel.queryExecution.executedPlan.toString
+    "dedupstate_".r.findAllIn(p3).size shouldBe 0
+    p3 should not include "Join"
   }
 
   test("full-column cdc merge keeps the base-never-shuffles shape") {
