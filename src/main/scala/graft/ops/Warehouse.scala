@@ -1107,6 +1107,55 @@ object Warehouse {
     mv2
   }
 
+  /** The two delta windows' SIDECARS alone — what the amortized
+    * compaction job actually consumes. A production compactor never
+    * recomputes the view: it reads the signed sidecars the nightly
+    * maintenance jobs appended and folds them into the base. Writes
+    * the same sidecar content as [[ivmDistinctFoldWithState]] (same
+    * d1/d2, same pair fold), skipping the view half (oldCnt probes +
+    * MV merges); the declared compaction query's full oracle pins the
+    * resolved result cross-engine either way.
+    */
+  private[graft] def ivmDistinctSidecars(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      cut0Lit: String, cut1Lit: String, retractMod: Long)
+      : SupportState = {
+    val c0 = Cols.ts(cut0Lit)
+    val c1 = Cols.ts(cut1Lit)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+        col("l_shipdate"))
+    val old0 = li.filter(col("l_shipdate") < c0)
+    val state0 = standing(tagOf("ivm_dcm", dir, cut0Lit, retractMod)) {
+      p =>
+        old0.groupBy("l_suppkey", "l_partkey")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("b", supportBucket(col("l_suppkey")))
+          .write.partitionBy("b").mode("overwrite")
+          .parquet(p + "/base")
+        spark.read.parquet(p + "/base").groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_parts"))
+          .write.mode("overwrite").parquet(p + "/mv")
+    }
+    val d1 = li.filter(col("l_shipdate") >= c0 &&
+        col("l_shipdate") < c1).withColumn("w", lit(1L))
+      .unionByName(old0.filter(col("l_orderkey") % retractMod === 0)
+        .withColumn("w", lit(-1L)))
+      .select("l_suppkey", "l_partkey", "w")
+    val d2 = li.filter(col("l_shipdate") >= c1)
+      .withColumn("w", lit(1L))
+      .select("l_suppkey", "l_partkey", "w")
+    val scs = Seq(d1 -> "ivm_dcm_sc1", d2 -> "ivm_dcm_sc2").map {
+      case (d, tag) =>
+        val p = graft.io.Scratch.subTagged(tag)
+        d.groupBy("l_suppkey", "l_partkey").agg(sum("w").as("dw"))
+          .filter(col("dw") =!= 0)
+          .write.mode("overwrite").parquet(p)
+        p
+    }
+    SupportState(state0 + "/base", scs)
+  }
+
   /** [[ivmDistinctFold]] plus the final merge-on-read support state
     * (the law spec resolves it to pin state composition;
     * [[compactSupport]] folds it).
@@ -2255,15 +2304,18 @@ object Warehouse {
     "q_warehouse_ivm_support_compact" -> Q(
       (spark, dir) => {
         // The AMORTIZED half of the merge-on-read support state: fold
-        // the fold's two sidecars into the bucketed base, rewriting
+        // the two nightly sidecars into the bucketed base, rewriting
         // ONLY the buckets the sidecars touch (untouched buckets carry
         // over as links — IvmLawSpec gates them byte-identical, the
         // q_sink_partition_overwrite device applied to IVM state).
+        // The query measures the COMPACTOR's own work: it consumes
+        // the sidecars (ivmDistinctSidecars — same d1/d2 pair folds
+        // the maintenance steps write) without recomputing the view.
         // Full oracle on the STATE itself: the compacted (l_suppkey,
         // l_partkey, cnt) table equals a from-scratch support
         // recompute cross-engine — the support algebra, the sidecar
         // resolution, AND the compaction are pinned in one hash.
-        val (_, st) = ivmDistinctFoldWithState(spark, dir,
+        val st = ivmDistinctSidecars(spark, dir,
           "1997-07-01", "1998-01-01", 13L)
         val compacted = compactSupport(spark, st.base, st.sidecars,
           graft.io.Scratch.subTagged("ivm_dcm_compact"))
