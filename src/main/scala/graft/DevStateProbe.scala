@@ -31,11 +31,10 @@ object DevStateProbe {
     val root = t("state build (memoized per JVM)") {
       llm.Selection.persistedDedupState(spark, dir)
     }
-    // the declared query's replay-shaped shard: the degenerate class
-    val full = Tables(spark, dir, "documents")
-      .select(col("doc_id"), md5(trim(regexp_replace(regexp_replace(
-        regexp_replace(lower(col("text")), "<[^>]*>", " "),
-        "[^a-z0-9 ]", ""), " +", " ")).cast("binary")).as("clean_md5"))
+    // the declared query's replay-shaped shard (the degenerate class)
+    // through the CANONICAL address chain — a drifting inline copy
+    // would silently measure a different address space
+    val full = llm.Selection.addressed(spark, dir)
       .filter(col("doc_id") % 10 === 7)
     (1 to 2).foreach(i => t(s"replay-shard probe #$i") {
       llm.Selection.probeDedupState(spark, root, full).count()

@@ -58,21 +58,27 @@ object Scratch {
   def subTagged(tag: String, minAgeMs: Long = 60000L): String = {
     val q = generations.computeIfAbsent(tag,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
-    // q.size >= 2 ⇒ after the add below the head has ≥2 newer
-    // generations — reaping it leaves the one-generation grace intact
-    while (q.size() >= 2 && {
-        val prior = q.peek()
-        prior != null && {
-          val f = new java.io.File(prior)
-          !f.exists() ||
-            System.currentTimeMillis() - f.lastModified() > minAgeMs
-        }
-      }) {
-      val p = q.poll()
-      if (p != null) reap(p)
-    }
     val d = sub(tag)
-    q.add(d)
+    // the whole reap decision runs under the queue's lock: an unlocked
+    // peek-check-poll pair lets a concurrent caller poll a DIFFERENT
+    // (newer, unchecked) element than the one the condition approved —
+    // reaping the very generation the count grace protects
+    q.synchronized {
+      // q.size >= 2 ⇒ after the add below the head has ≥2 newer
+      // generations — reaping it leaves the one-generation grace intact
+      while (q.size() >= 2 && {
+          val prior = q.peek()
+          prior != null && {
+            val f = new java.io.File(prior)
+            !f.exists() ||
+              System.currentTimeMillis() - f.lastModified() > minAgeMs
+          }
+        }) {
+        val p = q.poll()
+        if (p != null) reap(p)
+      }
+      q.add(d)
+    }
     d
   }
 

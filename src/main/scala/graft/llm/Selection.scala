@@ -76,7 +76,8 @@ object Selection {
   /** (doc_id, clean_md5) content-address frame over `dir`'s documents —
     * the one normalization+hash pass every dedup-state job shares.
     */
-  private def addressed(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def addressed(spark: SparkSession, dir: String)
+      : DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), cleanMd5.as("clean_md5"))
 
@@ -100,8 +101,8 @@ object Selection {
     * = 2^23 bits); capped at 2^30 bits (128 MB) where a production
     * ingestion would shard the sidecar itself.
     */
-  private def sizedToCorpus(n: Long, floorKeys: Long, bitsPerKey: Long)
-      : (Long, Long) = {
+  private[graft] def sizedToCorpus(n: Long, floorKeys: Long,
+      bitsPerKey: Long): (Long, Long) = {
     val expected = math.max(floorKeys,
       java.lang.Long.highestOneBit(math.max(1L, n * 2 - 1)))
     (expected, math.min(1L << 30, expected * bitsPerKey))

@@ -827,12 +827,27 @@ object Warehouse {
     // the base, a Bloom over the delta's pair keys prefilters base
     // rows in a narrow codegen'd map (the Pq.pendingArrivals /
     // probeDedupState shape) — only maybe-touched rows enter the
-    // exchange; no false negatives, the exact semi still decides
+    // exchange; no false negatives, the exact semi still decides.
+    // SIZED to the delta's measured pair count (the cached frame is
+    // already materialized by the sidecar write): a fixed-size filter
+    // saturates on exactly the backfill deltas this branch exists for
     val baseIn =
       if (isBroadcast) basePruned
-      else basePruned.filter(graft.llm.Selection.bloomMightContain(
-        graft.llm.Selection.bloomBuild(dPairs, pairKey,
-          1L << 23, 1L << 27), pairKey))
+      else {
+        // above ~16M pairs the filter blob would exceed the ~32 MB a
+        // task literal should carry — and a delta that large relative
+        // to the base prunes little anyway; fall through to the bare
+        // exchange
+        val nPairs = dPairs.count()
+        if (nPairs > (1L << 24)) basePruned
+        else {
+          val (expected, numBits) = graft.llm.Selection.sizedToCorpus(
+            nPairs, 1L << 23, bitsPerKey = 16L)
+          basePruned.filter(graft.llm.Selection.bloomMightContain(
+            graft.llm.Selection.bloomBuild(dPairs, pairKey,
+              expected, numBits), pairKey))
+        }
+      }
     val baseTouched = baseIn
       .join(side(keys), Seq("l_suppkey", "l_partkey"), "left_semi")
       .select(col("l_suppkey"), col("l_partkey"), col("cnt").as("w"))
@@ -952,9 +967,19 @@ object Warehouse {
   private[graft] final class IvmDistinctStream(
       spark: org.apache.spark.sql.SparkSession, supportRoot: String,
       seed: org.apache.spark.sql.DataFrame,
-      cap: Long = 1L << 22, compactEvery: Int = 3) {
+      cap: Long = 1L << 22, compactEvery: Int = 3,
+      runTag: String = "") {
     private val rootP = java.nio.file.Paths.get(supportRoot)
     private val mfP = rootP.resolve("BASE_MANIFEST")
+    // sidecar names carry the batch number (their ordering and
+    // absorption watermark) plus an optional RUN-UNIQUE tag: two runs
+    // racing one durable root must never share a sidecar path, or the
+    // CAS loser's overwrite would replace the content the winner's
+    // in-memory sidecar list references (the same discipline as the
+    // CLI's v$N-$runId data dirs)
+    private def numOf(name: String, prefix: String): Option[Int] =
+      Some(name.drop(prefix.length).takeWhile(_.isDigit))
+        .filter(_.nonEmpty).map(_.toInt)
 
     private def baseDir: String = supportRoot + "/" +
       new String(java.nio.file.Files.readAllBytes(mfP),
@@ -985,58 +1010,50 @@ object Warehouse {
     // on disk one extra compaction as reader grace — resume must not
     // re-count them)
     private def baseGen: Int =
-      baseDir.substring(baseDir.lastIndexOf("_v") + 2).toIntOption
+      numOf(baseDir.drop(baseDir.lastIndexOf("base_v")), "base_v")
         .getOrElse(0)
 
-    // surviving UNABSORBED sidecars in batch order (resume
-    // re-enumerates them; their numbers ARE their batch numbers)
-    private var sidecars: Vector[String] = {
+    // ONE directory listing, classified against a single snapshot:
+    // unabsorbed sidecars in batch order (their numbers ARE their
+    // batch numbers), plus the grace inventory — absorbed sidecars and
+    // superseded bases a previous run left behind, adopted by this
+    // driver so a restart doesn't orphan them forever (reaped on the
+    // next compaction)
+    private var sidecars: Vector[String] = Vector.empty
+    private var staleBases: Vector[String] = Vector.empty
+    private var staleSidecars: Vector[String] = Vector.empty
+    locally {
       val gen = baseGen
+      val live = baseDir
       val it = java.nio.file.Files.list(rootP)
-      try {
+      val names = try {
         import scala.jdk.CollectionConverters._
-        it.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("delta_") &&
-            n.drop("delta_".length).toIntOption.exists(_ > gen))
-          .toVector.sorted
-          .map(n => s"$supportRoot/$n")
+        it.iterator().asScala.map(_.getFileName.toString).toVector
       } finally it.close()
+      sidecars = names
+        .filter(n => n.startsWith("delta_") &&
+          numOf(n, "delta_").exists(_ > gen))
+        .sorted.map(n => s"$supportRoot/$n")
+      staleSidecars = names
+        .filter(n => n.startsWith("delta_") &&
+          numOf(n, "delta_").exists(_ <= gen))
+        .map(n => s"$supportRoot/$n")
+      staleBases = names
+        .filter(n => n.startsWith("base_v") && s"$supportRoot/$n" != live)
+        .map(n => s"$supportRoot/$n")
     }
-    private var batchN: Int = (baseGen +: sidecars.map(p =>
-      p.substring(p.lastIndexOf("delta_") + "delta_".length).toInt)).max
-    // grace inventory: reaped on the NEXT compaction. Seeded from disk
-    // so a RESUMED driver adopts the previous run's grace generations
-    // instead of orphaning them forever (every restart would otherwise
-    // leak one base generation + compactEvery sidecars on durable
-    // storage)
-    private var staleBases: Vector[String] = {
-      val gen = baseGen
-      val it = java.nio.file.Files.list(rootP)
-      try {
-        import scala.jdk.CollectionConverters._
-        it.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("base_v") &&
-            n.drop("base_v".length).toIntOption.exists(_ < gen))
-          .toVector.map(n => s"$supportRoot/$n")
-      } finally it.close()
-    }
-    private var staleSidecars: Vector[String] = {
-      val gen = baseGen
-      val it = java.nio.file.Files.list(rootP)
-      try {
-        import scala.jdk.CollectionConverters._
-        it.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("delta_") &&
-            n.drop("delta_".length).toIntOption.exists(_ <= gen))
-          .toVector.map(n => s"$supportRoot/$n")
-      } finally it.close()
-    }
+    private var batchN: Int = (baseGen +: sidecars.flatMap(p =>
+      numOf(p.drop(p.lastIndexOf("delta_")), "delta_"))).max
+    // per-instance handoff tag: a JVM-global tag would let two live
+    // streams reap each other's view handoff generations
+    private val mvTag = "ivm_stream_mv_" +
+      java.lang.Integer.toHexString(supportRoot.hashCode)
 
     private var mv: org.apache.spark.sql.DataFrame =
       Caches.parquetHandoff(
         resolveSupport(spark, baseDir, sidecars)
           .groupBy("l_suppkey").agg(count(lit(1)).as("n_parts")),
-        "ivm_stream_mv")
+        mvTag)
 
     /** The current view: (l_suppkey, n_parts). */
     def view: org.apache.spark.sql.DataFrame = mv
@@ -1045,21 +1062,37 @@ object Warehouse {
     def resolvedSupport: org.apache.spark.sql.DataFrame =
       resolveSupport(spark, baseDir, sidecars)
 
+    /** The most recent batch's sidecar path — a caller whose version
+      * CAS LOST after this batch (the split-brain case) reaps it
+      * before aborting, so the winner's later resume can't double-
+      * count the orphan.
+      */
+    def lastSidecar: Option[String] = sidecars.lastOption
+
     /** Folds one micro-batch of (l_suppkey, l_partkey, w) rows into
       * state and view; returns the new view (lineage-cut — safe to
-      * publish).
+      * publish). With `compactEvery = 0` compaction is the CALLER's
+      * call — the CLI invokes [[compact]] only after its version CAS
+      * succeeded, so a split-brained loser never swaps the manifest or
+      * reaps generations a winner still references.
       */
     def processBatch(d: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
       batchN += 1
-      val sc = f"$supportRoot/delta_$batchN%06d"
+      val sc = f"$supportRoot/delta_$batchN%06d" +
+        (if (runTag.nonEmpty) s"-$runTag" else "")
       mv = Caches.parquetHandoff(
         ivmDistinctStepMor(spark, baseDir, sidecars, mv, d, sc, cap),
-        "ivm_stream_mv")
+        mvTag)
       sidecars :+= sc
       if (compactEvery > 0 && sidecars.size >= compactEvery) compact()
       mv
     }
+
+    /** True when the unabsorbed-sidecar run has reached `every` — the
+      * caller-driven compaction cadence (used with compactEvery = 0).
+      */
+    def compactDue(every: Int): Boolean = sidecars.size >= every
 
     /** Folds the sidecars into a new base generation and publishes it;
       * the PREVIOUS generation AND the absorbed sidecars survive one
@@ -1116,6 +1149,28 @@ object Warehouse {
     * MV merges); the declared compaction query's full oracle pins the
     * resolved result cross-engine either way.
     */
+  /** The ONE standing-state builder for the distinct-fold family
+    * (shared by [[ivmDistinctSidecars]] and
+    * [[ivmDistinctFoldWithState]] — same memo tag, so they reuse one
+    * build per JVM × params): bucketed base, bucket-clustered so each
+    * bucket is one file (not one per writer task × bucket), plus the
+    * MV it supports.
+    */
+  private def distinctStanding(spark: org.apache.spark.sql.SparkSession,
+      old0: org.apache.spark.sql.DataFrame, dir: String,
+      cut0Lit: String, retractMod: Long): String =
+    standing(tagOf("ivm_dcm", dir, cut0Lit, retractMod)) { p =>
+      old0.groupBy("l_suppkey", "l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("b", supportBucket(col("l_suppkey")))
+        .repartition(SupportBuckets, col("b"))
+        .write.partitionBy("b").mode("overwrite")
+        .parquet(p + "/base")
+      spark.read.parquet(p + "/base").groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_parts"))
+        .write.mode("overwrite").parquet(p + "/mv")
+    }
+
   private[graft] def ivmDistinctSidecars(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       cut0Lit: String, cut1Lit: String, retractMod: Long)
@@ -1126,17 +1181,7 @@ object Warehouse {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
         col("l_shipdate"))
     val old0 = li.filter(col("l_shipdate") < c0)
-    val state0 = standing(tagOf("ivm_dcm", dir, cut0Lit, retractMod)) {
-      p =>
-        old0.groupBy("l_suppkey", "l_partkey")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("b", supportBucket(col("l_suppkey")))
-          .write.partitionBy("b").mode("overwrite")
-          .parquet(p + "/base")
-        spark.read.parquet(p + "/base").groupBy("l_suppkey")
-          .agg(count(lit(1)).as("n_parts"))
-          .write.mode("overwrite").parquet(p + "/mv")
-    }
+    val state0 = distinctStanding(spark, old0, dir, cut0Lit, retractMod)
     val d1 = li.filter(col("l_shipdate") >= c0 &&
         col("l_shipdate") < c1).withColumn("w", lit(1L))
       .unionByName(old0.filter(col("l_orderkey") % retractMod === 0)
@@ -1171,17 +1216,7 @@ object Warehouse {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
         col("l_shipdate"))
     val old0 = li.filter(col("l_shipdate") < c0)
-    val state0 = standing(tagOf("ivm_dcm", dir, cut0Lit, retractMod)) {
-      p =>
-        old0.groupBy("l_suppkey", "l_partkey")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("b", supportBucket(col("l_suppkey")))
-          .write.partitionBy("b").mode("overwrite")
-          .parquet(p + "/base")
-        spark.read.parquet(p + "/base").groupBy("l_suppkey")
-          .agg(count(lit(1)).as("n_parts"))
-          .write.mode("overwrite").parquet(p + "/mv")
-    }
+    val state0 = distinctStanding(spark, old0, dir, cut0Lit, retractMod)
     val base = state0 + "/base"
     val d1 = li.filter(col("l_shipdate") >= c0 &&
         col("l_shipdate") < c1).withColumn("w", lit(1L))

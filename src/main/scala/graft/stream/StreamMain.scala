@@ -56,6 +56,25 @@ object StreamMain {
         s"version-$v CAS in $base — another writer is live; aborting")
     }
 
+  /** Highest prior state version from the data-dir listing of a
+    * durable state root — the legacy-resume path for roots that
+    * predate (or lost) the commit log. Data dirs are named
+    * `v$N-$runId`, so the parse takes the leading digits after the
+    * `v` (a bare `.toIntOption` on the full suffix never matches and
+    * silently disables this scan — found by review).
+    */
+  private def priorStateVersion(stateBase: String): Option[Int] = {
+    val prior = Option(new java.io.File(stateBase).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (!n.startsWith("v")) None
+        else Some(n.drop(1).takeWhile(_.isDigit)).filter(_.nonEmpty)
+          .map(_.toInt)
+      }
+    if (prior.isEmpty) None else Some(prior.max)
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k -> v
@@ -204,12 +223,8 @@ object StreamMain {
         // state directory — the split-brain case — now fail fast at
         // the first contested CAS instead of silently interleaving
         // versions
-        val prior = Option(new java.io.File(stateBase).listFiles())
-          .getOrElse(Array.empty)
-          .flatMap(f => f.getName.stripPrefix("v").toIntOption
-            .filter(_ => f.getName.startsWith("v")))
         var stateV = math.max(
-          if (prior.isEmpty) 0 else prior.max + 1,
+          priorStateVersion(stateBase).map(_ + 1).getOrElse(0),
           graft.io.CommitLog.currentVersion(stateBase) + 1)
         val seedV = stateV
         if (stateV > 0)
@@ -313,12 +328,8 @@ object StreamMain {
         // recompute; this branch adds the durability discipline.
         val stateBase =
           if (out.nonEmpty) out else graft.io.Scratch.sub("ivmdc_state")
-        val prior = Option(new java.io.File(stateBase).listFiles())
-          .getOrElse(Array.empty)
-          .flatMap(f => f.getName.stripPrefix("v").toIntOption
-            .filter(_ => f.getName.startsWith("v")))
         var stateV = math.max(
-          if (prior.isEmpty) 0 else prior.max + 1,
+          priorStateVersion(stateBase).map(_ + 1).getOrElse(0),
           graft.io.CommitLog.currentVersion(stateBase) + 1)
         val seedV = stateV
         if (stateV > 0)
@@ -328,15 +339,19 @@ object StreamMain {
         val ownPaths = scala.collection.mutable.Map[Int, String]()
         // support state under the same durable root: a resumed run
         // reattaches to the live base + surviving sidecars via the
-        // manifest; seed = "yesterday's" batch events table
+        // manifest; seed = "yesterday's" batch events table. Sidecars
+        // carry this run's tag and compaction is driven POST-CAS below
+        // (compactEvery = 0): a split-brained loser must never mutate
+        // a path or swap a manifest the winner references
         val stream = new graft.ops.Warehouse.IvmDistinctStream(
           spark, s"$stateBase/support",
           graft.ops.Warehouse.eventPairDelta(
-            graft.Tables(spark, dir, "events")))
-        var statePath = s"$stateBase/v$stateV-$runId"
-        stream.view.write.mode("overwrite").parquet(statePath)
-        commitStateVersion("ivm_distinct", stateBase, stateV, statePath)
-        ownPaths(stateV) = statePath
+            graft.Tables(spark, dir, "events")),
+          compactEvery = 0, runTag = runId)
+        val seedPath = s"$stateBase/v$stateV-$runId"
+        stream.view.write.mode("overwrite").parquet(seedPath)
+        commitStateVersion("ivm_distinct", stateBase, stateV, seedPath)
+        ownPaths(stateV) = seedPath
         val q = events.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val mv = stream.processBatch(
@@ -344,10 +359,19 @@ object StreamMain {
             stateV += 1
             val nextPath = s"$stateBase/v$stateV-$runId"
             mv.write.mode("overwrite").parquet(nextPath)
-            commitStateVersion("ivm_distinct", stateBase, stateV,
+            try commitStateVersion("ivm_distinct", stateBase, stateV,
               nextPath)
-            statePath = nextPath
+            catch {
+              case e: IllegalStateException =>
+                // the CAS loser's just-written sidecar is an orphan a
+                // later resume would double-count — reap before dying
+                stream.lastSidecar.foreach(graft.io.Scratch.reap)
+                throw e
+            }
             ownPaths(stateV) = nextPath
+            // support compaction only AFTER this batch's version is
+            // durably ours
+            if (stream.compactDue(3)) stream.compact()
             if (stateV - 1 >= seedV)
               ownPaths.get(stateV - 1).foreach(prev =>
                 graft.io.CommitLog.checkpoint(stateBase, stateV - 1,
@@ -359,8 +383,14 @@ object StreamMain {
               s"$n suppliers")
             graft.ops.Caches.drain()
           }
+          // the streaming checkpoint must be as durable as the state it
+          // feeds: a scratch checkpoint on a durable --out makes every
+          // restart REPLAY the whole source into the already-seeded
+          // support counts (cnt inflation; the view only stays right by
+          // presence-idempotence)
           .option("checkpointLocation",
-            graft.io.Scratch.sub("ivmdc_ckpt"))
+            if (out.nonEmpty) s"$stateBase/ckpt"
+            else graft.io.Scratch.sub("ivmdc_ckpt"))
           .start()
         if (timeoutSec > 0) {
           q.awaitTermination(timeoutSec * 1000L); q.stop()
