@@ -228,17 +228,38 @@ object CommitLog {
     * reader can never observe a torn pointer.
     */
   def tryCommit(root: String, expected: Int, dataDir: String): Boolean = {
+    // CHECKPOINT FLOOR: a checkpoint PRUNES the pointers it covers —
+    // those version slots are history, not vacancies. Without this
+    // check a committer holding a stale `expected` (a second run that
+    // listed the log before the winner's first commit) finds the
+    // pruned slot ABSENT and re-links it, "winning" a version below
+    // the checkpoint — a zombie pointer that corrupts the version
+    // sequence for every reader. Found by a live two-process race:
+    // the winner committed v0,v1 and checkpointed c0; the loser's
+    // seed CAS at expected=-1 then re-created v0.
+    def coveredBy(cp: Option[(Int, String)]): Boolean =
+      cp.exists(_._1 >= expected + 1)
+    if (coveredBy(latestCheckpoint(root))) return false
     val target = pointer(root, expected + 1)
     val tmp = commitsDir(root).resolve(
       f"v${expected + 1}%08d.${java.util.UUID.randomUUID().toString}.tmp")
     Files.write(tmp,
       dataDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    try {
-      Files.createLink(target, tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally Files.deleteIfExists(tmp)
+    val linked =
+      try {
+        Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally Files.deleteIfExists(tmp)
+    if (linked && coveredBy(latestCheckpoint(root))) {
+      // TOCTOU window: a checkpoint pruned this slot between the floor
+      // check and the link — the link landed on covered history.
+      // Un-publish it and lose; the transient zombie pointer is
+      // removed by its own creator before it returns
+      Files.deleteIfExists(target)
+      false
+    } else linked
   }
 
   /** Commit with rebase-and-retry: `prepare` sees the CURRENT version

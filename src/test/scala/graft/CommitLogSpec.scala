@@ -254,6 +254,29 @@ class CommitLogSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("checkpoint floor: a stale committer cannot re-link a version " +
+      "slot the checkpoint pruned — covered history is not a vacancy") {
+    // the live two-process race that found this: winner commits v0,v1,
+    // checkpoints c0 (pruning pointer v0); a second run that listed
+    // the log BEFORE the winner's first commit then CAS-es at
+    // expected=-1, finds the v0 slot absent, and used to re-link it —
+    // a zombie version below the checkpoint
+    val root = freshRoot()
+    CommitLog.tryCommit(root, -1, "w-v0") shouldBe true
+    CommitLog.tryCommit(root, 0, "w-v1") shouldBe true
+    CommitLog.checkpoint(root, 0, "w-v0") shouldBe true
+    // stale seed CAS at the pruned slot must LOSE, not re-create it
+    CommitLog.tryCommit(root, -1, "stale-v0") shouldBe false
+    CommitLog.versions(root) shouldBe Seq(1 -> "w-v1")
+    CommitLog.latestCheckpoint(root) shouldBe Some(0 -> "w-v0")
+    // ...and the legitimate appender continues past the checkpoint
+    CommitLog.tryCommit(root, 1, "w-v2") shouldBe true
+    CommitLog.checkpoint(root, 1, "w-v1") shouldBe true
+    CommitLog.tryCommit(root, 0, "stale-v1") shouldBe false
+    CommitLog.versions(root) shouldBe Seq(2 -> "w-v2")
+    CommitLog.currentVersion(root) shouldBe 2
+  }
+
   test("headSnapshot resolves the head pointer, falls back to a " +
       "covering checkpoint on a fully-pruned log, and is None when " +
       "empty") {
