@@ -134,7 +134,22 @@ object CommitLog {
     * re-list bounds the loop — the documented "old pointers or the
     * checkpoint, never neither" guarantee holds for markers too.
     */
-  def latestCheckpoint(root: String): Option[(Int, String)] = {
+  def latestCheckpoint(root: String): Option[(Int, String)] =
+    latestCheckpointRaw(root).map { case (v, content) =>
+      v -> content.linesIterator.next().trim
+    }
+
+  /** Newest marker's (version, FULL content). Line 1 is the snapshot
+    * directory; subsequent lines are the pointer LINEAGE — one
+    * `version<TAB>payload` row per version the checkpoint chain has
+    * pruned. The lineage is what makes [[tryCommit]]'s covered-slot
+    * post-check DECIDABLE: "was version N's pointer MY payload before
+    * the prune?" cannot be answered from pointer presence (a genuine
+    * win whose slot the pruner hasn't deleted yet looks identical to a
+    * zombie re-link), only from a durable record of what each slot
+    * held when it became history.
+    */
+  private def latestCheckpointRaw(root: String): Option[(Int, String)] = {
     var attempt = 0
     while (attempt <= 16) {
       val it = Files.list(commitsDir(root))
@@ -167,6 +182,24 @@ object CommitLog {
         "16 re-lists")
   }
 
+  /** The latest checkpoint's pruned-slot lineage: version → the payload
+    * its pointer held when it became history (empty when no checkpoint
+    * exists). Spec surface for the covered-slot ownership law.
+    */
+  private[graft] def checkpointLineage(root: String): Map[Int, String] =
+    latestCheckpointRaw(root).map(r => markerLineage(r._2))
+      .getOrElse(Map.empty)
+
+  /** Parses a marker's lineage lines (everything after line 1). */
+  private def markerLineage(content: String): Map[Int, String] =
+    content.linesIterator.drop(1).flatMap { ln =>
+      ln.split('\t') match {
+        case Array(v, payload) if v.forall(_.isDigit) =>
+          Some(v.toInt -> payload)
+        case _ => None
+      }
+    }.toMap
+
   /** Publishes a CHECKPOINT covering versions 0..upTo and prunes their
     * pointers — the log-compaction half of the protocol (Delta's
     * `_last_checkpoint`, Iceberg's snapshot expiry): without it,
@@ -197,11 +230,30 @@ object CommitLog {
     require(upTo <= currentVersion(root),
       s"checkpoint at v$upTo exceeds the committed head " +
         s"v${currentVersion(root)}")
+    // LINEAGE GATHER (before publish): record what every slot this
+    // checkpoint chain prunes actually held. Previous-marker lineage
+    // takes PRECEDENCE over a listed pointer at the same version —
+    // history is immutable, so a pointer sitting below the previous
+    // checkpoint is definitionally a zombie re-link whose payload must
+    // NOT overwrite the true owner's record. Versions above the
+    // previous checkpoint can only come from live pointers. The map is
+    // cumulative (one short line per version ever committed) — a
+    // production log bounds it with pointer retention; here version
+    // counts are session-scale. READ ORDER matters: pointers FIRST,
+    // marker second — a concurrent checkpointer that publishes+prunes
+    // between the two reads then shows up in the marker read (markers
+    // are cumulative supersets); the reverse order can miss both.
+    val gathered = versions(root).filter(_._1 <= upTo).toMap
+    val prevLineage = latestCheckpointRaw(root)
+      .map(r => markerLineage(r._2)).getOrElse(Map.empty)
+    val lineage = (gathered ++ prevLineage).toSeq.sortBy(_._1)
     val target = commitsDir(root).resolve(f"c$upTo%08d")
     val tmp = commitsDir(root).resolve(
       f"c$upTo%08d.${java.util.UUID.randomUUID().toString}.tmp")
     Files.write(tmp,
-      snapshotDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (snapshotDir +: lineage.map { case (v, p) => s"$v\t$p" })
+        .mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val won =
       try { Files.createLink(target, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -252,14 +304,32 @@ object CommitLog {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally Files.deleteIfExists(tmp)
-    if (linked && coveredBy(latestCheckpoint(root))) {
-      // TOCTOU window: a checkpoint pruned this slot between the floor
-      // check and the link — the link landed on covered history.
-      // Un-publish it and lose; the transient zombie pointer is
-      // removed by its own creator before it returns
-      Files.deleteIfExists(target)
-      false
-    } else linked
+    if (linked) {
+      latestCheckpointRaw(root) match {
+        case Some((cv, content)) if cv >= expected + 1 =>
+          // Covered after the link. TWO cases share this observation
+          // and pointer presence CANNOT tell them apart (a genuine
+          // win whose slot the pruner hasn't deleted yet looks
+          // identical to a zombie): consult the marker's LINEAGE.
+          //  - lineage(v) == our payload: we genuinely won v and a
+          //    fast peer committed past us and checkpointed — our
+          //    commit is durable history; reporting a loss here would
+          //    make commitRetry/commitStateRetry DOUBLE-APPLY the
+          //    changeset (the exactly-once violation).
+          //  - otherwise: the slot was another committer's (or the
+          //    covering checkpoint predates our link — the live-race
+          //    zombie): un-publish the re-link and lose; the transient
+          //    zombie pointer is removed by its own creator before it
+          //    returns.
+          if (markerLineage(content).get(expected + 1)
+              .contains(dataDir)) true
+          else {
+            Files.deleteIfExists(target)
+            false
+          }
+        case _ => true
+      }
+    } else false
   }
 
   /** Commit with rebase-and-retry: `prepare` sees the CURRENT version

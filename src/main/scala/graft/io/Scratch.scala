@@ -59,10 +59,15 @@ object Scratch {
     val q = generations.computeIfAbsent(tag,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
     val d = sub(tag)
-    // the whole reap decision runs under the queue's lock: an unlocked
+    // the reap DECISION runs under the queue's lock: an unlocked
     // peek-check-poll pair lets a concurrent caller poll a DIFFERENT
     // (newer, unchecked) element than the one the condition approved —
-    // reaping the very generation the count grace protects
+    // reaping the very generation the count grace protects. The reap
+    // I/O itself runs AFTER the monitor is released: a slow recursive
+    // delete of a large state generation must not stall every
+    // concurrent subTagged caller for this tag (the lock protects the
+    // queue, not the filesystem — a polled path is exclusively owned)
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
     q.synchronized {
       // q.size >= 2 ⇒ after the add below the head has ≥2 newer
       // generations — reaping it leaves the one-generation grace intact
@@ -75,10 +80,11 @@ object Scratch {
           }
         }) {
         val p = q.poll()
-        if (p != null) reap(p)
+        if (p != null) doomed += p
       }
       q.add(d)
     }
+    doomed.foreach(reap)
     d
   }
 

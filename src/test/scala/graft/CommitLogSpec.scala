@@ -277,6 +277,87 @@ class CommitLogSpec extends AnyFunSuite with Matchers {
     CommitLog.currentVersion(root) shouldBe 2
   }
 
+  test("checkpoint lineage records each pruned slot's true owner, " +
+      "cumulatively across markers, and a zombie re-link can never " +
+      "overwrite it") {
+    // the decidability record behind tryCommit's covered-slot
+    // post-check: "was version N's pointer MY payload?" cannot be
+    // answered from pointer presence (a genuine win whose slot the
+    // pruner hasn't deleted yet looks identical to a zombie re-link)
+    val root = freshRoot()
+    CommitLog.tryCommit(root, -1, "a-v0") shouldBe true
+    CommitLog.tryCommit(root, 0, "b-v1") shouldBe true
+    CommitLog.checkpoint(root, 0, "snap-0") shouldBe true
+    CommitLog.checkpointLineage(root) shouldBe Map(0 -> "a-v0")
+    CommitLog.tryCommit(root, 1, "c-v2") shouldBe true
+    CommitLog.checkpoint(root, 1, "snap-1") shouldBe true
+    // cumulative: the superseding marker still knows v0's owner
+    CommitLog.checkpointLineage(root) shouldBe
+      Map(0 -> "a-v0", 1 -> "b-v1")
+    // a zombie pointer forged below the checkpoint (simulating the
+    // re-link the floor check exists for) must not poison the NEXT
+    // checkpoint's lineage: previous-marker lineage takes precedence
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "commits", "v00000000"),
+      "zombie-v0".getBytes)
+    CommitLog.tryCommit(root, 2, "d-v3") shouldBe true
+    CommitLog.checkpoint(root, 2, "snap-2") shouldBe true
+    CommitLog.checkpointLineage(root) shouldBe
+      Map(0 -> "a-v0", 1 -> "b-v1", 2 -> "c-v2")
+  }
+
+  test("a genuine win observed and checkpointed-over by a fast peer " +
+      "is reported as a WIN — racing committers against an aggressive " +
+      "checkpointer never double-apply") {
+    // the r18-advice TOCTOU: committer links v(N+1); before its
+    // post-check runs, a peer commits v(N+2) and checkpoints c(N+1).
+    // Pointer presence cannot decide the verdict — the lineage does.
+    // 8 writers × unique payloads race a checkpointer that collapses
+    // the log after every observed commit; exactly-once means every
+    // payload appears exactly once across the final pointers + lineage.
+    val root = freshRoot()
+    val nWriters = 8
+    val perWriter = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      nWriters + 1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ckpt = pool.submit(new Runnable {
+      def run(): Unit = while (!stop.get()) {
+        val head = CommitLog.currentVersion(root)
+        val covered = CommitLog.latestCheckpoint(root).map(_._1)
+          .getOrElse(-1)
+        if (head > covered)
+          try CommitLog.checkpoint(root, head, s"snap-$head")
+          catch { case _: IllegalArgumentException => () } // raced
+        Thread.`yield`()
+      }
+    })
+    val won = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writers = (0 until nWriters).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = (0 until perWriter).foreach { i =>
+          val payload = s"w$w-c$i"
+          CommitLog.commitRetry(root, maxAttempts = 4096)(_ => payload)
+          won.add(payload)
+        }
+      })
+    }
+    writers.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    stop.set(true)
+    ckpt.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    // exactly-once: pointers ∪ lineage holds every payload once
+    val fromPointers = CommitLog.versions(root).map(_._2)
+    val fromLineage = CommitLog.checkpointLineage(root).values.toSeq
+    val all = fromPointers ++ fromLineage
+    all.distinct.size shouldBe all.size // no slot double-owned
+    all.toSet shouldBe (0 until nWriters).flatMap(w =>
+      (0 until perWriter).map(i => s"w$w-c$i")).toSet
+    won.size() shouldBe nWriters * perWriter
+    // dense version sequence: every slot 0..head owned exactly once
+    CommitLog.currentVersion(root) shouldBe nWriters * perWriter - 1
+  }
+
   test("headSnapshot resolves the head pointer, falls back to a " +
       "covering checkpoint on a fully-pruned log, and is None when " +
       "empty") {
