@@ -996,13 +996,51 @@ object Warehouse {
 
     if (!java.nio.file.Files.exists(mfP)) {
       java.nio.file.Files.createDirectories(rootP)
-      seed.groupBy("l_suppkey", "l_partkey")
+      // SEEDER ARBITRATION: the seed write + manifest creation happen
+      // BEFORE any caller-level version CAS, so two fresh runs racing
+      // one durable root both reach here. The seed dir is run-unique
+      // (a loser's overwrite must never replace files a winner's
+      // manifest references) and the manifest is CREATED via link(2)
+      // CAS — exactly one seeder publishes; the loser reaps its own
+      // seed and resumes through the winner's manifest below.
+      val seedName = "base_v000000" +
+        (if (runTag.nonEmpty) s"-$runTag" else "")
+      val seedPairs = seed.groupBy("l_suppkey", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("b", supportBucket(col("l_suppkey")))
+      seedPairs
         .repartition(SupportBuckets, col("b"))
         .write.partitionBy("b").mode("overwrite")
-        .parquet(supportRoot + "/base_v0")
-      swapManifest("base_v0")
+        .parquet(s"$supportRoot/$seedName")
+      // EMPTY seed (the files-source CLI seeds from nothing so the
+      // replayed stream isn't double-counted): a dynamic-partitioned
+      // write of zero rows lands no data files and the dir cannot be
+      // schema-inferred — rewrite as one unpartitioned zero-row file
+      // whose footer carries the schema (`b` rides as a data column;
+      // every consumer filters it as an ordinary column and the first
+      // compaction restores the partitioned layout)
+      locally {
+        val it = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$supportRoot/$seedName"))
+        val hasData = try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala
+            .exists(_.getFileName.toString.startsWith("b="))
+        } finally it.close()
+        if (!hasData)
+          seedPairs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$supportRoot/$seedName")
+      }
+      val tmp = rootP.resolve("BASE_MANIFEST." +
+        java.util.UUID.randomUUID().toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        seedName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val won =
+        try { java.nio.file.Files.createLink(mfP, tmp); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      if (!won) graft.io.Scratch.reap(s"$supportRoot/$seedName")
     }
 
     // the live base generation's batch number: sidecars at or below it
@@ -1034,6 +1072,22 @@ object Warehouse {
         .filter(n => n.startsWith("delta_") &&
           numOf(n, "delta_").exists(_ > gen))
         .sorted.map(n => s"$supportRoot/$n")
+      // COMMIT-GATED adoption: a run that records its published
+      // batches ([[markCommitted]] — the CLI, after each version CAS)
+      // leaves a durable floor; any sidecar NUMBERED ABOVE it was
+      // written but never durably published (hard crash between the
+      // sidecar write and the caller's commit) and a resume must reap
+      // it, not adopt it — the replayed micro-batch re-appends the
+      // same delta and the orphan would double-count. Roots without a
+      // floor file (embedded/spec use, no external arbitration) adopt
+      // everything, as before.
+      committedFloor.foreach { case (floorN, _) =>
+        val (keep, orphaned) = sidecars.partition(p =>
+          numOf(p.drop(p.lastIndexOf("delta_")), "delta_")
+            .exists(_ <= floorN))
+        orphaned.foreach { p => graft.io.Scratch.reap(p) }
+        sidecars = keep
+      }
       staleSidecars = names
         .filter(n => n.startsWith("delta_") &&
           numOf(n, "delta_").exists(_ <= gen))
@@ -1068,6 +1122,41 @@ object Warehouse {
       * count the orphan.
       */
     def lastSidecar: Option[String] = sidecars.lastOption
+
+    /** Durable record of the highest PUBLISHED batch: (sidecar batch
+      * number, caller's stream batch id), absent until the first
+      * [[markCommitted]]. Two crash-consistency jobs: the constructor
+      * reaps sidecars numbered above the floor (written, never
+      * published), and the CLI skips replayed stream batch ids at or
+      * below it (published, offset-commit lost — re-folding would
+      * double-count).
+      */
+    def committedFloor: Option[(Int, Long)] = {
+      val f = rootP.resolve("SIDECAR_FLOOR")
+      if (!java.nio.file.Files.exists(f)) None
+      else new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(' ') match {
+        case Array(n, id) if n.nonEmpty && n.forall(_.isDigit) =>
+          Some(n.toInt -> id.toLong)
+        case _ => None
+      }
+    }
+
+    /** Records that everything through the CURRENT batch is durably
+      * published (call strictly AFTER the caller's version CAS
+      * succeeded — single post-CAS writer, same discipline as
+      * [[compact]]). The window between the CAS and this write is
+      * safe: a crash there reaps the sidecar at resume and the
+      * replayed batch re-derives the identical fold.
+      */
+    def markCommitted(streamBatchId: Long): Unit = {
+      val tmp = rootP.resolve("SIDECAR_FLOOR.tmp")
+      java.nio.file.Files.write(tmp, s"$batchN $streamBatchId"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, rootP.resolve("SIDECAR_FLOOR"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     /** Folds one micro-batch of (l_suppkey, l_partkey, w) rows into
       * state and view; returns the new view (lineage-cut — safe to

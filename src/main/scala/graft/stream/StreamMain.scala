@@ -339,14 +339,24 @@ object StreamMain {
         val ownPaths = scala.collection.mutable.Map[Int, String]()
         // support state under the same durable root: a resumed run
         // reattaches to the live base + surviving sidecars via the
-        // manifest; seed = "yesterday's" batch events table. Sidecars
-        // carry this run's tag and compaction is driven POST-CAS below
-        // (compactEvery = 0): a split-brained loser must never mutate
-        // a path or swap a manifest the winner references
+        // manifest. Seed choice is SOURCE-dependent: the files source
+        // replays the events table itself from offset zero, so seeding
+        // from that same table would double-count every pair from the
+        // very first run (cnt inflation the view hides only by
+        // presence-idempotence) — files seeds EMPTY and batch 0 builds
+        // the state; rate synthesizes events the table doesn't
+        // contain, so there "yesterday's" batch corpus is a genuine
+        // prior. Sidecars carry this run's tag and compaction is
+        // driven POST-CAS below (compactEvery = 0): a split-brained
+        // loser must never mutate a path or swap a manifest the
+        // winner references
+        val seedFrame = {
+          val corpus = graft.ops.Warehouse.eventPairDelta(
+            graft.Tables(spark, dir, "events"))
+          if (source == "files") corpus.limit(0) else corpus
+        }
         val stream = new graft.ops.Warehouse.IvmDistinctStream(
-          spark, s"$stateBase/support",
-          graft.ops.Warehouse.eventPairDelta(
-            graft.Tables(spark, dir, "events")),
+          spark, s"$stateBase/support", seedFrame,
           compactEvery = 0, runTag = runId)
         val seedPath = s"$stateBase/v$stateV-$runId"
         stream.view.write.mode("overwrite").parquet(seedPath)
@@ -354,6 +364,17 @@ object StreamMain {
         ownPaths(stateV) = seedPath
         val q = events.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, id: Long) =>
+            // replay guard: a crash AFTER markCommitted but before the
+            // streaming checkpoint's offset commit re-delivers a batch
+            // whose fold is already durably published (the floor
+            // records its stream batch id) — folding it again would
+            // double-count the support state. Skip; the committed
+            // view version already carries this batch.
+            if (stream.committedFloor.exists(_._2 >= id)) {
+              println(s"[ivm_distinct] batch $id already published " +
+                s"(floor ${stream.committedFloor.get._2}) — skipping " +
+                "replay")
+            } else {
             val mv = stream.processBatch(
               graft.ops.Warehouse.eventPairDelta(batch))
             stateV += 1
@@ -368,6 +389,10 @@ object StreamMain {
                 stream.lastSidecar.foreach(graft.io.Scratch.reap)
                 throw e
             }
+            // durable publication record: resume reaps any sidecar
+            // above this floor (written, never committed) and skips
+            // stream batch ids at or below it (committed, offset lost)
+            stream.markCommitted(id)
             ownPaths(stateV) = nextPath
             // support compaction only AFTER this batch's version is
             // durably ours
@@ -382,6 +407,7 @@ object StreamMain {
             println(s"[ivm_distinct] batch $id -> $nextPath: " +
               s"$n suppliers")
             graft.ops.Caches.drain()
+            }
           }
           // the streaming checkpoint must be as durable as the state it
           // feeds: a scratch checkpoint on a durable --out makes every

@@ -183,6 +183,114 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTest {
     ops.Caches.drain()
   }
 
+  test("IVM stream seeder arbitration: two fresh runs racing one root " +
+      "publish exactly one seed; the loser reaps its own and resumes " +
+      "through the winner's manifest") {
+    val sp = spark
+    import sp.implicits._
+    val root = graft.io.Scratch.sub("ivm_seed_race_spec")
+    val seed = ops.Warehouse.eventPairDelta(Seq(
+      ev(1, 0, user = 1, typ = "click"),
+      ev(2, 1, user = 2, typ = "view")).toDF())
+    // both constructors take the no-manifest branch concurrently; the
+    // link(2) CAS must let exactly one publish
+    val mk = (tag: String) => new Thread {
+      var s: ops.Warehouse.IvmDistinctStream = _
+      override def run(): Unit =
+        s = new ops.Warehouse.IvmDistinctStream(sp, root, seed,
+          compactEvery = 0, runTag = tag)
+    }
+    val (ta, tb) = (mk("runA"), mk("runB"))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "BASE_MANIFEST")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    mf should startWith("base_v000000-run")
+    // exactly one seed dir survives, and it is the manifest's
+    val seedDirs = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("base_v000000")).toSeq
+    seedDirs shouldBe Seq(mf)
+    // both instances resolve the same (single) seeded state
+    val want = Map(1L -> 1L, 2L -> 1L)
+    ta.s.view.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe want
+    tb.s.view.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe want
+    ops.Caches.drain()
+  }
+
+  test("IVM stream committed floor: a resume reaps sidecars written " +
+      "above the floor (never published) and keeps those at or below " +
+      "it, so a replayed micro-batch cannot double-count") {
+    val sp = spark
+    import sp.implicits._
+    val root = graft.io.Scratch.sub("ivm_floor_spec")
+    val seed = ops.Warehouse.eventPairDelta(
+      Seq(ev(1, 0, user = 1, typ = "click")).toDF())
+    val s = new ops.Warehouse.IvmDistinctStream(sp, root, seed,
+      compactEvery = 0, runTag = "runA")
+    // batch 0 publishes (CAS + floor); batch 1's sidecar lands but the
+    // run "crashes" before its commit — no markCommitted
+    s.processBatch(ops.Warehouse.eventPairDelta(
+      Seq(ev(2, 10, user = 2, typ = "view")).toDF()))
+    s.markCommitted(0L)
+    s.committedFloor shouldBe Some(1 -> 0L)
+    s.processBatch(ops.Warehouse.eventPairDelta(
+      Seq(ev(3, 20, user = 3, typ = "purchase")).toDF()))
+    // resume: the orphan (delta_000002) must be reaped, not adopted —
+    // the streaming checkpoint will re-deliver that batch and the
+    // re-fold would double-count the (3, purchase) pair
+    val s2 = new ops.Warehouse.IvmDistinctStream(sp, root,
+      sp.emptyDataFrame, compactEvery = 0, runTag = "runB")
+    val names = new java.io.File(root).listFiles().map(_.getName).toSeq
+    names.filter(_.startsWith("delta_000002")) shouldBe empty
+    names.count(_.startsWith("delta_000001")) shouldBe 1
+    s2.resolvedSupport.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap.keySet.map(_._1) shouldBe Set(1L, 2L)
+    // the re-delivered fold restores exactly-once
+    s2.processBatch(ops.Warehouse.eventPairDelta(
+      Seq(ev(3, 20, user = 3, typ = "purchase")).toDF()))
+    s2.resolvedSupport.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap.values.toSet shouldBe Set(1L) // every cnt exactly once
+    ops.Caches.drain()
+  }
+
+  test("IVM stream empty seed (files-source shape): batch 0 builds the " +
+      "state from nothing; view and support match the batch recompute " +
+      "across a compaction of the flat zero-row seed layout") {
+    val sp = spark
+    import sp.implicits._
+    val root = graft.io.Scratch.sub("ivm_emptyseed_spec")
+    val corpus = Seq(ev(1, 0, user = 1, typ = "click"),
+      ev(2, 1, user = 1, typ = "view"), ev(3, 2, user = 2, typ = "click"))
+    val s = new ops.Warehouse.IvmDistinctStream(sp, root,
+      ops.Warehouse.eventPairDelta(corpus.toDF()).limit(0),
+      compactEvery = 0, runTag = "runE")
+    s.view.count() shouldBe 0L
+    // the zero-row seed must still be a readable parquet dir (schema
+    // in the footer) — this is the layout the whole resume path reads
+    sp.read.parquet(root + "/" + new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "BASE_MANIFEST")),
+      java.nio.charset.StandardCharsets.UTF_8).trim).count() shouldBe 0L
+    s.processBatch(ops.Warehouse.eventPairDelta(corpus.toDF()))
+    val want = ops.Warehouse.eventPairDelta(corpus.toDF())
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    s.view.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe want
+    // first compaction folds the flat seed + sidecar back into the
+    // bucket-partitioned layout
+    s.compact()
+    s.view.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe want
+    s.resolvedSupport.count() shouldBe 3L
+    ops.Caches.drain()
+  }
+
   test("incremental marginals: steady state equals batch q_hic_marginals") {
     val sp = spark
     import sp.implicits._
