@@ -132,49 +132,137 @@ object Selection {
     * probe jobs ([[probeDedupState]]) and absorption jobs
     * ([[extendDedupState]]) read it and never rescan the corpus.
     */
+  /** The LIVE-state manifest of a dedup-state root — base fingerprints
+    * dir, the novel dirs nightly extends absorbed since the last
+    * compaction (merge-on-read: probes read base ∪ novels), and the
+    * live Bloom sidecar dir. The RENDERED manifest is the commit-log
+    * payload: every state mutation (extend, compact) commits a new
+    * manifest through `CommitLog.commitStateRetry`, so two PROCESSES
+    * racing one root serialize in winner order — replacing the r17
+    * single-maintenance-writer contract that documentation alone
+    * enforced (the round-18 live race proved documented contracts
+    * don't survive contact with two processes). Blooms are VERSIONED
+    * dirs, never overwritten in place, so a concurrent probe can
+    * never read a half-replaced sidecar.
+    */
+  private[graft] final case class StateManifest(
+      base: String, novel: Seq[String], bloom: String) {
+    def render: String =
+      s"base=$base;novel=${novel.mkString(",")};bloom=$bloom"
+    def fpPaths(root: String): Seq[String] =
+      (base +: novel).map(n => s"$root/$n")
+    def dirNames: Seq[String] = (base +: novel) :+ bloom
+  }
+
+  private[graft] object StateManifest {
+    def parse(s: String): StateManifest = {
+      val kv = s.split(';').map { p =>
+        val i = p.indexOf('=')
+        p.substring(0, i) -> p.substring(i + 1)
+      }.toMap
+      StateManifest(kv("base"),
+        kv.getOrElse("novel", "").split(',').filter(_.nonEmpty).toSeq,
+        kv("bloom"))
+    }
+  }
+
+  /** Resolves the live manifest: the commit-log HEAD payload when the
+    * root has a log (every state built here commits v0), else the
+    * legacy MANIFEST-pointer/fixed-name layout of a pre-log root.
+    */
+  private[graft] def liveManifest(root: String): StateManifest =
+    graft.io.CommitLog.headSnapshot(root) match {
+      case Some((_, payload)) if payload.startsWith("base=") =>
+        StateManifest.parse(payload)
+      case _ =>
+        val mf = java.nio.file.Paths.get(root, "MANIFEST")
+        val base =
+          if (java.nio.file.Files.exists(mf))
+            new String(java.nio.file.Files.readAllBytes(mf),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+          else "fingerprints"
+        StateManifest(base, Nil, "bloom")
+    }
+
+  /** The live fingerprint dirs (base ∪ novels) as absolute paths. */
+  private[graft] def liveFpPaths(root: String): Seq[String] =
+    liveManifest(root).fpPaths(root)
+
+  /** The live fingerprint table: base ∪ novels, each dir read
+    * separately so the bucket partition filter pushes into EVERY scan
+    * (one partitioned root per read — no cross-dir discovery).
+    */
+  private[graft] def liveFps(spark: SparkSession, root: String)
+      : DataFrame = fpsOf(spark, liveManifest(root), root)
+
+  private def fpsOf(spark: SparkSession, m: StateManifest, root: String)
+      : DataFrame =
+    m.fpPaths(root).map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_))
+
   def persistedDedupState(spark: SparkSession, dir: String): String =
     stateWritten.computeIfAbsent(s"$dir#dedupstate", { _ =>
       val out = graft.io.Scratch.stable("dedupstate_" +
         java.lang.Integer.toHexString(dir.hashCode))
-      val corpus = addressed(spark, dir)
-        .filter(col("doc_id") % 10 =!= shardMod)
-      corpus.select("clean_md5").distinct()
-        .withColumn("fb", stateBucket(col("clean_md5")))
-        // cluster by the partition column: one file per bucket, not
-        // one per (writer task × bucket)
-        .repartition(StateBuckets, col("fb"))
-        .write.partitionBy("fb").mode("overwrite")
-        .parquet(s"$out/fingerprints")
-      // size the sidecar to the corpus just fingerprinted (footer-only
-      // count of the table we wrote); the stored params pin every
-      // later extension bit-compatible
-      val (expected, numBits) = sizedToCorpus(
-        spark.read.parquet(s"$out/fingerprints").count(),
-        stateExpectedKeys, stateNumBits / stateExpectedKeys)
-      writeStateBloom(spark, out, bloomBuild(corpus, col("clean_md5"),
-        expected, numBits), expected, numBits)
+      buildDedupStateAt(spark, dir, out)
       out
     })
 
+  /** The build job behind [[persistedDedupState]], to an EXPLICIT root
+    * (the cross-process maintenance harness `DevStateMaint` builds on
+    * a shared durable root two racing processes then extend).
+    */
+  private[graft] def buildDedupStateAt(spark: SparkSession, dir: String,
+      out: String): Unit = {
+    val corpus = addressed(spark, dir)
+      .filter(col("doc_id") % 10 =!= shardMod)
+    corpus.select("clean_md5").distinct()
+      .withColumn("fb", stateBucket(col("clean_md5")))
+      // cluster by the partition column: one file per bucket, not
+      // one per (writer task × bucket)
+      .repartition(StateBuckets, col("fb"))
+      .write.partitionBy("fb").mode("overwrite")
+      .parquet(s"$out/fingerprints")
+    // size the sidecar to the corpus just fingerprinted (footer-only
+    // count of the table we wrote); the stored params pin every
+    // later extension bit-compatible
+    val (expected, numBits) = sizedToCorpus(
+      spark.read.parquet(s"$out/fingerprints").count(),
+      stateExpectedKeys, stateNumBits / stateExpectedKeys)
+    writeStateBloom(spark, out, "bloom_v000000",
+      bloomBuild(corpus, col("clean_md5"), expected, numBits),
+      expected, numBits)
+    // v0 through the commit log: all later maintenance arbitrates
+    // against this (see [[StateManifest]])
+    graft.io.CommitLog.tryCommit(out, -1,
+      StateManifest("fingerprints", Nil, "bloom_v000000").render)
+  }
+
   private def writeStateBloom(spark: SparkSession, root: String,
-      bytes: Array[Byte], expected: Long = stateExpectedKeys,
-      numBits: Long = stateNumBits): Unit = {
+      name: String, bytes: Array[Byte], expected: Long,
+      numBits: Long): Unit = {
     import spark.implicits._
     Seq((bytes, expected, numBits))
       .toDF("bf", "expected", "numbits")
-      .write.mode("overwrite").parquet(s"$root/bloom")
+      .write.mode("overwrite").parquet(s"$root/$name")
   }
 
-  /** (bytes, expected, numbits) — the stored params, not the session
-    * constants, drive every later merge: a build sized to its corpus
-    * cardinality stays bit-compatible with its extensions.
+  /** (bytes, expected, numbits) of one bloom dir — the STORED params,
+    * not the session constants, drive every later merge: a build sized
+    * to its corpus cardinality stays bit-compatible with its
+    * extensions.
     */
-  private def readStateBloom(spark: SparkSession, root: String)
+  private def readBloom(spark: SparkSession, path: String)
       : (Array[Byte], Long, Long) = {
-    val r = spark.read.parquet(s"$root/bloom").head()
+    val r = spark.read.parquet(path).head()
     (r.getAs[Array[Byte]]("bf"), r.getAs[Long]("expected"),
       r.getAs[Long]("numbits"))
   }
+
+  /** The live Bloom sidecar of a state root. */
+  private[graft] def readStateBloom(spark: SparkSession, root: String)
+      : (Array[Byte], Long, Long) =
+    readBloom(spark, s"$root/${liveManifest(root).bloom}")
 
   /** EXACT incremental membership of a (doc_id, clean_md5) shard
     * against the persisted state — the daily-ingestion probe job, and
@@ -201,18 +289,15 @@ object Selection {
     * ANN index's codes table (Pq.codesDir).
     */
   /** Serializes the two STATE-MUTATING maintenance jobs on one root —
-    * [[extendDedupState]] (nightly absorb: appends into the live
-    * fingerprints dir) and [[compactDedupState]] (rewrites a new
-    * version, swaps MANIFEST, reaps a stale one). Unserialized they
-    * race: an extend that resolved the old dir appends fingerprints a
-    * concurrent compact never copied (and whose later reap deletes),
-    * while the Bloom sidecar still claims them — absorbed docs would
-    * re-probe as novel. PROBES never take this lock (read-only,
-    * pinned to the dir they resolved). Cross-PROCESS the contract is
-    * single-maintenance-writer per state root (the nightly ingestion
-    * owns its state, the standard lakehouse-maintenance discipline);
-    * in-process — the shape every spec and declared query runs —
-    * the lock enforces it.
+    * [[extendDedupState]] and [[compactDedupState]] — WITHIN a
+    * process, so two threads never stage duplicate work only for one
+    * to lose its CAS and redo it. Cross-PROCESS safety does NOT come
+    * from this lock: every manifest mutation commits through
+    * `CommitLog.commitStateRetry`, so a second process racing the same
+    * root loses the link(2) CAS, re-derives against the winner's
+    * manifest, and retries — serial execution in winner order.
+    * PROBES never take this lock (read-only, pinned to the manifest
+    * they resolved).
     */
   private val maintenanceLocks =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
@@ -221,59 +306,115 @@ object Selection {
     maintenanceLocks.computeIfAbsent(root, _ => new AnyRef)
       .synchronized(body)
 
-  private def fpsDir(root: String): String = {
-    val mf = java.nio.file.Paths.get(root, "MANIFEST")
-    if (java.nio.file.Files.exists(mf))
-      s"$root/" + new String(java.nio.file.Files.readAllBytes(mf),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-    else s"$root/fingerprints"
+  /** First maintenance op on a pre-log root commits its legacy layout
+    * as v0 so later arbitration has a base; no-op when a log exists.
+    * Losing the CAS means another migrator won — equally fine.
+    */
+  private def migrateLegacy(root: String): Unit =
+    if (graft.io.CommitLog.currentVersion(root) < 0)
+      graft.io.CommitLog.tryCommit(root, -1, liveManifest(root).render)
+
+  /** Control-flow sentinel: a rebased extend found nothing novel left
+    * to absorb (the winner already carried every address) — abandon
+    * the commit instead of bumping the version with an identical
+    * manifest.
+    */
+  private object NothingNovel extends RuntimeException
+    with scala.util.control.NoStackTrace
+
+  /** One-version-grace reclamation. Reaps state dirs that are
+    * (a) referenced by SOME committed manifest but rotated out of the
+    * last two (provably superseded; in-flight probes pin at most one
+    * swap behind), or (b) referenced by NO manifest and older than the
+    * age grace (crash residue from a run that staged dirs but died
+    * before its CAS — age-gated because a CONCURRENT committer's
+    * staged-but-uncommitted dirs look identical for a few seconds).
+    */
+  private def reapUnreferenced(root: String): Unit = {
+    val manifests = graft.io.CommitLog.versions(root)
+      .map(v => scala.util.Try(StateManifest.parse(v._2)))
+      .collect { case scala.util.Success(m) => m }
+    if (manifests.isEmpty) return
+    val keep = manifests.takeRight(2).flatMap(_.dirNames).toSet
+    val everReferenced = manifests.flatMap(_.dirNames).toSet
+    val now = System.currentTimeMillis()
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File]).foreach { f =>
+        val n = f.getName
+        val statePattern = n == "fingerprints" || n == "bloom" ||
+          n.startsWith("fingerprints_v") || n.startsWith("novel_v") ||
+          n.startsWith("bloom_v")
+        val reapable =
+          if (everReferenced.contains(n)) true // superseded history
+          else now - f.lastModified() > 10 * 60 * 1000L // aged orphan
+        if (statePattern && !keep.contains(n) && reapable)
+          graft.io.Scratch.reap(f.getPath)
+      }
   }
 
-  /** COMPACTS the fingerprint table — the maintenance job after a run
-    * of nightly [[extendDedupState]] appends, each landing small novel
-    * files (the small-files problem on the dedup state itself):
-    * rewrite the live addresses into `targetFiles` files as a NEW
-    * version directory, swap the `MANIFEST` pointer with an atomic
-    * rename (in-flight probes keep their pinned snapshot), reap the
-    * two-generations-stale version. Address content is identical as a
-    * SET and the Bloom sidecar is untouched, so probe answers are
-    * unchanged (SelectionSpec pins row-for-row identity, the file
-    * counts, and that replay-extend after a compact stays a no-op).
+  /** COMPACTS the fingerprint state — the maintenance job after a run
+    * of nightly [[extendDedupState]] absorbs, each landing its own
+    * small novel dir (the small-files problem on the dedup state
+    * itself): fold base ∪ novels into ONE new base generation, REBUILD
+    * the Bloom sidecar sized to the live corpus, and commit the new
+    * manifest through the log (in-flight probes keep their pinned
+    * snapshot; superseded generations reap with one-version grace).
+    *
+    * The sidecar rebuild is the long-run-drift fix: extends OR-merge
+    * into params frozen at build time, so enough growth saturates the
+    * filter and the probe residue degrades back toward shard-size —
+    * re-sizing via [[sizedToCorpus]] on the live count costs one extra
+    * pass over a table this job is already rewriting. With unchanged
+    * params the rebuild is byte-identical to the merged sidecar
+    * (pinned in SelectionSpec), so compaction stays invisible.
     */
   private[graft] def compactDedupState(spark: SparkSession, root: String,
       targetFiles: Int = 4): Unit = withMaintenanceLock(root) {
-    val cur = fpsDir(root)
-    val curV =
-      if (cur.endsWith("/fingerprints")) 0
-      else cur.substring(cur.lastIndexOf("_v") + 2).toInt
-    val nextName = s"fingerprints_v${curV + 1}"
-    // bucket-preserving rewrite: clustering by the partition column
-    // lands each bucket wholly in one task, so the new generation has
-    // exactly ONE file per non-empty bucket — the small nightly
-    // append files collapse without destroying the probe's pruning
-    // layout (`targetFiles` caps the shuffle width, not the total)
-    spark.read.parquet(cur).repartition(targetFiles, col("fb"))
-      .write.partitionBy("fb").mode("overwrite")
-      .parquet(s"$root/$nextName")
-    val tmp = java.nio.file.Paths.get(root, "MANIFEST.tmp")
-    java.nio.file.Files.write(tmp,
-      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "MANIFEST"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    if (curV >= 1) {
-      val prev =
-        if (curV == 1) s"$root/fingerprints"
-        else s"$root/fingerprints_v${curV - 1}"
-      graft.io.Scratch.reap(prev)
+    migrateLegacy(root)
+    var staged: Seq[String] = Nil
+    graft.io.CommitLog.commitStateRetry(root) { (cur, snap) =>
+      // a retry abandons the loser's staged dirs (scratch discipline)
+      staged.foreach(graft.io.Scratch.reap); staged = Nil
+      val m = snap.map(StateManifest.parse).getOrElse(liveManifest(root))
+      val tag = f"${cur + 1}%06d-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val baseName = s"fingerprints_v$tag"
+      // bucket-preserving rewrite: clustering by the partition column
+      // lands each bucket wholly in one task, so the new generation
+      // has exactly ONE file per non-empty bucket — the small nightly
+      // novel dirs collapse without destroying the probe's pruning
+      // layout (`targetFiles` caps the shuffle width, not the total)
+      fpsOf(spark, m, root).repartition(targetFiles, col("fb"))
+        .write.partitionBy("fb").mode("overwrite")
+        .parquet(s"$root/$baseName")
+      val (_, expected0, numBits0) = readBloom(spark, s"$root/${m.bloom}")
+      val rebuilt = spark.read.parquet(s"$root/$baseName")
+      val keyCol = rebuilt.columns.filterNot(_ == "fb").head
+      val (expected, numBits) = sizedToCorpus(rebuilt.count(),
+        floorKeys = expected0,
+        bitsPerKey = math.max(1L, numBits0 / expected0))
+      val bloomName = s"bloom_v$tag"
+      writeStateBloom(spark, root, bloomName,
+        bloomBuild(rebuilt, col(keyCol), expected, numBits),
+        expected, numBits)
+      staged = Seq(s"$root/$baseName", s"$root/$bloomName")
+      StateManifest(baseName, Nil, bloomName).render
     }
+    staged = Nil // committed — these dirs are the live state now
+    reapUnreferenced(root)
   }
 
   private[graft] def probeDedupState(spark: SparkSession, root: String,
       shard: DataFrame, maxBroadcastKeys: Long = 1L << 22,
-      key: String = "clean_md5"): DataFrame = {
-    val (bytes, _, _) = readStateBloom(spark, root)
-    val fps = spark.read.parquet(fpsDir(root))
+      key: String = "clean_md5"): DataFrame =
+    probeDedupStateAt(spark, root, liveManifest(root), shard,
+      maxBroadcastKeys, key)
+
+  private def probeDedupStateAt(spark: SparkSession, root: String,
+      m: StateManifest, shard: DataFrame, maxBroadcastKeys: Long,
+      key: String): DataFrame = {
+    val (bytes, _, _) = readBloom(spark, s"$root/${m.bloom}")
+    val fps = fpsOf(spark, m, root)
     // uncached on purpose: registering the residue would put an
     // InMemoryRelation into the consumer plan and break the
     // shard-scans-only plan gate; the three passes (size probe,
@@ -329,34 +470,65 @@ object Selection {
       val (expected, numBits) = sizedToCorpus(
         spark.read.parquet(s"$out/fingerprints").count(),
         1L << 20, bitsPerKey = 8L)
-      writeStateBloom(spark, out, bloomBuild(corpus, col("win_md5"),
-        expected, numBits), expected, numBits)
+      writeStateBloom(spark, out, "bloom_v000000",
+        bloomBuild(corpus, col("win_md5"), expected, numBits),
+        expected, numBits)
+      graft.io.CommitLog.tryCommit(out, -1,
+        StateManifest("fingerprints", Nil, "bloom_v000000").render)
       out
     })
 
   /** ABSORB a probed shard into the persisted state — the nightly
-    * ingestion commit: append only the genuinely novel addresses to
-    * `fingerprints` and OR-merge them into the Bloom sidecar (byte-
-    * identical to a from-scratch build over the union). Replaying the
-    * same shard is a no-op: every address probes as known.
+    * ingestion commit, arbitrated CROSS-PROCESS through the commit
+    * log: the genuinely novel addresses land in a run-unique `novel_*`
+    * dir, the OR-merged Bloom sidecar (byte-identical to a
+    * from-scratch build over the union) in a run-unique `bloom_*` dir,
+    * and the new manifest commits via `commitStateRetry`. A CAS loser
+    * re-probes against the WINNER's manifest — the novel set can only
+    * SHRINK (addresses are never removed), so concurrent extends
+    * serialize in winner order and every address lands exactly once.
+    * Replaying an absorbed shard is a full no-op: nothing novel, no
+    * commit, no version bump.
     */
   private[graft] def extendDedupState(spark: SparkSession, root: String,
-      shard: DataFrame): Unit = withMaintenanceLock(root) {
-    val novel = graft.ops.Caches.register(
-      probeDedupState(spark, root, shard)
-        .filter(!col("in_corpus")).select("clean_md5").distinct()
-        .persist())
-    // count() (not isEmpty) fully materializes the cache BEFORE the
-    // append below writes into a table the probe plan also reads
-    if (novel.count() > 0) {
-      novel.withColumn("fb", stateBucket(col("clean_md5")))
-        .write.partitionBy("fb").mode("append").parquet(fpsDir(root))
-      val (cur, expected, numBits) = readStateBloom(spark, root)
-      writeStateBloom(spark, root, bloomMerge(cur,
-        bloomBuild(novel, col("clean_md5"), expected, numBits)),
-        expected, numBits)
+      shard: DataFrame, key: String = "clean_md5"): Unit =
+    withMaintenanceLock(root) {
+      migrateLegacy(root)
+      var staged: Seq[String] = Nil
+      try {
+        graft.io.CommitLog.commitStateRetry(root) { (cur, snap) =>
+          // a retry abandons the loser's staged dirs
+          staged.foreach(graft.io.Scratch.reap); staged = Nil
+          val m = snap.map(StateManifest.parse)
+            .getOrElse(liveManifest(root))
+          val novel = graft.ops.Caches.register(
+            probeDedupStateAt(spark, root, m, shard, 1L << 22, key)
+              .filter(!col("in_corpus")).select(key).distinct()
+              .persist())
+          // count() (not isEmpty) fully materializes the cache BEFORE
+          // the novel-dir write the probe plan's state also backs
+          if (novel.count() == 0L) throw NothingNovel
+          val tag = f"${cur + 1}%06d-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val novelName = s"novel_v$tag"
+          novel.withColumn("fb", stateBucket(col(key)))
+            .write.partitionBy("fb").mode("overwrite")
+            .parquet(s"$root/$novelName")
+          val (curB, expected, numBits) =
+            readBloom(spark, s"$root/${m.bloom}")
+          val bloomName = s"bloom_v$tag"
+          writeStateBloom(spark, root, bloomName, bloomMerge(curB,
+            bloomBuild(novel, col(key), expected, numBits)),
+            expected, numBits)
+          staged = Seq(s"$root/$novelName", s"$root/$bloomName")
+          m.copy(novel = m.novel :+ novelName, bloom = bloomName).render
+        }
+        staged = Nil // committed
+        reapUnreferenced(root)
+      } catch {
+        case NothingNovel => staged.foreach(graft.io.Scratch.reap)
+      }
     }
-  }
 
   /** The q_text_clean normalization chain (same expression shape there —
     * casefold, strip tags, drop non-alphanumerics, collapse whitespace,

@@ -348,35 +348,37 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
     //  - residue-bearing shard → the corpus appears ONLY as the
     //    fingerprint table, scanned once, partition-pruned, both
     //    joins broadcast off the shard side.
+    // the state may span several generations mid-maintenance (base +
+    // novel dirs since the last compaction) — each appears as its own
+    // pruned scan; what the gate pins is that the CORPUS never rescans
+    // (the only documents read is the shard's own) and every state
+    // scan is partition-filtered
+    val nDirs = llm.Selection.liveFpPaths(
+      llm.Selection.persistedDedupState(spark, sf)).size
     val nState = "dedupstate_".r.findAllIn(p).size
     if (nState == 0) {
       "documents.parquet".r.findAllIn(p).size shouldBe 1
     } else {
-      nState shouldBe 1
+      nState shouldBe nDirs
       "documents.parquet".r.findAllIn(p).size shouldBe 2
-      "PartitionFilters: \\[[^\\]]*fb".r.findAllIn(p).size should be >= 1
+      "PartitionFilters: \\[[^\\]]*fb".r.findAllIn(p).size shouldBe nState
       "BroadcastHashJoin".r.findAllIn(p).size shouldBe 2
     }
     p should not include "SortMergeJoin"
     // a residue-bearing shard (an address the state knows) keeps the
     // join shape: the corpus appears ONLY as the fingerprint table,
-    // scanned once and partition-pruned to the residue's buckets; both
-    // joins broadcast their shard-bounded side
+    // partition-pruned to the residue's buckets; both joins broadcast
+    // their shard-bounded side
     import spark.implicits._
     val root = llm.Selection.persistedDedupState(spark, sf)
-    val mf = java.nio.file.Paths.get(root, "MANIFEST")
-    val liveDir =
-      if (java.nio.file.Files.exists(mf))
-        s"$root/" + new String(java.nio.file.Files.readAllBytes(mf),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-      else s"$root/fingerprints"
-    val known = spark.read.parquet(liveDir)
+    val known = llm.Selection.liveFps(spark, root)
       .select("clean_md5").orderBy("clean_md5").head().getString(0)
     val probed = llm.Selection.probeDedupState(spark, root,
       Seq((1L, known)).toDF("doc_id", "clean_md5"))
     probed.count()
     val p2 = probed.queryExecution.executedPlan.toString
-    "dedupstate_".r.findAllIn(p2).size shouldBe 1
+    "dedupstate_".r.findAllIn(p2).size shouldBe
+      llm.Selection.liveFpPaths(root).size
     "PartitionFilters: \\[[^\\]]*fb".r.findAllIn(p2).size should be >= 1
     "BroadcastHashJoin".r.findAllIn(p2).size shouldBe 2
     p2 should not include "SortMergeJoin"

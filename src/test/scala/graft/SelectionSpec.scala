@@ -76,10 +76,9 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     val sp = spark
     val dir = "/root/testdata/sf0.001"
     val root = llm.Selection.persistedDedupState(sp, dir)
-    def fpCount: Long =
-      sp.read.parquet(s"$root/fingerprints").count()
+    def fpCount: Long = llm.Selection.liveFps(sp, root).count()
     def bloomBytes: Array[Byte] =
-      sp.read.parquet(s"$root/bloom").head().getAs[Array[Byte]]("bf")
+      llm.Selection.readStateBloom(sp, root)._1
     val addressedAll = graft.Tables(sp, dir, "documents")
       .select(col("doc_id"), md5(trim(regexp_replace(regexp_replace(
         regexp_replace(lower(col("text")), "<[^>]*>", " "),
@@ -168,27 +167,94 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
       df.collect().map(r => (r.getLong(0), r.getString(1),
         r.getBoolean(2))).sorted.toSeq
     val before = rows(llm.Selection.probeDedupState(sp, root, shard))
+    // the pre-compact sidecar, for the rebuild-identity law below
+    val (preB, preExp, preBits) = llm.Selection.readStateBloom(sp, root)
     llm.Selection.compactDedupState(sp, root, targetFiles = 2)
+    // the new manifest carries ONE base generation, zero novel dirs
+    val m1 = llm.Selection.liveManifest(root)
+    m1.novel shouldBe empty
+    m1.base should startWith("fingerprints_v")
     // the rewritten live version is bucket-preserving with exactly ONE
-    // file per non-empty bucket: the nightly append fragments are
+    // file per non-empty bucket: the nightly novel-dir fragments are
     // gone, the probe's partition-pruning layout survives
-    val v1Buckets = new java.io.File(s"$root/fingerprints_v1")
+    val v1Buckets = new java.io.File(s"$root/${m1.base}")
       .listFiles().filter(f => f.isDirectory && f.getName.startsWith("fb="))
     v1Buckets should not be empty
     v1Buckets.foreach(b =>
       b.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1)
+    // compaction REBUILDS the sidecar from the live set; at unchanged
+    // params (the fixture is far below the floor) the rebuild is
+    // byte-identical to the incrementally OR-merged sidecar — the
+    // compaction-invisible law, now including the bloom
+    val (postB, postExp, postBits) = llm.Selection.readStateBloom(sp, root)
+    postExp shouldBe preExp
+    postBits shouldBe preBits
+    java.util.Arrays.equals(postB, preB) shouldBe true
     // ... and the probe answer is bit-identical through the swap
     rows(llm.Selection.probeDedupState(sp, root, shard)) shouldBe before
     // absorbed addresses stay known post-compact: replay is a no-op
-    val n1 = sp.read.parquet(s"$root/fingerprints_v1").count()
+    // (no new version, no new novel dir)
+    val n1 = llm.Selection.liveFps(sp, root).count()
     llm.Selection.extendDedupState(sp, root,
       Seq((888801L, "1" * 32)).toDF("doc_id", "clean_md5"))
-    sp.read.parquet(s"$root/fingerprints_v1").count() shouldBe n1
+    llm.Selection.liveFps(sp, root).count() shouldBe n1
+    llm.Selection.liveManifest(root) shouldBe m1
     // second compaction: the original layout is two generations stale
     // and gets reaped (one-version grace), answers still identical
     llm.Selection.compactDedupState(sp, root, targetFiles = 2)
     new java.io.File(s"$root/fingerprints").exists() shouldBe false
     rows(llm.Selection.probeDedupState(sp, root, shard)) shouldBe before
+    ops.Caches.drain()
+  }
+
+  test("dedup-state sidecar rebuild at compaction: extensions that " +
+      "saturate the build-time filter degrade the probe residue to " +
+      "shard-size; the compactor re-sizes the sidecar to the live " +
+      "corpus and the residue returns to the FP-bounded class") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val root = llm.Selection.persistedDedupState(sp, dir)
+    val (_, exp0, bits0) = llm.Selection.readStateBloom(sp, root)
+    // absorb ~5× the sidecar's expected keys (fabricated addresses —
+    // deterministic md5s, disjoint from real content hashes)
+    val grown = sp.range(exp0 * 5)
+      .select((col("id") + 7700000L).as("doc_id"),
+        md5(concat(lit("sat_"), col("id").cast("string"))
+          .cast("binary")).as("clean_md5"))
+    llm.Selection.extendDedupState(sp, root, grown)
+    // a fresh novel shard against the SATURATED filter: most keys
+    // false-positive, so the residue is shard-sized — the degradation
+    // class the r18 build-time sizing fix eliminated, re-created here
+    // by extension drift
+    val novelShard = sp.range(2000)
+      .select((col("id") + 8800000L).as("doc_id"),
+        md5(concat(lit("fresh_"), col("id").cast("string"))
+          .cast("binary")).as("clean_md5"))
+    val (satB, satExp, satBits) = llm.Selection.readStateBloom(sp, root)
+    satExp shouldBe exp0 // extends never re-size — that's the drift
+    satBits shouldBe bits0
+    val satResidue = novelShard.filter(
+      llm.Selection.bloomMightContain(satB, col("clean_md5"))).count()
+    satResidue.toDouble / 2000 should be > 0.5
+    // the compactor re-sizes via sizedToCorpus on the live count —
+    // the stored params GROW and the same shard's residue collapses
+    llm.Selection.compactDedupState(sp, root, targetFiles = 2)
+    val (newB, newExp, newBits) = llm.Selection.readStateBloom(sp, root)
+    newExp should be > exp0
+    newBits should be > bits0
+    val newResidue = novelShard.filter(
+      llm.Selection.bloomMightContain(newB, col("clean_md5"))).count()
+    newResidue.toDouble / 2000 should be < 0.05
+    // correctness through the whole cycle: absorbed keys stay known,
+    // fresh keys stay novel, replay-extend stays a no-op
+    llm.Selection.probeDedupState(sp, root,
+        grown.limit(50)).filter(!col("in_corpus")).count() shouldBe 0L
+    llm.Selection.probeDedupState(sp, root, novelShard)
+      .filter(col("in_corpus")).count() shouldBe 0L
+    val mAfter = llm.Selection.liveManifest(root)
+    llm.Selection.extendDedupState(sp, root, grown.limit(100))
+    llm.Selection.liveManifest(root) shouldBe mAfter
     ops.Caches.drain()
   }
 
@@ -199,16 +265,10 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     import sp.implicits._
     val dir = "/root/testdata/sf0.001"
     val root = llm.Selection.persistedDedupState(sp, dir)
-    // resolve the LIVE fingerprints dir the way the probe does: an
-    // earlier test's compaction may have swapped the MANIFEST and
-    // reaped the original layout
-    val mf = java.nio.file.Paths.get(root, "MANIFEST")
-    val liveDir =
-      if (java.nio.file.Files.exists(mf))
-        s"$root/" + new String(java.nio.file.Files.readAllBytes(mf),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-      else s"$root/fingerprints"
-    val fpsLive = sp.read.parquet(liveDir)
+    // resolve the LIVE fingerprint state the way the probe does: an
+    // earlier test's maintenance may have committed new generations
+    // and reaped the original layout
+    val fpsLive = llm.Selection.liveFps(sp, root)
     // one genuinely-known address + one fabricated one — the residue
     // after the Bloom prefilter is ≤2 keys, hashing into ≤2 buckets
     val known = fpsLive.select("clean_md5").orderBy("clean_md5")
