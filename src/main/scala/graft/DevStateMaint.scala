@@ -71,6 +71,17 @@ object DevStateMaint {
         llm.Selection.compactDedupState(spark, root)
         println(s"[statemaint] compacted $root: manifest=" +
           llm.Selection.liveManifest(root).render)
+      case "probe" =>
+        // timed probe of a fabricated novel shard (2 repeats: cold then
+        // warmed) — the drift-cycle measurement around a compaction
+        val shard = fabricated(spark, salt, n)
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val r = llm.Selection.probeDedupState(spark, root, shard)
+            .filter(col("in_corpus")).count()
+          println(f"[statemaint] probe $salt n=$n #$i " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s known=$r")
+        }
       case "audit" =>
         val fps = llm.Selection.liveFps(spark, root)
         val total = fps.count()

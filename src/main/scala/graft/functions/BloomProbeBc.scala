@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom membership probe whose filter rides as a BROADCAST handle,
+  * not a plan literal.
+  *
+  * `Selection.bloomMightContain` embeds the serialized filter as a
+  * BinaryType literal — Spark's own runtime-filter shape, and the
+  * right call while sidecars are kilobytes. But a literal lives in the
+  * task binary, which is re-shipped per job and re-deserialized PER
+  * TASK: once the sidecar is sized to a grown corpus (the compactor's
+  * rebuild — 16 MB at 5M keys, 2 GB per 1e9 ids for the ANN id-Bloom),
+  * every probe job pays tasks × sidecar-bytes of pure serialization,
+  * and the probe cost stops being shard-bounded. Here the expression
+  * serializes only the broadcast HANDLE; executors fetch the blob once
+  * into their block manager, and a JVM-wide cache keyed by broadcast
+  * id deserializes it once per executor (not per task).
+  *
+  * Codegen'd: the probe compiles to one virtual call on the cached
+  * filter inside the consuming operator's whole-stage span — same
+  * plan shape as the literal form, byte-identical answers (both call
+  * `BloomFilter.mightContainLong` on the same xxhash64 keys).
+  */
+case class BloomMightContainBc(bf: Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression with Predicate {
+  override def nullable: Boolean = child.nullable
+
+  def test(h: Long): Boolean =
+    BloomProbeCache.get(bf).mightContainLong(h)
+
+  protected override def nullSafeEval(h: Any): Any =
+    test(h.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbeBc", this,
+      classOf[BloomMightContainBc].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.test($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BloomMightContainBc = copy(child = newChild)
+}
+
+/** One deserialized filter per (executor JVM × broadcast): tasks share
+  * the parsed bit array instead of each re-reading the blob. Bounded:
+  * maintenance creates at most a handful of live sidecar broadcasts
+  * per session; the guard clears the map rather than growing past 64.
+  */
+object BloomProbeCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+
+  def get(b: Broadcast[Array[Byte]]): BloomFilter = {
+    if (cache.size > 64) cache.clear()
+    cache.computeIfAbsent(b.id, _ =>
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b.value)))
+  }
+}
+
+object BloomProbeBc {
+  /** Column form: probe `keyCol` (pre-hashed with xxhash64 by the
+    * caller, matching the build side's insert hash).
+    */
+  def mightContain(bf: Broadcast[Array[Byte]], hashed: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(BloomMightContainBc(bf,
+      org.apache.spark.sql.GraftColumnBridge.expression(hashed)))
+}

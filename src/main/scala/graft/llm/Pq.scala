@@ -516,8 +516,16 @@ object Pq {
       maxBroadcastIds: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.functions._
     val (bloom, _, _) = readIdBloom(spark, indexRoot)
+    // broadcast HANDLE, not a plan literal: the id sidecar is sized to
+    // the INDEX (2 GB per 1e9 ids) and a literal re-ships it in every
+    // task binary of every probe job (see functions/BloomProbeBc).
+    // Fresh broadcast per call — unlike the dedup state's versioned
+    // bloom dirs, `idbloom` is overwritten in place by extends, so a
+    // path-keyed broadcast cache would serve stale bits.
+    val bloomBc = spark.sparkContext.broadcast(bloom)
     val maybe = embeddings
-      .filter(Selection.bloomMightContain(bloom, col("vec_id")))
+      .filter(graft.functions.BloomProbeBc.mightContain(bloomBc,
+        xxhash64(col("vec_id"))))
       .select("vec_id").distinct()
     val known0 = spark.read.parquet(codesDir(indexRoot))
       .filter(col("sub") === 0).select("vec_id")

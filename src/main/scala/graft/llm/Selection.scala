@@ -410,17 +410,41 @@ object Selection {
     probeDedupStateAt(spark, root, liveManifest(root), shard,
       maxBroadcastKeys, key)
 
+  /** The live sidecar as a BROADCAST handle, one per bloom dir per JVM
+    * (bloom dirs are versioned and immutable, so the path is a content
+    * key). The probe expression ships the handle, not the blob: a
+    * corpus-sized rebuilt sidecar (16 MB at 5M keys) as a plan literal
+    * costs tasks × blob-bytes of task-binary serialization on EVERY
+    * probe job — measured 2.7× on the 512× drift probe — while the
+    * broadcast is fetched once per executor and parsed once per JVM.
+    */
+  private val bloomBcCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+
+  private def bloomBcOf(spark: SparkSession, path: String)
+      : org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
+    if (bloomBcCache.size > 64) { // superseded sidecars: let GC collect
+      bloomBcCache.values().forEach(b =>
+        scala.util.Try(b.unpersist(blocking = false)))
+      bloomBcCache.clear()
+    }
+    bloomBcCache.computeIfAbsent(path, { _ =>
+      spark.sparkContext.broadcast(readBloom(spark, path)._1)
+    })
+  }
+
   private def probeDedupStateAt(spark: SparkSession, root: String,
       m: StateManifest, shard: DataFrame, maxBroadcastKeys: Long,
       key: String): DataFrame = {
-    val (bytes, _, _) = readBloom(spark, s"$root/${m.bloom}")
+    val bc = bloomBcOf(spark, s"$root/${m.bloom}")
     val fps = fpsOf(spark, m, root)
     // uncached on purpose: registering the residue would put an
     // InMemoryRelation into the consumer plan and break the
     // shard-scans-only plan gate; the three passes (size probe,
     // bucket-set collect, semi build) are each one narrow
     // delta-bounded scan
-    val maybe = shard.filter(bloomMightContain(bytes, col(key)))
+    val maybe = shard.filter(graft.functions.BloomProbeBc.mightContain(
+        bc, xxhash64(col(key))))
       .select(key).distinct()
     if (graft.ops.Warehouse.fitsBroadcast(maybe, maxBroadcastKeys)) {
       // bucket pruning: the residue's hash-bucket set (≤ StateBuckets

@@ -58,6 +58,35 @@ class SelectionSpec extends AnyFunSuite with Matchers with SparkTest {
     a should equal(c)
   }
 
+  test("broadcast-handle bloom probe answers bit-for-bit like the " +
+      "literal probe, through codegen") {
+    val sp = spark
+    import sp.implicits._
+    val (corpus, _) = split
+    val bytes = llm.Selection.bloomBuild(corpus, col("key"), 4096L, 65536L)
+    // range-derived keys matching the fixture's content space (members)
+    // plus an out-of-space tail (non-members) — a Seq literal would
+    // constant-fold to a LocalTableScan and skip codegen entirely
+    val keys = sp.range(200).select(
+      concat(lit("content-"), (col("id") % 180).cast("string")).as("key"))
+    val viaLiteral = keys
+      .select(col("key"),
+        llm.Selection.bloomMightContain(bytes, col("key")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val bc = sp.sparkContext.broadcast(bytes)
+    val probed = keys.select(col("key"),
+      functions.BloomProbeBc.mightContain(bc, xxhash64(col("key")))
+        .as("m"))
+    // the probe stays inside whole-stage codegen (the point of the
+    // Expression over a UDF): the projection carrying it renders with
+    // the `*(n)` codegen marker
+    probed.queryExecution.executedPlan.toString should
+      include regex "\\*\\(\\d+\\) Project \\[[^\\n]*bloommightcontainbc"
+    probed.collect().map(r => r.getString(0) -> r.getBoolean(1))
+      .toMap shouldBe viaLiteral
+    bc.unpersist()
+  }
+
   test("declared bloom query obeys the no-false-negative law vs its twin") {
     val dir = "/root/testdata/sf0.001"
     val bloom = Registry.all("q_dedup_bloom").fn(spark, dir)
