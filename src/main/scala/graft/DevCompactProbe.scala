@@ -45,14 +45,18 @@ object DevCompactProbe {
     val deltaNarrow = s"$root/delta_narrow"
     val deltaWide = s"$root/delta_wide"
     // hash-sampled, NOT limit(): limit pulls from the first partitions
-    // and silently confines "wide" to one bucket
-    val frac = math.max(1L, nRows / 100000L)
+    // and silently confines "wide" to one bucket. Each shape gets its
+    // own divisor targeting ~100k rows FROM ITS OWN POOL (bucket 0 is
+    // ~1/16 of the base) — a shared divisor makes the two "same-sized"
+    // deltas differ severalfold at small bases and skews the timing
+    val wideDiv = math.max(1L, nRows / 100000L)
+    val narrowDiv = math.max(1L, nRows / 16 / 100000L)
     all.filter(ops.Warehouse.supportBucket(col("l_suppkey")) === 0)
-      .filter(pmod(xxhash64(col("l_partkey")), lit(frac / 16 max 1L)) === 0)
+      .filter(pmod(xxhash64(col("l_partkey")), lit(narrowDiv)) === 0)
       .withColumn("dw", lit(1L))
       .write.mode("overwrite").parquet(deltaNarrow)
     all.filter(pmod(xxhash64(col("l_suppkey"), col("l_partkey")),
-        lit(frac)) === 0)
+        lit(wideDiv)) === 0)
       .withColumn("dw", lit(1L))
       .write.mode("overwrite").parquet(deltaWide)
     Seq("narrow" -> deltaNarrow, "wide" -> deltaWide).foreach {

@@ -38,8 +38,12 @@ object DevIvmAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // readOnly: resolve through the real resume path (manifest +
+    // committed-floor adoption) WITHOUT reaping — auditing a live root
+    // must not delete the owner's in-flight sidecar
     val s = new ops.Warehouse.IvmDistinctStream(spark, s"$base/support",
-      spark.emptyDataFrame, compactEvery = 0, runTag = "audit")
+      spark.emptyDataFrame, compactEvery = 0, runTag = "audit",
+      readOnly = true)
     val support = s.resolvedSupport
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap

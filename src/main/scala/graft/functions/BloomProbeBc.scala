@@ -47,18 +47,25 @@ case class BloomMightContainBc(bf: Broadcast[Array[Byte]],
 }
 
 /** One deserialized filter per (executor JVM × broadcast): tasks share
-  * the parsed bit array instead of each re-reading the blob. Bounded:
-  * maintenance creates at most a handful of live sidecar broadcasts
-  * per session; the guard clears the map rather than growing past 64.
+  * the parsed bit array instead of each re-reading the blob. Keyed on
+  * the Broadcast INSTANCE with weak keys — broadcast ids are a
+  * per-SparkContext counter, so an id-keyed JVM singleton would serve
+  * a stale filter after a context restart in the same JVM (the test
+  * harness does exactly that); weak keys also let superseded sidecars
+  * unload with their broadcasts instead of needing a size guard.
   */
 object BloomProbeCache {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Broadcast[Array[Byte]], BloomFilter]())
 
   def get(b: Broadcast[Array[Byte]]): BloomFilter = {
-    if (cache.size > 64) cache.clear()
-    cache.computeIfAbsent(b.id, _ =>
-      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b.value)))
+    val hit = cache.get(b)
+    if (hit != null) hit
+    else {
+      val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b.value))
+      cache.put(b, f)
+      f
+    }
   }
 }
 

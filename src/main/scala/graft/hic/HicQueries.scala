@@ -53,8 +53,13 @@ object HicQueries {
     */
   private def standingFrags(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    // resolved BEFORE entering the hic_frags memo: a computeIfAbsent
+    // build lambda must not update other mappings of the same
+    // ConcurrentHashMap (recursive-update IllegalStateException when
+    // the keys share a bin)
+    val viewPath = standingViewPath(spark, dir)
     val p = standing("hic_frags", dir) { p =>
-      val c = spark.read.parquet(standingViewPath(spark, dir))
+      val c = spark.read.parquet(viewPath)
       c.select(col("chr"), col("mid1").as("mid"), col("contactCount"))
         .unionByName(c.select(col("chr"), col("mid2").as("mid"),
           col("contactCount")))

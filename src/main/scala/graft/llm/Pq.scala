@@ -510,6 +510,9 @@ object Pq {
     * the two branches (cap forced to 0) and gates the fallback plan
     * broadcast-free.
     */
+  private val idBloomBcCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Byte], org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+
   private[graft] def pendingArrivals(
       spark: org.apache.spark.sql.SparkSession,
       indexRoot: String, embeddings: DataFrame,
@@ -519,10 +522,20 @@ object Pq {
     // broadcast HANDLE, not a plan literal: the id sidecar is sized to
     // the INDEX (2 GB per 1e9 ids) and a literal re-ships it in every
     // task binary of every probe job (see functions/BloomProbeBc).
-    // Fresh broadcast per call — unlike the dedup state's versioned
-    // bloom dirs, `idbloom` is overwritten in place by extends, so a
-    // path-keyed broadcast cache would serve stale bits.
-    val bloomBc = spark.sparkContext.broadcast(bloom)
+    // Unlike the dedup state's versioned bloom dirs, `idbloom` is
+    // overwritten in place by extends, so the cache keys on the BYTES
+    // just read (one per root): unchanged sidecar → reuse the handle;
+    // changed → unpersist the superseded one (safe: every consumer of
+    // a maintenance call's frames materializes within that call) and
+    // broadcast fresh, so a serving session never accumulates
+    // index-sized blobs in the block manager.
+    val bloomBc = idBloomBcCache.compute(indexRoot, (_, prev) =>
+      if (prev != null && java.util.Arrays.equals(prev._1, bloom)) prev
+      else {
+        if (prev != null)
+          scala.util.Try(prev._2.unpersist(blocking = false))
+        (bloom, spark.sparkContext.broadcast(bloom))
+      })._2
     val maybe = embeddings
       .filter(graft.functions.BloomProbeBc.mightContain(bloomBc,
         xxhash64(col("vec_id"))))

@@ -322,13 +322,21 @@ object Selection {
   private object NothingNovel extends RuntimeException
     with scala.util.control.NoStackTrace
 
-  /** One-version-grace reclamation. Reaps state dirs that are
-    * (a) referenced by SOME committed manifest but rotated out of the
-    * last two (provably superseded; in-flight probes pin at most one
-    * swap behind), or (b) referenced by NO manifest and older than the
-    * age grace (crash residue from a run that staged dirs but died
-    * before its CAS — age-gated because a CONCURRENT committer's
-    * staged-but-uncommitted dirs look identical for a few seconds).
+  private def stateDirPattern(n: String): Boolean =
+    n == "fingerprints" || n == "bloom" ||
+      n.startsWith("fingerprints_v") || n.startsWith("novel_v") ||
+      n.startsWith("bloom_v")
+
+  /** One-version-grace reclamation of SUPERSEDED history: reaps state
+    * dirs referenced by some committed manifest but rotated out of the
+    * last two (in-flight probes pin at most one swap behind).
+    * Never-referenced dirs are NOT touched here — a concurrent
+    * committer's staged-but-uncommitted dirs are indistinguishable
+    * from crash residue by any age heuristic (staging a corpus-scale
+    * rewrite can outlast any grace while its dir mtime sits frozen),
+    * and deleting them hands the CAS winner a manifest of reaped
+    * paths. Crash residue is reclaimed by the OPERATOR-invoked
+    * [[vacuumDedupState]] instead — the lakehouse VACUUM discipline.
     */
   private def reapUnreferenced(root: String): Unit = {
     val manifests = graft.io.CommitLog.versions(root)
@@ -337,19 +345,36 @@ object Selection {
     if (manifests.isEmpty) return
     val keep = manifests.takeRight(2).flatMap(_.dirNames).toSet
     val everReferenced = manifests.flatMap(_.dirNames).toSet
-    val now = System.currentTimeMillis()
     Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File]).foreach { f =>
         val n = f.getName
-        val statePattern = n == "fingerprints" || n == "bloom" ||
-          n.startsWith("fingerprints_v") || n.startsWith("novel_v") ||
-          n.startsWith("bloom_v")
-        val reapable =
-          if (everReferenced.contains(n)) true // superseded history
-          else now - f.lastModified() > 10 * 60 * 1000L // aged orphan
-        if (statePattern && !keep.contains(n) && reapable)
+        if (stateDirPattern(n) && everReferenced.contains(n) &&
+            !keep.contains(n))
           graft.io.Scratch.reap(f.getPath)
       }
+  }
+
+  /** Reclaims never-referenced state dirs (staged by a run that died
+    * before its CAS). Operator-invoked with an explicit retention —
+    * the caller asserts no maintenance job older than `olderThanMs`
+    * is still staging against this root, exactly the contract of a
+    * lakehouse VACUUM. Returns the reaped dir names.
+    */
+  def vacuumDedupState(root: String,
+      olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val everReferenced = graft.io.CommitLog.versions(root)
+      .map(v => scala.util.Try(StateManifest.parse(v._2)))
+      .collect { case scala.util.Success(m) => m }
+      .flatMap(_.dirNames).toSet
+    val now = System.currentTimeMillis()
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter { f =>
+        stateDirPattern(f.getName) &&
+          !everReferenced.contains(f.getName) &&
+          now - f.lastModified() > olderThanMs
+      }
+      .map { f => graft.io.Scratch.reap(f.getPath); f.getName }
   }
 
   /** COMPACTS the fingerprint state — the maintenance job after a run

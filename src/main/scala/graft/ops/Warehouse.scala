@@ -968,7 +968,7 @@ object Warehouse {
       spark: org.apache.spark.sql.SparkSession, supportRoot: String,
       seed: org.apache.spark.sql.DataFrame,
       cap: Long = 1L << 22, compactEvery: Int = 3,
-      runTag: String = "") {
+      runTag: String = "", readOnly: Boolean = false) {
     private val rootP = java.nio.file.Paths.get(supportRoot)
     private val mfP = rootP.resolve("BASE_MANIFEST")
     // sidecar names carry the batch number (their ordering and
@@ -995,6 +995,8 @@ object Warehouse {
     }
 
     if (!java.nio.file.Files.exists(mfP)) {
+      require(!readOnly,
+        s"readOnly IvmDistinctStream on $supportRoot: no BASE_MANIFEST")
       java.nio.file.Files.createDirectories(rootP)
       // SEEDER ARBITRATION: the seed write + manifest creation happen
       // BEFORE any caller-level version CAS, so two fresh runs racing
@@ -1003,8 +1005,12 @@ object Warehouse {
       // manifest references) and the manifest is CREATED via link(2)
       // CAS — exactly one seeder publishes; the loser reaps its own
       // seed and resumes through the winner's manifest below.
-      val seedName = "base_v000000" +
-        (if (runTag.nonEmpty) s"-$runTag" else "")
+      // ALWAYS run-unique, independently of runTag: with the default
+      // empty tag two racing constructors would otherwise overwrite
+      // the SAME seed path (and the loser's reap below would delete
+      // the winner's published dir)
+      val seedName = "base_v000000-" + (if (runTag.nonEmpty) runTag
+        else java.util.UUID.randomUUID().toString.take(8))
       val seedPairs = seed.groupBy("l_suppkey", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("b", supportBucket(col("l_suppkey")))
@@ -1085,7 +1091,11 @@ object Warehouse {
         val (keep, orphaned) = sidecars.partition(p =>
           numOf(p.drop(p.lastIndexOf("delta_")), "delta_")
             .exists(_ <= floorN))
-        orphaned.foreach { p => graft.io.Scratch.reap(p) }
+        // a READ-ONLY resolver (DevIvmAudit against a possibly-live
+        // root) excludes the orphans but must not delete them: the
+        // owning run may be inside its CAS→markCommitted window, and
+        // reaping its in-flight sidecar would kill a correct stream
+        if (!readOnly) orphaned.foreach { p => graft.io.Scratch.reap(p) }
         sidecars = keep
       }
       staleSidecars = names
@@ -1136,7 +1146,12 @@ object Warehouse {
       if (!java.nio.file.Files.exists(f)) None
       else new String(java.nio.file.Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split(' ') match {
-        case Array(n, id) if n.nonEmpty && n.forall(_.isDigit) =>
+        // BOTH fields fully validated (length-bounded digits): a
+        // corrupt floor must degrade to None/adopt-everything like
+        // every other malformed shape, not throw on each resume
+        case Array(n, id) if n.nonEmpty && n.length <= 9 &&
+            n.forall(_.isDigit) && id.nonEmpty && id.length <= 18 &&
+            id.forall(_.isDigit) =>
           Some(n.toInt -> id.toLong)
         case _ => None
       }

@@ -328,13 +328,18 @@ object StreamMain {
         // recompute; this branch adds the durability discipline.
         val stateBase =
           if (out.nonEmpty) out else graft.io.Scratch.sub("ivmdc_state")
+        // resuming = a committed head exists; stateV tracks the LAST
+        // committed version (fresh root: -1 → the seed publishes v0)
         var stateV = math.max(
-          priorStateVersion(stateBase).map(_ + 1).getOrElse(0),
-          graft.io.CommitLog.currentVersion(stateBase) + 1)
-        val seedV = stateV
-        if (stateV > 0)
-          println(s"[ivm_distinct] resuming past prior state " +
-            s"v${stateV - 1} in $stateBase: seeding v$stateV")
+          priorStateVersion(stateBase).getOrElse(-1),
+          graft.io.CommitLog.currentVersion(stateBase))
+        val resuming = stateV >= 0
+        // first version THIS run publishes — the reap/checkpoint guards
+        // below must never touch versions a previous run owns
+        val seedV = stateV + 1
+        if (resuming)
+          println(s"[ivm_distinct] resuming past committed head " +
+            s"v$stateV in $stateBase")
         val runId = java.util.UUID.randomUUID().toString.take(8)
         val ownPaths = scala.collection.mutable.Map[Int, String]()
         // support state under the same durable root: a resumed run
@@ -358,10 +363,22 @@ object StreamMain {
         val stream = new graft.ops.Warehouse.IvmDistinctStream(
           spark, s"$stateBase/support", seedFrame,
           compactEvery = 0, runTag = runId)
-        val seedPath = s"$stateBase/v$stateV-$runId"
-        stream.view.write.mode("overwrite").parquet(seedPath)
-        commitStateVersion("ivm_distinct", stateBase, stateV, seedPath)
-        ownPaths(stateV) = seedPath
+        // publish a seed version only on a FRESH root. A resume must
+        // NOT publish its constructor view: in the crash window between
+        // a version CAS and markCommitted, the resumed state is one
+        // batch BEHIND the committed head (the orphan sidecar was
+        // reaped) — publishing it would hand readers a version that
+        // RETRACTS committed rows until the replayed batch lands. The
+        // head stays current; the first folded batch publishes past it
+        // (and fail-fasts the split-brain case the seed CAS used to
+        // catch).
+        if (!resuming) {
+          stateV = 0
+          val seedPath = s"$stateBase/v0-$runId"
+          stream.view.write.mode("overwrite").parquet(seedPath)
+          commitStateVersion("ivm_distinct", stateBase, 0, seedPath)
+          ownPaths(0) = seedPath
+        }
         val q = events.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, id: Long) =>
             // replay guard: a crash AFTER markCommitted but before the
