@@ -62,4 +62,59 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkTest {
       }
     } finally pool.shutdown()
   }
+
+  test("dedup-state maintenance law: concurrent extends with " +
+      "overlapping shards land every address exactly once, through " +
+      "the commit log; vacuum reclaims only aged never-referenced " +
+      "dirs") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    import sp.implicits._
+    val root = graft.io.Scratch.sub("maint_law_spec") + "/state"
+    llm.Selection.buildDedupStateAt(sp, sf, root)
+    val v0 = graft.io.CommitLog.currentVersion(root)
+    // four threads, overlapping fabricated shards (i and i+1 share
+    // half their addresses): the law is SERIAL-IN-WINNER-ORDER — the
+    // final state carries the UNION exactly once no matter which
+    // extend saw which predecessor
+    def shard(i: Int) = sp.range(400)
+      .select((col("id") + 5550000L).as("doc_id"),
+        md5(concat(lit("law_"), ((col("id") + i * 200) % 1000)
+          .cast("string")).cast("binary")).as("clean_md5"))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(Future.sequence((0 until 4).map(i =>
+        Future(llm.Selection.extendDedupState(sp, root, shard(i))))),
+        Duration.Inf)
+    } finally pool.shutdown()
+    val fps = llm.Selection.liveFps(sp, root)
+    // union of the four shards = md5("law_0..999") — every address
+    // exactly once, alongside the untouched corpus build
+    val expected = sp.range(1000)
+      .select(md5(concat(lit("law_"), col("id").cast("string"))
+        .cast("binary")).as("k"))
+      .collect().map(_.getString(0)).toSet
+    val got = fps.select("clean_md5").collect().map(_.getString(0))
+    got.length shouldBe got.toSet.size // zero duplicates anywhere
+    expected.subsetOf(got.toSet) shouldBe true
+    // every extend committed (some after a rebase): version advanced
+    graft.io.CommitLog.currentVersion(root) should be > v0
+    // replay of any shard after the dust settles: full no-op
+    val mAfter = llm.Selection.liveManifest(root)
+    llm.Selection.extendDedupState(sp, root, shard(2))
+    llm.Selection.liveManifest(root) shouldBe mAfter
+    // vacuum: a never-referenced dir (crash residue shape) is ignored
+    // by automatic reaping and by a vacuum inside retention, reclaimed
+    // by a vacuum past it
+    val orphan = java.nio.file.Paths.get(root, "novel_v999999-dead")
+    java.nio.file.Files.createDirectories(orphan)
+    llm.Selection.compactDedupState(sp, root)
+    java.nio.file.Files.exists(orphan) shouldBe true // auto-reap: no
+    llm.Selection.vacuumDedupState(root) shouldBe empty // in retention
+    llm.Selection.vacuumDedupState(root, olderThanMs = 0L) should
+      contain("novel_v999999-dead")
+    java.nio.file.Files.exists(orphan) shouldBe false
+    ops.Caches.drain()
+  }
 }
