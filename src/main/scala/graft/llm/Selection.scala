@@ -448,11 +448,12 @@ object Selection {
 
   private def bloomBcOf(spark: SparkSession, path: String)
       : org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
-    if (bloomBcCache.size > 64) { // superseded sidecars: let GC collect
-      bloomBcCache.values().forEach(b =>
-        scala.util.Try(b.unpersist(blocking = false)))
-      bloomBcCache.clear()
-    }
+    // overflow drops the STRONG refs only — no explicit unpersist: an
+    // in-flight lazy frame may still hold a cleared entry's handle,
+    // and unpersisting under it fails its materialization. Cleared
+    // handles become GC-collectable and Spark's ContextCleaner
+    // reclaims their blocks once every consumer is done.
+    if (bloomBcCache.size > 64) bloomBcCache.clear()
     bloomBcCache.computeIfAbsent(path, { _ =>
       spark.sparkContext.broadcast(readBloom(spark, path)._1)
     })
