@@ -7,6 +7,12 @@ object Bench {
     // per-query repeats (median reported): machine-load spikes on a shared
     // box otherwise masquerade as regressions on unchanged code
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    // BASELINE's calibration anchor, run in-process so the driver-facing
+    // artifact self-adjudicates: the host window is whatever it is at the
+    // driver's launch, and the pinned normalized gate
+    // total × (0.825 / anchor_now) < 120 s needs anchor_now IN the JSON,
+    // not in builder-side shell logs.
+    val anchorStart = anchorSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,7 +45,7 @@ object Bench {
     // per-query map NEVER fit once the surface passed ~70 queries, and
     // sbt's trailing "[success] Total time..." line consumes ~75 of the
     // window too). So the final line is a budget-capped map: slowest
-    // queries first until ~1650 chars, remainder rolled into "_rest"
+    // queries first until ~1575 chars, remainder rolled into "_rest"
     // (so the map still sums to the total). The full map goes out on an
     // earlier line for local tooling; the driver's tail discards it.
     val fullMap = results.toSeq
@@ -52,10 +58,12 @@ object Bench {
     // map into "_rest" and regression adjudication loses the tail.
     // Persist the complete per-query map per run — latest for tooling,
     // a timestamped history line for cross-round A/Bs.
+    val anchorEnd = anchorSec()
     try {
       val full = "{\"ts\":\"" + java.time.Instant.now().toString +
         "\",\"sf\":\"" + sfDir + "\",\"runs\":" + runs +
         ",\"load\":[" + f3(loadStart) + "," + f3(sysLoad()) +
+        "],\"anchor\":[" + f3(anchorStart) + "," + f3(anchorEnd) +
         "],\"queries\":" + fullMap + "}"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/tmp/graft_bench_full_latest.json"),
@@ -66,7 +74,8 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () } // never fail the bench line
-    println(renderLine(results, runs, sfDir, loadStart, sysLoad()))
+    println(renderLine(results, runs, sfDir, loadStart, sysLoad(),
+      anchorStart, anchorEnd))
     spark.stop()
   }
 
@@ -77,19 +86,45 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** BASELINE's single-thread calibration anchor: 8M iterations of
+    * `s+=i*i%7` in CPython, timed INSIDE the interpreter (startup
+    * excluded). Measured identically to the pinned 0.825 s slow-window
+    * constant — a JVM reimplementation would JIT to a different constant
+    * and break the comparison. -1.0 when python3 is unavailable (the
+    * raw total then stands on its own).
+    */
+  def anchorSec(): Double =
+    try {
+      val p = new ProcessBuilder("python3", "-c",
+        "import time\nt=time.time()\ns=0\n" +
+          "for i in range(8000000):\n s+=i*i%7\n" +
+          "print('%.3f' % (time.time()-t))")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS) &&
+          p.exitValue() == 0) out.toDouble else -1.0
+    } catch { case _: Throwable => -1.0 }
+
   private def f3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
   /** The driver-facing final JSON line. Budget-capped (BenchSpec pins it
     * under 1 900 chars for the FULL current registry, so surface growth
     * can never silently push it past the driver's 2 000-char stdout tail
-    * window again): slowest queries first until ~1650 chars of map body,
+    * window again): slowest queries first until ~1575 chars of map body,
     * remainder rolled into `_rest` so the map still sums to the total.
     */
   def renderLine(results: Map[String, Double], runs: Int,
       sfDir: String, loadStart: Double = -1.0,
-      loadEnd: Double = -1.0): String = {
+      loadEnd: Double = -1.0, anchorStart: Double = -1.0,
+      anchorEnd: Double = -1.0): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the pinned normalized budget gate (BASELINE v18): raw total scaled
+    // by how much slower/faster the host is than the 0.825 s anchor
+    // window the budget was adjudicated in; raw total when no anchor
+    val norm =
+      if (anchorStart > 0) total * (0.825 / anchorStart) else total
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -99,12 +134,12 @@ object Bench {
                      // must not sneak in past a skipped slower one)
     for ((k, v) <- bySlowest if !full) {
       val s = "\"" + k + "\":" + f3(v)
-      if (used + s.length + 1 <= 1650) {
+      if (used + s.length + 1 <= 1575) {
         parts += s; used += s.length + 1; shownSum += v
       } else full = true
     }
     if (parts.length < results.size) parts += "\"_rest\":" + f3(total - shownSum)
     val qs = parts.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"n":${results.size},"load":[${f3(loadStart)},${f3(loadEnd)}],"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"n":${results.size},"load":[${f3(loadStart)},${f3(loadEnd)}],"anchor":[${f3(anchorStart)},${f3(anchorEnd)}],"norm_value":${f3(norm)},"queries":$qs,"sf":"$sfDir"}"""
   }
 }

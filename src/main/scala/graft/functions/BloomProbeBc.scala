@@ -46,24 +46,33 @@ case class BloomMightContainBc(bf: Broadcast[Array[Byte]],
       : BloomMightContainBc = copy(child = newChild)
 }
 
-/** One deserialized filter per (executor JVM × broadcast): tasks share
-  * the parsed bit array instead of each re-reading the blob. Keyed on
-  * the Broadcast INSTANCE with weak keys — broadcast ids are a
-  * per-SparkContext counter, so an id-keyed JVM singleton would serve
-  * a stale filter after a context restart in the same JVM (the test
-  * harness does exactly that); weak keys also let superseded sidecars
-  * unload with their broadcasts instead of needing a size guard.
+/** One deserialized filter per (executor JVM × broadcast blob): tasks
+  * share the parsed bit array instead of each re-reading the blob.
+  *
+  * The cache key is the FETCHED byte array (`b.value`), not the
+  * Broadcast wrapper: every task deserializes its own wrapper instance
+  * from the task binary (Broadcast has no equals/hashCode), so an
+  * instance-keyed map would still parse once per TASK. `b.value` goes
+  * through the block manager, which hands every task in a JVM the same
+  * cached array instance while the block stays in memory — and arrays
+  * hash/compare by identity, so the WeakHashMap is effectively
+  * identity-keyed on the blob. A context restart mints a new broadcast
+  * (new block, new array), so no stale filter survives it; weak keys
+  * let superseded sidecars unload with their blocks instead of needing
+  * a size guard. If the block manager ever evicts and re-fetches the
+  * block, the fresh array just re-parses once — correct, merely warm.
   */
 object BloomProbeCache {
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[Broadcast[Array[Byte]], BloomFilter]())
+    new java.util.WeakHashMap[Array[Byte], BloomFilter]())
 
   def get(b: Broadcast[Array[Byte]]): BloomFilter = {
-    val hit = cache.get(b)
+    val bytes = b.value
+    val hit = cache.get(bytes)
     if (hit != null) hit
     else {
-      val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b.value))
-      cache.put(b, f)
+      val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      cache.put(bytes, f)
       f
     }
   }

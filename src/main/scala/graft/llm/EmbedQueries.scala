@@ -536,7 +536,7 @@ object EmbedQueries {
       (spark, dir) => {
         // the FULL production index LIFECYCLE under one hash oracle:
         // combined IVF+PQ built on the id-prefix half, extended with
-        // the delta (cells AND codes append — a vector missing from
+        // the delta (cells AND codes delta commits — a vector missing from
         // cells would silently never be searched), codes COMPACTED
         // behind the manifest swap, extend replayed as a no-op, then
         // searched index-only. Iteration-0 devices are prefix-stable,

@@ -191,75 +191,266 @@ object Pq {
   private def writeIdBloom(spark: org.apache.spark.sql.SparkSession,
       indexRoot: String, bytes: Array[Byte],
       expected: Long = bloomExpectedIds,
-      numBits: Long = bloomNumBits): Unit = {
+      numBits: Long = bloomNumBits): Unit =
+    writeIdBloomDir(spark, indexRoot, "idbloom", bytes, expected,
+      numBits)
+
+  /** Sidecar dirs are VERSIONED and immutable once the build lands the
+    * legacy `idbloom` — maintenance writes run-unique `idbloom_v*`
+    * dirs the manifest names, never overwrites in place (in-place
+    * overwrite is the lost-OR-merge race two extends used to have).
+    */
+  private def writeIdBloomDir(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, name: String, bytes: Array[Byte],
+      expected: Long, numBits: Long): Unit = {
     import spark.implicits._
     Seq((bytes, expected, numBits))
       .toDF("bf", "expected", "numbits")
-      .write.mode("overwrite").parquet(s"$indexRoot/idbloom")
+      .write.mode("overwrite").parquet(s"$indexRoot/$name")
   }
 
   /** (bytes, expected, numbits) — the stored params, not the session
     * constants, drive every later merge: a build sized to its own
     * corpus cardinality stays bit-compatible with its extensions.
     */
-  private def readIdBloom(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String): (Array[Byte], Long, Long) = {
-    val r = spark.read.parquet(s"$indexRoot/idbloom").head()
+  private def readIdBloomAt(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, m: IndexManifest)
+      : (Array[Byte], Long, Long) = {
+    val r = spark.read.parquet(s"$indexRoot/${m.idbloom}").head()
     (r.getAs[Array[Byte]]("bf"), r.getAs[Long]("expected"),
       r.getAs[Long]("numbits"))
   }
 
-  /** Resolves the LIVE codes table directory: a `MANIFEST` pointer file
-    * (written atomically by [[compactIndex]]) names the current
-    * version; absent manifest = the original build layout. Every codes
-    * reader and the append path go through this, so a compaction swap
-    * is invisible to searches and extends.
+  /** The live sidecar bytes — spec surface for the byte-identity law. */
+  private[graft] def liveIdBloomBytes(
+      spark: org.apache.spark.sql.SparkSession, indexRoot: String)
+      : Array[Byte] =
+    readIdBloomAt(spark, indexRoot, liveIndexManifest(indexRoot))._1
+
+  /** The committed layout of a persisted index — what one version of
+    * the [[graft.io.CommitLog]] names: the compacted `codes` base plus
+    * the `delta` dirs nightly extends have landed since (snapshot =
+    * base ∪ deltas), the live id-Bloom sidecar dir, and (combined
+    * indexes only) the `cells` base + its delta dirs. `books`/`cents`
+    * are immutable from the build and deliberately NOT versioned.
+    * Mirrors `Selection.StateManifest` — the dedup state and the ANN
+    * index are the same table shape under maintenance, and round 19
+    * live-race-proved this manifest-through-the-log discipline there.
     */
-  private def codesDir(indexRoot: String): String = {
-    val mf = java.nio.file.Paths.get(indexRoot, "MANIFEST")
-    if (java.nio.file.Files.exists(mf))
-      s"$indexRoot/" + new String(java.nio.file.Files.readAllBytes(mf),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-    else s"$indexRoot/codes"
+  private[graft] final case class IndexManifest(codes: String,
+      delta: Seq[String], idbloom: String, cells: String,
+      cellsDelta: Seq[String]) {
+    def render: String =
+      s"codes=$codes;delta=${delta.mkString(",")};" +
+        s"idbloom=$idbloom;cells=$cells;" +
+        s"cellsdelta=${cellsDelta.mkString(",")}"
+    def dirNames: Seq[String] =
+      Seq(codes, idbloom) ++ delta ++
+        (if (cells.nonEmpty) Seq(cells) else Nil) ++ cellsDelta
   }
 
-  /** COMPACTS the codes table — the maintenance job that follows a run
-    * of nightly [[extendIndex]] appends, each of which lands small
-    * files (the lakehouse small-files problem, here on the index
-    * itself): rewrite the live codes into `targetFiles` files as a NEW
-    * version directory, then swap the `MANIFEST` pointer with an
-    * atomic rename — a reader that resolved the old version mid-query
-    * keeps its snapshot (its file listing is already pinned), and the
-    * superseded version is reaped with a one-version grace exactly
-    * like the layout rewrites. Codes content is identical as a SET, so
-    * search results are unchanged (PqSpec pins row-for-row identity
-    * and the file counts).
-    */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, targetFiles: Int = 4): Unit = {
-    val cur = codesDir(indexRoot)
-    val curV =
-      if (cur.endsWith("/codes")) 0
-      else cur.substring(cur.lastIndexOf("_v") + 2).toInt
-    val nextName = s"codes_v${curV + 1}"
-    spark.read.parquet(cur).repartition(targetFiles)
-      .write.mode("overwrite").parquet(s"$indexRoot/$nextName")
-    val tmp = java.nio.file.Paths.get(indexRoot, "MANIFEST.tmp")
-    java.nio.file.Files.write(tmp,
-      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp,
-      java.nio.file.Paths.get(indexRoot, "MANIFEST"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // one-version grace: cur survives for in-flight readers; the
-    // version BEFORE it is now two generations stale — reap it
-    if (curV >= 1) {
-      val prev =
-        if (curV == 1) s"$indexRoot/codes"
-        else s"$indexRoot/codes_v${curV - 1}"
-      graft.io.Scratch.reap(prev)
+  private[graft] object IndexManifest {
+    def parse(s: String): IndexManifest = {
+      val kv = s.split(';').map(_.split("=", 2))
+        .map(a => a(0) -> (if (a.length > 1) a(1) else "")).toMap
+      def list(k: String): Seq[String] =
+        kv.getOrElse(k, "").split(',').filter(_.nonEmpty).toSeq
+      IndexManifest(kv("codes"), list("delta"), kv("idbloom"),
+        kv.getOrElse("cells", ""), list("cellsdelta"))
     }
   }
+
+  /** Pre-log layout: the original build's fixed dir names, honoring a
+    * legacy `MANIFEST` pointer file if a pre-arbitration compaction
+    * left one (those builds swapped a bare codes pointer).
+    */
+  private def legacyManifest(indexRoot: String): IndexManifest = {
+    val mf = java.nio.file.Paths.get(indexRoot, "MANIFEST")
+    val codes =
+      if (java.nio.file.Files.exists(mf))
+        new String(java.nio.file.Files.readAllBytes(mf),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      else "codes"
+    val cells =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(indexRoot, "cells"))) "cells"
+      else ""
+    IndexManifest(codes, Nil, "idbloom", cells, Nil)
+  }
+
+  /** The LIVE layout: the commit log's head manifest when the root has
+    * one, else the legacy build layout. Every reader resolves through
+    * this once per query, so a maintenance commit is invisible to
+    * in-flight searches (their dir list is already pinned).
+    */
+  private[graft] def liveIndexManifest(indexRoot: String): IndexManifest =
+    graft.io.CommitLog.headSnapshot(indexRoot) match {
+      case Some((_, payload)) => IndexManifest.parse(payload)
+      case None => legacyManifest(indexRoot)
+    }
+
+  private def codesPaths(indexRoot: String, m: IndexManifest)
+      : Seq[String] = (m.codes +: m.delta).map(n => s"$indexRoot/$n")
+
+  private def cellsPaths(indexRoot: String, m: IndexManifest)
+      : Seq[String] = (m.cells +: m.cellsDelta).map(n => s"$indexRoot/$n")
+
+  /** The live codes table (base ∪ extend deltas) as one frame. */
+  private[graft] def codesOf(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String): DataFrame =
+    spark.read.parquet(codesPaths(indexRoot, liveIndexManifest(indexRoot)): _*)
+
+  /** The live cells table (base ∪ extend deltas) as one frame. */
+  private[graft] def cellsOf(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String): DataFrame =
+    spark.read.parquet(cellsPaths(indexRoot, liveIndexManifest(indexRoot)): _*)
+
+  /** In-JVM serialization of maintenance per root — the commit log
+    * arbitrates cross-process; this keeps two threads of ONE session
+    * from burning CAS retries against each other (the
+    * `Selection.withMaintenanceLock` discipline).
+    */
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def withIndexLock[A](root: String)(body: => A): A =
+    indexLocks.computeIfAbsent(root, _ => new AnyRef)
+      .synchronized(body)
+
+  /** First maintenance op on a pre-log index commits its legacy layout
+    * as v0 so later arbitration has a base; losing the v0 CAS means
+    * another migrator won with the identical deterministic layout.
+    */
+  private def migrateLegacyIndex(indexRoot: String): Unit =
+    if (graft.io.CommitLog.currentVersion(indexRoot) < 0)
+      graft.io.CommitLog.tryCommit(indexRoot, -1,
+        legacyManifest(indexRoot).render)
+
+  /** A rebased extend found nothing left to absorb (the winner already
+    * carried every arrival) — abandon instead of committing an
+    * identical manifest.
+    */
+  private object NothingPending extends RuntimeException
+    with scala.util.control.NoStackTrace
+
+  private def indexStateDirPattern(n: String): Boolean =
+    n == "codes" || n == "cells" || n == "idbloom" ||
+      n.startsWith("codes_v") || n.startsWith("codesdelta_v") ||
+      n.startsWith("cells_v") || n.startsWith("cellsdelta_v") ||
+      n.startsWith("idbloom_v")
+
+  /** One-version-grace reclamation of SUPERSEDED index history: reaps
+    * dirs referenced by some committed manifest but rotated out of the
+    * last two (in-flight searches pin at most one swap behind).
+    * Never-referenced dirs are NOT touched — a concurrent committer's
+    * staged dirs are indistinguishable from crash residue by age
+    * (see [[Selection.reapUnreferenced]]); those go through the
+    * operator-invoked [[vacuumIndex]].
+    */
+  private def reapUnreferencedIndex(indexRoot: String): Unit = {
+    val manifests = graft.io.CommitLog.versions(indexRoot)
+      .map(v => scala.util.Try(IndexManifest.parse(v._2)))
+      .collect { case scala.util.Success(m) => m }
+    if (manifests.isEmpty) return
+    val keep = manifests.takeRight(2).flatMap(_.dirNames).toSet
+    val everReferenced = manifests.flatMap(_.dirNames).toSet
+    Option(new java.io.File(indexRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File]).foreach { f =>
+        val n = f.getName
+        if (indexStateDirPattern(n) && everReferenced.contains(n) &&
+            !keep.contains(n))
+          graft.io.Scratch.reap(f.getPath)
+      }
+  }
+
+  /** Reclaims never-referenced index dirs (staged by a run that died
+    * before its CAS). Operator-invoked with an explicit retention —
+    * the caller asserts no maintenance job older than `olderThanMs` is
+    * still staging against this root (the lakehouse VACUUM contract,
+    * exactly [[Selection.vacuumDedupState]]). Returns reaped names.
+    */
+  def vacuumIndex(indexRoot: String,
+      olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val everReferenced = graft.io.CommitLog.versions(indexRoot)
+      .map(v => scala.util.Try(IndexManifest.parse(v._2)))
+      .collect { case scala.util.Success(m) => m }
+      .flatMap(_.dirNames).toSet
+    val now = System.currentTimeMillis()
+    Option(new java.io.File(indexRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter { f =>
+        indexStateDirPattern(f.getName) &&
+          !everReferenced.contains(f.getName) &&
+          now - f.lastModified() > olderThanMs
+      }
+      .map { f => graft.io.Scratch.reap(f.getPath); f.getName }
+  }
+
+  /** COMPACTS the index — the maintenance job that follows a run of
+    * nightly [[extendIndex]] commits, each of which lands its own
+    * small delta dir (the lakehouse small-files problem, here on the
+    * index itself): fold codes base ∪ deltas into ONE new
+    * `targetFiles`-file generation (cells base ∪ deltas likewise when
+    * the combined index has any), REBUILD the id-Bloom sidecar sized
+    * to the live corpus (the long-run drift fix — extends OR-merge
+    * into params frozen at build time; with unchanged params the
+    * rebuild is byte-identical to the merged chain), and commit the
+    * new manifest through the log. ARBITRATED: two compactors racing
+    * serialize through the version CAS — the loser rebases on the
+    * winner's snapshot instead of overwriting its generation dir, and
+    * an extend that commits mid-compaction is never dropped (the
+    * rebase re-reads its delta). Codes content is identical as a SET,
+    * so search results are unchanged (PqSpec pins row identity and
+    * the file counts).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, targetFiles: Int = 4): Unit =
+    withIndexLock(indexRoot) {
+      migrateLegacyIndex(indexRoot)
+      var staged: Seq[String] = Nil
+      graft.io.CommitLog.commitStateRetry(indexRoot) { (cur, snap) =>
+        // a retry abandons the loser's staged dirs (scratch discipline)
+        staged.foreach(graft.io.Scratch.reap); staged = Nil
+        val m = snap.map(IndexManifest.parse)
+          .getOrElse(legacyManifest(indexRoot))
+        val tag = f"${cur + 1}%06d-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val codesName = s"codes_v$tag"
+        spark.read.parquet(codesPaths(indexRoot, m): _*)
+          .repartition(targetFiles)
+          .write.mode("overwrite").parquet(s"$indexRoot/$codesName")
+        staged = Seq(s"$indexRoot/$codesName")
+        val cellsName =
+          if (m.cells.nonEmpty && m.cellsDelta.nonEmpty) {
+            val n = s"cells_v$tag"
+            spark.read.parquet(cellsPaths(indexRoot, m): _*)
+              .repartition(math.max(1, targetFiles / 2))
+              .write.mode("overwrite").parquet(s"$indexRoot/$n")
+            staged :+= s"$indexRoot/$n"
+            n
+          } else m.cells
+        // sidecar rebuild sized to the live corpus, from the codes this
+        // job just rewrote (one narrow pushed sub=0 scan): stored
+        // params are the floor, so small indexes rebuild byte-identical
+        // and a grown one gets re-sized instead of saturating
+        val (_, expected0, numBits0) = readIdBloomAt(spark, indexRoot, m)
+        val ids = spark.read.parquet(s"$indexRoot/$codesName")
+          .filter(org.apache.spark.sql.functions.col("sub") === 0)
+          .select("vec_id")
+        val (expected, numBits) = Selection.sizedToCorpus(ids.count(),
+          floorKeys = expected0,
+          bitsPerKey = math.max(1L, numBits0 / expected0))
+        val bloomName = s"idbloom_v$tag"
+        writeIdBloomDir(spark, indexRoot, bloomName,
+          Selection.bloomBuild(ids,
+            org.apache.spark.sql.functions.col("vec_id"),
+            expected, numBits), expected, numBits)
+        staged :+= s"$indexRoot/$bloomName"
+        IndexManifest(codesName, Nil, bloomName, cellsName, Nil).render
+      }
+      staged = Nil // committed — these dirs are the live index now
+      reapUnreferencedIndex(indexRoot)
+    }
 
   /** Loads the flattened `books` table back into the m×k×(D/M) array.
     * All three dimensions are inferred from the rows themselves, so the
@@ -469,12 +660,15 @@ object Pq {
       }.sorted.take(probeCells).map { case (_, c) => (p.id, c) }
     }.toDF("probe", "pc")
     val lut = probeLut(probes, books).toDF("probe", "sub", "code", "pd2")
-    val cand = spark.read.parquet(s"$indexRoot/cells")
+    // resolve the manifest ONCE for both tables: a maintenance commit
+    // between two resolutions could pair new cells with old codes
+    val m = liveIndexManifest(indexRoot)
+    val cand = spark.read.parquet(cellsPaths(indexRoot, m): _*)
       .join(broadcast(pcells),
         col("c") === col("pc") && col("probe") =!= col("vec_id"))
       .select(col("probe"), col("vec_id").as("nb"))
     top3ByAdc(cand
-      .join(spark.read.parquet(codesDir(indexRoot))
+      .join(spark.read.parquet(codesPaths(indexRoot, m): _*)
         .withColumnRenamed("vec_id", "nb"), Seq("nb"))
       .join(broadcast(lut), Seq("probe", "sub", "code")))
   }
@@ -510,37 +704,59 @@ object Pq {
     * the two branches (cap forced to 0) and gates the fallback plan
     * broadcast-free.
     */
+  // change-detection key: a SHA-256 of the sidecar, NOT the bytes —
+  // retaining the blob strongly per root would pin an index-sized
+  // array (2 GB per 1e9 ids) in driver heap beside the broadcast
+  // blocks for the JVM lifetime
   private val idBloomBcCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Byte], org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+
+  private def sha256(bytes: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
 
   private[graft] def pendingArrivals(
       spark: org.apache.spark.sql.SparkSession,
       indexRoot: String, embeddings: DataFrame,
+      maxBroadcastIds: Long = 1L << 22): DataFrame =
+    pendingArrivalsAt(spark, indexRoot,
+      liveIndexManifest(indexRoot), embeddings, maxBroadcastIds)
+
+  /** [[pendingArrivals]] against an EXPLICIT snapshot manifest — the
+    * rebase surface: a CAS-losing extend re-probes against the
+    * WINNER's manifest, so the pending set can only shrink and every
+    * arrival is encoded exactly once across racing extends.
+    */
+  private def pendingArrivalsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, m: IndexManifest, embeddings: DataFrame,
       maxBroadcastIds: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (bloom, _, _) = readIdBloom(spark, indexRoot)
+    val (bloom, _, _) = readIdBloomAt(spark, indexRoot, m)
     // broadcast HANDLE, not a plan literal: the id sidecar is sized to
     // the INDEX (2 GB per 1e9 ids) and a literal re-ships it in every
     // task binary of every probe job (see functions/BloomProbeBc).
-    // Unlike the dedup state's versioned bloom dirs, `idbloom` is
-    // overwritten in place by extends, so the cache keys on the BYTES
-    // just read (one per root): unchanged sidecar → reuse the handle;
-    // changed → unpersist the superseded one (safe: every consumer of
-    // a maintenance call's frames materializes within that call) and
-    // broadcast fresh, so a serving session never accumulates
-    // index-sized blobs in the block manager.
+    // Maintenance commits versioned idbloom_v* dirs, but the legacy
+    // build layout still overwrites `idbloom` in place, so the cache
+    // keys on a DIGEST of the bytes just read (one per root):
+    // unchanged sidecar → reuse the handle; changed → unpersist the
+    // superseded one (safe: every consumer of a maintenance call's
+    // frames materializes within that call) and broadcast fresh, so a
+    // serving session never accumulates index-sized blobs in the
+    // block manager.
+    val bloomDigest = sha256(bloom)
     val bloomBc = idBloomBcCache.compute(indexRoot, (_, prev) =>
-      if (prev != null && java.util.Arrays.equals(prev._1, bloom)) prev
+      if (prev != null && java.util.Arrays.equals(prev._1, bloomDigest))
+        prev
       else {
         if (prev != null)
           scala.util.Try(prev._2.unpersist(blocking = false))
-        (bloom, spark.sparkContext.broadcast(bloom))
+        (bloomDigest, spark.sparkContext.broadcast(bloom))
       })._2
     val maybe = embeddings
       .filter(graft.functions.BloomProbeBc.mightContain(bloomBc,
         xxhash64(col("vec_id"))))
       .select("vec_id").distinct()
-    val known0 = spark.read.parquet(codesDir(indexRoot))
+    val known0 = spark.read.parquet(codesPaths(indexRoot, m): _*)
       .filter(col("sub") === 0).select("vec_id")
     val probeCap = math.min(maxBroadcastIds + 1, Int.MaxValue).toInt
     if (maybe.limit(probeCap).count() <= maxBroadcastIds) {
@@ -555,16 +771,21 @@ object Pq {
 
   /** INCREMENTAL index maintenance — the nightly job of a production
     * vector store: encode ONLY the vectors whose vec_id is not yet in
-    * the persisted `codes` table ([[pendingArrivals]] — Bloom prefilter
+    * the persisted snapshot ([[pendingArrivals]] — Bloom prefilter
     * plus a delta-broadcast exact backstop; the index id set is never
-    * the build side) and APPEND their codes; the codebooks are
-    * immutable once trained (retraining would silently re-code the old
-    * corpus), while the id-Bloom sidecar absorbs the new ids by
-    * bitwise-OR merge. Because the iteration-0 codebooks come from the
-    * k lowest vec_ids, an index built on any id-prefix of the corpus
-    * and then extended is BYTE-IDENTICAL to one built on the full
-    * corpus — which is what lets q_sim_ann_pq_incremental share the
-    * full-build ADC oracle.
+    * the build side) and COMMIT their codes as a delta dir plus the
+    * OR-merged sidecar as a versioned dir, ARBITRATED through the
+    * commit log: a CAS-losing extend re-probes against the winner's
+    * manifest (the pending set only shrinks), so two racing extends
+    * serialize in winner order and every arrival is encoded exactly
+    * once — and an extend can no longer drop appends under a
+    * concurrent compaction (the pre-arbitration ATOMIC_MOVE swap
+    * could). The codebooks are immutable once trained (retraining
+    * would silently re-code the old corpus). Because the iteration-0
+    * codebooks come from the k lowest vec_ids, an index built on any
+    * id-prefix of the corpus and then extended is BYTE-IDENTICAL to
+    * one built on the full corpus — which is what lets
+    * q_sim_ann_pq_incremental share the full-build ADC oracle.
     */
   def extendIndex(spark: org.apache.spark.sql.SparkSession,
       indexRoot: String, embeddings: DataFrame): Unit =
@@ -585,32 +806,66 @@ object Pq {
 
   private def extendImpl(spark: org.apache.spark.sql.SparkSession,
       indexRoot: String, embeddings: DataFrame,
-      withCells: Boolean): Unit = {
+      withCells: Boolean): Unit = withIndexLock(indexRoot) {
     import spark.implicits._
-    // persisted: the emptiness probe and the append would otherwise
-    // each recompute the anti join (and the probe would re-encode)
-    val newQv = Kmeans.quantized(
-      pendingArrivals(spark, indexRoot, embeddings)).persist()
+    migrateLegacyIndex(indexRoot)
+    // books/cents are immutable from the build — load once, outside
+    // the retry loop. cents must be a PLAIN array here, not a lazy
+    // val: a lazy local rides into the assignment closure as its
+    // unevaluated LazyRef and would force loadCents (a driver-side
+    // spark.read) on an executor.
+    val books = loadBooks(spark, indexRoot)
+    val cents: Array[Array[Long]] =
+      if (withCells) loadCents(spark, indexRoot) else null
+    var staged: Seq[String] = Nil
     try {
-      if (!newQv.isEmpty) {
-        if (withCells) {
-          val cents = loadCents(spark, indexRoot)
-          newQv.map(v => (v.id, nearestAt(v.q, 0, cents)._1))
-            .toDF("vec_id", "c")
-            .write.mode("append").parquet(s"$indexRoot/cells")
-        }
-        val books = loadBooks(spark, indexRoot)
-        Pq.encode(newQv, books)
-          .toDF("vec_id", "sub", "code", "d2")
-          .select("vec_id", "sub", "code")
-          .write.mode("append").parquet(codesDir(indexRoot))
-        val (cur, expected, numBits) = readIdBloom(spark, indexRoot)
-        writeIdBloom(spark, indexRoot, Selection.bloomMerge(cur,
-          Selection.bloomBuild(newQv.map(_.id).toDF("vec_id"),
-            org.apache.spark.sql.functions.col("vec_id"),
-            expected, numBits)), expected, numBits)
+      graft.io.CommitLog.commitStateRetry(indexRoot) { (cur, snap) =>
+        // a retry abandons the loser's staged dirs
+        staged.foreach(graft.io.Scratch.reap); staged = Nil
+        val m = snap.map(IndexManifest.parse)
+          .getOrElse(legacyManifest(indexRoot))
+        // persisted: the emptiness probe, the encode, the cells
+        // assignment, and the sidecar build would otherwise each
+        // recompute the anti join
+        val newQv = Kmeans.quantized(
+          pendingArrivalsAt(spark, indexRoot, m, embeddings)).persist()
+        try {
+          if (newQv.isEmpty) throw NothingPending
+          val tag = f"${cur + 1}%06d-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val codesName = s"codesdelta_v$tag"
+          Pq.encode(newQv, books)
+            .toDF("vec_id", "sub", "code", "d2")
+            .select("vec_id", "sub", "code")
+            .write.mode("overwrite").parquet(s"$indexRoot/$codesName")
+          staged = Seq(s"$indexRoot/$codesName")
+          val cellsDelta =
+            if (withCells) {
+              val n = s"cellsdelta_v$tag"
+              newQv.map(v => (v.id, nearestAt(v.q, 0, cents)._1))
+                .toDF("vec_id", "c")
+                .write.mode("overwrite").parquet(s"$indexRoot/$n")
+              staged :+= s"$indexRoot/$n"
+              Seq(n)
+            } else Nil
+          val (curB, expected, numBits) =
+            readIdBloomAt(spark, indexRoot, m)
+          val bloomName = s"idbloom_v$tag"
+          writeIdBloomDir(spark, indexRoot, bloomName,
+            Selection.bloomMerge(curB,
+              Selection.bloomBuild(newQv.map(_.id).toDF("vec_id"),
+                org.apache.spark.sql.functions.col("vec_id"),
+                expected, numBits)), expected, numBits)
+          staged :+= s"$indexRoot/$bloomName"
+          m.copy(delta = m.delta :+ codesName, idbloom = bloomName,
+            cellsDelta = m.cellsDelta ++ cellsDelta).render
+        } finally newQv.unpersist()
       }
-    } finally newQv.unpersist()
+      staged = Nil // committed
+      reapUnreferencedIndex(indexRoot)
+    } catch {
+      case NothingPending => staged.foreach(graft.io.Scratch.reap)
+    }
   }
 
   /** Builds the COMBINED index on the id-prefix half, extends it to the
@@ -687,7 +942,7 @@ object Pq {
     val books = loadBooks(spark, indexRoot)
     val probes = collectProbes(embeddings, nProbes)
     val lut = probeLut(probes, books).toDF("probe", "sub", "code", "pd2")
-    top3ByAdc(spark.read.parquet(codesDir(indexRoot))
+    top3ByAdc(codesOf(spark, indexRoot)
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("probe") =!= col("vec_id"))
       .withColumnRenamed("vec_id", "nb"))

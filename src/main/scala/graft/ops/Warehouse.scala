@@ -1005,12 +1005,14 @@ object Warehouse {
       // manifest references) and the manifest is CREATED via link(2)
       // CAS — exactly one seeder publishes; the loser reaps its own
       // seed and resumes through the winner's manifest below.
-      // ALWAYS run-unique, independently of runTag: with the default
-      // empty tag two racing constructors would otherwise overwrite
-      // the SAME seed path (and the loser's reap below would delete
-      // the winner's published dir)
-      val seedName = "base_v000000-" + (if (runTag.nonEmpty) runTag
-        else java.util.UUID.randomUUID().toString.take(8))
+      // ALWAYS run-unique, independently of runTag: two racing
+      // constructors (same tag, or both untagged) would otherwise
+      // overwrite the SAME seed path — and the loser's reap below
+      // would delete files the winner's published manifest references.
+      // The UUID is the uniqueness source; runTag is only a label.
+      val seedName = "base_v000000-" +
+        (if (runTag.nonEmpty) runTag + "-" else "") +
+        java.util.UUID.randomUUID().toString.take(8)
       val seedPairs = seed.groupBy("l_suppkey", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("b", supportBucket(col("l_suppkey")))

@@ -117,4 +117,108 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkTest {
     java.nio.file.Files.exists(orphan) shouldBe false
     ops.Caches.drain()
   }
+
+  test("vacuum-vs-live-extend law: a vacuum inside its retention " +
+      "window never deletes a concurrent extend's staging, and the " +
+      "extend commits intact") {
+    // The VACUUM contract (llm.Selection.vacuumDedupState): the
+    // operator asserts no maintenance job older than `olderThanMs` is
+    // still staging. The law pinned here is the safe side of that
+    // contract — while an extend IS live, any vacuum whose retention
+    // exceeds the extend's age must be a no-op on its dirs (staged
+    // dirs are never-referenced until the CAS, so only the age guard
+    // protects them). Minimum safe retention = the longest extend a
+    // deployment ever runs (staging a corpus-scale novel dir) plus
+    // clock-skew margin; the r19 512x extend staged for minutes, so
+    // the 7-day default is conservative by orders of magnitude.
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = graft.io.Scratch.sub("vacuum_law_spec") + "/state"
+    llm.Selection.buildDedupStateAt(sp, sf, root)
+    def shard(tag: String) = sp.range(3000)
+      .select((col("id") + 6660000L).as("doc_id"),
+        md5(concat(lit(s"vac_${tag}_"), col("id").cast("string"))
+          .cast("binary")).as("clean_md5"))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val extend = Future(
+        llm.Selection.extendDedupState(sp, root, shard("live")))
+      // hammer vacuums (retention 60 s >> the extend's lifetime) the
+      // whole time the extend is staging: none may reap its dirs — a
+      // deleted staging dir would fail the extend's commit loudly
+      val vacuums = Future {
+        var reaped = Seq.empty[String]
+        while (!extend.isCompleted)
+          reaped ++= llm.Selection.vacuumDedupState(root,
+            olderThanMs = 60000L)
+        reaped
+      }
+      Await.result(extend, Duration.Inf) // would throw on lost staging
+      Await.result(vacuums, Duration.Inf) shouldBe empty
+    } finally pool.shutdown()
+    // the extend landed exactly once despite the concurrent vacuums
+    val fps = llm.Selection.liveFps(sp, root)
+    fps.filter(col("clean_md5").isin(
+      shard("live").select("clean_md5").collect()
+        .map(_.getString(0)).take(50).toSeq: _*)).count() shouldBe 50
+    ops.Caches.drain()
+  }
+
+  test("index-maintenance law: concurrent extends with overlapping " +
+      "arrivals encode every vector exactly once through the commit " +
+      "log; compact folds deltas; vacuum honors retention") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = graft.io.Scratch.sub("idx_law_spec") + "/index"
+    val dim = 8
+    // content is a pure function of vec_id (not the window offset), so
+    // overlapping extends stage byte-identical rows for shared ids
+    def emb(lo: Long, n: Long) = sp.range(n)
+      .select((col("id") + lo).as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          s"j -> cast(sin((id + ${lo}L) * 131 + j) as float))")
+          .as("embedding"))
+    llm.Pq.buildIvfPqTrained(sp, root, emb(0L, 64), k = 4, m = 4,
+      kb = 4, iters = 0)
+    // four threads, OVERLAPPING arrival windows (i*100 .. i*100+200):
+    // serial-in-winner-order — each vec_id encodes exactly once (m
+    // code rows, one cells row) no matter which extend saw which
+    // predecessor; losers rebase and their pending sets shrink
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(Future.sequence((0 until 4).map(i =>
+        Future(llm.Pq.extendIvfPqIndex(sp, root,
+          emb(1000L + i * 100, 200))))), Duration.Inf)
+    } finally pool.shutdown()
+    val codes = llm.Pq.codesOf(sp, root)
+    val nIds = 64L + 500L // build ∪ overlapping windows [1000, 1500)
+    codes.select("vec_id").distinct().count() shouldBe nIds
+    codes.count() shouldBe nIds * 4 // m rows per id — zero doubles
+    llm.Pq.cellsOf(sp, root).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+    // replay after the dust settles: full no-op (no version bump)
+    val head = graft.io.CommitLog.currentVersion(root)
+    llm.Pq.extendIvfPqIndex(sp, root, emb(1000L, 500))
+    graft.io.CommitLog.currentVersion(root) shouldBe head
+    // compact folds every delta into one generation; results identical
+    val before = llm.Pq.codesOf(sp, root).collect().map(_.toString).sorted
+    llm.Pq.compactIndex(sp, root, targetFiles = 2)
+    val m = llm.Pq.liveIndexManifest(root)
+    m.delta shouldBe empty
+    m.cellsDelta shouldBe empty
+    llm.Pq.codesOf(sp, root).collect().map(_.toString).sorted shouldBe
+      before
+    // vacuum: never-referenced crash residue ignored inside retention,
+    // reclaimed past it; committed dirs never touched
+    val orphan = java.nio.file.Paths.get(root, "codesdelta_v999999-dead")
+    java.nio.file.Files.createDirectories(orphan)
+    llm.Pq.vacuumIndex(root) shouldBe empty
+    llm.Pq.vacuumIndex(root, olderThanMs = 0L) should
+      contain("codesdelta_v999999-dead")
+    java.nio.file.Files.exists(orphan) shouldBe false
+    new java.io.File(s"$root/${m.codes}").exists() shouldBe true
+    ops.Caches.drain()
+  }
 }

@@ -55,7 +55,8 @@ class ContractSpec extends AnyFunSuite with Matchers {
     // driver round with parsed:null.
     val worst = Registry.all.keys.map(_ -> 999.999).toMap
     val line = Bench.renderLine(worst, runs = 3,
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1", loadStart = 99.999, loadEnd = 99.999,
+      anchorStart = 999.999, anchorEnd = 999.999)
     line.length should be < 1900
     // and it must be one self-contained JSON object on a single line
     line should startWith("{\"metric\":\"total\"")

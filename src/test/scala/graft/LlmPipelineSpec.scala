@@ -616,14 +616,15 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
       "from-scratch filter") {
     val full = Pq.persistedIndex(spark, dir, m = 4, k = 8)
     val inc = Pq.persistedIndexIncremental(spark, dir, m = 4, k = 8)
-    def bloomBytes(root: String): Array[Byte] =
-      spark.read.parquet(s"$root/idbloom").head().getAs[Array[Byte]]("bf")
     // prefix-build + delta-merge ORs the same inserted keys the full
-    // build inserts — identical bits, like the codes tables themselves
-    java.util.Arrays.equals(bloomBytes(inc), bloomBytes(full)) shouldBe
-      true
-    spark.read.parquet(s"$inc/codes").collect().toSet shouldBe
-      spark.read.parquet(s"$full/codes").collect().toSet
+    // build inserts — identical bits, like the codes tables themselves.
+    // Resolved through the live manifests: inc's sidecar lives in a
+    // versioned idbloom_v* dir after its arbitrated extends, full's in
+    // the build-layout idbloom.
+    java.util.Arrays.equals(Pq.liveIdBloomBytes(spark, inc),
+      Pq.liveIdBloomBytes(spark, full)) shouldBe true
+    Pq.codesOf(spark, inc).collect().toSet shouldBe
+      Pq.codesOf(spark, full).collect().toSet
   }
 
   test("trained ivf+pq index: recall law — trained ≥ init on a planted " +
@@ -665,34 +666,55 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     graft.ops.Caches.drain()
   }
 
-  test("index compaction: append-fragmented codes rewrite to " +
-      "targetFiles behind the manifest swap; search results identical") {
+  test("index compaction: delta-fragmented codes fold to targetFiles " +
+      "behind the arbitrated manifest commit; search results identical") {
     val emb = Tables(spark, dir, "embeddings")
     val idx = graft.io.Scratch.sub("pqcompact")
     // build on the even ids, extend with the full corpus — the extend
-    // APPENDS the odd-id codes as extra files (the nightly
+    // COMMITS the odd-id codes as a delta dir (the nightly small-files
     // fragmentation this job exists for)
     Pq.buildIvfPqTrained(spark, idx,
       emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0),
       k = 8, m = 4, kb = 8, iters = 0)
     Pq.extendIndex(spark, idx, emb)
+    def live = Pq.liveIndexManifest(idx)
     def parts(rel: String) = new java.io.File(s"$idx/$rel").listFiles()
       .count(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
     val before = Pq.ivfPqTop3FromIndex(spark, idx, emb, nProbes = 8,
       probeCells = 3).collect().map(_.toString).sorted
-    parts("codes") should be >= 2
+    // the extend fragmented the snapshot: base + one committed delta
+    live.delta should have size 1
+    val preCompact = live
     Pq.compactIndex(spark, idx, targetFiles = 2)
-    parts("codes_v1") shouldBe 2
+    // folded: one codes generation at the target file count, no deltas
+    val afterOne = live
+    afterOne.delta shouldBe empty
+    afterOne.codes should startWith("codes_v")
+    parts(afterOne.codes) shouldBe 2
+    // the sidecar rebuild at unchanged params is byte-identical to the
+    // extend's OR-merged chain (compaction invisible to probes)
+    Pq.liveIdBloomBytes(spark, idx) shouldBe
+      spark.read.parquet(s"$idx/${preCompact.idbloom}")
+        .head().getAs[Array[Byte]]("bf")
     // the swap is invisible: searches and extends resolve the manifest
     Pq.ivfPqTop3FromIndex(spark, idx, emb, nProbes = 8, probeCells = 3)
       .collect().map(_.toString).sorted shouldBe before
     Pq.pendingArrivals(spark, idx, emb).count() shouldBe 0L
-    // a second compaction reaps the two-generations-stale original
+    // a second compaction rotates the superseded-history window: the
+    // original build dirs and the extend delta (referenced only by
+    // manifests now two generations stale) reap; the last two
+    // generations survive for in-flight readers
     Pq.compactIndex(spark, idx, targetFiles = 2)
-    parts("codes_v2") shouldBe 2
+    val afterTwo = live
+    parts(afterTwo.codes) shouldBe 2
     new java.io.File(s"$idx/codes").exists() shouldBe false
-    new java.io.File(s"$idx/codes_v1").exists() shouldBe true
+    preCompact.delta.foreach(d =>
+      new java.io.File(s"$idx/$d").exists() shouldBe false)
+    new java.io.File(s"$idx/${afterOne.codes}").exists() shouldBe true
+    // search still identical through two arbitrated swaps
+    Pq.ivfPqTop3FromIndex(spark, idx, emb, nProbes = 8, probeCells = 3)
+      .collect().map(_.toString).sorted shouldBe before
     graft.ops.Caches.drain()
   }
 
@@ -706,16 +728,20 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
       Pq.ivfPqTop3FromIndex(spark, root, emb, nProbes = 10,
         probeCells = 3).collect().map(_.toString).sorted
     search(inc) shouldBe search(one)
-    // the lifecycle really exercised compaction: manifest swapped,
-    // live codes at the target file count
-    new java.io.File(s"$inc/MANIFEST").exists() shouldBe true
-    new java.io.File(s"$inc/codes_v1").listFiles()
+    // the lifecycle really exercised arbitrated maintenance: a commit
+    // log exists (v0 migrate + extend + compact), the live codes is a
+    // compacted generation at the target file count with no deltas
+    graft.io.CommitLog.currentVersion(inc) should be >= 2
+    val m = Pq.liveIndexManifest(inc)
+    m.codes should startWith("codes_v")
+    m.delta shouldBe empty
+    new java.io.File(s"$inc/${m.codes}").listFiles()
       .count(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet")) shouldBe 4
-    // cells cover the whole corpus — the half a missing append would
-    // silently drop from every search
-    spark.read.parquet(s"$inc/cells").count() shouldBe
-      spark.read.parquet(s"$one/cells").count()
+    // cells cover the whole corpus — the half a missing delta commit
+    // would silently drop from every search
+    Pq.cellsOf(spark, inc).count() shouldBe
+      Pq.cellsOf(spark, one).count()
     graft.ops.Caches.drain()
   }
 
