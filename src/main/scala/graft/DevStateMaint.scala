@@ -62,9 +62,11 @@ object DevStateMaint {
           llm.Selection.liveFps(spark, root).count() + " fingerprints")
       case "extend" =>
         (0 until rounds).foreach { r =>
+          val t0 = System.nanoTime()
           llm.Selection.extendDedupState(spark, root,
             fabricated(spark, s"${salt}_$r", n))
-          println(s"[statemaint] extend $salt round $r done: head=" +
+          println(f"[statemaint] extend $salt round $r done in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s: head=" +
             graft.io.CommitLog.currentVersion(root))
         }
       case "compact" =>

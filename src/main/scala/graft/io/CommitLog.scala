@@ -140,14 +140,19 @@ object CommitLog {
     }
 
   /** Newest marker's (version, FULL content). Line 1 is the snapshot
-    * directory; subsequent lines are the pointer LINEAGE — one
-    * `version<TAB>payload` row per version the checkpoint chain has
-    * pruned. The lineage is what makes [[tryCommit]]'s covered-slot
-    * post-check DECIDABLE: "was version N's pointer MY payload before
-    * the prune?" cannot be answered from pointer presence (a genuine
-    * win whose slot the pruner hasn't deleted yet looks identical to a
-    * zombie re-link), only from a durable record of what each slot
-    * held when it became history.
+    * directory; line 2 is the lineage FLOOR (`floor<TAB>n` — every
+    * slot ≤ n has had its lineage line evicted by retention); the
+    * remaining lines are the pointer LINEAGE — one
+    * `version<TAB>payload` row per RETAINED version the checkpoint
+    * chain has pruned. The lineage is what makes [[tryCommit]]'s
+    * covered-slot post-check DECIDABLE: "was version N's pointer MY
+    * payload before the prune?" cannot be answered from pointer
+    * presence (a genuine win whose slot the pruner hasn't deleted yet
+    * looks identical to a zombie re-link), only from a durable record
+    * of what each slot held when it became history. Retention bounds
+    * the marker at O(lineageRetain) — without it a per-micro-batch
+    * checkpointing stream rewrites one line per version EVER committed
+    * into every marker (O(n²) total marker I/O over its life).
     */
   private def latestCheckpointRaw(root: String): Option[(Int, String)] = {
     var attempt = 0
@@ -190,15 +195,26 @@ object CommitLog {
     latestCheckpointRaw(root).map(r => markerLineage(r._2))
       .getOrElse(Map.empty)
 
-  /** Parses a marker's lineage lines (everything after line 1). */
+  /** Parses a marker's lineage lines (everything after line 1; the
+    * `floor` line is skipped by the all-digits guard).
+    */
   private def markerLineage(content: String): Map[Int, String] =
     content.linesIterator.drop(1).flatMap { ln =>
       ln.split('\t') match {
-        case Array(v, payload) if v.forall(_.isDigit) =>
+        case Array(v, payload) if v.nonEmpty && v.forall(_.isDigit) =>
           Some(v.toInt -> payload)
         case _ => None
       }
     }.toMap
+
+  /** The marker's lineage floor: every slot ≤ this version has had its
+    * lineage evicted by retention. -1 on markers that retain
+    * everything (including pre-retention legacy markers).
+    */
+  private def markerFloor(content: String): Int =
+    content.linesIterator.drop(1).collectFirst {
+      case ln if ln.startsWith("floor\t") => ln.drop(6).trim.toInt
+    }.getOrElse(-1)
 
   /** Publishes a CHECKPOINT covering versions 0..upTo and prunes their
     * pointers — the log-compaction half of the protocol (Delta's
@@ -213,7 +229,8 @@ object CommitLog {
     * never neither. `currentVersion` floors at the checkpoint, so
     * appenders continue past a fully-pruned log.
     */
-  def checkpoint(root: String, upTo: Int, snapshotDir: String): Boolean = {
+  def checkpoint(root: String, upTo: Int, snapshotDir: String,
+      lineageRetain: Int = 256): Boolean = {
     // LAYERING GUARD: a later checkpoint must cover everything the
     // earlier one covered — its snapshot must be built from the
     // PREVIOUS checkpoint's snapshot ∪ the tail pointers (building it
@@ -236,22 +253,36 @@ object CommitLog {
     // history is immutable, so a pointer sitting below the previous
     // checkpoint is definitionally a zombie re-link whose payload must
     // NOT overwrite the true owner's record. Versions above the
-    // previous checkpoint can only come from live pointers. The map is
-    // cumulative (one short line per version ever committed) — a
-    // production log bounds it with pointer retention; here version
-    // counts are session-scale. READ ORDER matters: pointers FIRST,
-    // marker second — a concurrent checkpointer that publishes+prunes
-    // between the two reads then shows up in the marker read (markers
-    // are cumulative supersets); the reverse order can miss both.
+    // previous checkpoint can only come from live pointers. READ ORDER
+    // matters: pointers FIRST, marker second — a concurrent
+    // checkpointer that publishes+prunes between the two reads then
+    // shows up in the marker read (markers are supersets over the
+    // retained window); the reverse order can miss both.
+    //
+    // RETENTION: only the newest `lineageRetain` slots keep lineage
+    // lines; everything below is evicted behind a monotonic FLOOR, so
+    // a per-micro-batch checkpointing stream writes O(retain) markers
+    // forever instead of one line per version ever committed. The
+    // covered-slot verdict below the floor becomes UNDECIDABLE — safe,
+    // because tryCommit REFUSES (throws) rather than guesses there,
+    // and reaching it requires a committer suspended between its link
+    // and its post-check for as long as the log takes to advance
+    // `lineageRetain` versions (micro-seconds of code, hundreds of
+    // commits — size retain to the deployment's suspension SLA).
+    val prevRaw = latestCheckpointRaw(root)
     val gathered = versions(root).filter(_._1 <= upTo).toMap
-    val prevLineage = latestCheckpointRaw(root)
-      .map(r => markerLineage(r._2)).getOrElse(Map.empty)
+    val prevLineage = prevRaw.map(r => markerLineage(r._2))
+      .getOrElse(Map.empty)
+    val prevFloor = prevRaw.map(r => markerFloor(r._2)).getOrElse(-1)
+    val floor = math.max(prevFloor, upTo - math.max(1, lineageRetain))
     val lineage = (gathered ++ prevLineage).toSeq.sortBy(_._1)
+      .filter(_._1 > floor)
     val target = commitsDir(root).resolve(f"c$upTo%08d")
     val tmp = commitsDir(root).resolve(
       f"c$upTo%08d.${java.util.UUID.randomUUID().toString}.tmp")
     Files.write(tmp,
-      (snapshotDir +: lineage.map { case (v, p) => s"$v\t$p" })
+      (snapshotDir +: s"floor\t$floor" +:
+        lineage.map { case (v, p) => s"$v\t$p" })
         .mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val won =
@@ -307,29 +338,51 @@ object CommitLog {
     if (linked) {
       latestCheckpointRaw(root) match {
         case Some((cv, content)) if cv >= expected + 1 =>
-          // Covered after the link. TWO cases share this observation
-          // and pointer presence CANNOT tell them apart (a genuine
-          // win whose slot the pruner hasn't deleted yet looks
-          // identical to a zombie): consult the marker's LINEAGE.
-          //  - lineage(v) == our payload: we genuinely won v and a
-          //    fast peer committed past us and checkpointed — our
-          //    commit is durable history; reporting a loss here would
-          //    make commitRetry/commitStateRetry DOUBLE-APPLY the
-          //    changeset (the exactly-once violation).
-          //  - otherwise: the slot was another committer's (or the
-          //    covering checkpoint predates our link — the live-race
-          //    zombie): un-publish the re-link and lose; the transient
-          //    zombie pointer is removed by its own creator before it
-          //    returns.
-          if (markerLineage(content).get(expected + 1)
-              .contains(dataDir)) true
-          else {
-            Files.deleteIfExists(target)
-            false
-          }
+          decideCoveredSlot(root, expected + 1, dataDir, content,
+            target)
         case _ => true
       }
     } else false
+  }
+
+  /** The covered-slot verdict after a successful link: a checkpoint
+    * covering our slot appeared inside the link→post-check window.
+    * THREE cases share this observation and pointer presence cannot
+    * tell them apart — the marker decides:
+    *  - lineage(slot) == our payload: we genuinely won and a fast peer
+    *    committed past us and checkpointed — our commit is durable
+    *    history; reporting a loss here would make
+    *    commitRetry/commitStateRetry DOUBLE-APPLY the changeset (the
+    *    exactly-once violation).
+    *  - lineage(slot) is someone else's (or absent above the floor):
+    *    the slot was another committer's — the live-race zombie;
+    *    un-publish the re-link and lose.
+    *  - slot ≤ the lineage FLOOR: retention evicted the record, the
+    *    verdict is UNDECIDABLE — refuse loudly. Losing here could
+    *    double-apply a genuine win; winning could resurrect a zombie.
+    *    Reaching this requires a committer suspended between its link
+    *    and this check for as long as the log took to advance
+    *    `lineageRetain` versions — a crashed-and-thawed process, not
+    *    a code path; the throw turns it into a visible operator
+    *    incident instead of silent corruption.
+    */
+  private[graft] def decideCoveredSlot(root: String, slot: Int,
+      dataDir: String, markerContent: String, target: Path): Boolean = {
+    if (markerLineage(markerContent).get(slot).contains(dataDir)) true
+    else if (slot <= markerFloor(markerContent)) {
+      Files.deleteIfExists(target)
+      throw new IllegalStateException(
+        s"commit verdict for slot v$slot under $root is undecidable: " +
+          "the slot is below the checkpoint lineage floor " +
+          s"(${markerFloor(markerContent)}) — this committer was " +
+          "suspended past the lineage retention horizon between its " +
+          "link and its post-check; refusing to guess between a " +
+          "genuine win (loss ⇒ double-apply) and a zombie re-link " +
+          "(win ⇒ resurrected slot)")
+    } else {
+      Files.deleteIfExists(target)
+      false
+    }
   }
 
   /** Commit with rebase-and-retry: `prepare` sees the CURRENT version

@@ -93,6 +93,11 @@ object StreamMain {
     }
     val watermark = opts.getOrElse("--watermark", "10 seconds")
     val timeoutSec = opts.getOrElse("--timeout-sec", "30").toInt
+    // checkpoint-marker lineage retention (io.CommitLog): how many
+    // recent slots keep their ownership record in every marker. The
+    // 256 default is the production setting; endurance legs shrink it
+    // to engage the floor within a short run.
+    val lineageRetain = opts.getOrElse("--lineage-retain", "256").toInt
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -294,7 +299,7 @@ object StreamMain {
             if (stateV - 1 >= seedV)
               ownPaths.get(stateV - 1).foreach(prev =>
                 graft.io.CommitLog.checkpoint(stateBase, stateV - 1,
-                  prev))
+                  prev, lineageRetain))
             // data-dir reap lags the checkpoint by ONE EXTRA batch:
             // checkpointing v(N-1) just pruned marker c(N-2), and an
             // external reader that resolved c(N-2) an instant earlier
@@ -417,7 +422,7 @@ object StreamMain {
             if (stateV - 1 >= seedV)
               ownPaths.get(stateV - 1).foreach(prev =>
                 graft.io.CommitLog.checkpoint(stateBase, stateV - 1,
-                  prev))
+                  prev, lineageRetain))
             if (stateV - 3 >= seedV)
               ownPaths.remove(stateV - 3).foreach(graft.io.Scratch.reap)
             val n = spark.read.parquet(nextPath).count()

@@ -358,6 +358,69 @@ class CommitLogSpec extends AnyFunSuite with Matchers {
     CommitLog.currentVersion(root) shouldBe nWriters * perWriter - 1
   }
 
+  test("lineage retention law: markers stay O(retain) over an " +
+      "arbitrarily long commit history, the floor advances " +
+      "monotonically, and retained-window verdicts stay decidable") {
+    // the streaming CLI checkpoints once per micro-batch: without
+    // retention every marker rewrites one line per version EVER
+    // committed (O(n^2) marker I/O over a stream's life). With
+    // retain=8, marker size must stay flat across 60 commits.
+    val root = freshRoot()
+    var markerLines = Seq.empty[Int]
+    (0 until 60).foreach { i =>
+      CommitLog.commitRetry(root)(_ => s"d$i")
+      CommitLog.checkpoint(root, i, s"snap-$i", lineageRetain = 8)
+      val content = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "commits", f"c$i%08d")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      markerLines :+= content.linesIterator.size
+    }
+    // flat: snapshot line + floor line + ≤8 lineage lines, forever
+    markerLines.max should be <= 10
+    markerLines.takeRight(30).distinct.size shouldBe 1
+    // the retained window still answers ownership exactly
+    CommitLog.checkpointLineage(root) shouldBe
+      (52 to 59).map(v => v -> s"d$v").toMap
+    // a staled pre-link CAS below the floor still loses cleanly (the
+    // checkpoint-floor guard, unchanged by retention)
+    CommitLog.tryCommit(root, 3, "zombie") shouldBe false
+  }
+
+  test("covered-slot verdict under retention: own payload wins, " +
+      "foreign payload loses and un-publishes, sub-floor is a LOUD " +
+      "refusal — never a silent guess") {
+    val root = freshRoot()
+    (0 until 20).foreach(i => CommitLog.commitRetry(root)(_ => s"d$i"))
+    CommitLog.checkpoint(root, 19, "snap", lineageRetain = 4) shouldBe
+      true
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "commits", "c00000019")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def linked(slot: Int): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(root, "commits", f"v$slot%08d")
+      java.nio.file.Files.write(p, "x".getBytes)
+      p
+    }
+    // genuine win inside the retained window (lineage names us)
+    val t1 = linked(18)
+    CommitLog.decideCoveredSlot(root, 18, "d18", marker, t1) shouldBe
+      true
+    java.nio.file.Files.deleteIfExists(t1)
+    // zombie inside the window (lineage names someone else): lose and
+    // un-publish the re-link
+    val t2 = linked(17)
+    CommitLog.decideCoveredSlot(root, 17, "not-mine", marker, t2) shouldBe
+      false
+    java.nio.file.Files.exists(t2) shouldBe false
+    // below the floor the record is evicted: refusing is the ONLY safe
+    // verdict (loss could double-apply a genuine win, win could
+    // resurrect a zombie) — and the transient pointer is removed
+    val t3 = linked(2)
+    an[IllegalStateException] should be thrownBy
+      CommitLog.decideCoveredSlot(root, 2, "d2", marker, t3)
+    java.nio.file.Files.exists(t3) shouldBe false
+  }
+
   test("headSnapshot resolves the head pointer, falls back to a " +
       "covering checkpoint on a fully-pruned log, and is None when " +
       "empty") {

@@ -165,6 +165,49 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkTest {
     ops.Caches.drain()
   }
 
+  test("standing-table publication law: racing builders publish " +
+      "exactly once through the commit log, the loser attaches to the " +
+      "winner's snapshot, and vacuum reclaims only aged staging") {
+    val sp = spark
+    val root = graft.io.Scratch.sub("standing_law_spec")
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(p: String): Unit = {
+      built.incrementAndGet()
+      Thread.sleep(200) // widen the race window
+      sp.range(100).toDF("x").write.mode("overwrite").parquet(p)
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val paths = try {
+      Await.result(Future.sequence(Seq(
+        Future(ops.Caches.durableStanding(root, "law", sf)(build)),
+        Future(ops.Caches.durableStanding(root, "law", sf)(build)))),
+        Duration.Inf)
+    } finally pool.shutdown()
+    // both callers resolve the SAME committed snapshot (the loser's
+    // staging was reaped; at most one version exists)
+    paths.distinct should have size 1
+    sp.read.parquet(paths.head).count() shouldBe 100
+    val slug = new java.io.File(paths.head).getParentFile.getPath
+    graft.io.CommitLog.currentVersion(slug) shouldBe 0
+    // both may have BUILT (the race), but exactly one published; a
+    // third call attaches without building
+    val b = built.get()
+    ops.Caches.durableStanding(root, "law", sf)(build)
+    built.get() shouldBe b
+    // crash residue (a staged dir never committed): inside retention a
+    // vacuum leaves it; past retention it reaps — committed snapshots
+    // are never touched
+    val orphan = java.nio.file.Paths.get(slug, "t_deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    ops.Caches.vacuumStanding(root) shouldBe empty
+    ops.Caches.vacuumStanding(root, olderThanMs = 0L)
+      .exists(_.endsWith("t_deadbeef")) shouldBe true
+    java.nio.file.Files.exists(orphan) shouldBe false
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(paths.head)) shouldBe true
+  }
+
   test("index-maintenance law: concurrent extends with overlapping " +
       "arrivals encode every vector exactly once through the commit " +
       "log; compact folds deltas; vacuum honors retention") {
