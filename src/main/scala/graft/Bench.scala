@@ -100,10 +100,16 @@ object Bench {
           "for i in range(8000000):\n s+=i*i%7\n" +
           "print('%.3f' % (time.time()-t))")
         .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      if (p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS) &&
-          p.exitValue() == 0) out.toDouble else -1.0
+      // waitFor BEFORE reading: draining stdout to EOF first would make
+      // the timeout dead code (a stdin-blocked python3 shim never
+      // closes its pipe, hanging the bench at startup where the -1.0
+      // fallback can't fire). The one-line output fits the pipe
+      // buffer, so reading after exit loses nothing.
+      if (!p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); -1.0
+      } else if (p.exitValue() != 0) -1.0
+      else new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toDouble
     } catch { case _: Throwable => -1.0 }
 
   private def f3(v: Double): String =

@@ -67,23 +67,35 @@ object CommitLog {
   private def pointer(root: String, v: Int): Path =
     commitsDir(root).resolve(f"v$v%08d")
 
+  /** Read-only listing of the commits dir's entry names. Reads must
+    * not MUTATE: [[commitsDir]] creates the directory (right for the
+    * write paths), but a reader probing a root that has never
+    * committed — `Caches.vacuumStanding` walking arbitrary dirs under
+    * a shared standing root, a query resolving a legacy pre-log
+    * layout — would otherwise scatter empty `commits/` dirs into
+    * directories it doesn't own.
+    */
+  private def listCommitNames(root: String): Seq[String] = {
+    val d = Paths.get(root, "commits")
+    if (!Files.isDirectory(d)) return Seq.empty
+    val it = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala.map(_.getFileName.toString).toSeq
+    } finally it.close()
+  }
+
   /** Highest committed version, or -1 for an empty log. Floors at the
     * latest checkpoint: a fully-pruned log (every pointer covered by
     * the checkpoint) must still tell appenders where the sequence
     * continues.
     */
-  def currentVersion(root: String): Int = {
-    val it = Files.list(commitsDir(root))
-    try {
-      import scala.jdk.CollectionConverters._
-      it.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => (n.startsWith("v") || n.startsWith("c")) &&
-          !n.endsWith(".tmp"))
-        .map(n => n.drop(1).toInt)
-        .foldLeft(-1)(math.max)
-    } finally it.close()
-  }
+  def currentVersion(root: String): Int =
+    listCommitNames(root)
+      .filter(n => (n.startsWith("v") || n.startsWith("c")) &&
+        !n.endsWith(".tmp"))
+      .map(n => n.drop(1).toInt)
+      .foldLeft(-1)(math.max)
 
   /** The log in version order: (version, data directory it adds).
     * Enumerates the pointers that EXIST rather than assuming density —
@@ -98,15 +110,10 @@ object CommitLog {
     // pointer means a re-list now resolves through the checkpoint)
     var attempt = 0
     while (true) {
-      val it = Files.list(commitsDir(root))
-      val vs = try {
-        import scala.jdk.CollectionConverters._
-        it.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
-          .map(n => n.drop(1).toInt)
-          .toSeq.sorted
-      } finally it.close()
+      val vs = listCommitNames(root)
+        .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
+        .map(n => n.drop(1).toInt)
+        .sorted
       try {
         return vs.map { v =>
           v -> new String(Files.readAllBytes(pointer(root, v)),
@@ -157,15 +164,10 @@ object CommitLog {
   private def latestCheckpointRaw(root: String): Option[(Int, String)] = {
     var attempt = 0
     while (attempt <= 16) {
-      val it = Files.list(commitsDir(root))
-      val cs = try {
-        import scala.jdk.CollectionConverters._
-        it.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => n.startsWith("c") && !n.endsWith(".tmp"))
-          .map(n => n.drop(1).toInt)
-          .toSeq.sorted(Ordering.Int.reverse)
-      } finally it.close()
+      val cs = listCommitNames(root)
+        .filter(n => n.startsWith("c") && !n.endsWith(".tmp"))
+        .map(n => n.drop(1).toInt)
+        .sorted(Ordering.Int.reverse)
       if (cs.isEmpty) return None
       // read ONLY the newest marker: an older one from the same
       // listing may pair a stale snapshot with pointers the newer
@@ -269,8 +271,8 @@ object CommitLog {
     // and its post-check for as long as the log takes to advance
     // `lineageRetain` versions (micro-seconds of code, hundreds of
     // commits — size retain to the deployment's suspension SLA).
-    val prevRaw = latestCheckpointRaw(root)
     val gathered = versions(root).filter(_._1 <= upTo).toMap
+    val prevRaw = latestCheckpointRaw(root)
     val prevLineage = prevRaw.map(r => markerLineage(r._2))
       .getOrElse(Map.empty)
     val prevFloor = prevRaw.map(r => markerFloor(r._2)).getOrElse(-1)

@@ -339,52 +339,36 @@ object Pq {
       n.startsWith("cells_v") || n.startsWith("cellsdelta_v") ||
       n.startsWith("idbloom_v")
 
-  /** One-version-grace reclamation of SUPERSEDED index history: reaps
-    * dirs referenced by some committed manifest but rotated out of the
-    * last two (in-flight searches pin at most one swap behind).
-    * Never-referenced dirs are NOT touched — a concurrent committer's
-    * staged dirs are indistinguishable from crash residue by age
-    * (see [[Selection.reapUnreferenced]]); those go through the
-    * operator-invoked [[vacuumIndex]].
+  /** Every committed manifest's dir names, in version order — the
+    * caller-side half of the shared [[graft.io.StateGc]] policy.
     */
-  private def reapUnreferencedIndex(indexRoot: String): Unit = {
-    val manifests = graft.io.CommitLog.versions(indexRoot)
+  private def committedDirNames(indexRoot: String): Seq[Seq[String]] =
+    graft.io.CommitLog.versions(indexRoot)
       .map(v => scala.util.Try(IndexManifest.parse(v._2)))
-      .collect { case scala.util.Success(m) => m }
-    if (manifests.isEmpty) return
-    val keep = manifests.takeRight(2).flatMap(_.dirNames).toSet
-    val everReferenced = manifests.flatMap(_.dirNames).toSet
-    Option(new java.io.File(indexRoot).listFiles())
-      .getOrElse(Array.empty[java.io.File]).foreach { f =>
-        val n = f.getName
-        if (indexStateDirPattern(n) && everReferenced.contains(n) &&
-            !keep.contains(n))
-          graft.io.Scratch.reap(f.getPath)
-      }
-  }
+      .collect { case scala.util.Success(m) => m.dirNames }
+
+  /** One-version-grace reclamation of SUPERSEDED index history —
+    * policy in [[graft.io.StateGc.reapSuperseded]]; never-referenced
+    * dirs go through the operator-invoked [[vacuumIndex]].
+    */
+  private def reapUnreferencedIndex(indexRoot: String): Unit =
+    graft.io.StateGc.reapSuperseded(indexRoot,
+      committedDirNames(indexRoot), indexStateDirPattern)
 
   /** Reclaims never-referenced index dirs (staged by a run that died
-    * before its CAS). Operator-invoked with an explicit retention —
-    * the caller asserts no maintenance job older than `olderThanMs` is
-    * still staging against this root (the lakehouse VACUUM contract,
-    * exactly [[Selection.vacuumDedupState]]). Returns reaped names.
+    * before its CAS) — policy in [[graft.io.StateGc.vacuum]]. The
+    * referenced set includes the LIVE manifest's dirs: on a
+    * built-but-never-maintained root the commit log is still empty
+    * (migration happens on the first extend/compact) and the legacy
+    * `codes`/`cells`/`idbloom` dirs ARE the index — a vacuum must
+    * never age the live tables into "crash residue".
     */
   def vacuumIndex(indexRoot: String,
-      olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
-    val everReferenced = graft.io.CommitLog.versions(indexRoot)
-      .map(v => scala.util.Try(IndexManifest.parse(v._2)))
-      .collect { case scala.util.Success(m) => m }
-      .flatMap(_.dirNames).toSet
-    val now = System.currentTimeMillis()
-    Option(new java.io.File(indexRoot).listFiles())
-      .getOrElse(Array.empty[java.io.File]).toSeq
-      .filter { f =>
-        indexStateDirPattern(f.getName) &&
-          !everReferenced.contains(f.getName) &&
-          now - f.lastModified() > olderThanMs
-      }
-      .map { f => graft.io.Scratch.reap(f.getPath); f.getName }
-  }
+      olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
+    graft.io.StateGc.vacuum(indexRoot,
+      committedDirNames(indexRoot).flatten.toSet ++
+        liveIndexManifest(indexRoot).dirNames,
+      indexStateDirPattern, olderThanMs)
 
   /** COMPACTS the index — the maintenance job that follows a run of
     * nightly [[extendIndex]] commits, each of which lands its own
@@ -707,9 +691,14 @@ object Pq {
   // change-detection key: a SHA-256 of the sidecar, NOT the bytes —
   // retaining the blob strongly per root would pin an index-sized
   // array (2 GB per 1e9 ids) in driver heap beside the broadcast
-  // blocks for the JVM lifetime
+  // blocks for the JVM lifetime. The owning SparkContext rides along:
+  // a handle minted by a since-stopped context must never be served to
+  // a successor session in the same JVM (same root, unchanged digest —
+  // the probe job would fail on the dead handle), so a context
+  // mismatch re-broadcasts.
   private val idBloomBcCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Byte], org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+    String, (Array[Byte], org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
 
   private def sha256(bytes: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
@@ -744,14 +733,18 @@ object Pq {
     // serving session never accumulates index-sized blobs in the
     // block manager.
     val bloomDigest = sha256(bloom)
+    val sc = spark.sparkContext
     val bloomBc = idBloomBcCache.compute(indexRoot, (_, prev) =>
-      if (prev != null && java.util.Arrays.equals(prev._1, bloomDigest))
+      if (prev != null && java.util.Arrays.equals(prev._1, bloomDigest)
+          && (prev._2 eq sc))
         prev
       else {
-        if (prev != null)
-          scala.util.Try(prev._2.unpersist(blocking = false))
-        (bloomDigest, spark.sparkContext.broadcast(bloom))
-      })._2
+        // only unpersist a handle this LIVE context owns — a dead
+        // context's blocks are gone with it
+        if (prev != null && (prev._2 eq sc))
+          scala.util.Try(prev._3.unpersist(blocking = false))
+        (bloomDigest, sc, sc.broadcast(bloom))
+      })._3
     val maybe = embeddings
       .filter(graft.functions.BloomProbeBc.mightContain(bloomBc,
         xxhash64(col("vec_id"))))

@@ -327,55 +327,36 @@ object Selection {
       n.startsWith("fingerprints_v") || n.startsWith("novel_v") ||
       n.startsWith("bloom_v")
 
-  /** One-version-grace reclamation of SUPERSEDED history: reaps state
-    * dirs referenced by some committed manifest but rotated out of the
-    * last two (in-flight probes pin at most one swap behind).
-    * Never-referenced dirs are NOT touched here — a concurrent
-    * committer's staged-but-uncommitted dirs are indistinguishable
-    * from crash residue by any age heuristic (staging a corpus-scale
-    * rewrite can outlast any grace while its dir mtime sits frozen),
-    * and deleting them hands the CAS winner a manifest of reaped
-    * paths. Crash residue is reclaimed by the OPERATOR-invoked
-    * [[vacuumDedupState]] instead — the lakehouse VACUUM discipline.
+  /** Every committed manifest's dir names, in version order — the
+    * caller-side half of the shared [[graft.io.StateGc]] policy
+    * (superseded-history reap + crash-residue VACUUM; the why of the
+    * split lives there).
     */
-  private def reapUnreferenced(root: String): Unit = {
-    val manifests = graft.io.CommitLog.versions(root)
+  private def committedDirNames(root: String): Seq[Seq[String]] =
+    graft.io.CommitLog.versions(root)
       .map(v => scala.util.Try(StateManifest.parse(v._2)))
-      .collect { case scala.util.Success(m) => m }
-    if (manifests.isEmpty) return
-    val keep = manifests.takeRight(2).flatMap(_.dirNames).toSet
-    val everReferenced = manifests.flatMap(_.dirNames).toSet
-    Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File]).foreach { f =>
-        val n = f.getName
-        if (stateDirPattern(n) && everReferenced.contains(n) &&
-            !keep.contains(n))
-          graft.io.Scratch.reap(f.getPath)
-      }
-  }
+      .collect { case scala.util.Success(m) => m.dirNames }
+
+  private def reapUnreferenced(root: String): Unit =
+    graft.io.StateGc.reapSuperseded(root, committedDirNames(root),
+      stateDirPattern)
 
   /** Reclaims never-referenced state dirs (staged by a run that died
     * before its CAS). Operator-invoked with an explicit retention —
     * the caller asserts no maintenance job older than `olderThanMs`
     * is still staging against this root, exactly the contract of a
-    * lakehouse VACUUM. Returns the reaped dir names.
+    * lakehouse VACUUM ([[graft.io.StateGc.vacuum]]). The referenced
+    * set includes the LIVE manifest's dirs, so a legacy root whose
+    * build predates the commit log (empty log, fixed dir names) never
+    * has its live tables aged into "crash residue". Returns the
+    * reaped dir names.
     */
   def vacuumDedupState(root: String,
-      olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
-    val everReferenced = graft.io.CommitLog.versions(root)
-      .map(v => scala.util.Try(StateManifest.parse(v._2)))
-      .collect { case scala.util.Success(m) => m }
-      .flatMap(_.dirNames).toSet
-    val now = System.currentTimeMillis()
-    Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File]).toSeq
-      .filter { f =>
-        stateDirPattern(f.getName) &&
-          !everReferenced.contains(f.getName) &&
-          now - f.lastModified() > olderThanMs
-      }
-      .map { f => graft.io.Scratch.reap(f.getPath); f.getName }
-  }
+      olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
+    graft.io.StateGc.vacuum(root,
+      committedDirNames(root).flatten.toSet ++
+        liveManifest(root).dirNames,
+      stateDirPattern, olderThanMs)
 
   /** COMPACTS the fingerprint state — the maintenance job after a run
     * of nightly [[extendDedupState]] absorbs, each landing its own
@@ -444,7 +425,8 @@ object Selection {
     * broadcast is fetched once per executor and parsed once per JVM.
     */
   private val bloomBcCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+    String, (org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
 
   private def bloomBcOf(spark: SparkSession, path: String)
       : org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
@@ -454,9 +436,13 @@ object Selection {
     // handles become GC-collectable and Spark's ContextCleaner
     // reclaims their blocks once every consumer is done.
     if (bloomBcCache.size > 64) bloomBcCache.clear()
-    bloomBcCache.computeIfAbsent(path, { _ =>
-      spark.sparkContext.broadcast(readBloom(spark, path)._1)
-    })
+    // the owning SparkContext rides along: a handle minted by a
+    // since-stopped context (same JVM, successor session reading the
+    // same versioned bloom path) is dead — rebroadcast on mismatch
+    val sc = spark.sparkContext
+    bloomBcCache.compute(path, (_, prev) =>
+      if (prev != null && (prev._1 eq sc)) prev
+      else (sc, sc.broadcast(readBloom(spark, path)._1)))._2
   }
 
   private def probeDedupStateAt(spark: SparkSession, root: String,

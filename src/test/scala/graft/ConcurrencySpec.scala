@@ -264,4 +264,41 @@ class ConcurrencySpec extends AnyFunSuite with Matchers with SparkTest {
     new java.io.File(s"$root/${m.codes}").exists() shouldBe true
     ops.Caches.drain()
   }
+
+  test("pre-migration vacuum law: on a built-but-never-maintained " +
+      "root (empty commit log) the LIVE legacy dirs are never aged " +
+      "into crash residue — vacuum at zero retention reaps nothing") {
+    // The hole this pins: migration to the commit log happens on the
+    // FIRST extend/compact, so a freshly built index has an empty log.
+    // A vacuum that derives its referenced set from committed
+    // manifests alone sees everything as never-referenced and — past
+    // retention — deletes the live codes/cells/idbloom, destroying
+    // the index. The referenced set must include the LIVE manifest.
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = graft.io.Scratch.sub("premigrate_vacuum_spec") + "/index"
+    val emb = sp.range(64).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), " +
+        "j -> cast(sin(id * 131 + j) as float))").as("embedding"))
+    llm.Pq.buildIvfPqTrained(sp, root, emb, k = 4, m = 4, kb = 4,
+      iters = 0)
+    graft.io.CommitLog.currentVersion(root) shouldBe -1
+    llm.Pq.vacuumIndex(root, olderThanMs = 0L) shouldBe empty
+    Seq("codes", "cells", "idbloom").foreach(d =>
+      new java.io.File(s"$root/$d").exists() shouldBe true)
+    // the index still searches after the vacuum
+    llm.Pq.ivfPqTop3FromIndex(sp, root, emb, nProbes = 2,
+      probeCells = 2).count() should be > 0L
+    // the dedup-state twin: simulate a pre-log legacy root by
+    // removing the build's commit log — the live legacy layout
+    // (fixed `fingerprints` name) must survive a zero-retention
+    // vacuum the same way
+    val sroot = graft.io.Scratch.sub("premigrate_vacuum_spec") + "/state"
+    llm.Selection.buildDedupStateAt(sp, sf, sroot)
+    graft.io.Scratch.reap(s"$sroot/commits")
+    llm.Selection.vacuumDedupState(sroot, olderThanMs = 0L)
+      .contains("fingerprints") shouldBe false
+    new java.io.File(s"$sroot/fingerprints").exists() shouldBe true
+    ops.Caches.drain()
+  }
 }
