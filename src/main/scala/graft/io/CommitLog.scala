@@ -211,11 +211,16 @@ object CommitLog {
 
   /** The marker's lineage floor: every slot ≤ this version has had its
     * lineage evicted by retention. -1 on markers that retain
-    * everything (including pre-retention legacy markers).
+    * everything — pre-retention legacy markers, and a marker whose
+    * floor line is malformed (degrade like [[markerLineage]]'s digit
+    * guard: a corrupt floor must not wedge every later checkpoint
+    * and covered-slot verdict on a parse exception).
     */
   private def markerFloor(content: String): Int =
     content.linesIterator.drop(1).collectFirst {
-      case ln if ln.startsWith("floor\t") => ln.drop(6).trim.toInt
+      case ln if ln.startsWith("floor\t") &&
+          ln.drop(6).trim.nonEmpty && ln.drop(6).trim.forall(_.isDigit) =>
+        ln.drop(6).trim.toInt
     }.getOrElse(-1)
 
   /** Publishes a CHECKPOINT covering versions 0..upTo and prunes their
@@ -292,13 +297,27 @@ object CommitLog {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally Files.deleteIfExists(tmp)
     if (won) {
-      (0 to upTo).foreach(v => Files.deleteIfExists(pointer(root, v)))
-      // superseded checkpoint markers prune too — a periodically-
-      // checkpointing writer (the streaming CLI) must not grow one
-      // marker per batch; latestCheckpoint takes the max, so removing
-      // older markers is invisible to readers
-      (0 until upTo).foreach(v =>
-        Files.deleteIfExists(commitsDir(root).resolve(f"c$v%08d")))
+      // prune exactly the entries that EXIST (one listing, O(live)
+      // deletes) rather than sweeping 0..upTo — a per-micro-batch
+      // checkpointing stream at version N would otherwise issue ~2N
+      // deleteIfExists calls per batch (O(n²) metadata ops over its
+      // life, the same cost profile lineage retention just removed
+      // from the markers). Listing also cleans crash residue a
+      // "start after the previous checkpoint" bound would leak: a
+      // checkpointer that died between its link and its prune leaves
+      // covered pointers and a stale marker BELOW the previous
+      // checkpoint, and this walk still finds them.
+      // Superseded markers prune too — latestCheckpoint takes the
+      // max, so removing older markers is invisible to readers.
+      listCommitNames(root).foreach { n =>
+        if (!n.endsWith(".tmp") && n.length > 1 &&
+            n.drop(1).forall(_.isDigit)) {
+          val v = n.drop(1).toInt
+          if ((n.startsWith("v") && v <= upTo) ||
+              (n.startsWith("c") && v < upTo))
+            Files.deleteIfExists(commitsDir(root).resolve(n))
+        }
+      }
     }
     won
   }

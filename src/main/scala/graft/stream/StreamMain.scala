@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   *     [--source rate|files] [--dir /root/testdata/sf0.001]
   *     [--sink console|parquet] [--out outDir]
   *     [--watermark "10 seconds"] [--timeout-sec 30]
+  *     [--lineage-retain 256] [--lease-grace-ms 5000]
+  *
+  * A durable (`--sink parquet`) run holds a single-writer LEASE on
+  * `--out` for its lifetime (heartbeat file; see [[graft.io.Lease]]):
+  * a second CLI on the same root dies BEFORE touching the shared
+  * checkpoint, and a resume after kill -9 must wait out
+  * `--lease-grace-ms`.
   *
   * `--source files` streams the driver-generated events parquet through
   * the file source (one micro-batch per file); `rate` synthesizes events
@@ -93,11 +100,31 @@ object StreamMain {
     }
     val watermark = opts.getOrElse("--watermark", "10 seconds")
     val timeoutSec = opts.getOrElse("--timeout-sec", "30").toInt
+    // SINGLE-WRITER LEASE on the durable root, BEFORE anything touches
+    // the shared Spark checkpoint. The state-CAS split-brain guard
+    // arbitrates too late to protect the offset WAL: a second CLI's
+    // query can record an offset range nobody's surviving commits
+    // folded (and Spark's first-writer-wins WAL detection can kill
+    // BOTH queries), which a LATER resume trusts — the live race on
+    // one root reproduced a silently shifted fold exactly this way
+    // (caught by DevIvmAudit; see io.Lease). A second CLI now dies
+    // HERE, with the checkpoint untouched; resume after kill -9 waits
+    // out the grace.
+    val lease =
+      if (sink == "parquet")
+        Some(graft.io.Lease.acquire(s"$out/LEASE",
+          graceMs = opts.getOrElse("--lease-grace-ms", "5000").toLong))
+      else None
     // checkpoint-marker lineage retention (io.CommitLog): how many
     // recent slots keep their ownership record in every marker. The
     // 256 default is the production setting; endurance legs shrink it
     // to engage the floor within a short run.
     val lineageRetain = opts.getOrElse("--lineage-retain", "256").toInt
+    // fail fast instead of letting checkpoint() silently clamp to 1 —
+    // an operator who typed 0 or a negative would otherwise run with a
+    // one-version undecidable-verdict window they never configured
+    require(lineageRetain > 0,
+      s"--lineage-retain must be positive, got $lineageRetain")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))

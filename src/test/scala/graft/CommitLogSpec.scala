@@ -378,6 +378,12 @@ class CommitLogSpec extends AnyFunSuite with Matchers {
     // flat: snapshot line + floor line + ≤8 lineage lines, forever
     markerLines.max should be <= 10
     markerLines.takeRight(30).distinct.size shouldBe 1
+    // and the commits DIR is O(1) too: each checkpoint prunes exactly
+    // the entries that exist (never a 0..upTo sweep — that's O(n²)
+    // metadata calls over a per-batch-checkpointing stream's life), so
+    // after 60 commit+checkpoint rounds only the newest marker remains
+    java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "commits")).count() should be <= 2L
     // the retained window still answers ownership exactly
     CommitLog.checkpointLineage(root) shouldBe
       (52 to 59).map(v => v -> s"d$v").toMap
