@@ -72,14 +72,18 @@ object DevIndexMaint {
       case "extend" =>
         val rounds = opts.getOrElse("--rounds", "1").toInt
         (0 until rounds).foreach { r =>
+          val t0 = System.nanoTime()
           llm.Pq.extendIvfPqIndex(spark, root,
             fab(spark, seed + r * n, n))
-          println(s"[indexmaint] extend seed=$seed round $r done: " +
-            "head=" + graft.io.CommitLog.currentVersion(root))
+          println(f"[indexmaint] extend seed=$seed round $r done in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s: head=" +
+            graft.io.CommitLog.currentVersion(root))
         }
       case "compact" =>
+        val t0 = System.nanoTime()
         llm.Pq.compactIndex(spark, root, targetFiles = 4)
-        println(s"[indexmaint] compacted $root: manifest=" +
+        println(f"[indexmaint] compacted $root in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s: manifest=" +
           llm.Pq.liveIndexManifest(root).render)
       case "vacuum" =>
         val reaped = llm.Pq.vacuumIndex(root,
