@@ -45,7 +45,7 @@ case class BinomSf(first: Expression, second: Expression, third: Expression)
 
 object BinomSf {
   private val info = new ExpressionInfo(classOf[BinomSf].getName, "binom_sf")
-  private val builder = (children: Seq[Expression]) => {
+  private[functions] val builder = (children: Seq[Expression]) => {
     require(children.length == 3, "binom_sf(k, n, p) takes 3 arguments")
     BinomSf(children(0), children(1), children(2))
   }
@@ -61,10 +61,13 @@ object BinomSf {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // reuse the arity-checked builder: a bare children(2) turns a
+    // wrong-arity SELECT binom_sf(1, 2) into an IndexOutOfBounds
+    // instead of the "takes 3 arguments" message the register path
+    // gives for the same mistake
     ext.injectFunction((FunctionIdentifier("binom_sf"),
       new ExpressionInfo(classOf[BinomSf].getName, "binom_sf"),
-      (children: Seq[Expression]) =>
-        BinomSf(children(0), children(1), children(2))))
+      BinomSf.builder))
     // whole-operator route: the as-of join planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer-rule route: marker-hinted band-join bin rewrite
@@ -73,6 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // for window functions: see EmaWindow.emaCents)
     ext.injectFunction((FunctionIdentifier("ema_cents"),
       new ExpressionInfo(classOf[EmaCents].getName, "ema_cents"),
-      (children: Seq[Expression]) => EmaCents(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "ema_cents(x) takes 1 argument")
+        EmaCents(children.head)
+      }))
   }
 }

@@ -30,8 +30,14 @@ case class BloomMightContainBc(bf: Broadcast[Array[Byte]],
     child: Expression) extends UnaryExpression with Predicate {
   override def nullable: Boolean = child.nullable
 
-  def test(h: Long): Boolean =
-    BloomProbeCache.get(bf).mightContainLong(h)
+  // resolved ONCE per deserialized expression instance (= per task):
+  // the per-JVM cache behind BloomProbeCache is a synchronized map,
+  // and hitting it per ROW would serialize every scan task in the
+  // executor on one monitor in the middle of the codegen'd hot loop
+  @transient private lazy val filter: BloomFilter =
+    BloomProbeCache.get(bf)
+
+  def test(h: Long): Boolean = filter.mightContainLong(h)
 
   protected override def nullSafeEval(h: Any): Any =
     test(h.asInstanceOf[Long])

@@ -22,10 +22,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * state unchanged (outer IsNull guard — a null x neither resets nor
   * poisons the state).
   */
-case class EmaCents(child: Expression) extends AggregateWindowFunction {
+case class EmaCents(child: Expression) extends AggregateWindowFunction
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = LongType
   override def prettyName: String = "ema_cents"
+  // declared input contract: ints widen via the implicit cast, a
+  // double/string input fails analysis with "ema_cents(x BIGINT)"
+  // instead of a type-mismatch on the synthesized If/ShiftRight
+  // internals the user never wrote
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   private lazy val ema =
     AttributeReference("ema", LongType, nullable = true)()
@@ -61,5 +67,8 @@ object EmaWindow {
   /** Imperative registration for an existing session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ema_cents", children => EmaCents(children.head), "built-in")
+      "ema_cents", { children =>
+        require(children.length == 1, "ema_cents(x) takes 1 argument")
+        EmaCents(children.head)
+      }, "built-in")
 }

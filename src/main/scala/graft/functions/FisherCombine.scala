@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.commons.math3.distribution.ChiSquaredDistribution
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -25,9 +24,16 @@ object FisherCombine extends Aggregator[Double, Long, Double] {
   override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 
-  /** Combined p-value: P[χ²(2k) ≥ stat]. Driver/executor-safe pure fn. */
+  /** Combined p-value: P[χ²(2k) ≥ stat]. Driver/executor-safe pure fn.
+    * Computed as the regularized upper gamma Q(k, stat/2) — the
+    * survival function DIRECTLY, not 1 − CDF: the subtraction
+    * cancels to exactly 0.0 once the CDF rounds to 1 (k=20 p-values
+    * of ~1e-10 give stat ≈ 921 and a true tail of ~1e-160), which
+    * collapses every strongly-significant group into an
+    * indistinguishable tie and breaks downstream ranking/BH.
+    */
   def pValue(stat: Double, k: Long): Double =
-    if (k <= 0) 1.0
-    else 1.0 - new ChiSquaredDistribution(2.0 * k)
-      .cumulativeProbability(stat)
+    if (k <= 0 || stat <= 0.0) 1.0
+    else org.apache.commons.math3.special.Gamma
+      .regularizedGammaQ(k.toDouble, stat / 2.0)
 }

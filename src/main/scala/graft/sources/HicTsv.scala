@@ -119,6 +119,13 @@ class HicTsvTable(tableSchema: StructType, props: Map[String, String])
       s"hic-tsv write: columns must be exactly " +
         s"${tableSchema.fieldNames.mkString(",")} in order " +
         s"(got ${info.schema().fieldNames.mkString(",")})")
+    // names alone let a type-mismatched frame write files the reader
+    // then rejects line-by-line — fail at plan time instead
+    require(info.schema().fields.map(_.dataType)
+        .sameElements(tableSchema.fields.map(_.dataType)),
+      s"hic-tsv write: column types must be " +
+        s"${tableSchema.fields.map(_.dataType.simpleString).mkString(",")}" +
+        s" (got ${info.schema().fields.map(_.dataType.simpleString).mkString(",")})")
     new HicTsvWriteBuilder(info.schema(), path, info.queryId())
   }
 }
@@ -209,11 +216,31 @@ class HicTsvMicroBatchStream(fullSchema: StructType,
   override def latestOffset(): Offset = sys.error(
     "latestOffset(start, limit) is the entry point") // not reached:
   // Spark calls the SupportsAdmissionControl form below when implemented
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+  }
+  // honor the PASSED limit, not the option: Trigger.AvailableNow wraps
+  // the source and probes latestOffset(initial, allAvailable()) ONCE
+  // to fix its terminal offset — capping that at maxFilesPerTrigger
+  // would make the query read the first N files, report success, and
+  // silently strand the rest. The throttle is advertised through
+  // getDefaultReadLimit and arrives here as ReadMaxFiles on normal
+  // triggers.
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset =
+      : Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxFiles}
+    val cap = limit match {
+      case _: ReadAllAvailable => None
+      case m: ReadMaxFiles => Some(m.maxFiles())
+      case _ => maxFilesPerTrigger
+    }
     HicTsvOffset.advance(start.asInstanceOf[HicTsvOffset], listFiles(),
-      maxFilesPerTrigger)
+      cap)
+  }
   override def initialOffset(): Offset = HicTsvOffset(Nil)
   override def deserializeOffset(json: String): Offset =
     HicTsvOffset.fromJson(json)
@@ -319,7 +346,19 @@ class HicTsvReader(fullSchema: StructType, required: StructType,
     * descriptive failure under failfast.
     */
   private def parseLine(line: String): Boolean = {
-    val cols = line.split('\t')
+    // limit -1: keep TRAILING empty fields (an empty nullable last
+    // column is a valid line; the default split would drop it and
+    // false-positive the count check below)
+    val cols = line.split("\t", -1)
+    // failfast's contract is to SURFACE malformed input: a truncated
+    // line (missing trailing columns would otherwise read as empty →
+    // null) or an extra-column line (fields silently dropped) is
+    // structurally wrong even when every parsed field happens to be
+    // valid. permissive keeps the lenient missing-trailing behavior.
+    if (!permissive && cols.length != fullSchema.length)
+      throw new RuntimeException(
+        s"hic-tsv: expected ${fullSchema.length} columns, got " +
+          s"${cols.length} in $file: '$line'")
     var i = 0
     while (i < neededIdx.length) {
       val f = neededIdx(i)
@@ -342,7 +381,11 @@ class HicTsvReader(fullSchema: StructType, required: StructType,
             case LongType => java.lang.Long.valueOf(s)
             case IntegerType => java.lang.Integer.valueOf(s)
             case DoubleType => java.lang.Double.valueOf(s)
-            case _ => s
+            // convert ONCE at parse: both the pushed string predicates
+            // and the materialized row want UTF8String, so converting
+            // here makes the per-row filter loop allocation-free and
+            // the materialize a plain copy
+            case _ => UTF8String.fromString(s)
           } catch {
             case e: NumberFormatException =>
               if (permissive) return false
@@ -363,10 +406,7 @@ class HicTsvReader(fullSchema: StructType, required: StructType,
           val out = new GenericInternalRow(outIdx.length)
           var j = 0
           while (j < outIdx.length) {
-            out(j) = parsed(outIdx(j)) match {
-              case s: String => UTF8String.fromString(s)
-              case v => v
-            }
+            out(j) = parsed(outIdx(j)) // strings already UTF8String
             j += 1
           }
           row = out
@@ -411,7 +451,14 @@ object HicTsvFilters {
 
   def compile(schema: StructType, f: Filter): Array[Any] => Boolean = {
     val idx = schema.fieldNames.zipWithIndex.toMap
-    def cmp(attr: String, value: Any): Array[Any] => Option[Int] = {
+    // allocation-free per-row path: this closure runs once per LINE per
+    // predicate of a scan built for 100 TB inputs, so no Option
+    // wrapping and no per-row string re-wraps — null handling is an
+    // inline check (SQL semantics: comparisons against null are not
+    // satisfied), and the comparison test is taken as a function of
+    // the primitive compare result.
+    def cmp(attr: String, value: Any,
+        test: Int => Boolean): Array[Any] => Boolean = {
       val i = idx(attr)
       schema(i).dataType match {
         case LongType | IntegerType =>
@@ -420,40 +467,45 @@ object HicTsvFilters {
             case n: java.lang.Integer => n.longValue
             case other => sys.error(s"hic-tsv: bad literal $other")
           }
-          row => Option(row(i)).map(x =>
-            java.lang.Long.compare(x match {
+          row => {
+            val x = row(i)
+            x != null && test(java.lang.Long.compare(x match {
               case l: java.lang.Long => l.longValue
               case n: java.lang.Integer => n.longValue
             }, v))
+          }
         case DoubleType =>
           val v = value.asInstanceOf[Number].doubleValue
-          row => Option(row(i)).map(x =>
-            java.lang.Double.compare(
+          row => {
+            val x = row(i)
+            x != null && test(java.lang.Double.compare(
               x.asInstanceOf[Number].doubleValue, v))
+          }
         case StringType =>
           // Spark orders strings by UTF-8 BINARY order; java.lang.String
           // compareTo is UTF-16 code-unit order, and the two disagree on
           // supplementary-plane characters. Pushed filters are exactly
           // trusted (removed from the post-scan Filter), so range
-          // predicates must compare in Spark's own collation.
+          // predicates must compare in Spark's own collation. The parse
+          // already materialized UTF8String, so this is compare-only.
           val v = org.apache.spark.unsafe.types.UTF8String
             .fromString(value.toString)
-          row => Option(row(i)).map(x =>
-            org.apache.spark.unsafe.types.UTF8String
-              .fromString(x.asInstanceOf[String]).compareTo(v))
+          row => {
+            val x = row(i)
+            x != null && test(x.asInstanceOf[
+              org.apache.spark.unsafe.types.UTF8String].compareTo(v))
+          }
         case other => sys.error(s"hic-tsv: unfilterable type $other")
       }
     }
     f match {
-      case EqualTo(a, v) => val c = cmp(a, v); r => c(r).contains(0)
-      case GreaterThan(a, v) => val c = cmp(a, v); r => c(r).exists(_ > 0)
-      case GreaterThanOrEqual(a, v) =>
-        val c = cmp(a, v); r => c(r).exists(_ >= 0)
-      case LessThan(a, v) => val c = cmp(a, v); r => c(r).exists(_ < 0)
-      case LessThanOrEqual(a, v) =>
-        val c = cmp(a, v); r => c(r).exists(_ <= 0)
+      case EqualTo(a, v) => cmp(a, v, _ == 0)
+      case GreaterThan(a, v) => cmp(a, v, _ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v, _ >= 0)
+      case LessThan(a, v) => cmp(a, v, _ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v, _ <= 0)
       case In(a, vs) =>
-        val cs = vs.map(cmp(a, _)); r => cs.exists(_(r).contains(0))
+        val cs = vs.map(cmp(a, _, _ == 0)); r => cs.exists(_(r))
       case IsNotNull(a) => val i = idx(a); r => r(i) != null
       case IsNull(a) => val i = idx(a); r => r(i) == null
       case other => sys.error(s"hic-tsv: unpushable filter $other")
@@ -586,7 +638,18 @@ class HicTsvWriter(schema: StructType, staging: String,
         case LongType => sb.append(row.getLong(i))
         case IntegerType => sb.append(row.getInt(i))
         case DoubleType => sb.append(row.getDouble(i))
-        case _ => sb.append(row.getUTF8String(i).toString)
+        case _ =>
+          val s = row.getUTF8String(i).toString
+          // the format is headerless TSV with NO escaping (the
+          // reference surface): a tab or newline inside a value writes
+          // a row the reader re-parses shifted or split — refuse at
+          // write time instead of corrupting silently
+          if (s.indexOf('\t') >= 0 || s.indexOf('\n') >= 0 ||
+              s.indexOf('\r') >= 0)
+            sys.error(s"hic-tsv write: ${schema.fields(i).name} value " +
+              "contains a tab/newline, which this unescaped TSV format " +
+              s"cannot represent: '$s'")
+          sb.append(s)
       }
       i += 1
     }
@@ -645,14 +708,41 @@ class HicTsvStreamingWrite(schema: StructType, path: String,
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
     fs.mkdirs(p)
+    val staging = new Path(path, s"_streaming_epoch$epochId")
+    // EPOCH-level idempotency marker, written as the LAST step: the
+    // per-file exists-skip below deduplicates a replay only while the
+    // partitioning matches — a replayed epoch re-planned with a
+    // DIFFERENT partition count (restart with new shuffle.partitions
+    // inside the at-least-once window) stages the same rows under
+    // names the original never used, and file-grain skipping would
+    // rename them in as duplicates. The marker records "this epoch's
+    // rows are fully visible", so such a replay drops its staging
+    // wholesale. A crash between the last rename and the marker
+    // leaves the file-grain path, which is exact when the replay's
+    // partitioning matches — the narrower residual window is the
+    // generic no-atomic-multi-file-swap fault the batch commit also
+    // documents.
+    val marker = new Path(p, f"_committed-$runTag-$epochId%05d")
+    if (fs.exists(marker)) {
+      fs.delete(staging, true)
+      return
+    }
     messages.foreach { case m: HicTsvCommit =>
       val dst = new Path(p, m.fileName)
       if (fs.exists(dst)) fs.delete(new Path(m.staged), false)
       else if (!fs.rename(new Path(m.staged), dst))
         sys.error(s"hic-tsv streaming commit: cannot move ${m.staged}")
     }
-    val staging = new Path(path, s"_streaming_epoch$epochId")
     if (fs.exists(staging)) fs.delete(staging, true)
+    fs.create(marker, true).close()
+    // only the newest marker matters (the at-least-once window is one
+    // epoch deep) — reap this run's older ones so a long stream keeps
+    // O(1) marker files, not one per epoch
+    fs.listStatus(p).map(_.getPath).foreach { f =>
+      if (f.getName.startsWith(s"_committed-$runTag-") &&
+          f.getName < marker.getName)
+        fs.delete(f, false)
+    }
   }
 
   override def abort(epochId: Long,

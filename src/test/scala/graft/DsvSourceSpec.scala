@@ -265,6 +265,78 @@ class DsvSourceSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow reads the WHOLE backlog despite " +
+      "maxFilesPerTrigger (the passed ReadLimit wins, not the option)") {
+    // AvailableNow probes latestOffset(initial, allAvailable()) ONCE
+    // for its terminal offset: capping that at maxFilesPerTrigger made
+    // the query read the first N files, report success, and silently
+    // strand the rest — the worst kind of truncation.
+    val dir = graft.io.Scratch.sub("dsv_availnow")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    (1 to 5).foreach(i => java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"f$i.tsv"),
+      s"chr$i\t${i * 1000}\t1.0\n".getBytes("UTF-8")))
+    val name = s"dsvavailnow_${System.nanoTime()}"
+    val q = spark.readStream.format("hic-tsv").option("kind", "biases")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000) shouldBe true
+      spark.table(name).count() shouldBe 5 // every file, not the first 2
+    } finally q.stop()
+  }
+
+  test("failfast rejects wrong column COUNTS (truncated and " +
+      "extra-column lines), not just malformed fields; permissive " +
+      "keeps the lenient missing-trailing read") {
+    val dir = graft.io.Scratch.sub("dsv_colcount")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // biases schema is (chr string, mid long, bias double) = 3 cols
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.tsv"),
+      "chr1\t5000\t1.1\nchr2\t9000\n".getBytes("UTF-8")) // 2nd truncated
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("hic-tsv").option("kind", "biases").load(dir)
+        .count()
+    }
+    e.getCause.getMessage should include("expected 3 columns, got 2")
+    spark.read.format("hic-tsv").option("kind", "biases")
+      .option("mode", "permissive").load(dir).count() shouldBe 2
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.tsv"),
+      "chr1\t5000\t1.1\textra\n".getBytes("UTF-8")) // 4 columns
+    val e2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("hic-tsv").option("kind", "biases").load(dir)
+        .count()
+    }
+    e2.getCause.getMessage should include("expected 3 columns, got 4")
+  }
+
+  test("write refuses string values the unescaped TSV format cannot " +
+      "represent, and type-mismatched frames at plan time") {
+    import spark.implicits._
+    val dir = graft.io.Scratch.sub("dsv_badwrite")
+    val bad = Seq(("chr1\tX", 100L, 1.0)).toDF("chr", "mid", "bias")
+    val e = intercept[Exception] {
+      bad.write.format("hic-tsv").option("kind", "biases")
+        .mode("overwrite").save(dir)
+    }
+    e.getMessage + Option(e.getCause).fold("")(_.getMessage) should
+      include("cannot represent")
+    // Spark's own DSv2 analyzer rejects the unsafe cast first
+    // (CANNOT_SAFELY_CAST); the builder's type require is the
+    // defense-in-depth behind it — either way the write fails at plan
+    // time, before any file exists
+    val wrongType = Seq(("chr1", "100", 1.0)).toDF("chr", "mid", "bias")
+    val e2 = intercept[Exception] {
+      wrongType.write.format("hic-tsv").option("kind", "biases")
+        .mode("overwrite").save(dir)
+    }
+    (e2.getMessage.contains("column types must be") ||
+      e2.getMessage.contains("CANNOT_SAFELY_CAST")) shouldBe true
+  }
+
   test("string-range pushdown uses UTF-8 binary order on supplementary-plane chars") {
     // U+10348 (𐍈, 4-byte UTF-8, surrogate pair in UTF-16) vs U+FFFD:
     // UTF-16 code-unit order puts the surrogate pair (D800 DF48) BELOW
