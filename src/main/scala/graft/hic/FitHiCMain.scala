@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions.col
   * (SURVEY.md §3.1 Entry 1): gz-TSV in, gz-TSV out, pass-numbered output
   * names `<lib>.spline_pass<k>.res<r>.significances.txt.gz`.
   *
-  * Usage:
+  * Usage (bracketed values are the ACTUAL defaults — a doc default
+  * that diverges from the code silently changes the null model for
+  * anyone mirroring the reference pipeline):
   *   runMain graft.hic.FitHiCMain -i contacts.gz -f fragments.gz -o outdir
-  *     [-t biases.gz] [-r 5000] [-p 2] [-L 0] [-U 5000000] [-b 100]
+  *     [-t biases.gz] [-r 5000] [-p 1] [-L 0] [-U unbounded] [-b 100]
   *     [-m mappabilityThr] [-bL biasLow] [-bU biasUp] [-q qThreshold]
-  *     [-x intraOnly|interOnly|All] [-l libName]
+  *     [-x intraOnly|interOnly|All] [-l graft]
   */
 object FitHiCMain {
   def main(args: Array[String]): Unit = {
@@ -30,15 +32,32 @@ object FitHiCMain {
     * full CLI surface without `main` stopping their shared session).
     */
   def run(spark: SparkSession, args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("-") => k -> v
+    // strict flag/value pairing: sliding(2,2) on misaligned args (a
+    // stray valueless flag) silently re-pairs everything after it —
+    // '-f' becomes another flag's VALUE and the real -f vanishes.
+    // Fail with the shape of the mistake instead.
+    require(args.length % 2 == 0,
+      s"FitHiCMain: expected -flag value pairs, got ${args.length} " +
+        s"args: ${args.mkString(" ")}")
+    val opts = args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("-") &&
+          (!v.startsWith("-") || v.matches("-\\d.*")),
+          s"FitHiCMain: misaligned flag/value pair '$k $v'")
+        k -> v
     }.toMap
-    val contactsPath = opts("-i")
-    val fragsPath = opts("-f")
-    val outDir = opts("-o")
+    def req(flag: String): String = opts.getOrElse(flag,
+      sys.error(s"FitHiCMain: required flag $flag missing"))
+    val contactsPath = req("-i")
+    val fragsPath = req("-f")
+    val outDir = req("-o")
     val res = opts.getOrElse("-r", "5000").toLong
     val lib = opts.getOrElse("-l", "graft")
     val mode = opts.getOrElse("-x", "intraOnly")
+    // an unrecognized mode would match NEITHER dispatch branch below
+    // and the run would complete "successfully" with zero output
+    require(Set("intraOnly", "interOnly", "All").contains(mode),
+      s"FitHiCMain: -x must be intraOnly|interOnly|All, got '$mode'")
     val dflt = FitHiCConfig()
     val cfg = FitHiCConfig(
       nBins = opts.getOrElse("-b", "100").toInt,

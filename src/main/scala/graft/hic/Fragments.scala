@@ -48,9 +48,16 @@ object Fragments {
       resolution: Long): DataFrame = {
     import spark.implicits._
     chromSizes.toDF("chr", "size")
+      // sequence(start, stop, step>0) THROWS on start > stop, so a
+      // chromosome shorter than resolution/2 + 1 (chrM at 16.5 kb under
+      // a 50 kb grid) would crash the whole job; it gets ZERO bins —
+      // the DuckDB twin's generate_series(start > stop) = empty
+      // behavior, and explode drops the empty array
       .select(col("chr"),
-        explode(sequence(lit(resolution / 2),
-          col("size") - 1, lit(resolution))).as("mid"))
+        explode(when(col("size") - 1 >= lit(resolution / 2),
+          sequence(lit(resolution / 2), col("size") - 1,
+            lit(resolution)))
+          .otherwise(array().cast("array<bigint>"))).as("mid"))
       .select(col("chr"), lit(0L).as("extraField"), col("mid"),
         lit(0L).as("hitCount"), lit(1).as("mappable"))
   }

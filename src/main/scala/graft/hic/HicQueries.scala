@@ -169,13 +169,11 @@ object HicQueries {
         // scratch subdir (unique per call so concurrent runs never clobber
         // each other mid-read; reaped at JVM exit by graft.io.Scratch).
         val out = graft.io.Scratch.sub("csv_roundtrip")
-        val c = cachedView(spark, dir)
-        val frags = c.select(col("chr"), col("mid1").as("mid"),
-            col("contactCount"))
-          .unionByName(c.select(col("chr"), col("mid2").as("mid"),
-            col("contactCount")))
-          .groupBy("chr", "mid")
-          .agg(sum(col("contactCount")).as("hitCount"))
+        // fixture setup, not the path under test: the marginals are the
+        // standingFrags table (one parquet read) — re-deriving them here
+        // with a union + groupBy per run is exactly the redundant pass
+        // the standing memo exists to avoid
+        val frags = standingFrags(spark, dir)
           .select(col("chr"), lit(0L).as("extraField"), col("mid"),
             col("hitCount"), lit(1).as("mappable"))
         graft.io.Tsv.write(frags, out, graft.io.Tsv.fragmentSchema.fieldNames)
@@ -457,11 +455,17 @@ object HicQueries {
         // A15/A16: equal-occupancy bins → per-pair contact probability →
         // PAVA monotone non-increasing fit; ≤ nBins rows collected to the
         // driver (the single deliberate driver round-trip, SURVEY §3.2).
-        val f = ContactsView(spark, dir).filter(col("dist").between(L, U))
-          .persist()
-        val total = f.agg(sum(col("contactCount"))).first().getLong(0)
+        // registered (not manual-unpersist): a throw inside collectBins
+        // would otherwise pin the corpus-scale cache for the JVM life —
+        // drain() reclaims registered entries on every path
+        val f = graft.ops.Caches.register(
+          ContactsView(spark, dir).filter(col("dist").between(L, U))
+            .persist())
         val bins = Binning.collectBins(f, 100, keys)
-        f.unpersist()
+        // N = Σ sumCount over the equal-occupancy bins (they partition
+        // every row of f) — no separate full-table aggregate job, the
+        // Pipeline discipline
+        val total = bins.map(_.getAs[Long]("sumCount")).sum
         val (xs, raw, fit) = Spline.fitFromBins(bins, total)
         val out = bins.indices.map { i =>
           (bins(i).getAs[Int]("binIdx"), xs(i), raw(i), fit(i))
@@ -485,8 +489,10 @@ object HicQueries {
         val f = graft.ops.Caches.register(
           ContactsView(spark, dir).filter(col("dist").between(L, U))
             .persist())
-        val total = f.agg(sum(col("contactCount"))).first().getLong(0)
         val bins = Binning.collectBins(f, 100, keys)
+        // N from the bin stats (they partition f) — saves the separate
+        // full-table aggregate job, bit-identically
+        val total = bins.map(_.getAs[Long]("sumCount")).sum
         val (xs, _, fit) = Spline.fitFromBins(bins, total)
         val prior = graft.functions.SplineInterp.curve(xs, fit) _
         f.withColumn("prior", prior(col("dist").cast("double")))

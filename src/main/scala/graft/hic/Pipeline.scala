@@ -166,8 +166,12 @@ object Pipeline {
             biasMatFut = scala.concurrent.Future(bp.count())
             Contacts.withBiases(rangedPairs, bp, cfg.biasLow, cfg.biasUp)
         }
-        m = scala.concurrent.Await.result(mFut,
-          scala.concurrent.duration.Duration.Inf)
+        // settle the just-launched bias materialization if THIS await
+        // throws — the one await in the chain that previously unwound
+        // with biasMatFut still in flight (drain would unpersist bp
+        // under the detached count)
+        m = settleOnFailure(biasMatFut)(scala.concurrent.Await.result(
+          mFut, scala.concurrent.duration.Duration.Inf))
         // awaited so a failure on the eager-materialization thread can
         // never be silently dropped
         scala.concurrent.Await.result(biasMatFut,

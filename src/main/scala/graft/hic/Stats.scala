@@ -121,8 +121,17 @@ object Stats {
           q(i) = math.min(1.0, sm)
           i -= 1
         }
+        // single-array row build (the GlobalOrder discipline): this
+        // pass touches EVERY row of the scored table, and toSeq + :+
+        // pays several backing-array copies per row
+        val nBase = rows.headOption.map(_.length).getOrElse(0)
         rows.iterator.zipWithIndex.map { case (r, k) =>
-          Row.fromSeq(r.toSeq :+ q(k))
+          val vals = new Array[Any](nBase + 1)
+          var c = 0
+          while (c < nBase) { vals(c) = r.get(c); c += 1 }
+          vals(nBase) = q(k)
+          Row.fromSeq(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(vals))
         }
       }
     }

@@ -410,8 +410,13 @@ object Relational {
         // INVISIBLE, so the oracle runs the same aggregate on the
         // ORIGINAL table. File-count law (≥32 in, exactly 4 out) is
         // gated in PlanSpec.
-        val frag = graft.io.Scratch.stable("compact_frag")
-        val compact = graft.io.Scratch.stable("compact_out")
+        // per-call dirs, like every sibling sink query: a JVM-stable
+        // shared path with mode overwrite lets a concurrent invocation
+        // clobber a layout another query's returned (lazy) frame is
+        // still reading — FileNotFound at best, another corpus's rows
+        // at worst (ConcurrencySpec's serving contract)
+        val frag = graft.io.Scratch.sub("compact_frag")
+        val compact = graft.io.Scratch.sub("compact_out")
         Tables(spark, dir, "events")
           .repartition(64).write.mode("overwrite").parquet(frag)
         spark.read.parquet(frag).repartition(4)

@@ -236,6 +236,19 @@ class FragmentsSpec extends AnyFunSuite with Matchers with SparkTest {
       ("c1", 2500L), ("c1", 7500L), ("c1", 12500L), ("c1", 17500L),
       ("c2", 2500L))
   }
+
+  test("fixedSizeFragments: a chromosome shorter than resolution/2 " +
+      "yields ZERO bins, not a sequence-boundary crash") {
+    // chrM (16.5 kb) under a 50 kb grid is a routine real input:
+    // sequence(25000, 16570, 50000) throws on start > stop, so the
+    // guard must drop the chromosome instead of killing the job —
+    // matching the DuckDB twin's empty generate_series
+    val df = Fragments.fixedSizeFragments(spark,
+      Seq(("chr1", 120000L), ("chrM", 16571L)), 50000L)
+    import spark.implicits._
+    df.select("chr", "mid").as[(String, Long)].collect().toSet shouldBe
+      Set(("chr1", 25000L), ("chr1", 75000L))
+  }
 }
 
 class TsvSpec extends AnyFunSuite with Matchers with SparkTest {

@@ -469,7 +469,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTest {
 
   test("compaction: fragmented input ≥32 files, compacted output exactly 4") {
     Registry.all("q_sink_compaction").fn(spark, sf).count()
-    def parts(tag: String) = new java.io.File(io.Scratch.stable(tag))
+    // the query writes per-call dirs (tag_N under the scratch base) so
+    // concurrent invocations can't clobber each other — locate the
+    // newest generation of each tag
+    val base = new java.io.File(io.Scratch.sub("compaction_probe"))
+      .getParentFile
+    def parts(tag: String) = base.listFiles()
+      .filter(_.getName.startsWith(tag + "_")).maxBy(_.lastModified)
       .listFiles().count(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
     parts("compact_frag") should be >= 32
