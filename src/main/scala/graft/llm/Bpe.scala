@@ -56,7 +56,14 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
       .map { case (w, cnt) =>
-        (cnt, (w.map(_.toString) :+ EndOfWord): Seq[String])
+        // split by CODE POINT, not UTF-16 code unit: w.map(_.toString)
+        // would emit two unpaired-surrogate "symbols" for every
+        // astral-plane character (emoji, CJK extensions), diverging
+        // from the oracle's per-code-point substr and learning merges
+        // over malformed strings
+        val symbols = w.codePoints().toArray.toSeq
+          .map(cp => new String(Character.toChars(cp)))
+        (cnt, (symbols :+ EndOfWord): Seq[String])
       }
   }
 

@@ -168,8 +168,12 @@ object Dedup {
     * not #pairs.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame =
-    bandedHammingPairs(docs.withColumn("sim",
-      simhash64(split(col("text"), " "))), maxHamming)
+    // null-text guard like the sibling kernels (minhashPairs,
+    // ngramJaccardPairs): split(null) is null and the simhash UDF
+    // would NPE on it — a null-text doc has no signature and joins
+    // nothing
+    bandedHammingPairs(docs.filter(col("text").isNotNull)
+      .withColumn("sim", simhash64(split(col("text"), " "))), maxHamming)
 
   /** The banding + candidate-join + Hamming-verify leg of
     * [[simhashPairs]], over any (doc_id, sim: long) frame — split out so
@@ -254,8 +258,12 @@ object Dedup {
     // DISK_ONLY: the pair lineage (e.g. the n-gram inverted-index join) is
     // the expensive part — materialize it once for the count + (collect |
     // loop) instead of recomputing it per consumer
+    // cast ONCE for both branches: the driver path reads getLong and
+    // previously crashed on int-typed pair columns the distributed
+    // path's defensive cast accepted — a branch-dependent crash for
+    // the same data
     val pairList = graft.ops.Caches.register(
-      pairs.select(col("doc_a"), col("doc_b"))
+      pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     if (pairList.count() <= maxDriverEdges) {
       val collected = pairList.collect()
@@ -274,8 +282,8 @@ object Dedup {
     // narrow 8-way coalesce; edge count collapses geometrically with no
     // shuffle and no per-round action
     val floor = math.max(contractFloor, 1)
-    var cur = pairList.select(col("doc_a").cast("long"),
-      col("doc_b").cast("long")).as[(Long, Long)]
+    var cur = pairList.select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)] // already cast long at pairList
     var parts = cur.rdd.getNumPartitions
     while (parts > floor) {
       parts = math.max(parts / 8, floor)

@@ -113,6 +113,11 @@ object Kmeans {
 
   /** `iters` Lloyd rounds. Returns the final centroids and the final
     * assignment (vec_id, cluster, d² to the final centroid).
+    *
+    * NOTE: `Similarity.centroidsFromQuantized` is the IVF twin on a
+    * deliberately DIFFERENT numeric plane (double-valued means vs this
+    * path's [[meanQ]] integer re-quantization) — see its scaladoc; a
+    * trajectory-affecting change here must be weighed there too.
     */
   def lloyd(embeddings: DataFrame, k: Int, iters: Int)
       : (Array[Array[Long]], Dataset[(Long, Int, Long)]) = {

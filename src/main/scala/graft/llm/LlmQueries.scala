@@ -14,11 +14,6 @@ import graft.ops.Cols
   * float-sum order never matters.
   */
 object LlmQueries {
-  /** Quantized (×1e7) per-element products summed as BIGINT → exact. */
-  private val dotQ = "aggregate(zip_with(ea, eb, (x, y) -> " +
-    "cast(round(cast(x as double)*10000000, 0) as bigint) * " +
-    "cast(round(cast(y as double)*10000000, 0) as bigint)), " +
-    "0L, (acc, v) -> acc + v)"
   /** Quantized (×1e7) embedding → BIGINT array; the ONE Spark-side
     * quantization expression (shared with [[EmbedQueries]] — the constant
     * is oracle-parity-critical, so exactly one definition per side).
@@ -133,20 +128,26 @@ object LlmQueries {
   private def probeSims(spark: org.apache.spark.sql.SparkSession,
       dir: String, nProbes: Int) = {
     val e = Tables(spark, dir, "embeddings")
+    // quantize ONCE per row; the probe×corpus pair loop — the hot
+    // path — is the codegen'd CosineQuant primitive kernel, never the
+    // interpreted dotQ zip_with lambda (which re-quantized BOTH
+    // embeddings per PAIR — the measured 50×-class shape mrlTop3's
+    // comment documents). cosKernel computes the identical
+    // dot/√(na·nb) on the same ×1e7 integers, so values are
+    // bit-unchanged.
     val probes = broadcast(e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe"), col("embedding").as("ea"),
+      .select(col("vec_id").as("probe"), expr(quantArr).as("qa"),
         expr(normQ).as("na2"))
       .filter(col("na2") > 0))
     // zero-norm candidates excluded to match the oracle's sims CTE —
     // their NaN cosine would otherwise sort FIRST under desc and win
     // the kNN row_number
-    val cands = e.select(col("vec_id").as("nb"), col("embedding").as("eb"),
+    val cands = e.select(col("vec_id").as("nb"), expr(quantArr).as("qb"),
       expr(normQ).as("nb2"), col("label").as("nlabel"))
       .filter(col("nb2") > 0)
     probes.join(cands, col("probe") =!= col("nb"))
-      .withColumn("dot", expr(dotQ))
-      .withColumn("cos", col("dot").cast("double") /
-        sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+      .withColumn("cos", graft.functions.CosineQuant(
+        col("qa"), col("qb"), col("na2"), col("nb2")))
   }
 
   def queries: Map[String, Q] = Map(

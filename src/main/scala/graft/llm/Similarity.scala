@@ -200,6 +200,16 @@ object Similarity {
       .persist())
   }
 
+  /** Lloyd over the quantized plane with DOUBLE-valued means — a
+    * deliberately different numeric plane from [[Kmeans.lloyd]]'s
+    * integer re-quantized means ([[Kmeans.meanQ]]): this path feeds
+    * IVF bucketing, where float centroids are the standard shape and
+    * only the PARTITION (not the centroid values) affects results,
+    * while Kmeans' exact-integer trajectory is what makes its declared
+    * queries oracle-hashable. The two are NOT interchangeable — a
+    * numeric-headroom or tie-break change to one does not apply to the
+    * other; both sites carry this note.
+    */
   private def centroidsFromQuantized(
       typed: org.apache.spark.sql.Dataset[(Long, Int, Array[Long], Long)],
       k: Int, iters: Int): Array[Array[Double]] = {
