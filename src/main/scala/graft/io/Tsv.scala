@@ -43,7 +43,12 @@ object Tsv {
 
   private def read(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
+    // FAILFAST: the default PERMISSIVE mode turns a corrupt/truncated
+    // line into silent nulls despite the declared non-nullable schema
+    // (file sources don't enforce nullability), and a downstream agg
+    // then miscounts instead of failing at the read
     spark.read.schema(schema).option("sep", "\t").option("header", "false")
+      .option("mode", "FAILFAST")
       .csv(path)
 
   def readFragments(spark: SparkSession, path: String): DataFrame =

@@ -27,6 +27,19 @@ import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
   * broadcast-everything loop, and interval rows fan out only
   * `span/W + 1 ≤ 2` times when W is chosen at or above the typical span.
   *
+  * CONTRACT on W vs span (part of the opt-in): the rewrite replicates
+  * an interval to `span/W + 1` bins via `Sequence`, which caps at
+  * Spark's max array length — a tail row whose span exceeds ~2³¹·W
+  * (an open-ended interval encoded as `hi = Long.MaxValue`, say) fails
+  * the rewritten query with a runtime too-long-sequence error where
+  * the un-rewritten join would have crawled through. There is no safe
+  * per-row fallback (dropping the row loses matches; a different join
+  * shape per row doesn't exist), so the marker caller owns the bound:
+  * pick W so the LARGEST span fans out acceptably, and encode
+  * open-ended intervals with a domain cap, not MaxValue. Both in-tree
+  * call sites satisfy this by construction (session-bounded spans vs
+  * a 2³¹ µs bin).
+  *
   * Opt-in is per-join via a MARKER in the join condition
   * ([[RangeBinMarker]], built by [[RangeJoin.marker]]): a non-foldable
   * boolean conjunct that always evaluates true, referencing both sides so

@@ -83,8 +83,18 @@ object StreamMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k -> v
+    // strict flag/value pairing: a forgotten value silently drops the
+    // flag (an operator typing `--out` with no path would run on
+    // scratch state the shutdown hook deletes) or re-pairs everything
+    // after it
+    require(args.length % 2 == 0,
+      s"StreamMain: expected --flag value pairs, got ${args.length} " +
+        s"args: ${args.mkString(" ")}")
+    val opts = args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--") && !v.startsWith("--"),
+          s"StreamMain: misaligned flag/value pair '$k $v'")
+        k -> v
     }.toMap
     val logic = opts.getOrElse("--logic", "tumbling")
     val source = opts.getOrElse("--source", "rate")
@@ -110,8 +120,13 @@ object StreamMain {
     // (caught by DevIvmAudit; see io.Lease). A second CLI now dies
     // HERE, with the checkpoint untouched; resume after kill -9 waits
     // out the grace.
+    // keyed on --out, NOT --sink: the durable-STATE branches
+    // (ivm_distinct/cdc/scd2) use $out for their checkpoint and
+    // commit log whenever out is set, even with the default console
+    // sink — a sink-gated lease left exactly those runs exposed to
+    // the WAL race it exists to prevent
     val lease =
-      if (sink == "parquet")
+      if (out.nonEmpty)
         Some(graft.io.Lease.acquire(s"$out/LEASE",
           graceMs = opts.getOrElse("--lease-grace-ms", "5000").toLong))
       else None
@@ -262,6 +277,20 @@ object StreamMain {
         if (stateV > 0)
           println(s"[$logic] resuming past prior state " +
             s"v${stateV - 1} in $stateBase: seeding v$stateV")
+        // the compact variant maintains a SIDE TABLE (history/) that is
+        // append-only across the run: re-seeding a fresh base over a
+        // root that already accumulated history would re-derive and
+        // re-append every closed version (the checkpoint is per-run
+        // scratch, so the feed replays from zero). The plain cdc/scd2
+        // re-seed is harmless — the re-folded STATE converges — but
+        // the compact history would double-count; refuse loudly until
+        // a real state resume exists for this logic.
+        if (isCompact && stateV > 0 && java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$stateBase/history")))
+          sys.error(s"[$logic] $stateBase already holds a prior run's " +
+            "closed-version history; re-seeding would replay the feed " +
+            "and append duplicates to history/ — use a fresh --out " +
+            "(scd2_compact durable roots are single-run)")
         // data directories carry a RUN-UNIQUE suffix: two racing runs
         // must never share a staging path, or the CAS loser's
         // overwrite+reap would destroy the very state the CAS winner
@@ -282,6 +311,16 @@ object StreamMain {
         ownPaths(stateV) = statePath
         val q = events.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, id: Long) =>
+            // the compact variant's history append happens AFTER the
+            // version CAS below: a split-brain CAS loser previously
+            // appended its closedNow rows to the shared history/ and
+            // THEN died — the winner appended the same closures, a
+            // silent duplicate. Deferring makes the loser abort with
+            // zero history side effects; the narrowed residual is a
+            // crash between CAS and append (one batch's closures
+            // missing — loud in the reconstruction law, vs the
+            // duplicate which was silent).
+            var pendingHistory: Option[DataFrame] = None
             val next =
               if (isCompact) {
                 val (nc, closedNow) = graft.ops.Warehouse
@@ -289,8 +328,7 @@ object StreamMain {
                     spark.read.parquet(statePath)
                       .select("key", "name", "bal_c", "vf_us", "vt_us"),
                     graft.ops.Warehouse.cdcChangesFullFrom(batch))
-                closedNow.write.mode("append")
-                  .parquet(s"$stateBase/history")
+                pendingHistory = Some(closedNow)
                 nc.withColumn("action",
                   when(col("vt_us") === graft.ops.Warehouse.Scd2OpenUs,
                     "open").otherwise("tombstone"))
@@ -306,6 +344,11 @@ object StreamMain {
             val nextPath = s"$stateBase/v$stateV-$runId"
             next.write.mode("overwrite").parquet(nextPath)
             commitStateVersion(logic, stateBase, stateV, nextPath)
+            // post-CAS: only the arbitration WINNER appends closures
+            // (closedNow still lazily reads the OLD statePath, which
+            // outlives this batch by the reap grace)
+            pendingHistory.foreach(_.write.mode("append")
+              .parquet(s"$stateBase/history"))
             statePath = nextPath
             ownPaths(stateV) = nextPath
             // reap superseded versions with the same ONE-version grace
@@ -508,9 +551,15 @@ object StreamMain {
             // persist so count + write are ONE execution of the
             // incremental plan, not two end-to-end re-runs; complete
             // mode re-emits the full result set each batch — overwrite,
-            // don't accumulate duplicates
+            // don't accumulate duplicates. UPDATE-mode logics
+            // (tumbling/sliding/marginals/ema) re-emit a GROUP each
+            // time it changes, so the appended table holds superseded
+            // rows for the same key — the batch_id column makes
+            // latest-wins reads possible (max batch_id per key);
+            // without it the stale generations are indistinguishable.
             val n = batch.persist().count()
-            batch.write
+            (if (mode == "update") batch.withColumn("batch_id", lit(id))
+             else batch).write
               .mode(if (mode == "complete") "overwrite" else "append")
               .parquet(out)
             batch.unpersist()

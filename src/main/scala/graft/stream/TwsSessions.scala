@@ -47,7 +47,11 @@ object TwsSessions {
             out += Sess(key, s, last, n) // gap closed inside the batch
             cur = Some((t, t, 1L))
           case Some((s, last, n)) =>
-            cur = Some((s, math.max(last, t), n + 1))
+            // min on the start too: a within-watermark late event from
+            // an EARLIER batch can precede the stored session start —
+            // keeping s unchanged made the emitted start depend on
+            // which batch boundary split the input
+            cur = Some((math.min(s, t), math.max(last, t), n + 1))
           case None =>
             cur = Some((t, t, 1L))
         }

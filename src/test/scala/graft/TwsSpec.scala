@@ -109,6 +109,44 @@ class TwsSpec extends AnyFunSuite with Matchers with SparkTest {
     } finally prev.fold(sp.conf.unset(key))(sp.conf.set(key, _))
   }
 
+  test("a within-watermark LATE event extends the session start " +
+      "backwards — output does not depend on the batch boundary") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, rocksdb)
+    try {
+      val mem = MemoryStream[Event]
+      val name = s"twslate_${System.nanoTime()}"
+      val gapMs = 30 * 60000L
+      val q = graft.stream.TwsSessions
+        .sessionStream(mem.toDF(), gapMs, watermark = "10 minutes")
+        .writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        // batch 1: u1 at minute 10 (state start=10)
+        mem.addData(Seq(ev(1, 10, 1, 1.0)))
+        q.processAllAvailable()
+        // batch 2: a LATE u1 event at minute 5 (inside the watermark:
+        // the watermark is still behind minute 5) — must pull the
+        // session start BACK to minute 5, exactly as a single-batch
+        // sorted fold would have. Then an unrelated user far in the
+        // future closes u1's session via its timer.
+        mem.addData(Seq(ev(2, 5, 1, 1.0)))
+        q.processAllAvailable()
+        mem.addData(Seq(ev(3, 600, 9, 1.0)))
+        q.processAllAvailable()
+        def ms(m: Long): Long = ts(m).getTime
+        val u1 = sp.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).filter(_._1 == 1L).toSet
+        u1 shouldBe Set((1L, ms(5), ms(10), 2L))
+      } finally q.stop()
+    } finally prev.fold(sp.conf.unset(key))(sp.conf.set(key, _))
+  }
+
   test("a gap of exactly gapMs closes on BOTH paths (batch ≡ timer)") {
     // two events exactly gap apart in ONE batch must split, because the
     // timer armed at last+gap would split them across batches — output
