@@ -381,23 +381,22 @@ object Warehouse {
     parts.map(_.toString.replaceAll("[^a-zA-Z0-9.-]", "_"))
       .mkString("_")
 
-  private val standingBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Materializes yesterday's STANDING state once per JVM × parameters
-    * (same memo discipline as the merge-on-read layout): the nightly
-    * job's output is an input the incremental query reads, not part of
-    * the work it claims — rebuilding the full-history state on every
-    * call would charge the maintenance job the recompute cost it
-    * exists to avoid. The tag carries every parameter, so shifted-cut
-    * law runs build their own state.
+  /** Materializes yesterday's STANDING state once per JVM × parameters:
+    * the nightly job's output is an input the incremental query reads,
+    * not part of the work it claims — rebuilding the full-history
+    * state on every call would charge the maintenance job the
+    * recompute cost it exists to avoid. The tag carries every
+    * parameter, so shifted-cut law runs build their own state.
+    *
+    * Delegates to [[Caches.standingParquet]] keyed on the source DIR —
+    * the one implementation, so these states gain the deployment scope
+    * (SPARK_GRAFT_STANDING_ROOT commit-log publication) and the
+    * regenerated-fixture fingerprint invalidation a private memo copy
+    * silently lacked.
     */
-  private def standing(tag: String)(build: String => Unit): String =
-    standingBuilt.computeIfAbsent(tag, { _ =>
-      val p = graft.io.Scratch.stable(tag)
-      build(p)
-      p
-    })
+  private def standing(tag: String, dir: String)(
+      build: String => Unit): String =
+    Caches.standingParquet(tag, dir)(build)
 
   private[graft] def ivmJoinView(spark: org.apache.spark.sql.SparkSession,
       dir: String, cutLit: String = "1998-01-01", retractMod: Long = 13L,
@@ -411,7 +410,7 @@ object Warehouse {
     val oldOrd = ord.filter(col("o_orderdate") < cut)
     // "yesterday's" materialized view — the standing parquet table a
     // nightly job maintains, built once per JVM × params
-    val mv0 = standing(tagOf("ivm_mv0", dir, cutLit, retractMod)) {
+    val mv0 = standing(tagOf("ivm_mv0", dir, cutLit, retractMod), dir) {
       p =>
         oldOrd.join(li.filter(col("l_shipdate") < cut).drop("l_shipdate"),
             col("l_orderkey") === col("o_orderkey"))
@@ -503,7 +502,7 @@ object Warehouse {
       .select(col("l_orderkey"), col("l_shipdate"), revCpRow.as("rev_cp"))
     val a0 = ord.filter(col("o_orderdate") < c0)
     val mv0 = standing(tagOf("ivm_fold_mv0", dir, cut0Lit,
-        retractMod)) { p =>
+        retractMod), dir) { p =>
       a0.join(li.filter(col("l_shipdate") < c0).drop("l_shipdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_custkey")
@@ -586,7 +585,8 @@ object Warehouse {
     */
   private[graft] def ivmMinmaxView(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      cutLit: String = "1998-01-01", retractMod: Long = 13L)
+      cutLit: String = "1998-01-01", retractMod: Long = 13L,
+      maxBroadcastKeys: Long = 1L << 22)
       : org.apache.spark.sql.DataFrame = {
     val cut = Cols.ts(cutLit)
     val ord = Tables(spark, dir, "orders")
@@ -594,7 +594,7 @@ object Warehouse {
         Cols.cents(col("o_totalprice")).as("price_c"))
     val oldOrd = ord.filter(col("o_orderdate") < cut)
     val retracted = col("o_orderkey") % retractMod === 0
-    val mv0 = standing(tagOf("ivm_mm0", dir, cutLit, retractMod)) {
+    val mv0 = standing(tagOf("ivm_mm0", dir, cutLit, retractMod), dir) {
       p =>
         oldOrd.groupBy("o_custkey")
           .agg(count(lit(1)).as("n_orders"),
@@ -602,20 +602,28 @@ object Warehouse {
           .write.mode("overwrite").parquet(p)
     }
     // the touched key set: every group an arrival or retraction lands
-    // in — the delta-bounded broadcast side of both probes. Persisted:
+    // in — the delta-bounded build side of both probes. Persisted:
     // it feeds the anti probe plus the semi probe Catalyst pushes
     // through the recompute union (one per branch), so without the
     // cache the distinct would recompute three times
-    val touched = Caches.register(ord.filter(col("o_orderdate") >= cut)
+    def touchedPlan = ord.filter(col("o_orderdate") >= cut)
       .unionByName(oldOrd.filter(retracted))
-      .select("o_custkey").distinct().persist())
+      .select("o_custkey").distinct()
+    val touched = Caches.register(touchedPlan.persist())
+    // counted fallback like every sibling IVM path: a backfill/early
+    // cut makes `touched` corpus-proportional and an unconditional
+    // broadcast OOMs. Sized on a SEPARATE uncached twin — counting
+    // the registered cache would materialize a second generation of
+    // the cached exchange into the consumer plan (the r17 cdcSide
+    // plan-gate lesson).
+    val side = deltaSide(touchedPlan, maxBroadcastKeys)
     val untouched = spark.read.parquet(mv0)
-      .join(broadcast(touched), Seq("o_custkey"), "left_anti")
+      .join(side(touched), Seq("o_custkey"), "left_anti")
     // group-scoped recompute over the FINAL state of the touched keys:
     // (A ∖ ΔA⁻ ∪ ΔA⁺) ⋉ touched — one semi-probed narrow fact pass
     val recomputed = oldOrd.filter(!retracted)
       .unionByName(ord.filter(col("o_orderdate") >= cut))
-      .join(broadcast(touched), Seq("o_custkey"), "left_semi")
+      .join(side(touched), Seq("o_custkey"), "left_semi")
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"), max("price_c").as("max_price_c"))
     untouched.unionByName(recomputed)
@@ -681,7 +689,7 @@ object Warehouse {
     // yesterday's auxiliary support state + the view it supports — the
     // standing parquet tables a nightly job maintains, built once per
     // JVM × params (same memo discipline as ivmJoinView's MV0)
-    val state = standing("ivm_dc_" + tag) { p =>
+    val state = standing("ivm_dc_" + tag, dir) { p =>
       oldLi.groupBy("l_suppkey", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(p + "/aux")
@@ -978,15 +986,23 @@ object Warehouse {
     // in-memory sidecar list references (the same discipline as the
     // CLI's v$N-$runId data dirs)
     private def numOf(name: String, prefix: String): Option[Int] =
+      // length-bounded like committedFloor's parser: a foreign file
+      // with a 10+-digit run (operator artifact, corrupted name) must
+      // be IGNORED by the listings, not throw NumberFormatException
+      // out of every construction on the root
       Some(name.drop(prefix.length).takeWhile(_.isDigit))
-        .filter(_.nonEmpty).map(_.toInt)
+        .filter(s => s.nonEmpty && s.length <= 9).map(_.toInt)
 
     private def baseDir: String = supportRoot + "/" +
       new String(java.nio.file.Files.readAllBytes(mfP),
         java.nio.charset.StandardCharsets.UTF_8).trim
 
     private def swapManifest(name: String): Unit = {
-      val tmp = rootP.resolve("BASE_MANIFEST.tmp")
+      // run-unique tmp: a shared "BASE_MANIFEST.tmp" would let two
+      // racing processes publish each other's content through the
+      // atomic move
+      val tmp = rootP.resolve("BASE_MANIFEST." +
+        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       java.nio.file.Files.write(tmp,
         name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.move(tmp, mfP,
@@ -1110,10 +1126,15 @@ object Warehouse {
     }
     private var batchN: Int = (baseGen +: sidecars.flatMap(p =>
       numOf(p.drop(p.lastIndexOf("delta_")), "delta_"))).max
-    // per-instance handoff tag: a JVM-global tag would let two live
-    // streams reap each other's view handoff generations
+    // per-INSTANCE handoff tag (uuid, not just the root hash): two
+    // live instances on one root (resume tests, a readOnly audit
+    // beside a live stream) with a shared tag share one subTagged
+    // generation queue and reap each other's still-referenced view
+    // generations — and a 32-bit root hash could collide two
+    // different roots into the same queue
     private val mvTag = "ivm_stream_mv_" +
-      java.lang.Integer.toHexString(supportRoot.hashCode)
+      java.lang.Integer.toHexString(supportRoot.hashCode) + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
 
     private var mv: org.apache.spark.sql.DataFrame =
       Caches.parquetHandoff(
@@ -1184,6 +1205,15 @@ object Warehouse {
       */
     def processBatch(d: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
+      // auto-compaction runs BEFORE folding the new batch, never
+      // after: compacting afterwards would absorb the JUST-written
+      // delta before the caller's version CAS / markCommitted for it
+      // runs — a crash in that window bakes an uncommitted batch into
+      // the live base, the committedFloor can no longer identify it
+      // as a reapable orphan, and the replayed batch double-counts.
+      // At the top of the NEXT batch every existing sidecar's commit
+      // (if the caller commits between batches) has already happened.
+      if (compactEvery > 0 && sidecars.size >= compactEvery) compact()
       batchN += 1
       val sc = f"$supportRoot/delta_$batchN%06d" +
         (if (runTag.nonEmpty) s"-$runTag" else "")
@@ -1191,7 +1221,6 @@ object Warehouse {
         ivmDistinctStepMor(spark, baseDir, sidecars, mv, d, sc, cap),
         mvTag)
       sidecars :+= sc
-      if (compactEvery > 0 && sidecars.size >= compactEvery) compact()
       mv
     }
 
@@ -1208,7 +1237,12 @@ object Warehouse {
     def compact(): Unit = {
       if (sidecars.isEmpty) return
       val prev = baseDir
-      val next = f"base_v$batchN%06d"
+      // ALWAYS run-unique (the seed-dir discipline): two runs racing
+      // one root both compute the same batchN — a bare base_v$N would
+      // let the second overwrite generation files the first run's
+      // just-swapped manifest references
+      val next = f"base_v$batchN%06d-" +
+        java.util.UUID.randomUUID().toString.take(8)
       compactSupport(spark, prev, sidecars, s"$supportRoot/$next")
       swapManifest(next)
       // reap LAST generation's grace inventory; the just-superseded
@@ -1265,7 +1299,7 @@ object Warehouse {
   private def distinctStanding(spark: org.apache.spark.sql.SparkSession,
       old0: org.apache.spark.sql.DataFrame, dir: String,
       cut0Lit: String, retractMod: Long): String =
-    standing(tagOf("ivm_dcm", dir, cut0Lit, retractMod)) { p =>
+    standing(tagOf("ivm_dcm", dir, cut0Lit, retractMod), dir) { p =>
       old0.groupBy("l_suppkey", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("b", supportBucket(col("l_suppkey")))
@@ -1365,7 +1399,7 @@ object Warehouse {
     val cut = Cols.ts(cutLit)
     val ev = Tables(spark, dir, "events")
       .select(col("event_type"), col("user_id"), col("ts"))
-    val state0 = standing(tagOf("ivm_hll", dir, cutLit)) { p =>
+    val state0 = standing(tagOf("ivm_hll", dir, cutLit), dir) { p =>
       ev.filter(col("ts") < cut).groupBy("event_type")
         .agg(hll_sketch_agg(col("user_id")).as("sketch"),
           count(lit(1)).as("n"))
@@ -1880,8 +1914,9 @@ object Warehouse {
             col("l_discount"))
         val part = Tables(spark, dir, "part")
           .select(col("p_partkey"), col("p_type"))
-        val rev = Cols.cents(col("l_extendedprice")) *
-          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+        // the ONE exact-revenue definition (a local re-derivation would
+        // silently miss a future rounding-lift fix to revCpRow)
+        val rev = revCpRow
         li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
@@ -2019,12 +2054,18 @@ object Warehouse {
         // a hash match proves merge ≡ full recompute.
         val cutoff = Cols.ts("2000-01-01")
         val o = Tables(spark, dir, "orders")
-        val basePath = graft.io.Scratch.stable("rollup_" + tagOf(dir))
-        o.filter(col("o_orderdate") < cutoff)
-          .groupBy("o_custkey")
-          .agg(count(lit(1)).as("n_orders"),
-            sum(Cols.cents(col("o_totalprice"))).as("spend_c"))
-          .write.mode("overwrite").parquet(basePath)
+        // STANDING memo (not rebuild+overwrite per call): rebuilding
+        // the full-history rollup every invocation charges this query
+        // the recompute cost the merge exists to avoid — and the
+        // unguarded shared stable path was a concurrent-invocation
+        // race (one call's overwrite under another's lazy read)
+        val basePath = standing(tagOf("rollup", dir), dir) { p =>
+          o.filter(col("o_orderdate") < cutoff)
+            .groupBy("o_custkey")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(Cols.cents(col("o_totalprice"))).as("spend_c"))
+            .write.mode("overwrite").parquet(p)
+        }
         val delta = o.filter(col("o_orderdate") >= cutoff)
           .groupBy("o_custkey")
           .agg(count(lit(1)).as("n_orders"),
