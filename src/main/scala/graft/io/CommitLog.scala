@@ -85,6 +85,20 @@ object CommitLog {
     } finally it.close()
   }
 
+  /** The ONE slot-number parser for commits/ entry names: digits after
+    * the one-char prefix, LENGTH-BOUNDED to 9 so a foreign all-digit
+    * name longer than an Int (operator artifact, corrupted file —
+    * 'v9999999999') is IGNORED by listings instead of throwing
+    * NumberFormatException out of a WON checkpoint's prune walk or any
+    * currentVersion/versions read (Warehouse.numOf was bounded for
+    * exactly this failure mode).
+    */
+  private def slotNum(n: String): Option[Int] = {
+    val digits = n.drop(1)
+    if (digits.nonEmpty && digits.length <= 9 &&
+      digits.forall(_.isDigit)) Some(digits.toInt) else None
+  }
+
   /** Highest committed version, or -1 for an empty log. Floors at the
     * latest checkpoint: a fully-pruned log (every pointer covered by
     * the checkpoint) must still tell appenders where the sequence
@@ -94,7 +108,7 @@ object CommitLog {
     listCommitNames(root)
       .filter(n => (n.startsWith("v") || n.startsWith("c")) &&
         !n.endsWith(".tmp"))
-      .map(n => n.drop(1).toInt)
+      .flatMap(slotNum)
       .foldLeft(-1)(math.max)
 
   /** The log in version order: (version, data directory it adds).
@@ -112,7 +126,7 @@ object CommitLog {
     while (true) {
       val vs = listCommitNames(root)
         .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
-        .map(n => n.drop(1).toInt)
+        .flatMap(slotNum)
         .sorted
       try {
         return vs.map { v =>
@@ -166,7 +180,7 @@ object CommitLog {
     while (attempt <= 16) {
       val cs = listCommitNames(root)
         .filter(n => n.startsWith("c") && !n.endsWith(".tmp"))
-        .map(n => n.drop(1).toInt)
+        .flatMap(slotNum)
         .sorted(Ordering.Int.reverse)
       if (cs.isEmpty) return None
       // read ONLY the newest marker: an older one from the same
@@ -310,13 +324,12 @@ object CommitLog {
       // Superseded markers prune too — latestCheckpoint takes the
       // max, so removing older markers is invisible to readers.
       listCommitNames(root).foreach { n =>
-        if (!n.endsWith(".tmp") && n.length > 1 &&
-            n.drop(1).forall(_.isDigit)) {
-          val v = n.drop(1).toInt
-          if ((n.startsWith("v") && v <= upTo) ||
-              (n.startsWith("c") && v < upTo))
-            Files.deleteIfExists(commitsDir(root).resolve(n))
-        }
+        if (!n.endsWith(".tmp"))
+          slotNum(n).foreach { v =>
+            if ((n.startsWith("v") && v <= upTo) ||
+                (n.startsWith("c") && v < upTo))
+              Files.deleteIfExists(commitsDir(root).resolve(n))
+          }
       }
     }
     won

@@ -49,7 +49,14 @@ final class Lease private (path: String, uuid: String,
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis()))
       catch { case _: Throwable => () }
-      Thread.sleep(heartbeatMs)
+      // the sleep is guarded too: an InterruptedException must not
+      // silently kill the heartbeat while `held` stays true — a
+      // frozen-mtime lease would be taken over after graceMs with the
+      // owner still running, believing it holds. (Guarded SEPARATELY
+      // from the mtime bump so a persistent bump failure still sleeps
+      // instead of busy-looping.)
+      try Thread.sleep(heartbeatMs)
+      catch { case _: Throwable => () }
     }
   }, s"lease-heartbeat-$uuid")
   beat.setDaemon(true)
@@ -103,9 +110,10 @@ object Lease {
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
         finally Files.deleteIfExists(tmp)
       if (won) return new Lease(path, uuid, heartbeatMs)
-      // holder exists: live → refuse; stale → take over and retry the
-      // CAS (the delete+link race between two takeover-ers has one
-      // link winner; the loser loops back and now sees a LIVE owner)
+      // holder exists: live → refuse; stale → take over (atomic
+      // rename-to-tombstone — exactly one of N racing takeover-ers'
+      // moves succeeds) and retry the CAS; the losers loop back and
+      // see either the winner's fresh lease (refuse) or a clear path
       val age =
         try System.currentTimeMillis() -
           Files.getLastModifiedTime(p).toMillis
@@ -117,7 +125,38 @@ object Lease {
             "a second streaming writer on this root would race the " +
             "shared checkpoint's offset WAL, which no commit-log CAS " +
             "protects")
-      Files.deleteIfExists(p)
+      // Takeover by ATOMIC RENAME to a unique tombstone, never a bare
+      // delete: with two concurrent takeover attempts, a loser's
+      // delayed deleteIfExists could land AFTER the winner's fresh
+      // link and unseat a live owner (both would then hold the lease —
+      // the exact split-brain this file exists to prevent). Only the
+      // process whose rename succeeds owns the removal; the loser's
+      // move throws NoSuchFileException and loops back to the CAS.
+      val tomb = Paths.get(path + "." + uuid + ".tomb")
+      val moved =
+        try { Files.move(p, tomb,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      if (moved) {
+        // the move is atomic but not conditional: between our staleness
+        // check and the move, a THIRD writer may have taken over and
+        // linked a FRESH lease at p — the mtime travels with the move,
+        // so re-check it on the tombstone and restore (re-link) a
+        // fresh one instead of destroying it
+        val movedAge =
+          try System.currentTimeMillis() -
+            Files.getLastModifiedTime(tomb).toMillis
+          catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+        if (movedAge < graceMs) {
+          try Files.createLink(p, tomb)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          Files.deleteIfExists(tomb)
+          throw new IllegalStateException(
+            s"lease at $path was re-acquired by a live writer during " +
+              "takeover — refusing to start")
+        }
+        Files.deleteIfExists(tomb)
+      }
       attempt += 1
     }
     throw new IllegalStateException(

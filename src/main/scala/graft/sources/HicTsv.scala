@@ -737,10 +737,14 @@ class HicTsvStreamingWrite(schema: StructType, path: String,
     fs.create(marker, true).close()
     // only the newest marker matters (the at-least-once window is one
     // epoch deep) — reap this run's older ones so a long stream keeps
-    // O(1) marker files, not one per epoch
+    // O(1) marker files, not one per epoch. Compare the trailing epoch
+    // NUMERICALLY, not lexicographically: the %05d field widens at
+    // epoch 100000, and '-100000' sorts below '-99999' as a string —
+    // the last 5-digit-era marker would otherwise never reap.
+    val prefix = s"_committed-$runTag-"
     fs.listStatus(p).map(_.getPath).foreach { f =>
-      if (f.getName.startsWith(s"_committed-$runTag-") &&
-          f.getName < marker.getName)
+      if (f.getName.startsWith(prefix) && f.getName != marker.getName &&
+          f.getName.drop(prefix.length).toLongOption.exists(_ < epochId))
         fs.delete(f, false)
     }
   }
