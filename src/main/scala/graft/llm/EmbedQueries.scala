@@ -451,9 +451,11 @@ object EmbedQueries {
         // and q_embed_pq_assign hash-pins the same encode kernel.
         import spark.implicits._
         val emb = Tables(spark, dir, "embeddings")
-        val books = Pq.trainedBooks(emb, m = 4, k = 8, iters = 3)
+        // one quantized cache shared by training and encode (the
+        // separate trainedBooks(emb) entry would build its own)
         val qv = graft.ops.Caches.register(
           Kmeans.quantized(emb).persist())
+        val books = Pq.trainedBooksQ(qv, m = 4, k = 8, iters = 3)
         Pq.encode(qv, books)
           .toDF("vec_id", "sub", "code", "d2")
           .groupBy("sub", "code")

@@ -120,10 +120,16 @@ object Kmeans {
     * trajectory-affecting change here must be weighed there too.
     */
   def lloyd(embeddings: DataFrame, k: Int, iters: Int)
+      : (Array[Array[Long]], Dataset[(Long, Int, Long)]) =
+    lloydQ(graft.ops.Caches.register(quantized(embeddings).persist()),
+      k, iters)
+
+  /** [[lloyd]] over an already-quantized (and ideally cached) corpus —
+    * callers that hold a `quantized` cache (an index build's encode
+    * pass) avoid a second quantization lineage and persist.
+    */
+  def lloydQ(qv: Dataset[KVec], k: Int, iters: Int)
       : (Array[Array[Long]], Dataset[(Long, Int, Long)]) = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val qv = graft.ops.Caches.register(quantized(embeddings).persist())
     var centroids = initCentroids(qv, k)
     var it = 0
     while (it < iters) {

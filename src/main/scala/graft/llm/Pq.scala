@@ -41,8 +41,18 @@ object Pq {
 
   /** Per-subspace Lloyd-trained codebooks: subspace s trains on the
     * sliced corpus `embedding[s·D/M, (s+1)·D/M)` (sampled by
-    * `trainMod`), reusing [[Kmeans.lloyd]] verbatim — same init, same
-    * exact-integer update, same empty-cluster carry-over.
+    * `trainMod`) — the same init, exact-integer update, and
+    * empty-cluster carry-over as [[Kmeans.lloyd]], but all M subspace
+    * trainings FUSED into one corpus pass per iteration. The
+    * per-subspace-lloyd form paid M×(init + iters) jobs and M separate
+    * persisted slices of the corpus; the subspaces are independent
+    * coordinate blocks of the SAME rows, so one cached quantized
+    * corpus, ONE init collect (quantization commutes with slicing —
+    * the k lowest-vec_id vectors seed every subspace), and one
+    * assign+explode aggregation per round carrying the subspace id
+    * reproduce every trajectory bit for bit (PqSpec pins fused ≡
+    * per-subspace lloyd). At corpus scale this is M× fewer passes over
+    * the training sample per round, not just fewer job barriers.
     */
   def trainedBooks(embeddings: DataFrame, m: Int, k: Int, iters: Int,
       trainMod: Long = 1L): Array[Array[Array[Long]]] = {
@@ -50,14 +60,51 @@ object Pq {
     val src =
       if (trainMod <= 1L) embeddings
       else embeddings.filter(col("vec_id") % trainMod === 0L)
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
-    Array.tabulate(m) { s =>
-      val sliced = src.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-      Kmeans.lloyd(sliced, k, iters)._1
+    val qv = graft.ops.Caches.register(Kmeans.quantized(src).persist())
+    trainedBooksQ(qv, m, k, iters)
+  }
+
+  /** [[trainedBooks]] over an already-quantized (and ideally cached)
+    * corpus — callers that hold a `Kmeans.quantized` cache (the encode
+    * pass needs one anyway) avoid a second quantization lineage.
+    */
+  def trainedBooksQ(qv: Dataset[KVec], m: Int, k: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
+    import org.apache.spark.sql.functions._
+    import qv.sparkSession.implicits._
+    // iteration-0 state: one collect seeds every subspace (initBooks
+    // slices the k lowest-vec_id vectors — elementwise quantization
+    // commutes with slicing, so this equals per-subspace
+    // Kmeans.initCentroids over the sliced corpus)
+    var books = initBooks(qv, m, k)
+    val sub = books(0)(0).length
+    var it = 0
+    while (it < iters) {
+      val cur = books
+      // one narrow assign+explode pass for ALL subspaces: per vector,
+      // each subspace's exact-integer argmin code, then per
+      // (subspace, cluster, dim) BIGINT partial sums — map-side
+      // combined, m×k×(D/M) rows to the driver
+      val sums = qv.flatMap { v =>
+        (0 until cur.length).iterator.flatMap { s =>
+          val c = nearestAt(v.q, s * sub, cur(s))._1
+          (0 until sub).iterator.map(i => (s, c, i, v.q(s * sub + i)))
+        }
+      }.toDF("s", "cluster", "dim", "qd")
+        .groupBy("s", "cluster", "dim")
+        .agg(sum(col("qd")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+      // empty clusters keep their previous centroid (the lloyd
+      // discipline): clone, overwrite only the clusters present
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          Kmeans.meanQ(r.getLong(3), r.getLong(4))
+      }
+      books = next
+      it += 1
     }
+    books
   }
 
   /** Exact integer argmin over one subspace's codebook, ties to the
@@ -577,9 +624,13 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, out: String,
       embeddings: DataFrame, k: Int, m: Int, kb: Int,
       iters: Int): Unit = {
-    val qv = Kmeans.quantized(embeddings)
-    writeIvfTables(spark, out, qv, Kmeans.lloyd(embeddings, k, iters)._1)
-    writePqTables(spark, out, qv, trainedBooks(embeddings, m, kb, iters))
+    // ONE quantized cache feeds coarse training, codebook training, and
+    // both encode passes — the per-consumer quantization lineages (and
+    // their separate persists) were four corpus passes for one input
+    val qv = graft.ops.Caches.register(
+      Kmeans.quantized(embeddings).persist())
+    writeIvfTables(spark, out, qv, Kmeans.lloydQ(qv, k, iters)._1)
+    writePqTables(spark, out, qv, trainedBooksQ(qv, m, kb, iters))
   }
 
   /** Memoized trained-index build for `dir`'s embeddings table.

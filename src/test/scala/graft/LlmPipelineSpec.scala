@@ -514,6 +514,27 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTest {
     trained should be <= init
   }
 
+  test("fused codebook training ≡ one Kmeans.lloyd per sliced subspace") {
+    // the r21 fusion (one corpus pass per round for all M subspaces)
+    // must reproduce the original per-subspace-lloyd trajectory bit for
+    // bit — same init, same exact-integer means, same empty-cluster
+    // carry-over
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, dir, "embeddings")
+    val fused = Pq.trainedBooks(emb, m = 4, k = 8, iters = 3)
+    val dim = emb.select(org.apache.spark.sql.functions
+      .size(col("embedding"))).head().getInt(0)
+    val sub = dim / 4
+    val want = Array.tabulate(4) { s =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      Kmeans.lloyd(sliced, 8, 3)._1
+    }
+    fused.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      want.map(_.map(_.toSeq).toSeq).toSeq
+    graft.ops.Caches.drain()
+  }
+
   test("ann recall: all-cells probing gives recall 1.0; monotone in cells") {
     val emb = Tables(spark, dir, "embeddings")
     def recalls(cells: Int): Map[Long, Double] =
