@@ -127,19 +127,57 @@ object Kmeans {
   /** [[lloyd]] over an already-quantized (and ideally cached) corpus —
     * callers that hold a `quantized` cache (an index build's encode
     * pass) avoid a second quantization lineage and persist.
+    *
+    * The per-round update runs as ONE narrow mapPartitions collect of
+    * per-partition (cluster → count, Σq per dim) accumulators — k×dim
+    * longs per task, P×k rows to the driver — instead of the
+    * assign+explode SQL aggregation ([[updateSums]], kept as the
+    * declared update-leg kernel q_embed_kmeans_update pins): same
+    * exact integer sums (Long addition is associative/commutative, so
+    * the partial order is free), no per-round exchange, no per-round
+    * adaptive re-planning — one job per round instead of an AQE
+    * two-stage pipeline. KmeansSpec pins the trajectory unchanged.
     */
   def lloydQ(qv: Dataset[KVec], k: Int, iters: Int)
       : (Array[Array[Long]], Dataset[(Long, Int, Long)]) = {
     var centroids = initCentroids(qv, k)
+    require(centroids.nonEmpty, "empty corpus")
+    val dim = centroids(0).length
     var it = 0
     while (it < iters) {
-      // one narrow assign+explode pass, k×dim×P map-combined partials,
-      // k×dim rows to the driver; empty clusters keep their previous
-      // centroid (deterministic — spark.ml would drop them)
-      val sums = updateSums(qv, centroids).collect()
+      val cur = centroids
+      val partials = qv.rdd.mapPartitions { rows =>
+        val cnt = new Array[Long](k)
+        val acc = Array.ofDim[Long](k, dim)
+        rows.foreach { v =>
+          val c = nearest(v.q, cur)._1
+          cnt(c) += 1
+          val a = acc(c)
+          var i = 0
+          while (i < dim) { a(i) += v.q(i); i += 1 }
+        }
+        (0 until k).iterator.filter(cnt(_) > 0)
+          .map(c => (c, cnt(c), acc(c)))
+      }.collect()
+      // empty clusters keep their previous centroid (deterministic —
+      // spark.ml would drop them)
       val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = meanQ(r.getLong(2), r.getLong(3))
+      val totN = new Array[Long](k)
+      val totS = Array.ofDim[Long](k, dim)
+      partials.foreach { case (c, n, a) =>
+        totN(c) += n
+        var i = 0
+        while (i < dim) { totS(c)(i) += a(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (totN(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            next(c)(i) = meanQ(totS(c)(i), totN(c)); i += 1
+          }
+        }
+        c += 1
       }
       centroids = next
       it += 1

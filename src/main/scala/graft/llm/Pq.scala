@@ -81,25 +81,44 @@ object Pq {
     var it = 0
     while (it < iters) {
       val cur = books
-      // one narrow assign+explode pass for ALL subspaces: per vector,
-      // each subspace's exact-integer argmin code, then per
-      // (subspace, cluster, dim) BIGINT partial sums — map-side
-      // combined, m×k×(D/M) rows to the driver
-      val sums = qv.flatMap { v =>
-        (0 until cur.length).iterator.flatMap { s =>
-          val c = nearestAt(v.q, s * sub, cur(s))._1
-          (0 until sub).iterator.map(i => (s, c, i, v.q(s * sub + i)))
+      // one narrow mapPartitions collect for ALL subspaces: per task, a
+      // m×k accumulator of (member count, Σq per subspace dim) — exact
+      // BIGINT sums whose partial order is free (Long addition is
+      // associative/commutative), m×k×P rows to the driver, no
+      // exchange and no per-round adaptive re-planning (the lloydQ
+      // discipline)
+      val partials = qv.rdd.mapPartitions { rows =>
+        val cnt = Array.ofDim[Long](cur.length, k)
+        val acc = Array.ofDim[Long](cur.length, k, sub)
+        rows.foreach { v =>
+          var s = 0
+          while (s < cur.length) {
+            val c = nearestAt(v.q, s * sub, cur(s))._1
+            cnt(s)(c) += 1
+            val a = acc(s)(c)
+            var i = 0
+            while (i < sub) { a(i) += v.q(s * sub + i); i += 1 }
+            s += 1
+          }
         }
-      }.toDF("s", "cluster", "dim", "qd")
-        .groupBy("s", "cluster", "dim")
-        .agg(sum(col("qd")).as("sm"), count(lit(1)).as("n"))
-        .collect()
+        for (s <- (0 until cur.length).iterator; c <- 0 until k
+             if cnt(s)(c) > 0) yield (s, c, cnt(s)(c), acc(s)(c))
+      }.collect()
       // empty clusters keep their previous centroid (the lloyd
       // discipline): clone, overwrite only the clusters present
       val next = books.map(_.map(_.clone()))
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          Kmeans.meanQ(r.getLong(3), r.getLong(4))
+      val totN = Array.ofDim[Long](cur.length, k)
+      val totS = Array.ofDim[Long](cur.length, k, sub)
+      partials.foreach { case (s, c, n, a) =>
+        totN(s)(c) += n
+        var i = 0
+        while (i < sub) { totS(s)(c)(i) += a(i); i += 1 }
+      }
+      for (s <- 0 until cur.length; c <- 0 until k if totN(s)(c) > 0) {
+        var i = 0
+        while (i < sub) {
+          next(s)(c)(i) = Kmeans.meanQ(totS(s)(c)(i), totN(s)(c)); i += 1
+        }
       }
       books = next
       it += 1

@@ -218,7 +218,9 @@ object Warehouse {
     */
   private[graft] def applyCdcScd2(base: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame,
-      maxBroadcastKeys: Long = 1L << 22)
+      maxBroadcastKeys: Long = 1L << 22,
+      sideOpt: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("key")
       .orderBy(desc("tus"), desc("event_id"))
@@ -227,7 +229,13 @@ object Warehouse {
       .filter(col("rn") === 1)
       .select("key", "tus", "op", "new_name", "new_bal_c")
       .persist())
-    val side = cdcSide(changes, maxBroadcastKeys)
+    // the capacity probe costs a distinct+limit job over the changeset —
+    // a caller folding several day-splits passes ONE whole-changeset
+    // decision (a superset bound: if the union's keys broadcast, each
+    // split's do; if not, every split takes the scale-safe shuffle —
+    // conservative in exactly the direction that matters) instead of
+    // paying the probe per fold
+    val side = sideOpt.getOrElse(cdcSide(changes, maxBroadcastKeys))
     // the changed keys' history boundary (open version → vf; closed
     // versions → vt, so a replayed DELETE is recognized): base STREAMS
     // through a broadcast semi probe and partial-aggregates map-side;
@@ -243,8 +251,13 @@ object Warehouse {
       .filter(col("boundary").isNull || col("tus") > col("boundary"))
       .select("key", "tus", "op", "new_name", "new_bal_c")
       .persist())
+    // the anti probe and the close join broadcast the SAME (key, tus)
+    // projection: identical build subplans, so the second is a
+    // ReusedExchange — one broadcast construction instead of two (the
+    // extra tus column on the anti's build side is dead weight of a few
+    // bytes per changed key, far cheaper than a second build job)
     val untouched = base
-      .join(side(eff.select("key")), Seq("key"), "left_anti")
+      .join(side(eff.select("key", "tus")), Seq("key"), "left_anti")
       .select(col("key"), col("name"), col("bal_c"), col("vf_us"),
         col("vt_us"), lit("kept").as("action"))
     val closed = base
@@ -281,10 +294,12 @@ object Warehouse {
   private[graft] def applyCdcScd2Compact(
       compact: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame,
-      maxBroadcastKeys: Long = 1L << 22)
+      maxBroadcastKeys: Long = 1L << 22,
+      sideOpt: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val out = Caches.register(
-      applyCdcScd2(compact, changes, maxBroadcastKeys).persist())
+      applyCdcScd2(compact, changes, maxBroadcastKeys, sideOpt).persist())
     val cols = Seq("key", "name", "bal_c", "vf_us", "vt_us")
     val closedNow = out.filter(col("action") === "closed")
       .select(cols.head, cols.tail: _*)
@@ -715,11 +730,16 @@ object Warehouse {
     // semi-probed by the delta (pairs absent from aux0 — brand-new
     // (supp, part) combinations — simply contribute no oldCnt row, so
     // their support starts at 0 in the merge below). Probe side picked
-    // adaptively off the raw delta rows: broadcast for a daily delta,
-    // shuffle for a backfill-shaped one
-    val side = deltaSide(li.filter(col("l_shipdate") >= cut)
-      .unionByName(oldLi.filter(col("l_orderkey") % retractMod === 0)),
-      maxBroadcastKeys)
+    // adaptively off the COLLAPSED cached delta's exact pair count —
+    // the broadcast build is exactly those pairs, and the query
+    // materializes dPairs regardless (it feeds the union branch and
+    // the semi build), so the count is a cache scan, not a new pass;
+    // the old raw-rows probe re-scanned the fact lineage (two filter
+    // scans + the union) for a looser bound
+    val side: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+      if (dPairs.count() <= maxBroadcastKeys) broadcast
+      else _.hint("shuffle_merge")
     val auxTouched = spark.read.parquet(aux0)
       .join(side(dPairs.select("l_suppkey", "l_partkey")),
         Seq("l_suppkey", "l_partkey"), "left_semi")
@@ -814,9 +834,12 @@ object Warehouse {
       .filter(col("dw") =!= 0).persist())
     // THE state write: the collapsed signed delta itself — O(|delta|)
     dPairs.write.mode("overwrite").parquet(sidecarOut)
-    // branch probe (deltaSide's boolean, taken directly because the
-    // fallback additionally wants a Bloom prefilter on the base)
-    val isBroadcast = fitsBroadcast(dRows, cap)
+    // branch probe off the cached collapsed delta the sidecar write
+    // just materialized: exact pair count (what the broadcast actually
+    // builds), zero extra passes — the old fitsBroadcast(dRows) probe
+    // re-ran the raw delta lineage for a looser row bound
+    val nPairs = dPairs.count()
+    val isBroadcast = nPairs <= cap
     val side: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame =
       if (isBroadcast) broadcast else _.hint("shuffle_merge")
@@ -846,7 +869,6 @@ object Warehouse {
         // task literal should carry — and a delta that large relative
         // to the base prunes little anyway; fall through to the bare
         // exchange
-        val nPairs = dPairs.count()
         if (nPairs > (1L << 24)) basePruned
         else {
           val (expected, numBits) = graft.llm.Selection.sizedToCorpus(
@@ -2333,7 +2355,11 @@ object Warehouse {
         val base = cdcBase(spark, dir)
           .withColumn("vf_us", lit(0L))
           .withColumn("vt_us", lit(Scd2OpenUs))
-        val (c1, log1) = applyCdcScd2Compact(base, day1)
+        // ONE capacity probe over the whole feed decides both folds'
+        // broadcast-vs-shuffle side (a superset bound — see
+        // applyCdcScd2) instead of a distinct+limit probe job per fold
+        val side = Some(cdcSide(changes, 1L << 22))
+        val (c1, log1) = applyCdcScd2Compact(base, day1, sideOpt = side)
         // lineage cut between folds (the iterative-loop discipline —
         // BPE/KR do the same): the compact state is key-bounded, so
         // the parquetHandoff round-trip is cheap, while WITHOUT the
@@ -2345,7 +2371,7 @@ object Warehouse {
         // shape, and drain-immune where localCheckpoint was not.
         val c1ck = Caches.parquetHandoff(c1, "scd2_fold_c1")
         val log1ck = Caches.parquetHandoff(log1, "scd2_fold_log1")
-        val (c2, log2) = applyCdcScd2Compact(c1ck, day2)
+        val (c2, log2) = applyCdcScd2Compact(c1ck, day2, sideOpt = side)
         log1ck.unionByName(log2)
           .unionByName(c2.filter(col("vt_us") === Scd2OpenUs))
           .orderBy("key", "vf_us")
