@@ -46,6 +46,19 @@ object HicQueries {
     graft.ops.Caches.register(
       spark.read.parquet(standingViewPath(spark, dir)).persist())
 
+  /** The contacts view read straight off its standing parquet — same
+    * rows as [[ContactsView]] byte for byte (string/long/double columns
+    * round-trip losslessly; the hash-green oracle sweep over the
+    * cachedView consumers has pinned this since round 19) without the
+    * per-call lineitem scan + groupBy synthesis. For single- or
+    * few-pass consumers that don't need [[cachedView]]'s persisted
+    * handle; a second traversal re-reads a tiny pruned parquet instead
+    * of re-running the corpus aggregation.
+    */
+  private[graft] def standingView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(standingViewPath(spark, dir))
+
   /** The fragment-marginals table (chr, mid, hitCount — the reference's
     * FRAGMENTS input file, A2) as a standing parquet; shared by the
     * full-pipeline queries, which previously each re-derived it with a
@@ -88,7 +101,7 @@ object HicQueries {
     "q_hic_merge_filter" -> Q(
       (spark, dir) => {
         // A25: merge runs of adjacent (5 kb apart) significant bin pairs
-        val sig = ContactsView(spark, dir)
+        val sig = standingView(spark, dir)
           .filter(col("pseudo_p") < 0.15 && col("dist").between(L, U))
           .select(col("chr").as("chr1"), col("mid1"),
             col("chr").as("chr2"), col("mid2"), col("contactCount"))
@@ -285,7 +298,7 @@ object HicQueries {
         // order-independent, oracle-checkable)
         val fisher = udaf(graft.functions.FisherCombine,
           org.apache.spark.sql.Encoders.scalaDouble)
-        ContactsView(spark, dir)
+        standingView(spark, dir)
           .groupBy("chr")
           .agg(count(lit(1)).as("k"),
             Cols.fround(fisher(col("pseudo_p")), 4).as("fisher_stat"))
@@ -305,7 +318,7 @@ object HicQueries {
           org.apache.spark.sql.Encoders.scalaDouble)
         val pUdf = udf((stat: Double, k: Long) =>
           graft.functions.FisherCombine.pValue(stat, k))
-        ContactsView(spark, dir)
+        standingView(spark, dir)
           .groupBy("chr")
           .agg(count(lit(1)).as("k"),
             fisher(col("pseudo_p")).as("stat"))
@@ -329,7 +342,7 @@ object HicQueries {
           org.apache.spark.sql.Encoders.scalaDouble)
         val pUdf = udf((stat: Double, k: Long) =>
           graft.functions.FisherCombine.pValue(stat, k))
-        ContactsView(spark, dir)
+        standingView(spark, dir)
           .groupBy("chr")
           .agg(count(lit(1)).as("k"),
             Cols.fround(fisher(col("pseudo_p")), 4).as("fisher_stat"))
@@ -372,7 +385,7 @@ object HicQueries {
     "q_hic_class_sums" -> Q(
       (spark, dir) =>
         // A2: contact-class scalar sums as a tiny table (conditional agg)
-        ContactsView(spark, dir)
+        standingView(spark, dir)
           .withColumn("cls",
             when(col("dist") === 0, "self")
               .when(col("dist").between(L, U), "intraInRange")
@@ -391,7 +404,7 @@ object HicQueries {
 
     "q_hic_distance_filter" -> Q(
       (spark, dir) =>
-        ContactsView(spark, dir)
+        standingView(spark, dir)
           .filter(col("dist").between(L, U))
           .select("chr", "mid1", "mid2", "dist", "contactCount")
           .orderBy("chr", "mid1", "mid2"),
@@ -400,7 +413,7 @@ object HicQueries {
 
     "q_hic_equal_occupancy" -> Q(
       (spark, dir) => {
-        val f = ContactsView(spark, dir).filter(col("dist").between(L, U))
+        val f = standingView(spark, dir).filter(col("dist").between(L, U))
         Binning.equalOccupancy(f, 100, keys)
           .select(col("binIdx"), col("pairCount"), col("sumCount"),
             col("minDist"), col("maxDist"),
@@ -459,7 +472,7 @@ object HicQueries {
         // would otherwise pin the corpus-scale cache for the JVM life —
         // drain() reclaims registered entries on every path
         val f = graft.ops.Caches.register(
-          ContactsView(spark, dir).filter(col("dist").between(L, U))
+          standingView(spark, dir).filter(col("dist").between(L, U))
             .persist())
         val bins = Binning.collectBins(f, 100, keys)
         // N = Σ sumCount over the equal-occupancy bins (they partition
@@ -487,7 +500,7 @@ object HicQueries {
         // golden/property tests plus q_hic_binom_tail_check's
         // closed-form oracle twin on the same binom_sf kernel.
         val f = graft.ops.Caches.register(
-          ContactsView(spark, dir).filter(col("dist").between(L, U))
+          standingView(spark, dir).filter(col("dist").between(L, U))
             .persist())
         val bins = Binning.collectBins(f, 100, keys)
         // N from the bin stats (they partition f) — saves the separate
@@ -521,7 +534,7 @@ object HicQueries {
         // expression's plumbing + tail values; the spline prior that
         // feeds the production k,n stays rows-only by contract.
         graft.functions.BinomSf.register(spark)
-        ContactsView(spark, dir)
+        standingView(spark, dir)
           .filter(expr("(mid1 div 5000) % 16 = 0"))
           .select(col("chr"), col("mid1"), col("mid2"),
             Cols.fround(
@@ -764,7 +777,7 @@ object HicQueries {
 
     "q_hic_bh" -> Q(
       (spark, dir) => {
-        val c = ContactsView(spark, dir)
+        val c = standingView(spark, dir)
         Stats.bhQ(c, "pseudo_p", Seq("chr", "mid1", "mid2"), "q_value")
           .select(col("chr"), col("mid1"), col("mid2"), col("contactCount"),
             Cols.fround(col("pseudo_p"), 6).as("pseudo_p"),

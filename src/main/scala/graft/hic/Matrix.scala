@@ -41,7 +41,7 @@ object Matrix {
     */
   def insulation(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val c = ContactsView(spark, dir)
+    val c = HicQueries.standingView(spark, dir)
       .select(col("chr"),
         least(col("mid1"), col("mid2")).as("lo"),
         greatest(col("mid1"), col("mid2")).as("hi"),
@@ -258,7 +258,7 @@ object Matrix {
         // (First cut was a 26-row broadcast range join — 26 predicate
         // evals per contact, 14 s at 64×; this is pure codegen
         // arithmetic.) mean_milli is an exact integer ratio.
-        val c = ContactsView(spark, dir)
+        val c = HicQueries.standingView(spark, dir)
           .select((greatest(col("mid1"), col("mid2")) -
             least(col("mid1"), col("mid2"))).as("d"),
             col("contactCount"))
@@ -305,7 +305,7 @@ object Matrix {
         // saddle KERNEL itself is oracle-green via q_hic_saddle_check,
         // and MatrixSpec plants a two-block matrix where the diagonal
         // corners must dominate.
-        val r = ContactsView(spark, dir)
+        val r = HicQueries.standingView(spark, dir)
           .filter(col("dist").between(HicQueries.L, HicQueries.U))
         val loci = Compartments.scores(r)
           .select(col("chr"), col("bin").as("mid"), col("score"))
@@ -319,7 +319,7 @@ object Matrix {
         // SQL-expressible locus score (the coverage marginal) — pins
         // quantile binning, the exact integer O/E quantization, and the
         // symmetric cell aggregation end-to-end in DuckDB.
-        val r = ContactsView(spark, dir)
+        val r = HicQueries.standingView(spark, dir)
           .filter(col("dist").between(HicQueries.L, HicQueries.U))
         val marg = r.select(col("chr"), col("mid1").as("mid"),
             col("contactCount"))
@@ -356,7 +356,7 @@ object Matrix {
         // all observed pairs at that (chr, distance); O/E = obs/expected.
         // Integer sums + one double division with identical expression
         // shape on both sides keep the hash exact.
-        val c = ContactsView(spark, dir)
+        val c = HicQueries.standingView(spark, dir)
           .filter(col("dist").between(HicQueries.L, HicQueries.U))
         val exp = c.groupBy("chr", "dist")
           .agg(sum(col("contactCount")).as("sumc"),
@@ -490,7 +490,7 @@ object Matrix {
         // the downstream leg of lo and the upstream leg of hi: union the
         // two projections, aggregate once, and keep the exact integer
         // sums plus the signed DI statistic.
-        val c = ContactsView(spark, dir)
+        val c = HicQueries.standingView(spark, dir)
           .select(col("chr"),
             least(col("mid1"), col("mid2")).as("lo"),
             greatest(col("mid1"), col("mid2")).as("hi"),
@@ -531,7 +531,7 @@ object Matrix {
         // distributed — see Compartments). Not SQL-expressible (iterative
         // eigensolve) → rows-only; AnalyticsSpec pins the in-task kernel
         // against a breeze dense eigendecomposition.
-        val c = ContactsView(spark, dir)
+        val c = HicQueries.standingView(spark, dir)
           .filter(col("dist").between(HicQueries.L, HicQueries.U))
         Compartments.scores(c)
           .select(col("chr"), col("bin"),
@@ -559,7 +559,7 @@ object Matrix {
         // decimal(38,0) (wq·v1 ≲ 1e14 at test SF; the lift guards the
         // 8×/64× fixtures — past ~1e38 per-bin the twin would need a
         // smaller quantization scale, documented here, not silent).
-        val c = ContactsView(spark, dir)
+        val c = HicQueries.standingView(spark, dir)
           .filter(col("dist").between(HicQueries.L, HicQueries.U))
         val wd = col("w") * lit(10000.0)
         val e = Compartments.edgeList(c)

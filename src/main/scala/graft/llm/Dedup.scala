@@ -411,7 +411,7 @@ object Dedup {
     * partition-dependent, but a kept list (n ≤ cap) is COMPLETE, so
     * every downstream consumer (pair set, sizes) is order-free.
     */
-  private final class CappedDocList(cap: Int)
+  private[graft] final class CappedDocList(cap: Int)
       extends org.apache.spark.sql.expressions
         .Aggregator[Long, (Long, List[Long]), Seq[Long]] {
     import org.apache.spark.sql.{Encoder, Encoders}
@@ -489,15 +489,24 @@ object Dedup {
             col("__rb") <= maxCandidatesPerDoc)
           .drop("__ra", "__rb")
       }
-    // shuffle-hash, NOT broadcast: Catalyst can't see the explode
-    // fan-out, so it underestimates the pair side and AQE would try to
-    // broadcast IT (driver OOM at 8×, observed); and the sizes side is
-    // per-doc — corpus-sized at scale — so it must not broadcast either
+    // Never let AQE pick the build side: Catalyst can't see the explode
+    // fan-out, so it underestimates the PAIR side and would try to
+    // broadcast IT (driver OOM at 8×, observed). The sizes side is
+    // per-doc — corpus-sized at scale, so it must not broadcast
+    // unconditionally either — but its row count is bounded by the doc
+    // count, which one narrow limit-capped scan bounds cheaply (the
+    // deltaSide discipline): below the cap the two size projections
+    // broadcast and the (candidate-heavy) pair table never exchanges;
+    // above it the scale-safe shuffle-hash joins stand.
+    val sizesSide: DataFrame => DataFrame =
+      if (docs.select("doc_id").limit((1 << 22) + 1).count() <= (1 << 22))
+        org.apache.spark.sql.functions.broadcast
+      else _.hint("shuffle_hash")
     capped
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
-        .hint("shuffle_hash"), "doc_b")
+      .join(sizesSide(sizes.select(col("doc_id").as("doc_a"),
+        col("sz").as("sza"))), "doc_a")
+      .join(sizesSide(sizes.select(col("doc_id").as("doc_b"),
+        col("sz").as("szb"))), "doc_b")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

@@ -525,6 +525,15 @@ object Warehouse {
         .write.mode("overwrite").parquet(p)
     }
     val retracted = col("o_orderkey") % retractMod === 0
+    // ONE capacity probe per relation over the whole fold window (the
+    // scd2 discipline): both batches' deltas are slices of these
+    // supersets, so if the union fits broadcast each slice does, and an
+    // oversized backfill sends every slice down the scale-safe shuffle
+    // — two probe scans instead of four
+    val sideA = deltaSide(ord.filter(col("o_orderdate") >= c0)
+      .unionByName(a0.filter(retracted)), maxBroadcastKeys)
+    val sideB = deltaSide(li.filter(col("l_shipdate") >= c0),
+      maxBroadcastKeys)
     // batch 1: arrivals in [cut0, cut1) at +1, old cancellations at −1
     val dA1 = ord.filter(col("o_orderdate") >= c0 &&
         col("o_orderdate") < c1).withColumn("w", lit(1L))
@@ -535,9 +544,7 @@ object Warehouse {
     val mv1 = ivmJoinApply(spark.read.parquet(mv0)
         .select(col("o_custkey"), col("n_lines"), col("rev_cp")),
       a0, li.filter(col("l_shipdate") < c1).drop("l_shipdate"),
-      dA1, dB1,
-      deltaSide(dA1, maxBroadcastKeys),
-      deltaSide(dB1, maxBroadcastKeys))
+      dA1, dB1, sideA, sideB)
     // drain-immune fold-lineage cut (see Caches.parquetHandoff)
     val mv1ck = Caches.parquetHandoff(mv1, "ivm_fold_mv1")
     // batch 2 applies onto A₁ = A₀ ∖ retracted ∪ batch-1 arrivals
@@ -550,8 +557,7 @@ object Warehouse {
       .select("o_orderkey", "o_custkey", "w")
     val dB2 = li.filter(col("l_shipdate") >= c1).drop("l_shipdate")
     ivmJoinApply(mv1ck, a1, li.drop("l_shipdate"), dA2, dB2,
-        deltaSide(dA2, maxBroadcastKeys),
-        deltaSide(dB2, maxBroadcastKeys))
+        sideA, sideB)
       .select(col("o_custkey"), col("n_lines"),
         asMoney(col("rev_cp")).as("revenue"))
       .orderBy("o_custkey")

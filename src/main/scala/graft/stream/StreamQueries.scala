@@ -196,7 +196,7 @@ object StreamQueries {
         // summary the streaming state converges to (StreamingSpec pins
         // the stream side against batch q_hic_marginals per locus; this
         // declared query oracle-pins the shared transform per chr).
-        val c = graft.hic.ContactsView(spark, dir)
+        val c = graft.hic.HicQueries.standingView(spark, dir)
           .select(col("chr").as("chr1"), col("mid1"),
             col("chr").as("chr2"), col("mid2"), col("contactCount"))
         HicStream.locusUpdates(c)
