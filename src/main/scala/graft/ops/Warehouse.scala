@@ -840,23 +840,26 @@ object Warehouse {
       .filter(col("dw") =!= 0).persist())
     // THE state write: the collapsed signed delta itself — O(|delta|)
     dPairs.write.mode("overwrite").parquet(sidecarOut)
-    // branch probe off the cached collapsed delta the sidecar write
-    // just materialized: exact pair count (what the broadcast actually
-    // builds), zero extra passes — the old fitsBroadcast(dRows) probe
-    // re-ran the raw delta lineage for a looser row bound
-    val nPairs = dPairs.count()
+    // ONE collect answers both driver-side questions off the cached
+    // collapsed delta the sidecar write just materialized: the exact
+    // pair count (what the broadcast would build — the old
+    // fitsBroadcast(dRows) probe re-ran the raw delta lineage for a
+    // looser row bound) and the touched-bucket set (previously its own
+    // distinct+collect job)
+    val bucketCounts = dPairs
+      .select(supportBucket(col("l_suppkey")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n")).collect()
+    val nPairs = bucketCounts.map(_.getLong(1)).sum
     val isBroadcast = nPairs <= cap
     val side: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame =
       if (isBroadcast) broadcast else _.hint("shuffle_merge")
     val keys = dPairs.select("l_suppkey", "l_partkey")
-    // bucket set of the delta's groups: ≤ SupportBuckets values, so the
-    // collect is constant-sized; pruning the base scan to these
-    // partitions is what makes a key-local delta's probe sublinear in
-    // the state
-    val touchedBuckets = dPairs
-      .select(supportBucket(col("l_suppkey")).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // bucket set of the delta's groups (from the same collect as the
+    // capacity probe above): ≤ SupportBuckets values; pruning the base
+    // scan to these partitions is what makes a key-local delta's probe
+    // sublinear in the state
+    val touchedBuckets = bucketCounts.map(_.getInt(0)).toSeq
     val basePruned = spark.read.parquet(basePath)
       .filter(col("b").isin(touchedBuckets: _*))
     val pairKey = xxhash64(col("l_suppkey"), col("l_partkey"))
