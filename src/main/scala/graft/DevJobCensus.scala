@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
 object DevJobCensus {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    // core-count A/Bs (e.g. the local[8]-vs-local[32] scaling
+    // adjudications): same env knob as Bench
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
@@ -37,7 +40,13 @@ object DevJobCensus {
     // (standing parquet, persisted indexes) exactly as the bench's first
     // run does; the SECOND pass is what the bench's 3-run median sees —
     // report that one.
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional query-name filter (args after the dir): a targeted census
+    // doesn't pay the full 252-query pass
+    val wanted = args.drop(1).toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(q => wanted(q._1)).toSeq
+    val rows = selected.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, dir).count() catch { case _: Throwable => () }
       graft.ops.Caches.drain()
       quiesce()

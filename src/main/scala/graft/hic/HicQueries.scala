@@ -435,13 +435,19 @@ object HicQueries {
     "q_hic_refine_pass2" -> Q(
       (spark, dir) => {
         // A20: drop pass-1 significant pairs (q < 0.05), recompute BH
-        // against the refined test set
-        val c = cachedView(spark, dir)
-        val outliers = Stats.bhQ(c, "pseudo_p", keys, "q1")
-          .filter(col("q1") < 0.05)
-          .select("chr", "mid1", "mid2")
-        val c2 = c.join(outliers, keys, "left_anti")
-        Stats.bhQ(c2, "pseudo_p", keys, "q_value")
+        // against the refined test set.
+        // Pass-1 BH runs ONCE: bhQ emits exactly one row per contact and
+        // (chr, mid1, mid2) is unique in the view (ContactsView
+        // pre-aggregates), so the pass-2 test set is a row FILTER of the
+        // scored frame — the old shape ranked the full view twice and
+        // anti-joined for the same rows. The filter is narrow over
+        // pass 1's ranged cache (p-ascending layout preserved), so
+        // pass 2 also skips its range exchange (assumeRanged) and its
+        // passes re-read that cache.
+        val bh1 = Stats.bhQ(standingView(spark, dir), "pseudo_p", keys,
+          "q1")
+        val c2 = bh1.filter(col("q1") >= 0.05).drop("q1")
+        Stats.bhQ(c2, "pseudo_p", keys, "q_value", assumeRanged = true)
           .select(col("chr"), col("mid1"), col("mid2"), col("contactCount"),
             Cols.fround(col("pseudo_p"), 6).as("pseudo_p"),
             Cols.fround(col("q_value"), 6).as("q_value"))

@@ -25,9 +25,19 @@ object Stats {
     * partition — a mis-sized shuffle partitioning costs extra chunks,
     * never an executor OOM.
     */
+  /** `assumeRanged = true` promises `df` is ALREADY range-partitioned and
+    * sorted ascending on (pCol, tieCols) AND cheap to re-traverse (e.g. a
+    * narrow filter over a previously ranged persisted cache — the
+    * GlobalOrder.assumeRanged contract): the exchange, its sampling pass,
+    * and the internal persist are all skipped, and the three passes run
+    * directly over the caller's layout. A frame whose layout does not
+    * match the promise silently misranks every row — callers must
+    * guarantee it structurally.
+    */
   def bhQ(df: DataFrame, pCol: String, tieCols: Seq[String], qCol: String,
       mOpt: Option[Long] = None,
-      chunkRows: Int = 1 << 18): DataFrame = {
+      chunkRows: Int = 1 << 18,
+      assumeRanged: Boolean = false): DataFrame = {
     require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
     val spark = df.sparkSession
     import spark.implicits._
@@ -36,12 +46,15 @@ object Stats {
     // the range exchange samples its child first — persist so the
     // upstream plan runs once; released once the ranged cache exists
     // (inputs the caller already cached are left untouched)
-    val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val preCached = assumeRanged ||
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val src = if (preCached) df else df.persist()
-    val ranged = Caches.register(
-      src.repartitionByRange(n, orderCols: _*)
-        .sortWithinPartitions(orderCols: _*)
-        .persist())
+    val ranged =
+      if (assumeRanged) df // backed by the caller's layout/cache
+      else Caches.register(
+        src.repartitionByRange(n, orderCols: _*)
+          .sortWithinPartitions(orderCols: _*)
+          .persist())
     val pIdx = ranged.schema.fieldIndex(pCol)
     // The per-partition passes key their offset maps by the RANGED
     // CACHE's partition index. That index must come from the RDD

@@ -1353,23 +1353,26 @@ object Warehouse {
         col("l_shipdate"))
     val old0 = li.filter(col("l_shipdate") < c0)
     val state0 = distinctStanding(spark, old0, dir, cut0Lit, retractMod)
-    val d1 = li.filter(col("l_shipdate") >= c0 &&
-        col("l_shipdate") < c1).withColumn("w", lit(1L))
-      .unionByName(old0.filter(col("l_orderkey") % retractMod === 0)
-        .withColumn("w", lit(-1L)))
-      .select("l_suppkey", "l_partkey", "w")
-    val d2 = li.filter(col("l_shipdate") >= c1)
-      .withColumn("w", lit(1L))
-      .select("l_suppkey", "l_partkey", "w")
-    val scs = Seq(d1 -> "ivm_dcm_sc1", d2 -> "ivm_dcm_sc2").map {
-      case (d, tag) =>
-        val p = graft.io.Scratch.subTagged(tag)
-        d.groupBy("l_suppkey", "l_partkey").agg(sum("w").as("dw"))
-          .filter(col("dw") =!= 0)
-          .write.mode("overwrite").parquet(p)
-        p
-    }
-    SupportState(state0 + "/base", scs)
+    // ONE pass writes BOTH sidecars (guide §1.2 — remove passes): the
+    // two deltas partition DISJOINT shipdate ranges ([c0,c1) +1 and the
+    // <c0 retraction −1 → sidecar 1; ≥c1 +1 → sidecar 2), so a single
+    // filter + CASE tags each row with its sidecar and one
+    // groupBy(sc, pair) + partitionBy(sc) write replaces two write jobs
+    // over three lineitem passes (the d1 union scanned li twice).
+    // Per-sidecar content is unchanged: sc partitions the rows, so the
+    // fused groupBy yields exactly each separate write's groups, and
+    // reading <p>/sc=N returns (l_suppkey, l_partkey, dw) — the
+    // partition column lives in the directory name, not the footer.
+    val p = graft.io.Scratch.subTagged("ivm_dcm_sc")
+    li.filter(col("l_shipdate") >= c0 ||
+        col("l_orderkey") % retractMod === 0)
+      .select(col("l_suppkey"), col("l_partkey"),
+        when(col("l_shipdate") < c0, lit(-1L)).otherwise(lit(1L)).as("w"),
+        when(col("l_shipdate") >= c1, lit(2)).otherwise(lit(1)).as("sc"))
+      .groupBy("sc", "l_suppkey", "l_partkey").agg(sum("w").as("dw"))
+      .filter(col("dw") =!= 0)
+      .write.partitionBy("sc").mode("overwrite").parquet(p)
+    SupportState(state0 + "/base", Seq(p + "/sc=1", p + "/sc=2"))
   }
 
   /** [[ivmDistinctFold]] plus the final merge-on-read support state

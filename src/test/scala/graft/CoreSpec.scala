@@ -129,6 +129,24 @@ class BhSpec extends AnyFunSuite with Matchers with SparkTest {
       .select("q").first().getDouble(0)
     q shouldBe 0.4
   }
+  test("assumeRanged over a filtered pass-1 frame ≡ the exchanged path " +
+      "(the refine_pass2 shape)") {
+    // pass 2 of the BH refinement filters pass 1's OUTPUT (a narrow op
+    // over the ranged layout) and re-ranks with assumeRanged = true —
+    // must be row-identical to handing the filtered frame back through
+    // the full repartitionByRange path
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 800).map(i => (i.toLong, rnd.nextDouble()))
+      .toDF("id", "p")
+    val bh1 = Stats.bhQ(df, "p", Seq("id"), "q1")
+    val kept = bh1.filter(col("q1") >= 0.3).drop("q1")
+    val fast = Stats.bhQ(kept, "p", Seq("id"), "q", assumeRanged = true)
+      .select("id", "q")
+    val slow = Stats.bhQ(kept, "p", Seq("id"), "q").select("id", "q")
+    fast.except(slow).count() shouldBe 0
+    slow.except(fast).count() shouldBe 0
+  }
   test("BH q-values survive partition-renumbering consumers (union)") {
     // regression: the final narrow pass once read the STAGE task id for
     // its per-partition offset lookup; a union consumer offsets the
