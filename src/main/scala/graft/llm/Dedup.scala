@@ -429,9 +429,17 @@ object Dedup {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** `probeDocs`, when given, is the frame the sizes-join capacity probe
+    * counts instead of `docs` — callers whose `docs` carries an
+    * expensive derived filter (the ≥3-token tokenize) pass the UNDERLYING
+    * table so the probe is a cheap pruned scan of `doc_id` alone. Any
+    * SUPERSET of `docs` is sound: an over-count can only demote
+    * broadcast to the scale-safe shuffle, never the reverse.
+    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.0, maxDf: Int = 200,
-      maxCandidatesPerDoc: Int = Int.MaxValue): DataFrame = {
+      maxCandidatesPerDoc: Int = Int.MaxValue,
+      probeDocs: Option[DataFrame] = None): DataFrame = {
     // (doc_id, sh) arrives unique straight from the fused per-row kernel
     // (ShingleHashes: tokenize/slice/distinct/xxhash64 off the text
     // bytes, no per-shingle string allocation). Shingle IDENTITY, not
@@ -499,7 +507,8 @@ object Dedup {
     // broadcast and the (candidate-heavy) pair table never exchanges;
     // above it the scale-safe shuffle-hash joins stand.
     val sizesSide: DataFrame => DataFrame =
-      if (docs.select("doc_id").limit((1 << 22) + 1).count() <= (1 << 22))
+      if (probeDocs.getOrElse(docs).select("doc_id")
+          .limit((1 << 22) + 1).count() <= (1 << 22))
         org.apache.spark.sql.functions.broadcast
       else _.hint("shuffle_hash")
     capped

@@ -497,9 +497,12 @@ object LlmQueries {
       (spark, dir) =>
         // docs under 3 tokens are excluded on BOTH sides (the oracle's
         // shingle CTE drops them; Dedup's whole-text fallback shingle
-        // would otherwise make Spark pair them)
+        // would otherwise make Spark pair them); the capacity probe
+        // counts the UNFILTERED table (superset bound — doc_id-only
+        // pruned scan, no tokenize pass)
         Dedup.ngramJaccardPairs(Tables(spark, dir, "documents")
-          .filter(size(split(col("text"), " ")) >= 3), 3, 0.2)
+          .filter(size(split(col("text"), " ")) >= 3), 3, 0.2,
+          probeDocs = Some(Tables(spark, dir, "documents")))
           .select(col("doc_a"), col("doc_b"), col("inter"),
             Cols.fround(col("jaccard"), 6).as("jaccard"))
           .orderBy("doc_a", "doc_b"),
@@ -516,7 +519,8 @@ object LlmQueries {
         // enumeration via ops.Graph.triangles, never all-pairs.
         val pairs = Dedup.ngramJaccardPairs(
           Tables(spark, dir, "documents")
-            .filter(size(split(col("text"), " ")) >= 3), 3, 0.2)
+            .filter(size(split(col("text"), " ")) >= 3), 3, 0.2,
+          probeDocs = Some(Tables(spark, dir, "documents")))
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         graft.ops.Graph.triangles(pairs)
           .select(col("a").as("doc_a"), col("b").as("doc_b"),
@@ -539,12 +543,17 @@ object LlmQueries {
         // representative (min doc_id) and cluster size.
         val docs3 = Tables(spark, dir, "documents")
           .filter(size(split(col("text"), " ")) >= 3)
-        val pairs = Dedup.ngramJaccardPairs(docs3, 3, 0.2)
+        val pairs = Dedup.ngramJaccardPairs(docs3, 3, 0.2,
+          probeDocs = Some(Tables(spark, dir, "documents")))
           .select("doc_a", "doc_b")
         val cc = Dedup.connectedComponents(docs3.select("doc_id"), pairs)
-        val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("csize"))
-        cc.join(sizes, "cluster")
-          .select(col("doc_id"), col("cluster"), col("csize"))
+        // csize as a window over cc, not groupBy + self-join: the old
+        // shape ran the vertex tokenize scan TWICE (once per cc lineage)
+        // and sort-merge-joined the two — one exchange on cluster now
+        // does the same work over a single scan
+        cc.select(col("doc_id"), col("cluster"),
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("cluster")).as("csize"))
           .orderBy("doc_id")
       },
       Some("WITH RECURSIVE " + ngramCtes + ", " +
