@@ -362,10 +362,22 @@ object LlmQueries {
       (spark, dir) => {
         val docs = Tables(spark, dir, "documents")
         val nDocs = docs.count()
-        val tf = docs
+        // tf feeds THREE lineages (doc lengths, document frequencies,
+        // the scored join); unpersisted, each lineage re-scanned and
+        // re-tokenized the whole corpus (3 scans + 3 explodes — no
+        // exchange reuse: the planner rewrites df's unused inner count
+        // into a distinct, a different subtree). Persisting the (doc,
+        // term, tf) table makes the corpus pass run ONCE; everything
+        // downstream is tf-table-sized. DISK_ONLY: corpus-sized, must
+        // never pin executor memory. (Locally the three explodes were
+        // cheap and ran in parallel, so this is bench-flat — it is the
+        // q_profile_columns trade: one corpus pass at 100 TB beats
+        // three.)
+        val tf = graft.ops.Caches.register(docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
         val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("doc_len"))
         val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")

@@ -694,16 +694,23 @@ object Selection {
       .select(col("doc_id"), col("lang"),
         col("e.hb").as("hb"), col("e.mult").as("mult"))
       .persist())
-    val srcCnt = feat.groupBy("hb").agg(sum(col("mult")).as("cs"))
-    val tgtCnt = feat.filter(col("lang") === "en")
-      .groupBy("hb").agg(sum(col("mult")).as("ct"))
-    val totals = srcCnt.agg(sum(col("cs")).as("ts")).crossJoin(
-      tgtCnt.agg(sum(col("ct")).as("tt")))
+    // source AND target counts in ONE aggregation (the target is a
+    // conditional sum, not a second filtered groupBy): the corpus-sized
+    // feat cache is scanned once, not once per table — and the old
+    // shape recomputed EACH unpersisted table three times (its total,
+    // the llr join, the totals cross join). Persisted: ≤ B rows.
+    // ct = 0 where the old left-joined tgtCnt read null — identical
+    // after the coalesce below.
+    val cnts = graft.ops.Caches.register(feat.groupBy("hb")
+      .agg(sum(col("mult")).as("cs"),
+        sum(when(col("lang") === "en", col("mult")).otherwise(0L))
+          .as("ct"))
+      .persist())
+    val totals = cnts.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"))
     // full B-bucket smoothed tables: buckets unseen in the target (or
     // even the source) still carry a defined llr — seq 0..B-1 ⟕ counts
     val llr = spark.range(0, B).select(col("id").cast("int").as("hb"))
-      .join(srcCnt, Seq("hb"), "left")
-      .join(tgtCnt, Seq("hb"), "left")
+      .join(cnts, Seq("hb"), "left")
       .crossJoin(broadcast(totals))
       .select(col("hb"), expr(
         "CAST(ROUND((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / " +
