@@ -128,14 +128,21 @@ object HicQueries {
         // Flagship composition: the FULL two-pass Fit-Hi-C pipeline
         // (A13–A20) over the contacts view. Not SQL-expressible (binomial
         // sf + spline) → no oracle; pinned by PipelineSpec golden tests.
-        val c = cachedView(spark, dir)
+        // standingView, not cachedView: the pipeline traverses the
+        // contacts lineage ONCE (into its own internal persist), so a
+        // second in-memory copy was pure materialization cost
+        val c = standingView(spark, dir)
         val contacts = c.select(col("chr").as("chr1"), col("mid1"),
           col("chr").as("chr2"), col("mid2"), col("contactCount"))
         // frags = the reference's fragments INPUT file (A2) — standing
         // parquet, not per-query re-derivation
         val frags = standingFrags(spark, dir)
+        // endsMappable: frags IS this view's own marginals table, so
+        // every contact end is present with hitCount ≥ 1 = thr — the
+        // mappability probes are row-level no-ops, skipped by assertion
         Pipeline.intraSignificances(frags, contacts, None,
-            FitHiCConfig(nBins = 100, passes = 2, distLow = L, distUp = U))
+            FitHiCConfig(nBins = 100, passes = 2, distLow = L, distUp = U),
+            endsMappable = true)
           .select(col("pass"), col("chr1"), col("mid1"), col("mid2"),
             col("contactCount"),
             Cols.fround(col("p_value"), 8).as("p_value"),
@@ -155,7 +162,9 @@ object HicQueries {
         // oracle recomputes from the ORIGINAL tables, so a hash match
         // proves BOTH connector halves end-to-end.
         val out = graft.io.Scratch.sub("hic_tsv_src")
-        val c = cachedView(spark, dir)
+        // standingView: the view feeds the connector write once; the
+        // read-back comes from the connector's own files
+        val c = standingView(spark, dir)
         c.select(col("chr").as("chr1"), col("mid1"),
             col("chr").as("chr2"), col("mid2"), col("contactCount"))
           .write.format("hic-tsv").option("kind", "contacts")
@@ -712,8 +721,11 @@ object HicQueries {
         val kr = () => Kr.biases(contacts.filter(
           abs(col("mid2") - col("mid1")).between(L, U)),
           trimPercentile = 0.05, iterations = 10)
+        // endsMappable: frags is this view's own marginals (see
+        // q_hic_significances) — the mappability probes are no-ops
         Pipeline.intraSignificancesWith(frags, contacts, Some(kr),
-            FitHiCConfig(nBins = 100, passes = 1, distLow = L, distUp = U))
+            FitHiCConfig(nBins = 100, passes = 1, distLow = L, distUp = U),
+            endsMappable = true)
           .select(col("chr1").as("chr"), col("mid1"), col("mid2"),
             col("contactCount"),
             Cols.fround(col("p_value"), 8).as("p_value"),
@@ -737,7 +749,10 @@ object HicQueries {
             col("contactCount")))
           .groupBy("chr", "mid")
           .agg(sum(col("contactCount")).as("hitCount"))
-        Pipeline.interSignificances(frags, contacts, None, FitHiCConfig())
+        // endsMappable: frags is derived above as v's own marginals —
+        // every end present, hitCount ≥ 1 = thr; probes skipped
+        Pipeline.interSignificances(frags, contacts, None, FitHiCConfig(),
+            endsMappable = true)
           .select(col("chr1"), col("mid1"), col("chr2"), col("mid2"),
             col("contactCount"),
             Cols.fround(col("p_value"), 8).as("p_value"),

@@ -65,9 +65,10 @@ object Pipeline {
     */
   def intraSignificances(frags: DataFrame, contacts: DataFrame,
       biases: Option[DataFrame], cfg: FitHiCConfig,
-      diagSink: Option[Seq[PassDiagnostics] => Unit] = None): DataFrame =
+      diagSink: Option[Seq[PassDiagnostics] => Unit] = None,
+      endsMappable: Boolean = false): DataFrame =
     intraSignificancesWith(frags, contacts, biases.map(b => () => b), cfg,
-      diagSink)
+      diagSink, endsMappable)
 
   /** As [[intraSignificances]], taking the bias table as a THUNK: bias
     * construction that runs eager driver work (the KR solve's routing
@@ -75,17 +76,32 @@ object Pipeline {
     * mappable/marginals materialization and the possible-M window job
     * instead of serializing in front of the whole pipeline.
     */
+  /** `endsMappable = true` asserts that every contact end appears in
+    * `frags` with hitCount ≥ mappabilityThr — true by construction when
+    * the caller derives `frags` as the SAME contact set's marginals and
+    * thr ≤ 1 (every locus's hitCount is a sum of ≥ 1 contactCounts).
+    * Under the assertion the two mappability semi probes are row-level
+    * no-ops, so they are skipped outright (and the mappable set is no
+    * longer multi-traversed, so it isn't persisted — the possible-M
+    * window is its one consumer). A caller asserting this falsely gets
+    * silently unfiltered contacts: assert structurally, never guess.
+    */
   def intraSignificancesWith(frags: DataFrame, contacts: DataFrame,
       mkBiases: Option[() => DataFrame], cfg: FitHiCConfig,
-      diagSink: Option[Seq[PassDiagnostics] => Unit] = None): DataFrame = {
+      diagSink: Option[Seq[PassDiagnostics] => Unit] = None,
+      endsMappable: Boolean = false): DataFrame = {
     require(cfg.passes >= 1, s"passes must be >= 1, got ${cfg.passes}")
     // the mappable locus set is traversed three times (two loci broadcast
     // builds + the possible-pair window) and the bias table twice (the
     // per-end broadcast joins) — persist both so an expensive upstream
     // (a marginals groupBy, a KR solve) can never run more than once
-    val mapped = graft.ops.Caches.register(
-      Fragments.mappable(frags, cfg.mappabilityThr).persist())
-    val filtered = Contacts.bothEndsMappable(contacts, mapped)
+    val mapped =
+      if (endsMappable) Fragments.mappable(frags, cfg.mappabilityThr)
+      else graft.ops.Caches.register(
+        Fragments.mappable(frags, cfg.mappabilityThr).persist())
+    val filtered =
+      if (endsMappable) contacts
+      else Contacts.bothEndsMappable(contacts, mapped)
     val classified = Contacts.classify(filtered, cfg.distLow, cfg.distUp)
     val intra = classified.filter(col("cls") === "intraInRange")
     // Concurrent-lineage overlap (same session, per-block get-or-compute
@@ -235,15 +251,22 @@ object Pipeline {
         col("q_value")): _*)
   }
 
-  /** Inter-chromosomal model (A21): uniform bias-scaled prior. */
+  /** Inter-chromosomal model (A21): uniform bias-scaled prior.
+    * `endsMappable` as on [[intraSignificancesWith]].
+    */
   def interSignificances(frags: DataFrame, contacts: DataFrame,
-      biases: Option[DataFrame], cfg: FitHiCConfig): DataFrame = {
+      biases: Option[DataFrame], cfg: FitHiCConfig,
+      endsMappable: Boolean = false): DataFrame = {
     // traversed three times (two semi-join broadcast builds + the
     // possible-M closed form) — persist so an expensive upstream (a
     // marginals groupBy) runs once, same as the intra path
-    val mapped = graft.ops.Caches.register(
-      Fragments.mappable(frags, cfg.mappabilityThr).persist())
-    val filtered = Contacts.bothEndsMappable(contacts, mapped)
+    val mapped =
+      if (endsMappable) Fragments.mappable(frags, cfg.mappabilityThr)
+      else graft.ops.Caches.register(
+        Fragments.mappable(frags, cfg.mappabilityThr).persist())
+    val filtered =
+      if (endsMappable) contacts
+      else Contacts.bothEndsMappable(contacts, mapped)
     val inter = Contacts.classify(filtered, cfg.distLow, cfg.distUp)
       .filter(col("cls") === "interAll")
     // cache: the classify + double bias-join plan is read twice (N

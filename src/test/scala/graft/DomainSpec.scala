@@ -69,6 +69,40 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTest {
     byPass(1) shouldBe byPass(2) // ALL pairs scored in both passes
   }
 
+  test("endsMappable fast path ≡ default when frags are the contacts' " +
+      "own marginals (intra and inter)") {
+    import spark.implicits._
+    val (_, contacts) = fixture
+    // frags derived AS the contact set's marginals — the precondition
+    // the declared hic queries assert (every end present, hitCount ≥ 1)
+    val marg = contacts.select(col("chr1").as("chr"),
+        col("mid1").as("mid"), col("contactCount"))
+      .unionByName(contacts.select(col("chr2").as("chr"),
+        col("mid2").as("mid"), col("contactCount")))
+      .groupBy("chr", "mid").agg(sum("contactCount").as("hitCount"))
+    val cfg = FitHiCConfig(nBins = 3, passes = 2, distLow = 0,
+      distUp = 1000000L, qThreshold = 0.5)
+    val slow = Pipeline.intraSignificances(marg, contacts, None, cfg)
+    val fast = Pipeline.intraSignificances(marg, contacts, None, cfg,
+      endsMappable = true)
+    fast.except(slow).count() shouldBe 0
+    slow.except(fast).count() shouldBe 0
+    val inter = Seq(("c1", 2500L, "c2", 2500L, 4L),
+      ("c1", 2500L, "c2", 7500L, 3L))
+      .toDF("chr1", "mid1", "chr2", "mid2", "contactCount")
+    val margI = inter.select(col("chr1").as("chr"), col("mid1").as("mid"),
+        col("contactCount"))
+      .unionByName(inter.select(col("chr2").as("chr"),
+        col("mid2").as("mid"), col("contactCount")))
+      .groupBy("chr", "mid").agg(sum("contactCount").as("hitCount"))
+    val slowI = Pipeline.interSignificances(margI, inter, None,
+      FitHiCConfig())
+    val fastI = Pipeline.interSignificances(margI, inter, None,
+      FitHiCConfig(), endsMappable = true)
+    fastI.except(slowI).count() shouldBe 0
+    slowI.except(fastI).count() shouldBe 0
+  }
+
   test("bias factors scale priors (inter model)") {
     import spark.implicits._
     val frags = Seq(("c1", 0L, 2500L, 5L, 1), ("c2", 0L, 2500L, 5L, 1),
