@@ -506,9 +506,15 @@ object Dedup {
     // deltaSide discipline): below the cap the two size projections
     // broadcast and the (candidate-heavy) pair table never exchanges;
     // above it the scale-safe shuffle-hash joins stand.
+    // byte-derived cap (Warehouse.broadcastRowCap): the broadcast rows
+    // are the two-long (doc_id, sz) projections — the historical 1<<22
+    // row cutover, now stated in bytes
+    val sizesCap = graft.ops.Warehouse.broadcastRowCap(
+      sizes.select(col("doc_id"), col("sz")).schema)
     val sizesSide: DataFrame => DataFrame =
       if (probeDocs.getOrElse(docs).select("doc_id")
-          .limit((1 << 22) + 1).count() <= (1 << 22))
+          .limit(math.min(sizesCap + 1, Int.MaxValue).toInt).count()
+          <= sizesCap)
         org.apache.spark.sql.functions.broadcast
       else _.hint("shuffle_hash")
     capped

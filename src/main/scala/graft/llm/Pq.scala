@@ -776,7 +776,7 @@ object Pq {
   private[graft] def pendingArrivals(
       spark: org.apache.spark.sql.SparkSession,
       indexRoot: String, embeddings: DataFrame,
-      maxBroadcastIds: Long = 1L << 22): DataFrame =
+      maxBroadcastIds: Long = -1L): DataFrame =
     pendingArrivalsAt(spark, indexRoot,
       liveIndexManifest(indexRoot), embeddings, maxBroadcastIds)
 
@@ -788,7 +788,7 @@ object Pq {
   private def pendingArrivalsAt(
       spark: org.apache.spark.sql.SparkSession,
       indexRoot: String, m: IndexManifest, embeddings: DataFrame,
-      maxBroadcastIds: Long = 1L << 22): DataFrame = {
+      maxBroadcastIds: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions._
     val (bloom, _, _) = readIdBloomAt(spark, indexRoot, m)
     // broadcast HANDLE, not a plan literal: the id sidecar is sized to
@@ -821,8 +821,12 @@ object Pq {
       .select("vec_id").distinct()
     val known0 = spark.read.parquet(codesPaths(indexRoot, m): _*)
       .filter(col("sub") === 0).select("vec_id")
-    val probeCap = math.min(maxBroadcastIds + 1, Int.MaxValue).toInt
-    if (maybe.limit(probeCap).count() <= maxBroadcastIds) {
+    // byte-derived cap (Warehouse.broadcastRowCap): the broadcast rows
+    // are the single-long id projection
+    val idCap = graft.ops.Warehouse.broadcastRowCap(maybe.schema,
+      maxBroadcastIds)
+    val probeCap = math.min(idCap + 1, Int.MaxValue).toInt
+    if (maybe.limit(probeCap).count() <= idCap) {
       val known = known0.join(broadcast(maybe), Seq("vec_id"),
         "left_semi")
       embeddings.join(broadcast(known), Seq("vec_id"), "left_anti")

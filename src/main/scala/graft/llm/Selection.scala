@@ -411,7 +411,7 @@ object Selection {
   }
 
   private[graft] def probeDedupState(spark: SparkSession, root: String,
-      shard: DataFrame, maxBroadcastKeys: Long = 1L << 22,
+      shard: DataFrame, maxBroadcastKeys: Long = -1L,
       key: String = "clean_md5"): DataFrame =
     probeDedupStateAt(spark, root, liveManifest(root), shard,
       maxBroadcastKeys, key)
@@ -458,7 +458,11 @@ object Selection {
     val maybe = shard.filter(graft.functions.BloomProbeBc.mightContain(
         bc, xxhash64(col(key))))
       .select(key).distinct()
-    if (graft.ops.Warehouse.fitsBroadcast(maybe, maxBroadcastKeys)) {
+    // byte-derived cap: the broadcast rows are the residue's key
+    // projection (see Warehouse.broadcastRowCap)
+    if (graft.ops.Warehouse.fitsBroadcast(maybe,
+        graft.ops.Warehouse.broadcastRowCap(maybe.schema,
+          maxBroadcastKeys))) {
       // bucket pruning: the residue's hash-bucket set (≤ StateBuckets
       // values — a constant-sized collect) becomes a PARTITION filter
       // on the fingerprint scan, so a small daily residue reads only
@@ -538,7 +542,7 @@ object Selection {
           val m = snap.map(StateManifest.parse)
             .getOrElse(liveManifest(root))
           val novel = graft.ops.Caches.register(
-            probeDedupStateAt(spark, root, m, shard, 1L << 22, key)
+            probeDedupStateAt(spark, root, m, shard, -1L, key)
               .filter(!col("in_corpus")).select(key).distinct()
               .persist())
           // count() (not isEmpty) fully materializes the cache BEFORE

@@ -57,6 +57,31 @@ object Warehouse {
     probeRows.limit(probe).count() <= cap
   }
 
+  /** The ONE byte-based broadcast cap (guide §3: size broadcasts in
+    * bytes, not rows): how many rows of `schema` fit the broadcast
+    * budget. The budget defaults to 64 MB of unserialized row data —
+    * several × the 10 MB autoBroadcastJoinThreshold default, far under
+    * the 8 GB / 512M-row hard cap, and small enough that the built hash
+    * relation (2-4× raw) stays comfortable in a default driver and
+    * executor. Row width comes from the schema's defaultSize, so
+    * two-long rows keep the historical 1<<22-row cutover exactly
+    * (64 MiB / 16 B = 4 194 304) and wider rows scale down
+    * proportionally instead of inheriting a row-count convention sized
+    * for 16-byte rows. `SPARK_GRAFT_BC_BUDGET_MB` overrides the budget
+    * for cluster memory profiles. Negative `explicit` means "derive";
+    * a non-negative caller value (spec parity pins force 0) wins.
+    */
+  private[graft] def broadcastRowCap(
+      schema: org.apache.spark.sql.types.StructType,
+      explicit: Long = -1L): Long =
+    if (explicit >= 0L) explicit
+    else {
+      val budget = sys.env.get("SPARK_GRAFT_BC_BUDGET_MB")
+        .flatMap(_.toLongOption).map(_ << 20).getOrElse(64L << 20)
+      math.max(1L,
+        budget / math.max(8L, schema.map(_.dataType.defaultSize).sum))
+    }
+
   private def cdcSide(changes: org.apache.spark.sql.DataFrame, cap: Long)
       : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
     // sized from the RAW changeset's distinct keys (== collapsed rows)
@@ -107,7 +132,7 @@ object Warehouse {
     */
   private[graft] def applyCdc(base: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame,
-      maxBroadcastKeys: Long = 1L << 22)
+      maxBroadcastKeys: Long = -1L)
       : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("key")
       .orderBy(desc("tus"), desc("event_id"))
@@ -119,7 +144,10 @@ object Warehouse {
       .filter(col("rn") === 1)
       .select("key", "op", "new_bal_c")
       .persist())
-    val side = cdcSide(changes, maxBroadcastKeys)
+    // cap sized (bytes, not rows) to the collapsed-changeset row — an
+    // upper bound on every projection the side function wraps
+    val side = cdcSide(changes,
+      broadcastRowCap(latest.schema, maxBroadcastKeys))
     val survivors = base
       .join(side(latest.select("key")), Seq("key"), "left_anti")
       .select(col("key"), col("name"), col("bal_c"),
@@ -155,7 +183,7 @@ object Warehouse {
     */
   private[graft] def applyCdcFull(base: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame,
-      maxBroadcastKeys: Long = 1L << 22)
+      maxBroadcastKeys: Long = -1L)
       : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("key")
       .orderBy(desc("tus"), desc("event_id"))
@@ -164,7 +192,8 @@ object Warehouse {
       .filter(col("rn") === 1)
       .select("key", "op", "new_name", "new_bal_c")
       .persist())
-    val side = cdcSide(changes, maxBroadcastKeys)
+    val side = cdcSide(changes,
+      broadcastRowCap(latest.schema, maxBroadcastKeys))
     val survivors = base
       .join(side(latest.select("key")), Seq("key"), "left_anti")
       .select(col("key"), col("name"), col("bal_c"),
@@ -218,7 +247,7 @@ object Warehouse {
     */
   private[graft] def applyCdcScd2(base: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame,
-      maxBroadcastKeys: Long = 1L << 22,
+      maxBroadcastKeys: Long = -1L,
       sideOpt: Option[org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
@@ -235,7 +264,8 @@ object Warehouse {
     // split's do; if not, every split takes the scale-safe shuffle —
     // conservative in exactly the direction that matters) instead of
     // paying the probe per fold
-    val side = sideOpt.getOrElse(cdcSide(changes, maxBroadcastKeys))
+    val side = sideOpt.getOrElse(cdcSide(changes,
+      broadcastRowCap(latest.schema, maxBroadcastKeys)))
     // the changed keys' history boundary (open version → vf; closed
     // versions → vt, so a replayed DELETE is recognized): base STREAMS
     // through a broadcast semi probe and partial-aggregates map-side;
@@ -294,7 +324,7 @@ object Warehouse {
   private[graft] def applyCdcScd2Compact(
       compact: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame,
-      maxBroadcastKeys: Long = 1L << 22,
+      maxBroadcastKeys: Long = -1L,
       sideOpt: Option[org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -415,7 +445,7 @@ object Warehouse {
 
   private[graft] def ivmJoinView(spark: org.apache.spark.sql.SparkSession,
       dir: String, cutLit: String = "1998-01-01", retractMod: Long = 13L,
-      maxBroadcastKeys: Long = 1L << 22)
+      maxBroadcastKeys: Long = -1L)
       : org.apache.spark.sql.DataFrame = {
     val cut = Cols.ts(cutLit)
     val ord = Tables(spark, dir, "orders")
@@ -445,8 +475,10 @@ object Warehouse {
     // the correct plan is then a shuffle join, not a giant broadcast.
     // The probes count the SAME frames the joins build from (uncached),
     // so the sizing decision can't drift from the real delta
-    val ordSide = deltaSide(dOrd, maxBroadcastKeys)
-    val liSide = deltaSide(dLi, maxBroadcastKeys)
+    val ordSide = deltaSide(dOrd,
+      broadcastRowCap(dOrd.schema, maxBroadcastKeys))
+    val liSide = deltaSide(dLi,
+      broadcastRowCap(dLi.schema, maxBroadcastKeys))
     ivmJoinApply(spark.read.parquet(mv0)
         .select(col("o_custkey"), col("n_lines"), col("rev_cp")),
       oldOrd, li.drop("l_shipdate"), dOrd, dLi, ordSide, liSide)
@@ -507,7 +539,7 @@ object Warehouse {
   private[graft] def ivmJoinFold(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       cut0Lit: String = "1997-07-01", cut1Lit: String = "1998-01-01",
-      retractMod: Long = 13L, maxBroadcastKeys: Long = 1L << 22)
+      retractMod: Long = 13L, maxBroadcastKeys: Long = -1L)
       : org.apache.spark.sql.DataFrame = {
     val c0 = Cols.ts(cut0Lit)
     val c1 = Cols.ts(cut1Lit)
@@ -531,9 +563,10 @@ object Warehouse {
     // oversized backfill sends every slice down the scale-safe shuffle
     // — two probe scans instead of four
     val sideA = deltaSide(ord.filter(col("o_orderdate") >= c0)
-      .unionByName(a0.filter(retracted)), maxBroadcastKeys)
+      .unionByName(a0.filter(retracted)),
+      broadcastRowCap(ord.schema, maxBroadcastKeys))
     val sideB = deltaSide(li.filter(col("l_shipdate") >= c0),
-      maxBroadcastKeys)
+      broadcastRowCap(li.schema, maxBroadcastKeys))
     // batch 1: arrivals in [cut0, cut1) at +1, old cancellations at −1
     val dA1 = ord.filter(col("o_orderdate") >= c0 &&
         col("o_orderdate") < c1).withColumn("w", lit(1L))
@@ -607,7 +640,7 @@ object Warehouse {
   private[graft] def ivmMinmaxView(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       cutLit: String = "1998-01-01", retractMod: Long = 13L,
-      maxBroadcastKeys: Long = 1L << 22)
+      maxBroadcastKeys: Long = -1L)
       : org.apache.spark.sql.DataFrame = {
     val cut = Cols.ts(cutLit)
     val ord = Tables(spark, dir, "orders")
@@ -637,7 +670,8 @@ object Warehouse {
     // the registered cache would materialize a second generation of
     // the cached exchange into the consumer plan (the r17 cdcSide
     // plan-gate lesson).
-    val side = deltaSide(touchedPlan, maxBroadcastKeys)
+    val side = deltaSide(touchedPlan,
+      broadcastRowCap(touchedPlan.schema, maxBroadcastKeys))
     val untouched = spark.read.parquet(mv0)
       .join(side(touched), Seq("o_custkey"), "left_anti")
     // group-scoped recompute over the FINAL state of the touched keys:
@@ -699,7 +733,7 @@ object Warehouse {
   private[graft] def ivmDistinctView(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       cutLit: String = "1998-01-01", retractMod: Long = 13L,
-      maxBroadcastKeys: Long = 1L << 22)
+      maxBroadcastKeys: Long = -1L)
       : org.apache.spark.sql.DataFrame = {
     val cut = Cols.ts(cutLit)
     val li = Tables(spark, dir, "lineitem")
@@ -744,7 +778,8 @@ object Warehouse {
     // scans + the union) for a looser bound
     val side: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame =
-      if (dPairs.count() <= maxBroadcastKeys) broadcast
+      if (dPairs.count() <=
+          broadcastRowCap(dPairs.schema, maxBroadcastKeys)) broadcast
       else _.hint("shuffle_merge")
     val auxTouched = spark.read.parquet(aux0)
       .join(side(dPairs.select("l_suppkey", "l_partkey")),
@@ -850,7 +885,8 @@ object Warehouse {
       .select(supportBucket(col("l_suppkey")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n")).collect()
     val nPairs = bucketCounts.map(_.getLong(1)).sum
-    val isBroadcast = nPairs <= cap
+    val isBroadcast = nPairs <= broadcastRowCap(
+      dPairs.select("l_suppkey", "l_partkey").schema, cap)
     val side: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame =
       if (isBroadcast) broadcast else _.hint("shuffle_merge")
@@ -1006,7 +1042,7 @@ object Warehouse {
   private[graft] final class IvmDistinctStream(
       spark: org.apache.spark.sql.SparkSession, supportRoot: String,
       seed: org.apache.spark.sql.DataFrame,
-      cap: Long = 1L << 22, compactEvery: Int = 3,
+      cap: Long = -1L, compactEvery: Int = 3,
       runTag: String = "", readOnly: Boolean = false) {
     private val rootP = java.nio.file.Paths.get(supportRoot)
     private val mfP = rootP.resolve("BASE_MANIFEST")
@@ -1304,7 +1340,7 @@ object Warehouse {
   private[graft] def ivmDistinctFold(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       cut0Lit: String = "1997-07-01", cut1Lit: String = "1998-01-01",
-      retractMod: Long = 13L, maxBroadcastKeys: Long = 1L << 22)
+      retractMod: Long = 13L, maxBroadcastKeys: Long = -1L)
       : org.apache.spark.sql.DataFrame = {
     val (mv2, _) = ivmDistinctFoldWithState(spark, dir, cut0Lit,
       cut1Lit, retractMod, maxBroadcastKeys)
@@ -1382,7 +1418,7 @@ object Warehouse {
   private[graft] def ivmDistinctFoldWithState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       cut0Lit: String, cut1Lit: String, retractMod: Long,
-      maxBroadcastKeys: Long = 1L << 22)
+      maxBroadcastKeys: Long = -1L)
       : (org.apache.spark.sql.DataFrame, SupportState) = {
     val c0 = Cols.ts(cut0Lit)
     val c1 = Cols.ts(cut1Lit)
@@ -1623,10 +1659,10 @@ object Warehouse {
     */
   private[graft] def mergeOnReadScan(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      maxBroadcastKeys: Long = 1L << 22)
+      maxBroadcastKeys: Long = -1L)
       : org.apache.spark.sql.DataFrame = {
     val dv = spark.read.parquet(s"$root/dv")
-    val side = cdcSide(dv, maxBroadcastKeys)
+    val side = cdcSide(dv, broadcastRowCap(dv.schema, maxBroadcastKeys))
     spark.read.parquet(s"$root/base")
       .join(side(dv), Seq("key"), "left_anti")
       .unionByName(spark.read.parquet(s"$root/delta"))
@@ -2370,7 +2406,8 @@ object Warehouse {
         // ONE capacity probe over the whole feed decides both folds'
         // broadcast-vs-shuffle side (a superset bound — see
         // applyCdcScd2) instead of a distinct+limit probe job per fold
-        val side = Some(cdcSide(changes, 1L << 22))
+        val side = Some(cdcSide(changes,
+          broadcastRowCap(changes.schema)))
         val (c1, log1) = applyCdcScd2Compact(base, day1, sideOpt = side)
         // lineage cut between folds (the iterative-loop discipline —
         // BPE/KR do the same): the compact state is key-bounded, so
