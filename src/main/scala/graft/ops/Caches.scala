@@ -56,6 +56,33 @@ object Caches {
     df.sparkSession.read.parquet(p)
   }
 
+  /** [[parquetHandoff]] for TWO same-schema frames in ONE write job:
+    * the union is tagged and written partitionBy the tag, each side
+    * reads back its own partition directory (flat files — the tag
+    * lives in the directory name, not the footers). One write replaces
+    * two when both frames derive from one persisted parent (the scd2
+    * fold's next-state + closed-log pair). An empty side (its
+    * directory never created) reads back as an empty frame of the same
+    * schema.
+    */
+  def parquetHandoff2(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, tag: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val p = graft.io.Scratch.subTagged(tag)
+    a.withColumn("__ho", org.apache.spark.sql.functions.lit("a"))
+      .unionByName(b.withColumn("__ho",
+        org.apache.spark.sql.functions.lit("b")))
+      .write.partitionBy("__ho").mode("overwrite").parquet(p)
+    val spark = a.sparkSession
+    def side(sub: String, schema: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.DataFrame =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p, sub)))
+        spark.read.schema(schema).parquet(s"$p/$sub")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    (side("__ho=a", a.schema), side("__ho=b", b.schema))
+  }
+
   private val standingBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

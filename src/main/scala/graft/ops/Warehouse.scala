@@ -270,12 +270,14 @@ object Warehouse {
     // versions → vt, so a replayed DELETE is recognized): base STREAMS
     // through a broadcast semi probe and partial-aggregates map-side;
     // the (changeset-bounded) result broadcasts into the guard
-    val bound = Caches.register(base
+    // NOT persisted: eff is bound's only consumer — its broadcast (or
+    // shuffle) build runs this plan exactly once either way, and the
+    // old persist only added a dead cache write
+    val bound = base
       .join(side(latest.select("key")), Seq("key"), "left_semi")
       .groupBy("key")
       .agg(max(when(col("vt_us") === Scd2OpenUs, col("vf_us"))
         .otherwise(col("vt_us"))).as("boundary"))
-      .persist())
     val eff = Caches.register(latest
       .join(side(bound), Seq("key"), "left")
       .filter(col("boundary").isNull || col("tus") > col("boundary"))
@@ -2418,8 +2420,10 @@ object Warehouse {
         // single-fold 2.7 s). The streaming CLI gets this for free by
         // writing state to parquet per batch; parquetHandoff is the same
         // shape, and drain-immune where localCheckpoint was not.
-        val c1ck = Caches.parquetHandoff(c1, "scd2_fold_c1")
-        val log1ck = Caches.parquetHandoff(log1, "scd2_fold_log1")
+        // BOTH frames derive from the fold's one persisted output, so
+        // the paired handoff writes them in ONE job, not two.
+        val (c1ck, log1ck) =
+          Caches.parquetHandoff2(c1, log1, "scd2_fold_b1")
         val (c2, log2) = applyCdcScd2Compact(c1ck, day2, sideOpt = side)
         log1ck.unionByName(log2)
           .unionByName(c2.filter(col("vt_us") === Scd2OpenUs))
