@@ -875,29 +875,33 @@ object Warehouse {
     val dPairs = Caches.register(dRows
       .groupBy("l_suppkey", "l_partkey").agg(sum("w").as("dw"))
       .filter(col("dw") =!= 0).persist())
-    // THE state write: the collapsed signed delta itself — O(|delta|)
-    dPairs.write.mode("overwrite").parquet(sidecarOut)
-    // ONE collect answers both driver-side questions off the cached
-    // collapsed delta the sidecar write just materialized: the exact
-    // pair count (what the broadcast would build — the old
-    // fitsBroadcast(dRows) probe re-ran the raw delta lineage for a
-    // looser row bound) and the touched-bucket set (previously its own
-    // distinct+collect job)
-    val bucketCounts = dPairs
-      .select(supportBucket(col("l_suppkey")).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("n")).collect()
-    val nPairs = bucketCounts.map(_.getLong(1)).sum
+    // THE state write: the collapsed signed delta itself — O(|delta|).
+    // Both driver-side questions (exact pair count for the broadcast
+    // decision; the touched-bucket set for base pruning) ride the
+    // write job itself as observed metrics — SupportBuckets conditional
+    // sums, no separate collect job over the cache (which an earlier
+    // round had already fused down from two jobs to one).
+    val obs = org.apache.spark.sql.Observation()
+    dPairs.observe(obs, count(lit(1)).as("n"),
+        (0 until SupportBuckets).map(i =>
+          sum(when(supportBucket(col("l_suppkey")) === i, 1L)
+            .otherwise(0L)).as(s"b$i")): _*)
+      .write.mode("overwrite").parquet(sidecarOut)
+    val metrics = obs.get
+    val nPairs = metrics("n").asInstanceOf[Long]
+    val bucketN = (0 until SupportBuckets).map(i =>
+      i -> Option(metrics(s"b$i")).fold(0L)(_.asInstanceOf[Long]))
     val isBroadcast = nPairs <= broadcastRowCap(
       dPairs.select("l_suppkey", "l_partkey").schema, cap)
     val side: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame =
       if (isBroadcast) broadcast else _.hint("shuffle_merge")
     val keys = dPairs.select("l_suppkey", "l_partkey")
-    // bucket set of the delta's groups (from the same collect as the
-    // capacity probe above): ≤ SupportBuckets values; pruning the base
-    // scan to these partitions is what makes a key-local delta's probe
-    // sublinear in the state
-    val touchedBuckets = bucketCounts.map(_.getInt(0)).toSeq
+    // bucket set of the delta's groups (from the same observed metrics
+    // as the capacity probe above): ≤ SupportBuckets values; pruning
+    // the base scan to these partitions is what makes a key-local
+    // delta's probe sublinear in the state
+    val touchedBuckets = bucketN.filter(_._2 > 0).map(_._1)
     val basePruned = spark.read.parquet(basePath)
       .filter(col("b").isin(touchedBuckets: _*))
     val pairKey = xxhash64(col("l_suppkey"), col("l_partkey"))
