@@ -368,16 +368,19 @@ object LlmQueries {
         // exchange reuse: the planner rewrites df's unused inner count
         // into a distinct, a different subtree). Persisting the (doc,
         // term, tf) table makes the corpus pass run ONCE; everything
-        // downstream is tf-table-sized. DISK_ONLY: corpus-sized, must
-        // never pin executor memory. (Locally the three explodes were
-        // cheap and ran in parallel, so this is bench-flat — it is the
+        // downstream is tf-table-sized. Default MEMORY_AND_DISK, not
+        // the raw-corpus DISK_ONLY convention: tf is the aggregated
+        // (doc, term) table — far smaller than the text it came from —
+        // and spills per-partition if it isn't (A/B 1.6 vs 2.0 s).
+        // Locally the three explodes were cheap and ran in parallel,
+        // so this reads bench-flat-to-slower — it is the
         // q_profile_columns trade: one corpus pass at 100 TB beats
-        // three.)
+        // three.
         val tf = graft.ops.Caches.register(docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+          .persist())
         val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("doc_len"))
         val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
