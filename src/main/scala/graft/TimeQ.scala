@@ -44,12 +44,18 @@ object TimeQ {
     // bytes spilled is a deterministic function of the plan + partition
     // count — the signal the partitions-knob scale probes record
     val spilled = new java.util.concurrent.atomic.AtomicLong()
+    // source rows actually read (parquet/file scans): the deterministic
+    // witness for scan-dedup claims — e.g. exchange reuse showing one
+    // corpus scan where the static plan prints three
+    val inputRecs = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskMetrics != null)
+          if (t.taskMetrics != null) {
             spilled.addAndGet(t.taskMetrics.diskBytesSpilled)
+            inputRecs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+          }
       })
     // listener events arrive on an async bus: without a quiesce the
     // last tasks' spill lands after count() returns (undercounting
@@ -65,12 +71,14 @@ object TimeQ {
     }
     for (name <- args.drop(1)) {
       val s0 = quiesce()
+      val i0 = inputRecs.get()
       val t0 = System.nanoTime()
       val df = Registry.all(name).fn(spark, dir)
       val n = if (full) df.queryExecution.toRdd.count() else df.count()
       val t1 = System.nanoTime()
       println(f"TIME $name ${(t1-t0)/1e9}%.2f s rows=$n " +
-        f"spillMB=${(quiesce() - s0) / 1e6}%.0f")
+        f"spillMB=${(quiesce() - s0) / 1e6}%.0f " +
+        f"inputRecs=${inputRecs.get() - i0}")
       graft.ops.Caches.drain()
     }
     spark.stop()

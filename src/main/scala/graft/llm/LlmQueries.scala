@@ -363,26 +363,31 @@ object LlmQueries {
         val docs = Tables(spark, dir, "documents")
         val nDocs = docs.count()
         // tf feeds THREE lineages (doc lengths, document frequencies,
-        // the scored join); unpersisted, each lineage re-scanned and
-        // re-tokenized the whole corpus (3 scans + 3 explodes — no
-        // exchange reuse: the planner rewrites df's unused inner count
-        // into a distinct, a different subtree). Persisting the (doc,
-        // term, tf) table makes the corpus pass run ONCE; everything
-        // downstream is tf-table-sized. Default MEMORY_AND_DISK, not
-        // the raw-corpus DISK_ONLY convention: tf is the aggregated
-        // (doc, term) table — far smaller than the text it came from —
-        // and spills per-partition if it isn't (A/B 1.6 vs 2.0 s).
-        // Locally the three explodes were cheap and ran in parallel,
-        // so this reads bench-flat-to-slower — it is the
-        // q_profile_columns trade: one corpus pass at 100 TB beats
-        // three.
-        val tf = graft.ops.Caches.register(docs
+        // the scored join). As originally written each lineage
+        // re-scanned and re-tokenized the corpus: the df branch's
+        // unused inner count let the planner rewrite its tf copy into
+        // a DISTINCT, and the missing isnotnull(doc_id) (the other two
+        // branches inherit it from their doc_id join) diverged its
+        // scan — two different subtrees, so exchange reuse never saw
+        // them as equal. With df counting tf's VALUE and the explicit
+        // source-side isNotNull, all three tf subtrees are
+        // bit-identical and ONE exchange serves them (AQE stage-cache
+        // reuse; TimeQ inputRecs 15 000 → 10 000 = one corpus scan +
+        // the nDocs count): one scan, one explode, one corpus
+        // exchange — lens and df re-aggregate the same shuffle files.
+        // No cache: the shuffle files already persist the pass.
+        val tf = docs
+          .filter(col("doc_id").isNotNull)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .persist())
         val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("doc_len"))
-        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // count(tf > 0), not count(1): tf ≥ 1 by construction so the
+        // value is identical, but a bare count (or count of a
+        // never-null column) lets the optimizer drop the inner
+        // aggregate's count and diverge the shared subtree
+        val df_ = tf.groupBy("term")
+          .agg(count(when(col("tf") > 0, 1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(desc("score"), asc("term"))
         tf.join(lens, "doc_id").join(df_, "term")
