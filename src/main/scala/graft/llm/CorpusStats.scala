@@ -130,11 +130,7 @@ object CorpusStats {
           .select(col("doc_id"), col("e.gram").as("bg"),
             col("e.mult").as("mult"))
           .persist())
-        // counts feeds two lineages (the broadcast join build + the grand
-        // total): persist the |charset|²-bounded aggregate so the corpus
-        // pass over bgDoc runs once, not twice
-        val counts = graft.ops.Caches.register(
-          bgDoc.groupBy("bg").agg(sum(col("mult")).as("cnt")).persist())
+        val counts = bgDoc.groupBy("bg").agg(sum(col("mult")).as("cnt"))
         val total = counts.agg(sum(col("cnt")).as("t"))
         bgDoc.join(broadcast(counts), "bg")
           .groupBy("doc_id")
@@ -196,11 +192,7 @@ object CorpusStats {
           .select(col("doc_id"), col("e.gram").as("bg"),
             col("e.mult").as("mult"))
           .persist())
-        // counts feeds two lineages (the grand total + the quantized
-        // log-prob table): persist the |charset|²-bounded aggregate so
-        // the corpus pass over bgDoc runs once, not twice
-        val counts = graft.ops.Caches.register(
-          bgDoc.groupBy("bg").agg(sum(col("mult")).as("cnt")).persist())
+        val counts = bgDoc.groupBy("bg").agg(sum(col("mult")).as("cnt"))
         val total = counts.agg(sum(col("cnt")).as("t"))
         val lp = counts.crossJoin(broadcast(total))
           .select(col("bg"),
